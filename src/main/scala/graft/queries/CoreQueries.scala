@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.1/2.2/2.4 stock operators instantiated over the driver
+  * testdata, each with a DuckDB oracle. Every query carries a
+  * deterministic ORDER BY on a unique key so row order can never differ
+  * between engines.
+  *
+  * Scale notes: all shapes here are scan → filter → project → (partial)
+  * agg; filters and projections reach the parquet scan (PushedFilters /
+  * ReadSchema verified in PlanSpec), aggregations are map-side partial.
+  * Nothing materializes on the driver.
+  */
+object CoreQueries extends QueryPack {
+
+  val defs: Map[String, QueryFn] = Map(
+    // S1: scan + bare projection (column pruning reaches the reader).
+    "s1_scan_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // S5: partition-manifest shape — distinct key tuples (metadata-scale).
+    "s5_partition_manifest" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderstatus", "o_orderpriority").distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    // P1: projection-with-cast view (ids int32 → int64, ref :25-36).
+    "p1_project_cast" -> ((s, d) =>
+      t(s, d, "nation")
+        .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+                col("n_name"),
+                col("n_regionkey").cast("bigint").as("n_regionkey"))
+        .orderBy("n_nationkey")),
+
+    // P3: equality predicate pushed to the scan.
+    "p3_eq_filter" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_suppkey") === 3)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P4: IN-list predicate pushed to the scan.
+    "p4_in_filter" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    // P5: array-overlap NOT-filter (tag-skip semantics, ref :204-211).
+    "p5_array_not_overlap" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(!arrays_overlap(split(col("text"), " "),
+                                array(lit("vector"), lit("stream"))))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
+    // P6: array-contains filter ('badimage' semantics, ref :336-344).
+    "p6_array_contains" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(array_contains(split(col("text"), " "), "spark"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // A1: distinct values of one column.
+    "a1_distinct" -> ((s, d) =>
+      t(s, d, "customer")
+        .select("c_mktsegment").distinct().orderBy("c_mktsegment")),
+
+    // A2: multi-column dedup (partition-manifest dedup, ref :233,517).
+    "a2_dedup_multicol" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .dropDuplicates("l_returnflag", "l_linestatus")
+        .select("l_returnflag", "l_linestatus")
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A3: grouped counts.
+    "a3_count_group" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type").count()
+        .orderBy("event_type")),
+
+    // Flagship agg (TPC-H Q1 shape): exact DECIMAL money sums → DOUBLE.
+    "q1_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          Portable.moneySum(col("l_extendedprice")).as("sum_base_price"),
+          Portable.revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // F-J1: JSON attribute extraction (gt_attr semantics, CvatApi.py:388-406).
+    "f_j1_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .orderBy("event_id")),
+
+    // U1: union-all of per-slice frames (pd.concat semantics, ref :196,245).
+    "u1_union_all" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderstatus")
+        .unionByName(
+          o.filter(col("o_orderstatus") === "O").select("o_orderkey", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s1_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "s5_partition_manifest" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY o_orderstatus, o_orderpriority",
+    "p1_project_cast" ->
+      "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation ORDER BY n_nationkey",
+    "p3_eq_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity FROM lineitem WHERE l_suppkey = 3 ORDER BY l_orderkey, l_linenumber",
+    "p4_in_filter" ->
+      "SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH') ORDER BY o_orderkey",
+    "p5_array_not_overlap" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE NOT list_has_any(string_split(text, ' '), ['vector','stream']) ORDER BY doc_id",
+    "p6_array_contains" ->
+      "SELECT doc_id, source FROM documents WHERE list_contains(string_split(text, ' '), 'spark') ORDER BY doc_id",
+    "a1_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    "a2_dedup_multicol" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+    "a3_count_group" ->
+      "SELECT event_type, count(*) AS count FROM events GROUP BY event_type ORDER BY event_type",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+         sum(l_quantity) / count(*) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "f_j1_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
+    "u1_union_all" ->
+      "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F' UNION ALL SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey"
+  )
+}
