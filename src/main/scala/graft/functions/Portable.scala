@@ -28,18 +28,30 @@ object Portable {
     * falls below `permille`/4096 of the space (3 hex chars = 4096 buckets).
     * DuckDB equivalent: `substr(md5(CAST(k AS VARCHAR)),1,3) < 'xyz'`.
     */
-  def md5Sample(key: Column, buckets4096: Int): Column =
-    substring(md5Key(key), 1, 3) < lit(f"$buckets4096%03x")
+  def md5Sample(key: Column, buckets4096: Int): Column = {
+    // %03x emits 4 chars at >= 4096, breaking the 3-char lexicographic
+    // compare ('fff' > '1000'), so the full range is explicit.
+    require(buckets4096 >= 0 && buckets4096 <= 4096,
+      s"buckets4096 out of [0,4096]: $buckets4096")
+    if (buckets4096 == 4096) lit(true)
+    else substring(md5Key(key), 1, 3) < lit(f"$buckets4096%03x")
+  }
 
   /** SQL fragment for the DuckDB oracle matching [[md5Sample]]. */
-  def md5SampleSql(keyExpr: String, buckets4096: Int): String =
-    f"substr(md5(CAST($keyExpr AS VARCHAR)),1,3) < '$buckets4096%03x'"
+  def md5SampleSql(keyExpr: String, buckets4096: Int): String = {
+    require(buckets4096 >= 0 && buckets4096 <= 4096,
+      s"buckets4096 out of [0,4096]: $buckets4096")
+    if (buckets4096 == 4096) "TRUE"
+    else f"substr(md5(CAST($keyExpr AS VARCHAR)),1,3) < '$buckets4096%03x'"
+  }
 
   /** Deterministic split label: first 3 hex chars of md5(key) partition the
     * 4096-bucket space into [0,valHi) → val, [valHi,testHi) → test,
     * rest → train.
     */
   def md5SplitLabel(key: Column, valHi: Int, testHi: Int): Column = {
+    require(valHi >= 0 && testHi >= valHi && testHi < 4096,
+      s"split bounds out of range: valHi=$valHi testHi=$testHi")
     val h = substring(md5Key(key), 1, 3)
     when(h < lit(f"$valHi%03x"), "val")
       .when(h < lit(f"$testHi%03x"), "test")

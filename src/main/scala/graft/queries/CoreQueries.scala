@@ -90,10 +90,10 @@ object CoreQueries extends QueryPack {
         .filter(col("l_shipdate") <= lit("1998-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum("l_quantity").as("sum_qty"),
+          Portable.moneySum(col("l_quantity")).as("sum_qty"),
           Portable.moneySum(col("l_extendedprice")).as("sum_base_price"),
           Portable.revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
-          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+          (Portable.moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -137,10 +137,10 @@ object CoreQueries extends QueryPack {
       "SELECT event_type, count(*) AS count FROM events GROUP BY event_type ORDER BY event_type",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-         sum(l_quantity) / count(*) AS avg_qty,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",

@@ -19,16 +19,19 @@ object JoinQueries extends QueryPack {
         .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus")
         .orderBy("l_orderkey", "l_linenumber")),
 
-    // J2: broadcast left-semi (get_annotations_by_project, ref :289-294).
+    // J2: left-semi (get_annotations_by_project, ref :289-294). The
+    // filtered-orders side is fact-sized at scale, so no broadcast hint —
+    // AQE picks broadcast when the runtime size fits, sort-merge otherwise.
     "j2_semi_join" -> ((s, d) =>
       t(s, d, "lineitem")
-        .join(broadcast(t(s, d, "orders").filter(col("o_orderstatus") === "F")
-                          .select(col("o_orderkey").as("l_orderkey"))),
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+                .select(col("o_orderkey").as("l_orderkey")),
               Seq("l_orderkey"), "left_semi")
         .select("l_orderkey", "l_linenumber")
         .orderBy("l_orderkey", "l_linenumber")),
 
     // J3-adjacent: anti join (split leftover semantics, ref :260).
+    // customer is a true dimension here, so the broadcast hint is safe.
     "j3_anti_join" -> ((s, d) =>
       t(s, d, "orders")
         .join(broadcast(t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -72,7 +75,7 @@ object JoinQueries extends QueryPack {
     "j2_semi_join" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') ORDER BY l_orderkey, l_linenumber",
     "j3_anti_join" ->
-      "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') ORDER BY o_orderkey",
+      "SELECT o_orderkey, o_custkey FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey) ORDER BY o_orderkey",
     "j5_dim_lookup_chain" ->
       "SELECT l_orderkey, l_linenumber, p_brand, s_name FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey ORDER BY l_orderkey, l_linenumber",
     "j6_group_collect" ->

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.5 — sampling & train/val/test splits, the reference's
+  * signature operation (TrainDatasets.py:235-287 `image_sampler`,
+  * :423-433 `iid_sampler`/`db_query_sampler`).
+  *
+  * The reference uses unseeded Python RNG; we standardize on
+  * content-keyed md5 bucketing (Portable.md5Sample) — a pure map with no
+  * RNG state, so splits are reproducible across reruns, engines, and any
+  * cluster size, and the DuckDB oracle can replay them exactly.
+  *
+  * Scale notes: sampling is a scan-side filter (no shuffle); the split
+  * routing joins broadcast only the *distinct key set* (dimension-sized),
+  * never a fact side.
+  */
+object SampleQueries extends QueryPack {
+
+  val defs: Map[String, QueryFn] = Map(
+    // SP1: Bernoulli-style sample of distinct keys at 1024/4096 = 25%
+    // (ref image_names.sample(frac=p), TrainDatasets.py:258).
+    "sp1_key_sample" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey").distinct()
+        .filter(Portable.md5Sample(col("l_orderkey"), 1024))
+        .orderBy("l_orderkey")),
+
+    // SP2: shuffle-and-slice item-id split at 50% (ref iid_sampler,
+    // TrainDatasets.py:423-427) — same md5-bucket mechanism, different key.
+    "sp2_iid_split" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_custkey").distinct()
+        .filter(Portable.md5Sample(col("o_custkey"), 2048))
+        .orderBy("o_custkey")),
+
+    // SP3: train/val/test orchestration — each distinct key labeled
+    // val (10%) / test (10%) / train (80%) (ref image_sampler
+    // TrainDatasets.py:257-276).
+    "sp3_split_label" -> ((s, d) =>
+      t(s, d, "customer")
+        .select("c_custkey").distinct()
+        .withColumn("split", Portable.md5SplitLabel(col("c_custkey"), 409, 819))
+        .orderBy("c_custkey")),
+
+    // P7: membership routing — fact rows routed to their key's split via
+    // a broadcast join against the labeled key set (replaces the
+    // reference's O(images × annos) loop, TrainDatasets.py:265-276),
+    // then per-split counts.
+    "p7_split_route" -> ((s, d) => {
+      val keys = t(s, d, "orders")
+        .select("o_custkey").distinct()
+        .withColumn("split", Portable.md5SplitLabel(col("o_custkey"), 409, 819))
+      t(s, d, "orders")
+        .join(broadcast(keys), Seq("o_custkey"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_orders"),
+             countDistinct(col("o_custkey")).as("n_keys"))
+        .orderBy("split")
+    })
+  )
+
+  private def sampleWhere(key: String, b: Int) = Portable.md5SampleSql(key, b)
+  private def labelCase(key: String) = Portable.md5SplitLabelSql(key, 409, 819)
+
+  val oracle: Map[String, String] = Map(
+    "sp1_key_sample" ->
+      s"SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey FROM lineitem) WHERE ${sampleWhere("l_orderkey", 1024)} ORDER BY l_orderkey",
+    "sp2_iid_split" ->
+      s"SELECT o_custkey FROM (SELECT DISTINCT o_custkey FROM orders) WHERE ${sampleWhere("o_custkey", 2048)} ORDER BY o_custkey",
+    "sp3_split_label" ->
+      s"SELECT c_custkey, ${labelCase("c_custkey")} AS split FROM (SELECT DISTINCT c_custkey FROM customer) ORDER BY c_custkey",
+    "p7_split_route" ->
+      s"""SELECT k.split, count(*) AS n_orders, count(DISTINCT o.o_custkey) AS n_keys
+          FROM orders o
+          JOIN (SELECT o_custkey, ${labelCase("o_custkey")} AS split
+                FROM (SELECT DISTINCT o_custkey FROM orders)) k
+          ON o.o_custkey = k.o_custkey
+          GROUP BY k.split ORDER BY k.split"""
+  )
+}
