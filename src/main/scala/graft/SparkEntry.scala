@@ -16,7 +16,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     CoreQueries,
     JoinQueries,
-    SampleQueries
+    SampleQueries,
+    WindowQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

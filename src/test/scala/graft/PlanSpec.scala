@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+
+/** Physical-plan assertions: filters and projections actually reach the
+  * parquet scan (SURVEY §4 — pushdown/pruning are the 100 TB survival
+  * traits, so they are asserted, not assumed). Handles both the V1
+  * (FileSourceScanExec, Spark's default for parquet) and V2 (BatchScan)
+  * read paths.
+  */
+class PlanSpec extends SparkSpec {
+
+  private case class ScanInfo(pushedFilters: String, readColumns: Set[String])
+
+  // AQE hides the plan behind AdaptiveSparkPlanExec (a leaf); descend.
+  private def unwrap(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+
+  private def scans(df: DataFrame): Seq[ScanInfo] =
+    unwrap(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec =>
+        ScanInfo(f.metadata.getOrElse("PushedFilters", ""),
+          f.requiredSchema.fieldNames.toSet)
+      case b: BatchScanExec if b.scan.isInstanceOf[ParquetScan] =>
+        val p = b.scan.asInstanceOf[ParquetScan]
+        ScanInfo(p.pushedFilters.mkString(","), p.readDataSchema.fieldNames.toSet)
+    }
+
+  test("P3 equality predicate is pushed to the parquet scan") {
+    val df = graft.queries.CoreQueries.defs("p3_eq_filter")(spark, sf())
+    val ss = scans(df)
+    assert(ss.nonEmpty, "no parquet scan found in plan")
+    val pushed = ss.map(_.pushedFilters).mkString(";")
+    assert(pushed.contains("l_suppkey"), s"expected l_suppkey in pushed filters, got: $pushed")
+  }
+
+  test("P4 IN-list predicate is pushed to the parquet scan") {
+    val df = graft.queries.CoreQueries.defs("p4_in_filter")(spark, sf())
+    val pushed = scans(df).map(_.pushedFilters).mkString(";")
+    assert(pushed.contains("o_orderpriority"), s"got: $pushed")
+  }
+
+  test("S1 bare projection prunes the read schema to selected columns") {
+    val df = graft.queries.CoreQueries.defs("s1_scan_project")(spark, sf())
+    val ss = scans(df)
+    assert(ss.nonEmpty, "no parquet scan found in plan")
+    val readCols = ss.head.readColumns
+    assert(readCols == Set("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+      s"read schema not pruned: $readCols")
+  }
+
+  test("flagship q1_agg keeps whole-stage codegen on the agg path") {
+    val df = graft.queries.CoreQueries.defs("q1_agg")(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(500))
+  }
+}
