@@ -17,7 +17,8 @@ object SparkEntry {
     CoreQueries,
     JoinQueries,
     SampleQueries,
-    WindowQueries
+    WindowQueries,
+    GeomQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

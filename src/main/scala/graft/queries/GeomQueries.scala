@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.functions.GeomUdfs
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** SURVEY §2.8 F-G* geometry + P9 degenerate guard, exercised over
+  * polygons synthesized deterministically from the `part` table (integer
+  * coordinates, so UDF outputs are exact and the DuckDB oracle can
+  * reproduce them arithmetically where the math is SQL-expressible).
+  *
+  * The rotated-rect pipeline (F-G1/G2/G3/G4) is not SQL-expressible —
+  * those queries get the driver's rows-only check and are golden/property
+  * tested in GeometrySpec instead.
+  *
+  * Scale notes: all queries are scan → project → scalar UDF, a pure map
+  * with no shuffle; the UDF island is one projection wide.
+  */
+object GeomQueries extends QueryPack {
+
+  /** Deterministic triangle per part row: integer coords, positive area. */
+  private def withTriangle(df: DataFrame): DataFrame =
+    df.withColumn("x0", (col("p_partkey") % 50).cast("double"))
+      .withColumn("y0", (col("p_partkey") % 30).cast("double"))
+      .withColumn("x1", col("x0") + 1 + (col("p_size") % 20).cast("double"))
+      .withColumn("y1", col("y0"))
+      .withColumn("x2", col("x0"))
+      .withColumn("y2", col("y0") + 1 + (col("p_partkey") % 17).cast("double"))
+      .withColumn("seg", array(col("x0"), col("y0"), col("x1"), col("y1"),
+                               col("x2"), col("y2")))
+
+  private val triangleSqlCtes =
+    """WITH tri AS (
+         SELECT p_partkey, p_size,
+                CAST(p_partkey % 50 AS DOUBLE) AS x0,
+                CAST(p_partkey % 30 AS DOUBLE) AS y0,
+                CAST(p_partkey % 50 AS DOUBLE) + 1 + CAST(p_size % 20 AS DOUBLE) AS x1,
+                CAST(p_partkey % 30 AS DOUBLE) AS y1,
+                CAST(p_partkey % 50 AS DOUBLE) AS x2,
+                CAST(p_partkey % 30 AS DOUBLE) + 1 + CAST(p_partkey % 17 AS DOUBLE) AS y2
+         FROM part)"""
+
+  val defs: Map[String, QueryFn] = Map(
+    // F-G5: segmentation → axis-aligned bbox via the Scala kernel.
+    "f_g5_seg2bbox" -> ((s, d) =>
+      withTriangle(t(s, d, "part"))
+        .withColumn("bbox", GeomUdfs.segmentation2bbox(col("seg")))
+        .select(col("p_partkey"),
+                col("bbox")(0).as("xmin"), col("bbox")(1).as("ymin"),
+                col("bbox")(2).as("w"), col("bbox")(3).as("h"))
+        .orderBy("p_partkey")),
+
+    // F-G6: aabb → rectangle polygon, emitted as canonical JSON so both
+    // engines stringify the exact-integer list identically.
+    "f_g6_aabb2poly" -> ((s, d) =>
+      withTriangle(t(s, d, "part"))
+        .withColumn("poly", GeomUdfs.aabb2poly(
+          array(col("x0"), col("y0"), lit(1) + col("p_size").cast("double"),
+                lit(2) + (col("p_partkey") % 9).cast("double"))))
+        .select(col("p_partkey"),
+                to_json(col("poly").cast("array<bigint>")).as("poly_json"))
+        .orderBy("p_partkey")),
+
+    // F-G7: CVAT rect → closed polygon, same JSON canonicalization.
+    "f_g7_rect2poly" -> ((s, d) =>
+      withTriangle(t(s, d, "part"))
+        .withColumn("poly", GeomUdfs.rectToPolygon(
+          array(col("x0"), col("y0"), col("x1"), col("y2"))))
+        .select(col("p_partkey"),
+                to_json(col("poly").cast("array<bigint>")).as("poly_json"))
+        .orderBy("p_partkey")),
+
+    // F-G8: YOLO center-format normalized bbox (640x480 canvas).
+    "f_g8_yolo_bbox" -> ((s, d) =>
+      withTriangle(t(s, d, "part"))
+        .withColumn("bb", GeomUdfs.yoloBbox(lit(640.0), lit(480.0), col("seg")))
+        .select(col("p_partkey"),
+                col("bb")(0).as("cx"), col("bb")(1).as("cy"),
+                col("bb")(2).as("w"), col("bb")(3).as("h"))
+        .orderBy("p_partkey")),
+
+    // F-G1..G4 + P9: full rotated-bbox pipeline with degenerate-input
+    // guard. Every 10th part gets a collinear "polygon" whose min rect
+    // does not exist; the guard nulls it and the filter drops it
+    // (CvatApi.py:360-369 skip semantics). Rows-only check (atan2-based
+    // math is not portably SQL-expressible).
+    "f_g1_rbb_pipeline" -> ((s, d) =>
+      withTriangle(t(s, d, "part"))
+        .withColumn("seg", when(col("p_partkey") % 10 === 0,
+          array(col("x0"), col("y0"), col("x1"), col("y0"), col("x1") + 1, col("y0"))
+        ).otherwise(col("seg")))
+        .withColumn("rcoco", GeomUdfs.rbbFromSeg(col("seg")))
+        .withColumn("coco", GeomUdfs.cocoFromSeg(col("seg")))
+        .filter(col("rcoco").isNotNull) // P9: degenerate guard
+        .select(col("p_partkey"), col("rcoco"), col("coco"))
+        .orderBy("p_partkey"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f_g5_seg2bbox" ->
+      s"""$triangleSqlCtes
+          SELECT p_partkey,
+                 least(x0,x1,x2) AS xmin, least(y0,y1,y2) AS ymin,
+                 greatest(x0,x1,x2) - least(x0,x1,x2) AS w,
+                 greatest(y0,y1,y2) - least(y0,y1,y2) AS h
+          FROM tri ORDER BY p_partkey""",
+    "f_g6_aabb2poly" ->
+      s"""$triangleSqlCtes
+          SELECT p_partkey,
+                 to_json(LIST_VALUE(
+                   CAST(x0 AS BIGINT), CAST(y0 AS BIGINT),
+                   CAST(x0 + 1 + p_size AS BIGINT), CAST(y0 AS BIGINT),
+                   CAST(x0 + 1 + p_size AS BIGINT), CAST(y0 + 2 + p_partkey % 9 AS BIGINT),
+                   CAST(x0 AS BIGINT), CAST(y0 + 2 + p_partkey % 9 AS BIGINT))) AS poly_json
+          FROM tri ORDER BY p_partkey""",
+    "f_g7_rect2poly" ->
+      s"""$triangleSqlCtes
+          SELECT p_partkey,
+                 to_json(LIST_VALUE(
+                   CAST(x0 AS BIGINT), CAST(y0 AS BIGINT),
+                   CAST(x1 AS BIGINT), CAST(y0 AS BIGINT),
+                   CAST(x1 AS BIGINT), CAST(y2 AS BIGINT),
+                   CAST(x0 AS BIGINT), CAST(y2 AS BIGINT),
+                   CAST(x0 AS BIGINT), CAST(y0 AS BIGINT))) AS poly_json
+          FROM tri ORDER BY p_partkey""",
+    "f_g8_yolo_bbox" ->
+      s"""$triangleSqlCtes
+          SELECT p_partkey,
+                 (least(x0,x1,x2)/640.0 + greatest(x0,x1,x2)/640.0)/2 AS cx,
+                 (greatest(y0,y1,y2)/480.0 + least(y0,y1,y2)/480.0)/2 AS cy,
+                 greatest(x0,x1,x2)/640.0 - least(x0,x1,x2)/640.0 AS w,
+                 greatest(y0,y1,y2)/480.0 - least(y0,y1,y2)/480.0 AS h
+          FROM tri ORDER BY p_partkey"""
+  )
+}
