@@ -18,7 +18,9 @@ object SparkEntry {
     JoinQueries,
     SampleQueries,
     WindowQueries,
-    GeomQueries
+    GeomQueries,
+    ExportQueries,
+    StringQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

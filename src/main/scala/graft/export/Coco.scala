@@ -1,0 +1,98 @@
+package graft.export
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** COCO exporter — Spark-native re-expression of
+  * create_coco_from_feather.py:46-116 (S10, F-J2, A5, O3, J4/J5).
+  *
+  * The relational core (category dim, image ids, annotation records) is
+  * distributed; only the final single-document envelope materializes on
+  * the driver (inherent to "one JSON file" output, ref :115-116).
+  *
+  * Deviations (documented): the reference assigns image/annotation ids in
+  * pandas iteration order, which is nondeterministic across reruns; we
+  * assign by explicit sort keys (image_name; caller-provided anno key) so
+  * ids are stable across engines and cluster sizes.
+  */
+object Coco {
+
+  /** Category dimension: lexicographically sorted distinct categories,
+    * dense ids from 1 ("background is 0", ref :59-70).
+    */
+  def categoryDim(annos: DataFrame): DataFrame =
+    annos.select("category").distinct()
+      .withColumn("category_id", row_number().over(Window.orderBy("category")))
+
+  /** Image dimension: ids from 0 by image_name order (ref :73-85). */
+  def imageDim(images: DataFrame): DataFrame =
+    images.withColumn("image_id",
+      row_number().over(Window.orderBy("image_name")) - 1)
+
+  /** Annotation records (ref :97-106 + make_anno_odtk/make_anno_d2
+    * :14-44): join image ids (J4) and category ids (J5, both broadcast —
+    * true dimensions), assign sequential anno ids (O3) by `annoKeyCol`.
+    *
+    * odtk=true uses the rotated box (`rcoco`) as bbox; otherwise the
+    * axis-aligned bbox recomputed from the segmentation (make_anno_d2).
+    * `area` is rcoco w*h in both variants (ref :21,40).
+    */
+  def annotationRecords(annos: DataFrame, images: DataFrame,
+                        annoKeyCol: String, odtk: Boolean = true): DataFrame = {
+    val withIds = annos
+      .join(broadcast(imageDim(images).select("image_name", "image_id")), Seq("image_name"))
+      .join(broadcast(categoryDim(annos)), Seq("category"))
+      .withColumn("id", row_number().over(Window.orderBy(annoKeyCol)) - 1)
+    val bbox =
+      if (odtk) col("rcoco")
+      else graft.functions.GeomUdfs.segmentation2bbox(col("segmentation"))
+    withIds
+      .withColumn("iscrowd", lit(0))
+      .withColumn("bbox", bbox)
+      .withColumn("area", col("rcoco")(2) * col("rcoco")(3))
+  }
+
+  /** Whole-document assembly (ref :46-116): single JSON string on the
+    * driver. Info/license text is neutral placeholder, not the
+    * reference's URLs.
+    */
+  def cocoDocument(annos: DataFrame, images: DataFrame, annoKeyCol: String,
+                   train: Boolean = false, odtk: Boolean = true): String = {
+    val cats = categoryDim(annos).orderBy("category_id")
+      .collect().map(r =>
+        s"""{"supercategory": ${jstr(r.getString(0))}, "id": ${r.getInt(1)}, "name": ${jstr(r.getString(0))}}""")
+    val imgs = imageDim(images).orderBy("image_id")
+      .select("image_name", "height", "width", "image_id").collect().map(r =>
+        s"""{"license": 1, "file_name": ${jstr(r.getString(0) + ".jpeg")}, "height": ${r.get(1)}, "width": ${r.get(2)}, "id": ${r.getInt(3)}}""")
+    val segCol =
+      if (!odtk) to_json(array(col("segmentation"))) // d2 always carries seg (ref :42)
+      else when(lit(train), lit(null)).otherwise(to_json(array(col("segmentation"))))
+    val annoJson = annotationRecords(annos, images, annoKeyCol, odtk)
+      .withColumn("seg_json", segCol)
+      .orderBy("id")
+      .select(col("image_id"), col("id"), col("category_id"),
+              to_json(col("bbox")).as("bbox_json"), col("area"), col("seg_json"))
+      .collect().map { r =>
+        val seg = Option(r.getString(5)).map(s => s""", "segmentation": $s""").getOrElse("")
+        s"""{"iscrowd": 0, "image_id": ${r.getInt(0)}, "bbox": ${r.getString(3)}, "category_id": ${r.getInt(2)}, "area": ${r.get(4)}, "id": ${r.getInt(1)}$seg}"""
+      }
+    val info = """{"description": "Dataset", "version": "1.0", "year": 2022}"""
+    val licenses = """[{"id": 1, "name": "placeholder"}]"""
+    s"""{"info": $info, "licenses": $licenses, "images": [${imgs.mkString(", ")}], "annotations": [${annoJson.mkString(", ")}], "categories": [${cats.mkString(", ")}]}"""
+  }
+
+  def writeCocoDataset(annos: DataFrame, images: DataFrame, annoKeyCol: String,
+                       outputJson: String, train: Boolean = false, odtk: Boolean = true): Unit = {
+    val doc = cocoDocument(annos, images, annoKeyCol, train, odtk)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outputJson), doc)
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

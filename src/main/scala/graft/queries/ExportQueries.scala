@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.export.{Coco, Yolo}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.1 S10/S11 + §2.8 F-J2/F-S4 — the exporters' relational
+  * cores as oracle-checked queries over the synthesized anno/image
+  * frames (Synth). File writing itself is smoke-tested in ExportSpec;
+  * here the driver's hash gate checks the id assignment, joins,
+  * grouping, and line formatting that make up the export semantics.
+  */
+object ExportQueries extends QueryPack {
+
+  val defs: Map[String, QueryFn] = Map(
+    // S10 core: annotation records with dense category ids (A5/J5),
+    // image ids by name order (J4), sequential anno ids (O3), integer
+    // bbox JSON (F-J2 canonicalized).
+    "s10_coco_annos" -> ((s, d) =>
+      Coco.annotationRecords(Synth.annos(s, d), Synth.images(s, d), "anno_key")
+        .select(col("id"), col("image_id"), col("category_id"),
+                to_json(col("bbox").cast("array<bigint>")).as("bbox_json"),
+                col("area").cast("bigint").as("area"))
+        .orderBy("id")),
+
+    // S11 core: per-image YOLO bodies — semi-filter (P8), group-join
+    // (J6), line format (F-S4) with integer boxes so both engines
+    // stringify identically.
+    "s11_yolo_lines" -> ((s, d) => {
+      val a = Synth.annos(s, d)
+      val catMap = Coco.categoryDim(a)
+      a.join(Synth.images(s, d), Seq("image_name"))
+        .join(catMap, Seq("category"))
+        .withColumn("line", concat_ws(" ",
+          col("category_id").cast("string"),
+          col("rcoco")(0).cast("bigint").cast("string"),
+          col("rcoco")(1).cast("bigint").cast("string"),
+          col("rcoco")(2).cast("bigint").cast("string"),
+          col("rcoco")(3).cast("bigint").cast("string")))
+        .groupBy("image_name")
+        .agg(concat_ws("\n",
+          array_sort(collect_list(struct(col("anno_key").as("k"), col("line"))))
+            .getField("line")).as("body"),
+          count(lit(1)).as("n_annos"))
+        .orderBy("image_name")
+    }),
+
+    // F-J2: per-row COCO annotation JSON built portably (concat-based so
+    // the string is engine-exact; integer fields only).
+    "f_j2_json_assembly" -> ((s, d) =>
+      Coco.annotationRecords(Synth.annos(s, d), Synth.images(s, d), "anno_key")
+        .select(col("id"), concat(
+          lit("""{"iscrowd": 0, "image_id": """), col("image_id"),
+          lit(""", "category_id": """), col("category_id"),
+          lit(""", "id": """), col("id"), lit("}")).as("anno_json"))
+        .orderBy("id"))
+  )
+
+  private val ctes = s"WITH ${Synth.annosSqlCte}, ${Synth.imagesSqlCte}"
+
+  // Shared SQL fragments mirroring Coco.categoryDim / imageDim /
+  // annotationRecords over the synthesized frames.
+  private val dims =
+    """cats AS (
+         SELECT category, CAST(row_number() OVER (ORDER BY category) AS INT) AS category_id
+         FROM (SELECT DISTINCT category FROM sannos)),
+       imgs AS (
+         SELECT image_name, CAST(row_number() OVER (ORDER BY image_name) - 1 AS INT) AS image_id
+         FROM simages),
+       recs AS (
+         SELECT a.*, i.image_id, c.category_id,
+                CAST(row_number() OVER (ORDER BY a.anno_key) - 1 AS INT) AS id
+         FROM sannos a JOIN imgs i USING (image_name) JOIN cats c USING (category))"""
+
+  val oracle: Map[String, String] = Map(
+    "s10_coco_annos" ->
+      s"""$ctes, $dims
+          SELECT id, image_id, category_id,
+                 to_json(LIST_VALUE(CAST(x0 AS BIGINT), CAST(y0 AS BIGINT),
+                   CAST(x1 - x0 AS BIGINT), CAST(y2 - y0 AS BIGINT), CAST(0 AS BIGINT))) AS bbox_json,
+                 CAST((x1 - x0) * (y2 - y0) AS BIGINT) AS area
+          FROM recs ORDER BY id""",
+    "s11_yolo_lines" ->
+      s"""$ctes, $dims,
+          lines AS (
+            SELECT image_name, anno_key,
+                   CAST(category_id AS VARCHAR) || ' ' ||
+                   CAST(CAST(x0 AS BIGINT) AS VARCHAR) || ' ' ||
+                   CAST(CAST(y0 AS BIGINT) AS VARCHAR) || ' ' ||
+                   CAST(CAST(x1 - x0 AS BIGINT) AS VARCHAR) || ' ' ||
+                   CAST(CAST(y2 - y0 AS BIGINT) AS VARCHAR) AS line
+            FROM recs)
+          SELECT image_name,
+                 array_to_string(list(line ORDER BY anno_key), chr(10)) AS body,
+                 count(*) AS n_annos
+          FROM lines GROUP BY image_name ORDER BY image_name""",
+    "f_j2_json_assembly" ->
+      s"""$ctes, $dims
+          SELECT id, '{"iscrowd": 0, "image_id": ' || image_id ||
+                 ', "category_id": ' || category_id || ', "id": ' || id || '}' AS anno_json
+          FROM recs ORDER BY id"""
+  )
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.Tables.t
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.8 F-S1..F-S4 — the reference's string/regex surface
+  * (path parsing TrainDatasets.py:213-233, filename normalization
+  * CvatApi.py:269-280/372-383, lowercase labels :72, line formatting
+  * create_yolo_from_feather.py:65-66) over synthesized names derived
+  * from keys. Pure map shapes — no shuffle beyond the oracle-mandated
+  * sort.
+  */
+object StringQueries extends QueryPack {
+
+  val defs: Map[String, QueryFn] = Map(
+    // F-S1: regex-extract partition keys from hive-style paths
+    // (TrainDatasets.py:216,506) — unnecessary with native partition
+    // columns (S5) but covered for surface completeness.
+    "f_s1_regex_extract" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("path", concat(lit("lake/project_id="), col("o_custkey") % 50,
+          lit("/job_id="), col("o_orderkey") % 7, lit("/part-0.parquet")))
+        .select(col("o_orderkey"),
+          regexp_extract(col("path"), "project_id=(\\d+)", 1).cast("bigint").as("project_id"),
+          regexp_extract(col("path"), "job_id=(\\d+)", 1).cast("bigint").as("job_id"))
+        .orderBy("o_orderkey")),
+
+    // F-S2: filename normalization — strip extension, drop the leading
+    // '_'-separated task prefix, rejoin (CvatApi.py:107-108,269-280).
+    "f_s2_filename_norm" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("fname", concat(lit("t"), col("o_orderkey") % 9, lit("_img_"),
+          col("o_orderkey"), lit(".jpeg")))
+        .withColumn("stem", regexp_replace(col("fname"), "\\.[^.]*$", ""))
+        .select(col("o_orderkey"),
+          array_join(slice(split(col("stem"), "_"), 2, 100), "_").as("image_name"))
+        .orderBy("o_orderkey")),
+
+    // F-S3: lowercase labels (CvatApi.py:72).
+    "f_s3_lower" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"), lower(col("c_mktsegment")).as("label"))
+        .orderBy("c_custkey")),
+
+    // F-S4: formatted line assembly (create_yolo_from_feather.py:65-66).
+    "f_s4_line_format" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          concat_ws(" ", col("l_returnflag"), col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string")).as("line"))
+        .orderBy("l_orderkey", "l_linenumber"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f_s1_regex_extract" ->
+      """SELECT o_orderkey,
+         CAST(regexp_extract('lake/project_id=' || CAST(o_custkey % 50 AS VARCHAR) ||
+           '/job_id=' || CAST(o_orderkey % 7 AS VARCHAR) || '/part-0.parquet',
+           'project_id=(\d+)', 1) AS BIGINT) AS project_id,
+         CAST(regexp_extract('lake/project_id=' || CAST(o_custkey % 50 AS VARCHAR) ||
+           '/job_id=' || CAST(o_orderkey % 7 AS VARCHAR) || '/part-0.parquet',
+           'job_id=(\d+)', 1) AS BIGINT) AS job_id
+         FROM orders ORDER BY o_orderkey""",
+    "f_s2_filename_norm" ->
+      """SELECT o_orderkey,
+         array_to_string(string_split(regexp_replace(
+           't' || CAST(o_orderkey % 9 AS VARCHAR) || '_img_' ||
+           CAST(o_orderkey AS VARCHAR) || '.jpeg', '\.[^.]*$', ''), '_')[2:], '_') AS image_name
+         FROM orders ORDER BY o_orderkey""",
+    "f_s3_lower" ->
+      "SELECT c_custkey, lower(c_mktsegment) AS label FROM customer ORDER BY c_custkey",
+    "f_s4_line_format" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_returnflag || ' ' || CAST(l_orderkey AS VARCHAR) || ' ' ||
+         CAST(l_linenumber AS VARCHAR) AS line
+         FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+  )
+}

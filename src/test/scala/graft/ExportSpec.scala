@@ -1,0 +1,91 @@
+package graft
+
+import graft.export.{Coco, Yolo}
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** End-to-end exporter smoke tests: small fixture frames → real files,
+  * parsed back and checked for the reference's structural contract
+  * (COCO: 5 top-level keys, categories from 1, images from 0; YOLO: one
+  * txt per image, one line per annotation).
+  */
+class ExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def annoFixture = Seq(
+    ("img_b", "dog", 1L, Seq(0.0, 0.0, 10.0, 0.0, 10.0, 6.0, 0.0, 6.0), Seq(0.0, 0.0, 10.0, 6.0, 0.0)),
+    ("img_a", "cat", 2L, Seq(5.0, 5.0, 25.0, 5.0, 25.0, 15.0, 5.0, 15.0), Seq(5.0, 5.0, 20.0, 10.0, 0.0)),
+    ("img_a", "dog", 3L, Seq(1.0, 1.0, 9.0, 1.0, 9.0, 9.0, 1.0, 9.0), Seq(1.0, 1.0, 8.0, 8.0, 0.0))
+  ).toDF("image_name", "category", "anno_key", "segmentation", "rcoco")
+
+  private def imageFixture = Seq(
+    ("img_a", 640L, 480L), ("img_b", 320L, 240L)
+  ).toDF("image_name", "width", "height")
+
+  test("COCO document: structure, dense ids, odtk bbox") {
+    val out = Files.createTempDirectory("coco").resolve("out.json").toString
+    Coco.writeCocoDataset(annoFixture, imageFixture, "anno_key", out)
+    val root = new ObjectMapper().readTree(Files.readString(Paths.get(out)))
+    assert(Seq("info", "licenses", "images", "annotations", "categories")
+      .forall(root.has), root.fieldNames().toString)
+    val cats = root.get("categories")
+    assert(cats.size() == 2)
+    assert(cats.get(0).get("name").asText() == "cat" && cats.get(0).get("id").asInt() == 1)
+    assert(cats.get(1).get("name").asText() == "dog" && cats.get(1).get("id").asInt() == 2)
+    val imgs = root.get("images")
+    assert(imgs.get(0).get("file_name").asText() == "img_a.jpeg" && imgs.get(0).get("id").asInt() == 0)
+    assert(imgs.get(1).get("id").asInt() == 1)
+    val annos = root.get("annotations")
+    assert(annos.size() == 3)
+    // anno 0 = anno_key 1 (img_b, dog): bbox = rcoco, area = 10*6
+    val a0 = annos.get(0)
+    assert(a0.get("image_id").asInt() == 1 && a0.get("category_id").asInt() == 2)
+    assert(a0.get("bbox").get(2).asDouble() == 10.0 && a0.get("area").asDouble() == 60.0)
+    // eval export (train=false) carries segmentation
+    assert(a0.has("segmentation") && a0.get("segmentation").get(0).size() == 8)
+  }
+
+  test("COCO train=true omits segmentation; d2 variant uses aa bbox") {
+    val dir = Files.createTempDirectory("coco2")
+    val trainOut = dir.resolve("train.json").toString
+    Coco.writeCocoDataset(annoFixture, imageFixture, "anno_key", trainOut, train = true)
+    val troot = new ObjectMapper().readTree(Files.readString(Paths.get(trainOut)))
+    assert(!troot.get("annotations").get(0).has("segmentation"))
+
+    val d2Out = dir.resolve("d2.json").toString
+    Coco.writeCocoDataset(annoFixture, imageFixture, "anno_key", d2Out, train = true, odtk = false)
+    val droot = new ObjectMapper().readTree(Files.readString(Paths.get(d2Out)))
+    val a0 = droot.get("annotations").get(0)
+    assert(a0.get("bbox").size() == 4) // aa bbox from segmentation
+    assert(a0.has("segmentation"))     // d2 always carries seg (ref :42)
+  }
+
+  test("YOLO dataset: one txt per annotated image, normalized lines") {
+    val dir = Files.createTempDirectory("yolo").toString
+    val catMap = Coco.categoryDim(annoFixture)
+    Yolo.writeYoloDataset(annoFixture, imageFixture, catMap, "anno_key", dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.toSeq == Seq("img_a.txt", "img_b.txt"))
+    val aLines = Files.readString(Paths.get(dir, "img_a.txt")).trim.split("\n")
+    assert(aLines.length == 2)
+    // first line: anno_key 2 (cat=1): cx=(5+25)/2/640, w=20/640
+    val f = aLines(0).split(" ")
+    assert(f(0) == "1")
+    assert(math.abs(f(1).toDouble - 15.0 / 640) < 1e-12)
+    assert(math.abs(f(3).toDouble - 20.0 / 640) < 1e-12)
+    val bLines = Files.readString(Paths.get(dir, "img_b.txt")).trim.split("\n")
+    assert(bLines.length == 1 && bLines(0).startsWith("2 "))
+  }
+
+  test("YOLO segmentation mode emits normalized flat coords") {
+    val dir = Files.createTempDirectory("yoloseg").toString
+    val catMap = Coco.categoryDim(annoFixture)
+    Yolo.writeYoloDataset(annoFixture, imageFixture, catMap, "anno_key", dir,
+      segmentation = true)
+    val bLine = Files.readString(Paths.get(dir, "img_b.txt")).trim.split("\n").head
+    val parts = bLine.split(" ")
+    assert(parts.length == 1 + 8) // cat + 8 normalized coords
+    assert(math.abs(parts(3).toDouble - 10.0 / 320) < 1e-12)
+  }
+}
