@@ -20,7 +20,11 @@ object SparkEntry {
     WindowQueries,
     GeomQueries,
     ExportQueries,
-    StringQueries
+    StringQueries,
+    TextQueries,
+    DedupQueries,
+    SimQueries,
+    MmQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

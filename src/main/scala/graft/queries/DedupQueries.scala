@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.Tables.t
+import graft.functions.TextUdfs
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** LLM-training-pipeline deduplication over `documents` (builder brief:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine).
+  *
+  * Scale design (the point of each shape):
+  *  - exact: hash-groupBy — one shuffle on the content hash, no pairs.
+  *  - n-gram Jaccard: candidate pairs ONLY via a shingle equi-join
+  *    (never all-pairs); integer-arithmetic threshold so the oracle
+  *    matches exactly. At 100 TB the frequent-shingle skew is handled by
+  *    dropping stop-shingles (document frequency cap) before the join —
+  *    here the 3-gram space is large enough that the join stays sparse.
+  *  - MinHash LSH: 8 md5-derived min-hashes → 4 bands of 2 → bucket
+  *    equi-join. Deterministic (content-keyed, no RNG state), so it is
+  *    reproducible across engines and cluster sizes, unlike seeded-RNG
+  *    LSH models.
+  *  - SimHash: 64-bit signature, 4×16-bit band buckets (UDF-computed,
+  *    rows-only check + unit spec).
+  *  - embedding cosine: label-blocked (coarse-quantizer stand-in) —
+  *    pairs only within a cell, never across the full table.
+  */
+object DedupQueries extends QueryPack {
+
+  /** Distinct word 3-gram shingles per doc; empty for <3 tokens. */
+  private def shingled(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", when(size(col("toks")) < 3, array().cast("array<string>"))
+        .otherwise(expr(
+          """array_distinct(transform(sequence(1, size(toks) - 2),
+             i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                            element_at(toks, i + 2))))""")))
+
+  private val shingleCtes =
+    """sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+              string_split(text,' ')[i+2])) AS shingles
+       FROM documents),
+       ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       cnt AS (SELECT doc_id, len(shingles) AS n FROM sh)"""
+
+  val defs: Map[String, QueryFn] = Map(
+    // Exact dedup: group on the content hash, keep the smallest id.
+    "d_exact_dedup" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_hash")),
+
+    // n-gram Jaccard near-dup: candidates from the shingle join, exact
+    // integer threshold 10*shared >= 8*union  (J >= 0.8).
+    "d_ngram_jaccard" -> ((s, d) => {
+      val ex = shingled(t(s, d, "documents"))
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+      val cnt = shingled(t(s, d, "documents"))
+        .select(col("doc_id"), size(col("shingles")).as("n"))
+      val pairs = ex.as("a")
+        .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(cnt.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(cnt.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .filter(col("shared") * 10 >= (col("na") + col("nb") - col("shared")) * 8)
+        .select(col("da"), col("db"), col("shared"), col("na"), col("nb"))
+        .orderBy("da", "db")
+    }),
+
+    // MinHash + LSH: deterministic md5 min-hash signature, banded.
+    "d_minhash_lsh" -> ((s, d) => {
+      val ex = shingled(t(s, d, "documents"))
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+      val sigCols = (0 until 8).map(j =>
+        min(substring(md5(concat(lit(s"$j|"), col("s")).cast("binary")), 1, 8)).as(s"s$j"))
+      val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(b =>
+          struct(lit(b).as("band"), concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("k"))): _*
+      )).as("bk")).select(col("doc_id"), col("bk.band"), col("bk.k"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+        .orderBy("da", "db")
+    }),
+
+    // SimHash near-dup candidates: 64-bit signature, 4×16-bit bands
+    // (UDF — rows-only check; SimhashSpec covers the kernel).
+    "d_simhash" -> ((s, d) => {
+      val sigs = t(s, d, "documents")
+        .select(col("doc_id"), TextUdfs.simhash64(split(col("text"), " ")).as("sig"))
+      val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("k"))): _*)).as("bk"))
+        .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.k"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          TextUdfs.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+        .distinct()
+        .orderBy("da", "db")
+    }),
+
+    // Embedding-cosine near-dup, blocked by the coarse `label` cell.
+    "d_embed_neardup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      e.as("a")
+        .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          expr("""aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+                  / (sqrt(aggregate(a.v, 0D, (acc, x) -> acc + x * x))
+                     * sqrt(aggregate(b.v, 0D, (acc, x) -> acc + x * x)))"""))
+        .filter(col("cos") >= 0.35)
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("a.label").as("label"))
+        .orderBy("va", "vb")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "d_ngram_jaccard" ->
+      s"""WITH $shingleCtes,
+          pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) shared
+                    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT da, db, shared, ca.n AS na, cb.n AS nb
+          FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+          WHERE shared * 10 >= (ca.n + cb.n - shared) * 8
+          ORDER BY da, db""",
+    "d_minhash_lsh" ->
+      s"""WITH $shingleCtes,
+          sig AS (SELECT doc_id,
+            min(substr(md5('0|'||s),1,8)) s0, min(substr(md5('1|'||s),1,8)) s1,
+            min(substr(md5('2|'||s),1,8)) s2, min(substr(md5('3|'||s),1,8)) s3,
+            min(substr(md5('4|'||s),1,8)) s4, min(substr(md5('5|'||s),1,8)) s5,
+            min(substr(md5('6|'||s),1,8)) s6, min(substr(md5('7|'||s),1,8)) s7
+            FROM ex GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, 0 band, s0||s1 k FROM sig UNION ALL
+            SELECT doc_id, 1, s2||s3 FROM sig UNION ALL
+            SELECT doc_id, 2, s4||s5 FROM sig UNION ALL
+            SELECT doc_id, 3, s6||s7 FROM sig)
+          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+          ORDER BY da, db""",
+    "d_embed_neardup" ->
+      """SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35
+         ORDER BY va, vb"""
+  )
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.Tables.t
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** LLM-pipeline similarity search over `embeddings` (builder brief:
+  * brute-force cosine top-k baseline + a bucketed variant as the scale
+  * path).
+  *
+  * Scale design: the query set is dimension-sized and broadcast; the
+  * brute-force pass is a broadcast nested-loop (each executor scans its
+  * slice of the corpus once per query batch — the correct baseline
+  * shape, NOT a shuffled cartesian). The IVF variant restricts each
+  * query to its coarse cell (`label` stands in for the k-means
+  * assignment), an equi-join — the 100 TB path. Cosine is computed in
+  * double after casting the float vectors, so the DuckDB oracle agrees
+  * bitwise; only ids/ranks are emitted, never raw floats.
+  */
+object SimQueries extends QueryPack {
+
+  private def withVec(df: DataFrame): DataFrame =
+    df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+
+  private val cosExpr =
+    """aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+       / (sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))
+          * sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)))"""
+
+  private val cosSql =
+    """list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))"""
+
+  val defs: Map[String, QueryFn] = Map(
+    // Brute-force cosine top-5 per query vector (every 50th vector is a
+    // query; scales with the table).
+    "ann_topk_brute" -> ((s, d) => {
+      val e = withVec(t(s, d, "embeddings"))
+      val q = withVec(t(s, d, "embeddings").filter(col("vec_id") % 50 === 0))
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr(cosExpr))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rank") <= 5)
+        .select("qid", "rank", "vec_id")
+        .orderBy("qid", "rank")
+    }),
+
+    // IVF-style bucketed ANN: search only the query's coarse cell.
+    "ann_ivf_bucketed" -> ((s, d) => {
+      val e = withVec(t(s, d, "embeddings"))
+      val q = withVec(t(s, d, "embeddings").filter(col("vec_id") % 50 === 0))
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+      e.join(broadcast(q), col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr(cosExpr))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "vec_id")
+        .orderBy("qid", "rank")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ann_topk_brute" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 50 = 0),
+          scored AS (
+            SELECT q.qid, e.vec_id, $cosSql AS cos
+            FROM embeddings e, q WHERE e.vec_id <> q.qid),
+          ranked AS (
+            SELECT qid, vec_id,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
+            FROM scored)
+          SELECT qid, rank, vec_id FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "ann_ivf_bucketed" ->
+      s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding FROM embeddings WHERE vec_id % 50 = 0),
+          scored AS (
+            SELECT q.qid, e.vec_id, $cosSql AS cos
+            FROM embeddings e JOIN q ON e.label = q.qlabel AND e.vec_id <> q.qid),
+          ranked AS (
+            SELECT qid, vec_id,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
+            FROM scored)
+          SELECT qid, rank, vec_id FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""
+  )
+}

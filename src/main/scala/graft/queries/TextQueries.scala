@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.Tables.t
+import org.apache.spark.sql.functions._
+
+/** LLM-training-pipeline text analysis over `documents` (builder brief:
+  * language-ID, quality scoring, token counting, fingerprinting). All
+  * metrics are integer-valued or md5-based so the DuckDB oracle matches
+  * bit-for-bit; everything is a scan-side map (no shuffle, codegen'd
+  * built-ins only — no UDFs on this path).
+  */
+object TextQueries extends QueryPack {
+
+  private val enStops = Seq("the", "a", "is", "of", "and", "to", "in")
+  private val esStops = Seq("el", "la", "de", "es", "y", "que", "en")
+  private val deStops = Seq("der", "die", "das", "und", "ist", "zu", "von")
+
+  private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
+
+  val defs: Map[String, QueryFn] = Map(
+    // Token counting (whitespace tokenizer — the BPE-ish variant is the
+    // regexp_extract_all split below).
+    "t_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("n_bpe_ish"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: stopword ratio + mean token length as exact
+    // integer numerator/denominator pairs, plus the keep/drop decision.
+    "t_quality_score" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          expr(s"size(filter(toks, x -> x IN ${inList(enStops)}))").as("n_stop"),
+          expr("aggregate(toks, 0, (acc, x) -> acc + length(x))").as("sum_tok_len"),
+          (expr(s"size(filter(toks, x -> x IN ${inList(enStops)}))") * 10
+            >= size(col("toks"))).as("keep"))
+        .orderBy("doc_id")),
+
+    // Language-ID: stopword-profile scoring with a deterministic
+    // cascaded-argmax (heuristic n-gram language ID shape; profiles are
+    // tiny stopword sets, swappable for real char-n-gram tables).
+    "t_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("s_en", expr(s"size(filter(toks, x -> x IN ${inList(enStops)}))"))
+        .withColumn("s_es", expr(s"size(filter(toks, x -> x IN ${inList(esStops)}))"))
+        .withColumn("s_de", expr(s"size(filter(toks, x -> x IN ${inList(deStops)}))"))
+        .select(col("doc_id"), col("lang"),
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+            .when(col("s_es") >= col("s_de"), "es")
+            .otherwise("de").as("lang_guess"))
+        .orderBy("doc_id")),
+
+    // Document fingerprinting: full-content hash + a coarse rolling-
+    // window fingerprint (md5 of every 16th token joined) — both
+    // engine-portable.
+    "t_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          md5(lower(col("text")).cast("binary")).as("content_hash"),
+          md5(expr("concat_ws(' ', filter(toks, (x, i) -> i % 16 = 0))").cast("binary"))
+            .as("sketch_hash"))
+        .orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS n_bpe_ish
+         FROM documents ORDER BY doc_id""",
+    "t_quality_score" ->
+      s"""SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+          len(list_filter(string_split(text,' '), x -> x IN ${inList(enStops)})) AS n_stop,
+          CAST(list_sum(list_transform(string_split(text,' '), x -> len(x))) AS INT) AS sum_tok_len,
+          len(list_filter(string_split(text,' '), x -> x IN ${inList(enStops)})) * 10
+            >= len(string_split(text,' ')) AS keep
+          FROM documents ORDER BY doc_id""",
+    "t_lang_id" ->
+      s"""WITH sc AS (SELECT doc_id, lang,
+            len(list_filter(string_split(text,' '), x -> x IN ${inList(enStops)})) s_en,
+            len(list_filter(string_split(text,' '), x -> x IN ${inList(esStops)})) s_es,
+            len(list_filter(string_split(text,' '), x -> x IN ${inList(deStops)})) s_de
+          FROM documents)
+          SELECT doc_id, lang,
+            CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                 WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS lang_guess
+          FROM sc ORDER BY doc_id""",
+    "t_fingerprint" ->
+      """SELECT doc_id, md5(lower(text)) AS content_hash,
+         md5(array_to_string(list_filter(string_split(text,' '),
+           (x, i) -> (i - 1) % 16 = 0), ' ')) AS sketch_hash
+         FROM documents ORDER BY doc_id"""
+  )
+}

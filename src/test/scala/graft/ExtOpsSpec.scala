@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.TextUdfs
+import graft.queries.{DedupQueries, SimQueries}
+
+/** Scale-shape guards for the LLM-pipeline ops: the dedup/ANN plans must
+  * never contain an unconstrained cartesian product (all-pairs is the
+  * 100 TB killer); the brute-force ANN is allowed its *broadcast*
+  * nested loop (tiny query side) but nothing else is. Plus SimHash
+  * kernel sanity.
+  */
+class ExtOpsSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val defs = DedupQueries.defs ++ SimQueries.defs
+    defs(name)(spark, sf()).queryExecution.executedPlan.toString
+  }
+
+  test("dedup plans contain no cartesian product") {
+    for (q <- Seq("d_ngram_jaccard", "d_minhash_lsh", "d_simhash", "d_embed_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n${p.take(800)}")
+    }
+  }
+
+  test("brute-force ANN uses a broadcast nested loop, not a shuffled cartesian") {
+    val p = plan("ann_topk_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("IVF ANN is an equi-join on the cell, no nested loop at all") {
+    val p = plan("ann_ivf_bucketed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("simhash: identical token lists → distance 0; disjoint → large") {
+    val a = TextUdfs.simhash(Seq("spark", "scan", "shuffle", "agg"))
+    val b = TextUdfs.simhash(Seq("spark", "scan", "shuffle", "agg"))
+    assert(java.lang.Long.bitCount(a ^ b) == 0)
+    val c = TextUdfs.simhash(Seq("completely", "different", "words", "here"))
+    assert(java.lang.Long.bitCount(a ^ c) > 10)
+  }
+
+  test("simhash: near-identical docs land within a small hamming ball") {
+    val base = (1 to 50).map(i => s"tok$i")
+    val a = TextUdfs.simhash(base)
+    val b = TextUdfs.simhash(base.updated(10, "changed"))
+    assert(java.lang.Long.bitCount(a ^ b) <= 12,
+      s"one-token change moved ${java.lang.Long.bitCount(a ^ b)} bits")
+  }
+}
