@@ -24,7 +24,8 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     SimQueries,
-    MmQueries
+    MmQueries,
+    InterpQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
