@@ -1,0 +1,150 @@
+package graft.functions
+
+import java.awt.geom.AffineTransform
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Binary/image kernels over JPEG/PNG byte columns — the "multimodal
+  * column" substance (SURVEY §2.8 F-B1..F-B4; ref CvatApi.py:223-239
+  * `load_image_to_bytes`, TrainDatasets.py:296-310 `redact_segmentation`,
+  * :354-355 dims, :405-416 decode-at-edge).
+  *
+  * JDK-only (ImageIO + AWT): the container has no Pillow/OpenCV, and at
+  * cluster scale a JVM-native path avoids Python worker round-trips.
+  * ImageIO does not expose EXIF, so the orientation tag is parsed by a
+  * small hand-rolled JPEG APP1/TIFF walker (F-B1's hard part).
+  */
+object ImageOps {
+
+  /** F-B4: (width, height) without full decode (header read). */
+  def dims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try { r.setInput(in); Some((r.getWidth(0), r.getHeight(0))) }
+        finally r.dispose()
+      }
+    } finally in.close()
+  }
+
+  /** EXIF orientation (tag 0x0112) from JPEG APP1, or None. Walks JPEG
+    * markers to APP1 "Exif\0\0", then the TIFF IFD0 entries; handles both
+    * endiannesses. (ImageIO has no EXIF API — ref relies on Pillow's
+    * `_getexif`, CvatApi.py:228-233.)
+    */
+  def exifOrientation(bytes: Array[Byte]): Option[Int] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16be(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (bytes.length < 4 || u16be(0) != 0xFFD8) return None // not a JPEG
+    var pos = 2
+    while (pos + 4 <= bytes.length) {
+      if (u8(pos) != 0xFF) return None
+      val marker = u8(pos + 1)
+      if (marker == 0xDA || marker == 0xD9) return None // image data reached
+      val segLen = u16be(pos + 2)
+      if (marker == 0xE1 && pos + 4 + 6 <= bytes.length &&
+          new String(bytes, pos + 4, 4, "US-ASCII") == "Exif") {
+        val tiff = pos + 10 // after "Exif\0\0"
+        if (tiff + 8 > bytes.length) return None
+        val le = u8(tiff) == 0x49 // "II" little-endian vs "MM"
+        def u16(i: Int): Int = if (le) u8(i) | (u8(i + 1) << 8) else u16be(i)
+        def u32(i: Int): Long =
+          if (le) (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24))
+          else ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3))
+        val ifd0 = tiff + u32(tiff + 4).toInt
+        if (ifd0 + 2 > bytes.length) return None
+        val n = u16(ifd0)
+        var e = 0
+        while (e < n) {
+          val entry = ifd0 + 2 + 12 * e
+          if (entry + 12 > bytes.length) return None
+          if (u16(entry) == 0x0112) return Some(u16(entry + 8))
+          e += 1
+        }
+        return None
+      }
+      pos += 2 + segLen
+    }
+    None
+  }
+
+  /** F-B1: decode, apply the EXIF orientation rotations the reference
+    * handles (tag 3 → 180°, 6 → 90° CW, 8 → 270° CW; CvatApi.py:228-237),
+    * re-encode as JPEG. Non-image bytes → None.
+    */
+  def normalizeOrientation(bytes: Array[Byte]): Option[Array[Byte]] = {
+    val img = decode(bytes).getOrElse(return None)
+    val rotated = exifOrientation(bytes) match {
+      case Some(3) => rotate(img, 180)
+      case Some(6) => rotate(img, 90)
+      case Some(8) => rotate(img, 270)
+      case _ => img
+    }
+    encodeJpeg(rotated)
+  }
+
+  /** F-B2: fill polygon regions black and re-encode
+    * (redact_segmentation, TrainDatasets.py:296-310).
+    */
+  def redact(bytes: Array[Byte], polygons: Seq[Array[Double]]): Option[Array[Byte]] = {
+    val img = decode(bytes).getOrElse(return None)
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.BLACK)
+      for (poly <- polygons if poly.length >= 6) {
+        val n = poly.length / 2
+        g.fillPolygon(Array.tabulate(n)(i => math.round(poly(2 * i)).toInt),
+                      Array.tabulate(n)(i => math.round(poly(2 * i + 1)).toInt), n)
+      }
+    } finally g.dispose()
+    encodeJpeg(img)
+  }
+
+  /** F-B3: decode at the consumer edge. */
+  def decode(bytes: Array[Byte]): Option[BufferedImage] =
+    if (bytes == null) None
+    else Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+
+  def encodeJpeg(img: BufferedImage): Option[Array[Byte]] = {
+    // JPEG writer requires no alpha channel
+    val rgb =
+      if (img.getType == BufferedImage.TYPE_INT_RGB) img
+      else {
+        val c = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+        val g = c.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose(); c
+      }
+    val out = new ByteArrayOutputStream()
+    if (!ImageIO.write(rgb, "jpeg", out)) None else Some(out.toByteArray)
+  }
+
+  private def rotate(img: BufferedImage, degrees: Int): BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (nw, nh) = if (degrees == 180) (w, h) else (h, w)
+    val dst = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    val t = new AffineTransform()
+    degrees match {
+      case 90 => t.translate(nw, 0); t.rotate(math.Pi / 2)
+      case 180 => t.translate(w, h); t.rotate(math.Pi)
+      case 270 => t.translate(0, nh); t.rotate(-math.Pi / 2)
+      case _ =>
+    }
+    g.drawImage(img, t, null)
+    g.dispose()
+    dst
+  }
+
+  /** S9: write one image file per row (image-file sink,
+    * TrainDatasets.py:318-368) — called from foreachPartition so each
+    * executor writes only its rows.
+    */
+  def writeImageFile(dir: String, name: String, bytes: Array[Byte]): Unit = {
+    val p = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, bytes)
+  }
+}

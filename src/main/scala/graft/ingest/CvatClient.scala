@@ -1,0 +1,192 @@
+package graft.ingest
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path, Paths}
+import java.time.Duration
+import java.util.zip.ZipInputStream
+import scala.jdk.CollectionConverters._
+
+/** CVAT REST ingestion source (SURVEY §2.1 S6/S7/S8 — ref
+  * CvatApi.py:27-201). Driver-side by design: ingestion is
+  * metadata-scale (projects/labels/annotations JSON); the distributed
+  * work starts after `createDataset` on the returned rows.
+  *
+  * Mirrored behaviors: base-url normalization and relative-URL joining
+  * (:35-41), pagination via "next" links (:83-87), frame-name
+  * normalization to `.jpeg` (:106-109), track flattening through
+  * interpolation (:140-146), and the async export poll loop
+  * 202-then-201-then-download (:174-183) with zip extraction of the
+  * `images/` prefix (:188-192).
+  */
+class CvatClient(baseUrlRaw: String, headers: Map[String, String],
+                 timeoutSeconds: Int = 5, pollMillis: Long = 3000L) {
+
+  val baseUrl: String = baseUrlRaw.stripSuffix("/")
+  private val mapper = new ObjectMapper()
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(timeoutSeconds)).build()
+
+  private def resolve(url: String): String =
+    if (url.startsWith(baseUrl)) url
+    else if (url.startsWith("/")) baseUrl + url
+    else s"$baseUrl/$url"
+
+  private def request(url: String): HttpRequest = {
+    val b = HttpRequest.newBuilder(URI.create(resolve(url)))
+      .timeout(Duration.ofSeconds(timeoutSeconds)).GET()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    b.build()
+  }
+
+  /** GET → parsed JSON; non-200 raises (ref :42-46). */
+  def performGet(url: String): JsonNode = {
+    val resp = http.send(request(url), HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new RuntimeException(s"Expected status code 200. Got ${resp.statusCode()} instead.")
+    mapper.readTree(resp.body())
+  }
+
+  /** S6: project listing. */
+  def fetchProjects(): JsonNode = performGet("/projects")
+
+  /** S6: one project → (labelId → lowercased name, (taskId, jobId) pairs,
+    * labelId → (attrId → attrName)) with "next"-link pagination
+    * (ref :64-96).
+    */
+  def fetchProject(projId: Int): (Map[Int, String], Seq[(Int, Int)], Map[Int, Map[Int, String]]) = {
+    val dat = performGet(s"/projects/$projId")
+    val labelDat = performGet(dat.get("labels").get("url").asText())
+    var labels = Map.empty[Int, String]
+    var attributes = Map.empty[Int, Map[Int, String]]
+    for (label <- labelDat.get("results").elements().asScala) {
+      val id = label.get("id").asInt()
+      labels += id -> label.get("name").asText().toLowerCase
+      for (attr <- label.get("attributes").elements().asScala)
+        attributes += id -> Map(attr.get("id").asInt() -> attr.get("name").asText())
+    }
+
+    val tasks = scala.collection.mutable.ArrayBuffer[JsonNode]()
+    var page = performGet(dat.get("tasks").get("url").asText())
+    tasks ++= page.get("results").elements().asScala
+    while (!page.get("next").isNull) {
+      page = performGet(page.get("next").asText())
+      tasks ++= page.get("results").elements().asScala
+    }
+
+    val jobIds = for {
+      task <- tasks.toSeq
+      job <- performGet(task.get("jobs").get("url").asText()).get("results").elements().asScala
+    } yield (job.get("task_id").asInt(), job.get("id").asInt())
+
+    (labels, jobIds, attributes)
+  }
+
+  def fetchTaskMeta(taskId: Int): JsonNode = performGet(s"/tasks/$taskId/data/meta")
+
+  /** Frame id → normalized image name: basename, extension replaced by
+    * `.jpeg` (ref :106-109).
+    */
+  private def frameNames(jobId: Int): Map[Int, String] = {
+    val job = performGet(s"/jobs/$jobId")
+    val meta = performGet(s"/tasks/${job.get("task_id").asInt()}/data/meta")
+    meta.get("frames").elements().asScala.zipWithIndex.map { case (frame, i) =>
+      val base = frame.get("name").asText().split('/').last
+      val stem = base.lastIndexOf('.') match {
+        case -1 => base
+        case k => base.substring(0, k)
+      }
+      i -> (stem + ".jpeg")
+    }.toMap
+  }
+
+  /** S7: per-job annotations → (tags, frame→name, shape tuples)
+    * (ref :101-121). Shape: (frame, labelId, type, points, attrs).
+    */
+  def fetchAnnotations(jobId: Int): (Seq[(Int, Int)], Map[Int, String],
+      Seq[(Int, Int, String, Seq[Double], Seq[(Int, String)])]) = {
+    val images = frameNames(jobId)
+    val dat = performGet(s"/jobs/$jobId/annotations")
+    val tags = dat.get("tags").elements().asScala
+      .map(t => (t.get("label_id").asInt(), t.get("frame").asInt())).toSeq
+    val shapes = dat.get("shapes").elements().asScala.map { s =>
+      (s.get("frame").asInt(), s.get("label_id").asInt(), s.get("type").asText(),
+        s.get("points").elements().asScala.map(_.asDouble()).toSeq,
+        attrs(s))
+    }.toSeq
+    (tags, images, shapes)
+  }
+
+  /** S7 track variant (ref :123-148): tracks are flattened into per-frame
+    * shapes through [[graft.operators.TrackInterpolation]]; the end frame
+    * is each track's max keyframe (ref :143). Shape rows gain track_id.
+    */
+  def fetchTrackAnnotations(jobId: Int): (Seq[(Int, Int)], Map[Int, String],
+      Seq[(Int, Int, String, Seq[Double], Seq[(Int, String)], Int)]) = {
+    import graft.operators.TrackInterpolation
+    import graft.operators.TrackInterpolation.TrackShape
+    val images = frameNames(jobId)
+    val dat = performGet(s"/jobs/$jobId/annotations")
+    val tags = dat.get("tags").elements().asScala
+      .map(t => (t.get("label_id").asInt(), t.get("frame").asInt())).toSeq
+    val shapes = for {
+      track <- dat.get("tracks").elements().asScala.toSeq
+      trackId = track.get("id").asInt()
+      labelId = track.get("label_id").asInt()
+      keyframes = track.get("shapes").elements().asScala.map(s => TrackShape(
+        frame = s.get("frame").asInt(),
+        shapeType = s.get("type").asText(),
+        points = s.get("points").elements().asScala.map(_.asDouble()).toArray,
+        outside = s.get("outside").asBoolean(),
+        keyframe = false,
+        attributes = attrs(s))).toSeq
+      endFrame = keyframes.map(_.frame).max
+      shape <- TrackInterpolation.interpolateShapes(
+        track.get("frame").asInt(), keyframes, endFrame)
+    } yield (shape.frame, labelId, shape.shapeType, shape.points.toSeq,
+      shape.attributes, trackId)
+    (tags, images, shapes)
+  }
+
+  private def attrs(s: JsonNode): Seq[(Int, String)] =
+    Option(s.get("attributes")).map(_.elements().asScala.map(a =>
+      (a.get("spec_id").asInt(), a.get("value").asText())).toSeq).getOrElse(Nil)
+
+  /** S8: async bulk image export — request, poll until 201, download the
+    * zip, extract entries under `images/` into outputDir/jobId
+    * (ref :150-201).
+    */
+  def fetchJobImages(jobId: Int, outputDir: String, query: Map[String, String] = Map.empty): Unit = {
+    require(Files.isDirectory(Paths.get(outputDir)), s"Directory $outputDir does not exist.")
+    val extra = if (query.nonEmpty) "&" + query.map { case (k, v) => s"$k=$v" }.mkString("&") else ""
+    val url = s"/jobs/$jobId/dataset?use_default_location=false&location=local&format=CVAT+for+images+1.1$extra"
+
+    def get(u: String): HttpResponse[Array[Byte]] =
+      http.send(request(u), HttpResponse.BodyHandlers.ofByteArray())
+
+    var resp = get(url)
+    while (resp.statusCode() == 202) { Thread.sleep(pollMillis); resp = get(url) }
+    if (resp.statusCode() != 201)
+      throw new RuntimeException(s"Expected status code 201. Got ${resp.statusCode()} instead.")
+
+    var dl = get(url + "&action=download")
+    while (dl.statusCode() != 200) { Thread.sleep(pollMillis); dl = get(url + "&action=download") }
+
+    val destRoot = Paths.get(outputDir, jobId.toString)
+    val zin = new ZipInputStream(new java.io.ByteArrayInputStream(dl.body()))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (e.getName.toLowerCase.startsWith("images/") && !e.isDirectory) {
+          val rel = e.getName.substring("images/".length)
+          val dest = destRoot.resolve(rel).normalize()
+          require(dest.startsWith(destRoot), s"zip entry escapes target dir: ${e.getName}")
+          Files.createDirectories(dest.getParent)
+          Files.copy(zin, dest)
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+  }
+}

@@ -1,0 +1,25 @@
+package graft
+
+import graft.lake.Feather
+
+/** S4: reads a pyarrow-written Feather V2 fixture (uncompressed Arrow
+  * IPC) covering every type the reference schemas use.
+  */
+class FeatherSpec extends SparkSpec {
+
+  test("feather fixture round-trips schema and values") {
+    val df = Feather.read(spark, "src/test/resources/fixture.feather")
+    assert(df.columns.toSeq == Seq("id", "name", "score", "seg", "tags", "ok", "ts"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "a")
+    assert(rows(2).isNullAt(1)) // null string survives
+    assert(rows(0).getDouble(2) == 1.5)
+    assert(rows(0).getSeq[Float](3) == Seq(1.0f, 2.0f))
+    assert(rows(2).isNullAt(3)) // null list
+    assert(rows(1).getSeq[String](4) == Seq())
+    assert(rows(0).getBoolean(5))
+    assert(rows(0).getTimestamp(6).getTime == 1700000000000L)
+    assert(rows(2).isNullAt(6))
+  }
+}
