@@ -1,0 +1,52 @@
+package graft.datasets
+
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Train/val/test split orchestration — the reference's signature
+  * operation (image_sampler, TrainDatasets.py:235-287; iid_sampler
+  * :423-427), re-expressed with content-keyed md5 bucketing instead of
+  * unseeded Python RNG (documented deviation: reproducible by design).
+  *
+  * Scale shape: the key set is distinct image names (dimension-sized);
+  * routing is three broadcast semi-joins against labeled keys — never
+  * the reference's O(images × annos) loop.
+  */
+object Samplers {
+
+  final case class Split(train: DataFrame, valSet: DataFrame, test: DataFrame)
+
+  /** Tag-skip filter (P5, ref filter_skip_tags :204-211) + distinct
+    * image names (A1, ref :191-202).
+    */
+  def uniqueImageNames(images: DataFrame, skipTags: Seq[String]): DataFrame = {
+    val filtered =
+      if (skipTags.isEmpty) images
+      else images.filter(!arrays_overlap(col("tags"),
+        array(skipTags.map(lit): _*)) || col("tags").isNull)
+    filtered.select("image_name").distinct()
+  }
+
+  /** image_sampler (ref :235-287): annotations routed to val/test/train
+    * by their image's split. `valBuckets`/`testBuckets` are out of 4096
+    * (e.g. 409 ≈ 10%).
+    */
+  def imageSampler(annos: DataFrame, images: DataFrame, skipTags: Seq[String],
+                   valBuckets: Int, testBuckets: Int): Split = {
+    val keys = uniqueImageNames(images, skipTags)
+      .withColumn("split",
+        Portable.md5SplitLabel(col("image_name"), valBuckets, valBuckets + testBuckets))
+    def part(label: String) =
+      annos.join(broadcast(keys.filter(col("split") === label).drop("split")),
+        Seq("image_name"), "left_semi")
+    Split(part("train"), part("val"), part("test"))
+  }
+
+  /** iid_sampler / db_query_sampler (ref :423-433): deterministic
+    * fraction of distinct item ids.
+    */
+  def iidSampler(df: DataFrame, idCol: String, buckets4096: Int): DataFrame =
+    df.select(idCol).distinct()
+      .filter(Portable.md5Sample(col(idCol), buckets4096))
+}

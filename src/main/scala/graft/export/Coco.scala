@@ -43,7 +43,10 @@ object Coco {
     val withIds = annos
       .join(broadcast(imageDim(images).select("image_name", "image_id")), Seq("image_name"))
       .join(broadcast(categoryDim(annos)), Seq("category"))
-      .withColumn("id", row_number().over(Window.orderBy(annoKeyCol)) - 1)
+      // category breaks annoKey ties so ids are total-ordered even when
+      // the caller's key collides across categories
+      .withColumn("id",
+        row_number().over(Window.orderBy(col(annoKeyCol), col("category"))) - 1)
     val bbox =
       if (odtk) col("rcoco")
       else graft.functions.GeomUdfs.segmentation2bbox(col("segmentation"))

@@ -68,7 +68,7 @@ object ExportQueries extends QueryPack {
          FROM simages),
        recs AS (
          SELECT a.*, i.image_id, c.category_id,
-                CAST(row_number() OVER (ORDER BY a.anno_key) - 1 AS INT) AS id
+                CAST(row_number() OVER (ORDER BY a.anno_key, a.category) - 1 AS INT) AS id
          FROM sannos a JOIN imgs i USING (image_name) JOIN cats c USING (category))"""
 
   val oracle: Map[String, String] = Map(
@@ -90,7 +90,7 @@ object ExportQueries extends QueryPack {
                    CAST(CAST(y2 - y0 AS BIGINT) AS VARCHAR) AS line
             FROM recs)
           SELECT image_name,
-                 array_to_string(list(line ORDER BY anno_key), chr(10)) AS body,
+                 array_to_string(list(line ORDER BY anno_key, line), chr(10)) AS body,
                  count(*) AS n_annos
           FROM lines GROUP BY image_name ORDER BY image_name""",
     "f_j2_json_assembly" ->

@@ -80,6 +80,17 @@ object GeomQueries extends QueryPack {
                 col("bb")(2).as("w"), col("bb")(3).as("h"))
         .orderBy("p_partkey")),
 
+    // A6: min/max over (x,y) array pairs via pure higher-order functions
+    // (no UDF — stays inside codegen; the UDF variant is f_g5).
+    "a6_array_minmax" -> ((s, d) =>
+      withTriangle(t(s, d, "part"))
+        .select(col("p_partkey"),
+          array_min(expr("filter(seg, (x, i) -> i % 2 = 0)")).as("xmin"),
+          array_min(expr("filter(seg, (x, i) -> i % 2 = 1)")).as("ymin"),
+          array_max(expr("filter(seg, (x, i) -> i % 2 = 0)")).as("xmax"),
+          array_max(expr("filter(seg, (x, i) -> i % 2 = 1)")).as("ymax"))
+        .orderBy("p_partkey")),
+
     // F-G1..G4 + P9: full rotated-bbox pipeline with degenerate-input
     // guard. Every 10th part gets a collinear "polygon" whose min rect
     // does not exist; the guard nulls it and the filter drops it
@@ -123,6 +134,12 @@ object GeomQueries extends QueryPack {
                    CAST(x1 AS BIGINT), CAST(y2 AS BIGINT),
                    CAST(x0 AS BIGINT), CAST(y2 AS BIGINT),
                    CAST(x0 AS BIGINT), CAST(y0 AS BIGINT))) AS poly_json
+          FROM tri ORDER BY p_partkey""",
+    "a6_array_minmax" ->
+      s"""$triangleSqlCtes
+          SELECT p_partkey,
+                 least(x0,x1,x2) AS xmin, least(y0,y1,y2) AS ymin,
+                 greatest(x0,x1,x2) AS xmax, greatest(y0,y1,y2) AS ymax
           FROM tri ORDER BY p_partkey""",
     "f_g8_yolo_bbox" ->
       s"""$triangleSqlCtes

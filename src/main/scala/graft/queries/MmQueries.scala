@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables.t
+import graft.functions.ImageOps
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (builder brief): image/audio/video as
@@ -23,6 +24,33 @@ object MmQueries extends QueryPack {
           md5(col("payload")).as("digest"),
           ascii(substring(col("text"), 1, 1)).as("head_byte"))
         .orderBy("doc_id")),
+
+    // Real JPEG round-trip, distributed (F-B1..B4 plumbing): each row
+    // encodes a small JPEG on an executor, redacts a polygon, and
+    // decodes dims back. Rows-only check (JPEG bytes are codec-
+    // dependent); ImageOpsSpec covers the kernels' semantics.
+    "mm_image_pipeline" -> ((s, d) => {
+      val genJpeg = udf((w: Int, h: Int, shade: Int) => {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(shade, shade / 2, 255 - shade))
+        g.fillRect(0, 0, w, h); g.dispose()
+        ImageOps.encodeJpeg(img).orNull
+      })
+      val redactAndDims = udf((b: Array[Byte]) =>
+        ImageOps.redact(b, Seq(Array(0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0)))
+          .flatMap(ImageOps.dims).map { case (w, h) => Seq(w, h) }.orNull)
+      t(s, d, "part").filter(col("p_partkey") <= 200)
+        .withColumn("w", (col("p_partkey") % 16 + 8).cast("int"))
+        .withColumn("h", (col("p_partkey") % 12 + 8).cast("int"))
+        .withColumn("jpeg", genJpeg(col("w"), col("h"), (col("p_partkey") % 250).cast("int")))
+        .withColumn("dims", redactAndDims(col("jpeg")))
+        .select(col("p_partkey"), col("w"), col("h"),
+          octet_length(col("jpeg")).as("n_bytes"), col("dims"))
+        .filter(col("dims")(0) === col("w") && col("dims")(1) === col("h"))
+        .orderBy("p_partkey")
+    }),
 
     // STUB decode: deterministic fake width/height/frame metadata from
     // the payload — stands in for the image/video decode UDF whose

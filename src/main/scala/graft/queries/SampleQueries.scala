@@ -45,6 +45,20 @@ object SampleQueries extends QueryPack {
         .withColumn("split", Portable.md5SplitLabel(col("c_custkey"), 409, 819))
         .orderBy("c_custkey")),
 
+    // SP3 full orchestration: the Samplers.imageSampler API (tag-skip +
+    // md5 split + three semi-join routes) over the synthesized
+    // anno/image frames; per-split row counts are the oracle surface.
+    "sp4_image_sampler" -> ((s, d) => {
+      val split = graft.datasets.Samplers.imageSampler(
+        Synth.annos(s, d), Synth.images(s, d),
+        skipTags = Seq("badimage"), valBuckets = 409, testBuckets = 410)
+      split.train.select(lit("train").as("split"))
+        .unionByName(split.valSet.select(lit("val").as("split")))
+        .unionByName(split.test.select(lit("test").as("split")))
+        .groupBy("split").agg(count(lit(1)).as("n_annos"))
+        .orderBy("split")
+    }),
+
     // P7: membership routing — fact rows routed to their key's split via
     // a broadcast join against the labeled key set (replaces the
     // reference's O(images × annos) loop, TrainDatasets.py:265-276),
@@ -72,6 +86,16 @@ object SampleQueries extends QueryPack {
       s"SELECT o_custkey FROM (SELECT DISTINCT o_custkey FROM orders) WHERE ${sampleWhere("o_custkey", 2048)} ORDER BY o_custkey",
     "sp3_split_label" ->
       s"SELECT c_custkey, ${labelCase("c_custkey")} AS split FROM (SELECT DISTINCT c_custkey FROM customer) ORDER BY c_custkey",
+    "sp4_image_sampler" ->
+      s"""WITH ${graft.queries.Synth.annosSqlCte}, ${graft.queries.Synth.imagesSqlCte},
+          keys AS (
+            SELECT image_name,
+                   ${Portable.md5SplitLabelSql("image_name", 409, 819)} AS split
+            FROM (SELECT DISTINCT image_name FROM simages
+                  WHERE NOT list_has_any(tags, ['badimage'])))
+          SELECT k.split, count(*) AS n_annos
+          FROM sannos a JOIN keys k USING (image_name)
+          GROUP BY k.split ORDER BY k.split""",
     "p7_split_route" ->
       s"""SELECT k.split, count(*) AS n_orders, count(DISTINCT o.o_custkey) AS n_keys
           FROM orders o

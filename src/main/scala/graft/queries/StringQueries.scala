@@ -42,6 +42,17 @@ object StringQueries extends QueryPack {
         .select(col("c_custkey"), lower(col("c_mktsegment")).as("label"))
         .orderBy("c_custkey")),
 
+    // F-J1 build side: gt_attr JSON array assembled from typed
+    // attributes (CvatApi.py:388-406, emitted in the valid-JSON form —
+    // see ingest.CvatTables for the documented stray-quote deviation).
+    "f_j1_json_build" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          concat(lit("""[{"iid": """"), col("o_orderkey") % 1000,
+            lit(""""}, {"text": """"), col("o_orderstatus"), lit(""""}]"""))
+            .as("gt_attr"))
+        .orderBy("o_orderkey")),
+
     // F-S4: formatted line assembly (create_yolo_from_feather.py:65-66).
     "f_s4_line_format" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -69,6 +80,11 @@ object StringQueries extends QueryPack {
          FROM orders ORDER BY o_orderkey""",
     "f_s3_lower" ->
       "SELECT c_custkey, lower(c_mktsegment) AS label FROM customer ORDER BY c_custkey",
+    "f_j1_json_build" ->
+      """SELECT o_orderkey,
+         '[{"iid": "' || CAST(o_orderkey % 1000 AS VARCHAR) || '"}, {"text": "' ||
+         o_orderstatus || '"}]' AS gt_attr
+         FROM orders ORDER BY o_orderkey""",
     "f_s4_line_format" ->
       """SELECT l_orderkey, l_linenumber,
          l_returnflag || ' ' || CAST(l_orderkey AS VARCHAR) || ' ' ||

@@ -49,15 +49,24 @@ object Synth {
                 CAST(l_suppkey % 400 AS DOUBLE) + 2 + CAST(l_partkey % 13 AS DOUBLE) AS y2
          FROM lineitem)"""
 
-  /** Image-shaped frame: one row per distinct image name, fixed canvas. */
+  /** Image-shaped frame: one row per distinct image name, fixed canvas,
+    * every 20th image tagged 'badimage' (P5/P6 fodder).
+    */
   def images(s: SparkSession, d: String): DataFrame =
     annos(s, d).select("image_name").distinct()
       .withColumn("width", lit(640L))
       .withColumn("height", lit(480L))
+      .withColumn("img_num", substring(col("image_name"), 5, 10).cast("bigint"))
+      .withColumn("tags",
+        when(col("img_num") % 20 === 0, array(lit("badimage")))
+          .otherwise(array().cast("array<string>")))
+      .drop("img_num")
 
   val imagesSqlCte: String =
     """simages AS (
-         SELECT DISTINCT image_name, CAST(640 AS BIGINT) AS width,
-                CAST(480 AS BIGINT) AS height
-         FROM sannos)"""
+         SELECT image_name, CAST(640 AS BIGINT) AS width,
+                CAST(480 AS BIGINT) AS height,
+                CASE WHEN CAST(substr(image_name, 5) AS BIGINT) % 20 = 0
+                     THEN ['badimage'] ELSE [] END AS tags
+         FROM (SELECT DISTINCT image_name FROM sannos))"""
 }
