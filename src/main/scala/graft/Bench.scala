@@ -24,6 +24,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm the JVM/codegen/noop-writer paths once so the first measured
+    // query doesn't absorb session startup (excluded from metrics).
+    spark.range(100000).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -41,4 +41,38 @@ object TextUdfs {
 
   val hamming64: UserDefinedFunction =
     udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def md5HexPrefix8(s: String): String = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](8)
+    var i = 0
+    while (i < 4) {
+      out(2 * i) = HEX((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HEX(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** All k MinHash signature components in one pass over the shingle
+    * set: sig_j = min over shingles of substr(md5("j|" + shingle), 1, 8).
+    * Identical strings to the SQL form (lowercase hex, same salt), but
+    * computed as a pure map — no explode, no shuffle, one digest per
+    * (salt, shingle).
+    */
+  def minhashSignature(shingles: Seq[String], k: Int): Seq[String] = {
+    val mins = Array.fill[String](k)(null)
+    for (s <- shingles; j <- 0 until k) {
+      val h = md5HexPrefix8(s"$j|$s")
+      if (mins(j) == null || h < mins(j)) mins(j) = h
+    }
+    mins.toSeq
+  }
+
+  def minhashSigUdf(k: Int): UserDefinedFunction =
+    udf((shingles: Seq[String]) =>
+      if (shingles == null || shingles.isEmpty) null
+      else minhashSignature(shingles, k))
 }

@@ -26,14 +26,33 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object DedupQueries extends QueryPack {
 
-  /** Distinct word 3-gram shingles per doc; empty for <3 tokens. */
+  /** Distinct word 3-gram shingles per doc; empty for <3 tokens.
+    * Compiled UDF rather than transform/element_at: Catalyst inlines the
+    * `split(text)` subexpression into every lambda reference, so the
+    * declarative form re-tokenizes the document O(shingles) times — the
+    * UDF tokenizes once. Output matches
+    * `array_distinct(transform(...concat_ws(' ', t[i..i+2])...))`.
+    */
+  private val shingleUdf = udf((text: String) => {
+    if (text == null) Seq.empty[String]
+    else {
+      val toks = text.split(" ", -1)
+      if (toks.length < 3) Seq.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i + 2 < toks.length) {
+          seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+          i += 1
+        }
+        import scala.jdk.CollectionConverters._
+        seen.asScala.toSeq
+      }
+    }
+  })
+
   private def shingled(df: DataFrame): DataFrame =
-    df.withColumn("toks", split(col("text"), " "))
-      .withColumn("shingles", when(size(col("toks")) < 3, array().cast("array<string>"))
-        .otherwise(expr(
-          """array_distinct(transform(sequence(1, size(toks) - 2),
-             i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-                            element_at(toks, i + 2))))""")))
+    df.withColumn("shingles", shingleUdf(col("text")))
 
   private val shingleCtes =
     """sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
@@ -51,16 +70,22 @@ object DedupQueries extends QueryPack {
         .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
         .orderBy("content_hash")),
 
-    // n-gram Jaccard near-dup: candidates from the shingle join, exact
-    // integer threshold 10*shared >= 8*union  (J >= 0.8).
+    // n-gram Jaccard near-dup: exact integer threshold
+    // 10*shared >= 8*union (J >= 0.8). Candidate pairs come from
+    // per-shingle doc buckets (groupBy + pair explosion) — ONE pass over
+    // the shingles instead of a self-join that recomputes and shuffles
+    // the exploded table twice. At 100 TB add a document-frequency cap
+    // on shingles before pairing (stop-shingle removal) to bound bucket
+    // fan-out; the synthetic vocab here keeps buckets small enough.
     "d_ngram_jaccard" -> ((s, d) => {
-      val ex = shingled(t(s, d, "documents"))
-        .select(col("doc_id"), explode(col("shingles")).as("s"))
-      val cnt = shingled(t(s, d, "documents"))
-        .select(col("doc_id"), size(col("shingles")).as("n"))
-      val pairs = ex.as("a")
-        .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      val sh = shingled(t(s, d, "documents"))
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      val cnt = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      val pairs = ex.groupBy("s")
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")) > 1)
+        .select(explode(graft.functions.VecUdfs.orderedPairs(col("docs"))).as("p"))
+        .groupBy(col("p._1").as("da"), col("p._2").as("db"))
         .agg(count(lit(1)).as("shared"))
       pairs
         .join(cnt.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
@@ -70,22 +95,25 @@ object DedupQueries extends QueryPack {
         .orderBy("da", "db")
     }),
 
-    // MinHash + LSH: deterministic md5 min-hash signature, banded.
+    // MinHash + LSH: deterministic md5 min-hash signature, banded. The
+    // signature is one compiled pass over each doc's shingle set (pure
+    // map — no explode/shuffle; the only shuffle is the band-bucket
+    // groupBy, which is the LSH join itself).
     "d_minhash_lsh" -> ((s, d) => {
-      val ex = shingled(t(s, d, "documents"))
-        .select(col("doc_id"), explode(col("shingles")).as("s"))
-      val sigCols = (0 until 8).map(j =>
-        min(substring(md5(concat(lit(s"$j|"), col("s")).cast("binary")), 1, 8)).as(s"s$j"))
-      val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val sigArr = shingled(t(s, d, "documents"))
+        .filter(size(col("shingles")) > 0)
+        .select(col("doc_id"), TextUdfs.minhashSigUdf(8)(col("shingles")).as("sig"))
+      val sig = sigArr.select(
+        col("doc_id") +: (0 until 8).map(j => col("sig")(j).as(s"s$j")): _*)
       val bands = sig.select(col("doc_id"), explode(array(
         (0 until 4).map(b =>
           struct(lit(b).as("band"), concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("k"))): _*
       )).as("bk")).select(col("doc_id"), col("bk.band"), col("bk.k"))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      bands.groupBy("band", "k")
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")) > 1)
+        .select(explode(graft.functions.VecUdfs.orderedPairs(col("docs"))).as("p"))
+        .select(col("p._1").as("da"), col("p._2").as("db"))
         .distinct()
         .orderBy("da", "db")
     }),
@@ -99,26 +127,30 @@ object DedupQueries extends QueryPack {
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("k"))): _*)).as("bk"))
         .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.k"))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          TextUdfs.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      val candidates = bands.groupBy("band", "k")
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")) > 1)
+        .select(explode(graft.functions.VecUdfs.orderedPairs(col("docs"))).as("p"))
+        .select(col("p._1").as("da"), col("p._2").as("db"))
         .distinct()
+      candidates
+        .join(sigs.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
+        .join(sigs.select(col("doc_id").as("db"), col("sig").as("sb")), "db")
+        .select(col("da"), col("db"), TextUdfs.hamming64(col("sa"), col("sb")).as("hamming"))
         .orderBy("da", "db")
     }),
 
     // Embedding-cosine near-dup, blocked by the coarse `label` cell.
+    // Norms are computed once per vector BEFORE the pair join (the pair
+    // side then costs one compiled dot product, not three array folds).
     "d_embed_neardup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-        .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn("norm", graft.functions.VecUdfs.normF(col("embedding")))
       e.as("a")
         .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos",
-          expr("""aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
-                  / (sqrt(aggregate(a.v, 0D, (acc, x) -> acc + x * x))
-                     * sqrt(aggregate(b.v, 0D, (acc, x) -> acc + x * x)))"""))
+          graft.functions.VecUdfs.dotFF(col("a.embedding"), col("b.embedding"))
+            / (col("a.norm") * col("b.norm")))
         .filter(col("cos") >= 0.35)
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("a.label").as("label"))
         .orderBy("va", "vb")

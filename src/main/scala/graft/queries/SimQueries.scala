@@ -20,13 +20,16 @@ import org.apache.spark.sql.DataFrame
   */
 object SimQueries extends QueryPack {
 
-  private def withVec(df: DataFrame): DataFrame =
-    df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+  // Norms precomputed per vector before the pair stage; the per-pair
+  // cost is one compiled dot product (VecUdfs) — same double
+  // accumulation order as DuckDB's list_dot_product, so the oracle
+  // still matches bitwise.
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", graft.functions.VecUdfs.normF(col("embedding")))
 
-  private val cosExpr =
-    """aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
-       / (sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))
-          * sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)))"""
+  private def cosCol =
+    graft.functions.VecUdfs.dotFF(col("qemb"), col("embedding")) /
+      (col("qnorm") * col("norm"))
 
   private val cosSql =
     """list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
@@ -37,12 +40,12 @@ object SimQueries extends QueryPack {
     // Brute-force cosine top-5 per query vector (every 50th vector is a
     // query; scales with the table).
     "ann_topk_brute" -> ((s, d) => {
-      val e = withVec(t(s, d, "embeddings"))
-      val q = withVec(t(s, d, "embeddings").filter(col("vec_id") % 50 === 0))
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val e = withNorm(t(s, d, "embeddings"))
+      val q = withNorm(t(s, d, "embeddings").filter(col("vec_id") % 50 === 0))
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("norm").as("qnorm"))
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos", expr(cosExpr))
+        .withColumn("cos", cosCol)
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rank") <= 5)
@@ -52,11 +55,12 @@ object SimQueries extends QueryPack {
 
     // IVF-style bucketed ANN: search only the query's coarse cell.
     "ann_ivf_bucketed" -> ((s, d) => {
-      val e = withVec(t(s, d, "embeddings"))
-      val q = withVec(t(s, d, "embeddings").filter(col("vec_id") % 50 === 0))
-        .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+      val e = withNorm(t(s, d, "embeddings"))
+      val q = withNorm(t(s, d, "embeddings").filter(col("vec_id") % 50 === 0))
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qemb"), col("norm").as("qnorm"))
       e.join(broadcast(q), col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
-        .withColumn("cos", expr(cosExpr))
+        .withColumn("cos", cosCol)
         .withColumn("rank", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rank") <= 3)
