@@ -28,18 +28,29 @@ object Samplers {
     filtered.select("image_name").distinct()
   }
 
-  /** image_sampler (ref :235-287): annotations routed to val/test/train
-    * by their image's split. `valBuckets`/`testBuckets` are out of 4096
-    * (e.g. 409 ≈ 10%).
+  /** Annotations labeled with their image's split in ONE pass: a single
+    * broadcast join against the labeled key set. Images failing the tag
+    * skip are dropped (inner join), mirroring the reference's routing
+    * loop semantics.
     */
-  def imageSampler(annos: DataFrame, images: DataFrame, skipTags: Seq[String],
-                   valBuckets: Int, testBuckets: Int): Split = {
+  def labeledAnnos(annos: DataFrame, images: DataFrame, skipTags: Seq[String],
+                   valBuckets: Int, testBuckets: Int): DataFrame = {
     val keys = uniqueImageNames(images, skipTags)
       .withColumn("split",
         Portable.md5SplitLabel(col("image_name"), valBuckets, valBuckets + testBuckets))
+    annos.join(broadcast(keys), Seq("image_name"))
+  }
+
+  /** image_sampler (ref :235-287): annotations routed to val/test/train
+    * by their image's split. `valBuckets`/`testBuckets` are out of 4096
+    * (e.g. 409 ≈ 10%). The three frames are filters over one labeled
+    * pass, not three separate scans.
+    */
+  def imageSampler(annos: DataFrame, images: DataFrame, skipTags: Seq[String],
+                   valBuckets: Int, testBuckets: Int): Split = {
+    val labeled = labeledAnnos(annos, images, skipTags, valBuckets, testBuckets)
     def part(label: String) =
-      annos.join(broadcast(keys.filter(col("split") === label).drop("split")),
-        Seq("image_name"), "left_semi")
+      labeled.filter(col("split") === label).drop("split")
     Split(part("train"), part("val"), part("test"))
   }
 

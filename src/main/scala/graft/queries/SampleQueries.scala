@@ -48,16 +48,12 @@ object SampleQueries extends QueryPack {
     // SP3 full orchestration: the Samplers.imageSampler API (tag-skip +
     // md5 split + three semi-join routes) over the synthesized
     // anno/image frames; per-split row counts are the oracle surface.
-    "sp4_image_sampler" -> ((s, d) => {
-      val split = graft.datasets.Samplers.imageSampler(
+    "sp4_image_sampler" -> ((s, d) =>
+      graft.datasets.Samplers.labeledAnnos(
         Synth.annos(s, d), Synth.images(s, d),
         skipTags = Seq("badimage"), valBuckets = 409, testBuckets = 410)
-      split.train.select(lit("train").as("split"))
-        .unionByName(split.valSet.select(lit("val").as("split")))
-        .unionByName(split.test.select(lit("test").as("split")))
         .groupBy("split").agg(count(lit(1)).as("n_annos"))
-        .orderBy("split")
-    }),
+        .orderBy("split")),
 
     // P7: membership routing — fact rows routed to their key's split via
     // a broadcast join against the labeled key set (replaces the

@@ -1,0 +1,43 @@
+package graft
+
+import graft.datasets.Samplers
+import org.apache.spark.sql.functions._
+
+/** Split invariants (SURVEY §5 property 4): partitions are disjoint,
+  * exhaustive over non-skipped images, deterministic across calls, and
+  * near the requested fractions.
+  */
+class SamplersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def annos = (1 to 2000).map(i => (s"img_${i % 400}", i.toLong))
+    .toDF("image_name", "anno_key")
+  private def images = (0 until 400).map(i =>
+    (s"img_$i", if (i % 10 == 0) Seq("badimage") else Seq.empty[String]))
+    .toDF("image_name", "tags")
+
+  test("train/val/test are disjoint, exhaustive, and deterministic") {
+    val s = Samplers.imageSampler(annos, images, Seq("badimage"), 409, 410)
+    val (tr, va, te) = (s.train.count(), s.valSet.count(), s.test.count())
+    val kept = annos.join(images.filter(!array_contains(col("tags"), "badimage")),
+      Seq("image_name"), "left_semi").count()
+    assert(tr + va + te == kept, s"$tr + $va + $te != $kept")
+    // disjoint by image
+    val trImgs = s.train.select("image_name").distinct()
+    val vaImgs = s.valSet.select("image_name").distinct()
+    assert(trImgs.join(vaImgs, Seq("image_name"), "left_semi").count() == 0)
+    // deterministic: second call produces identical membership
+    val s2 = Samplers.imageSampler(annos, images, Seq("badimage"), 409, 410)
+    assert(s2.valSet.select("anno_key").except(s.valSet.select("anno_key")).count() == 0)
+    // fractions within loose tolerance (10%/10% requested over 360 images)
+    assert(va.toDouble / kept > 0.03 && va.toDouble / kept < 0.25)
+  }
+
+  test("iidSampler keeps a deterministic ~25% of distinct ids") {
+    val df = (1 to 1000).map(i => i.toLong % 200).toDF("item_id")
+    val a = Samplers.iidSampler(df, "item_id", 1024).collect().map(_.getLong(0)).toSet
+    val b = Samplers.iidSampler(df, "item_id", 1024).collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.size > 20 && a.size < 90) // 200 ids * 25% ± tolerance
+  }
+}
