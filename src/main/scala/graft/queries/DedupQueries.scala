@@ -144,13 +144,13 @@ object DedupQueries extends QueryPack {
     // Norms are computed once per vector BEFORE the pair join (the pair
     // side then costs one compiled dot product, not three array folds).
     "d_embed_neardup" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
       val e = t(s, d, "embeddings")
-        .withColumn("norm", graft.functions.VecUdfs.normF(col("embedding")))
+        .withColumn("norm", expr("graft_norm(embedding)"))
       e.as("a")
         .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos",
-          graft.functions.VecUdfs.dotFF(col("a.embedding"), col("b.embedding"))
-            / (col("a.norm") * col("b.norm")))
+          expr("graft_dot(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm")))
         .filter(col("cos") >= 0.35)
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("a.label").as("label"))
         .orderBy("va", "vb")

@@ -21,15 +21,15 @@ import org.apache.spark.sql.DataFrame
 object SimQueries extends QueryPack {
 
   // Norms precomputed per vector before the pair stage; the per-pair
-  // cost is one compiled dot product (VecUdfs) — same double
+  // cost is one native codegen'd dot product (plans.DotProductF — stays
+  // inside whole-stage codegen, unlike a UDF) with the same double
   // accumulation order as DuckDB's list_dot_product, so the oracle
   // still matches bitwise.
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm", graft.functions.VecUdfs.normF(col("embedding")))
+    df.withColumn("norm", expr("graft_norm(embedding)"))
 
   private def cosCol =
-    graft.functions.VecUdfs.dotFF(col("qemb"), col("embedding")) /
-      (col("qnorm") * col("norm"))
+    expr("graft_dot(qemb, embedding)") / (col("qnorm") * col("norm"))
 
   private val cosSql =
     """list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
@@ -40,6 +40,7 @@ object SimQueries extends QueryPack {
     // Brute-force cosine top-5 per query vector (every 50th vector is a
     // query; scales with the table).
     "ann_topk_brute" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
       val e = withNorm(t(s, d, "embeddings"))
       val q = withNorm(t(s, d, "embeddings").filter(col("vec_id") % 50 === 0))
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("norm").as("qnorm"))
@@ -55,6 +56,7 @@ object SimQueries extends QueryPack {
 
     // IVF-style bucketed ANN: search only the query's coarse cell.
     "ann_ivf_bucketed" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
       val e = withNorm(t(s, d, "embeddings"))
       val q = withNorm(t(s, d, "embeddings").filter(col("vec_id") % 50 === 0))
         .select(col("vec_id").as("qid"), col("label").as("qlabel"),

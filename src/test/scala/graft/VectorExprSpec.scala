@@ -1,0 +1,65 @@
+package graft
+
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** Native graft_dot / graft_norm expressions: value parity with the UDF
+  * kernels (and hence the DuckDB oracle), codegen participation (no
+  * ScalaUDF node in the plan), null handling, and type checking.
+  */
+class VectorExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = {
+    GraftFunctions.register(spark)
+    Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(-0.5f, 0.25f, 4.0f)),
+      (3L, null.asInstanceOf[Seq[Float]])
+    ).toDF("id", "v")
+  }
+
+  test("graft_dot and graft_norm match the UDF kernels bitwise") {
+    val df = vecs.filter(col("v").isNotNull)
+      .select(
+        expr("graft_dot(v, v)").as("dot_native"),
+        graft.functions.VecUdfs.dotFF(col("v"), col("v")).as("dot_udf"),
+        expr("graft_norm(v)").as("norm_native"),
+        graft.functions.VecUdfs.normF(col("v")).as("norm_udf"))
+    for (r <- df.collect()) {
+      assert(r.getDouble(0) == r.getDouble(1)) // bitwise, not approx
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+    val r = vecs.filter(col("id") === 1).select(expr("graft_dot(v, v)")).head()
+    assert(r.getDouble(0) == 14.0)
+  }
+
+  test("null input → null output") {
+    val r = vecs.filter(col("id") === 3)
+      .select(expr("graft_dot(v, v)"), expr("graft_norm(v)")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("expressions stay inside codegen (no ScalaUDF in plan)") {
+    // parquet-backed frame: local relations are fully evaluated at
+    // optimization time, which would hide the plan shape
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val plan = e.select(expr("graft_dot(embedding, embedding)").as("d"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF(") && plan.contains("graft_dot"), plan)
+    // and the UDF version, by contrast, shows an opaque UDF call
+    val udfPlan = e.select(
+      graft.functions.VecUdfs.dotFF(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(udfPlan.contains("UDF("), udfPlan)
+  }
+
+  test("type mismatch is rejected at analysis") {
+    GraftFunctions.register(spark)
+    val bad = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v") // array<double>
+    val e = intercept[Exception](bad.select(expr("graft_dot(v, v)")).collect())
+    assert(e.getMessage.contains("graft_dot") || e.getMessage.contains("DATATYPE"),
+      e.getMessage.take(300))
+  }
+}
