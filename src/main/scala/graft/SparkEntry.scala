@@ -25,7 +25,8 @@ object SparkEntry {
     DedupQueries,
     SimQueries,
     MmQueries,
-    InterpQueries
+    InterpQueries,
+    StreamQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Streaming extension (not reference-mandated — SURVEY §2.10 records
+  * the reference has no streaming; this is the north-star extension over
+  * the `events` table).
+  *
+  * The transforms are written once against a DataFrame and run
+  * identically over a bounded batch frame or a `readStream` source —
+  * Spark's batch/streaming unification is the design point. State
+  * beyond windows (sessionization) uses flatMapGroupsWithState with an
+  * event-time timeout, the scale-safe shape for per-key streaming state
+  * (state store per key, watermark-driven eviction — no unbounded
+  * driver or executor growth).
+  */
+object EventStreams {
+
+  /** Normalize the testdata's nanosecond-long `ts` into an event-time
+    * timestamp column.
+    */
+  def withEventTime(events: DataFrame): DataFrame =
+    // `div`, not `/`: SQL division of longs is DOUBLE division, and
+    // ~1.7e18 ns exceeds double's 53-bit mantissa (±128 ns error).
+    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling event-time window counts with a watermark: the canonical
+    * readStream → window agg → writeStream pipeline. Late events beyond
+    * 10 minutes are dropped by the watermark in streaming mode; in
+    * batch mode the watermark is a no-op and results are exact.
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Event(user_id: Long, event_time: java.sql.Timestamp, value: Double)
+  final case class Session(user_id: Long, start: java.sql.Timestamp,
+                           end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+  /** Internal per-key state (public: the state encoder codegens against it). */
+  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session
+    * closes when no event arrives for `gapMillis` (event-time timeout).
+    * Emits closed sessions only.
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+                 gapMillis: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.sum))
+          } else {
+            val events = rows.toSeq
+            val closed = scala.collection.mutable.ArrayBuffer[Session]()
+            var cur = state.getOption
+            for (e <- events.sortBy(_.event_time.getTime)) {
+              val t = e.event_time.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMillis =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                    sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMillis)
+            }
+            closed.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming behavior that the batch oracle can't see:
+  * incremental window aggregation, watermark-driven late-data dropping,
+  * and gap-based sessionization with event-time timeouts.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60 * 1000)
+
+  private def nsRow(id: Long, minutes: Long, typ: String): (Long, Long, Long, String, Double, String) =
+    (id, minutes * 60L * 1000 * 1000 * 1000, id, typ, 1.0, "{}")
+
+  test("windowedCounts runs incrementally over a stream and drops late data") {
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark, 1)
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = EventStreams.windowedCounts(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      // batch 1: two events in hour 0, one in hour 1
+      input.addData(nsRow(1, 10, "a"), nsRow(2, 20, "a"), nsRow(3, 70, "a"))
+      query.processAllAvailable()
+      // batch 2: advance watermark far past hour 0 so its window closes
+      input.addData(nsRow(4, 200, "a"))
+      query.processAllAvailable()
+      // batch 3: a LATE event for hour 0 — must be dropped by the watermark
+      input.addData(nsRow(5, 15, "a"))
+      query.processAllAvailable()
+      // batch 4: advance again so hour 1 closes too
+      input.addData(nsRow(6, 400, "a"))
+      query.processAllAvailable()
+      val out = spark.table("wc")
+        .select(unix_timestamp(col("window_start")).as("start"), col("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out(0L) == 2, s"hour-0 window: $out")   // late event 5 NOT counted
+      assert(out(3600L) == 1, s"hour-1 window: $out")
+    } finally query.stop()
+  }
+
+  test("sessionize closes sessions on gap timeout and emits aggregates") {
+    val input = MemoryStream[Event](spark, 1)
+    val sessions = EventStreams.sessionize(spark, input.toDS(), gapMillis = 30 * 60 * 1000L)
+    val query = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: events at minutes 50, 60 (one session), then silence.
+      // (Not minute 0: an event at epoch 0 ties the initial watermark
+      // and is dropped as late.)
+      input.addData(Event(1L, ts(50), 2.0), Event(1L, ts(60), 3.0))
+      query.processAllAvailable()
+      // user 2 far in the future pushes the watermark past user 1's timeout
+      input.addData(Event(2L, ts(600), 1.0))
+      query.processAllAvailable()
+      input.addData(Event(2L, ts(1200), 1.0))
+      query.processAllAvailable()
+      val out = spark.table("sess").as[Session].collect()
+      val u1 = out.filter(_.user_id == 1L)
+      assert(u1.length == 1, s"expected one closed session for user 1: ${out.toSeq}")
+      assert(u1.head.n_events == 2 && u1.head.sum_value == 5.0)
+      assert(u1.head.start == ts(50) && u1.head.end == ts(60))
+    } finally query.stop()
+  }
+
+  test("the same windowedCounts program runs in batch mode (unified API)") {
+    val batch = Seq(nsRow(1, 10, "a"), nsRow(2, 20, "a"), nsRow(3, 70, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventStreams.windowedCounts(batch)
+      .select(unix_timestamp(col("window_start")).as("start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, "a") -> 2L, (3600L, "b") -> 1L))
+  }
+}
