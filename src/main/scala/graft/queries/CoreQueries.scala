@@ -23,6 +23,22 @@ object CoreQueries extends QueryPack {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // S1/S3 round-trip as a gate query: partitioned append write to a
+    // fresh dir, partition-discovery read back, partition-pruned filter,
+    // aggregate — the oracle sees the same rows straight off the source
+    // table, so the lake write/read path itself is what's being checked.
+    "s3_partition_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lake-q").toString
+      val lake = new graft.lake.Lake(s)
+      lake.appendPartitioned(t(s, d, "orders"), dir, Seq("o_orderstatus"))
+      lake.readInferred(dir)
+        .filter(col("o_orderstatus") === "F") // prunes to one partition dir
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             Portable.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // S5: partition-manifest shape — distinct key tuples (metadata-scale).
     "s5_partition_manifest" -> ((s, d) =>
       t(s, d, "orders")
@@ -117,6 +133,11 @@ object CoreQueries extends QueryPack {
   val oracle: Map[String, String] = Map(
     "s1_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "s3_partition_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "s5_partition_manifest" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY o_orderstatus, o_orderpriority",
     "p1_project_cast" ->
