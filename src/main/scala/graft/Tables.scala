@@ -12,6 +12,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries timestamp[ns], which Spark's reader rejects
+    // unless surfaced as long. Our mains set this at build time; set it
+    // defensively here too so the queries run under any caller session.
+    if (name == "events")
+      try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () } // non-settable → caller configured it
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 }
