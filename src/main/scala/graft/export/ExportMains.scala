@@ -12,11 +12,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ExportMains {
 
-  private def session(): SparkSession = SparkSession.builder()
-    .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  /** getOrCreate may hand back a caller-owned session (tests, notebooks)
+    * — only stop what we created.
+    */
+  private def withSession[T](f: SparkSession => T): T = {
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try f(spark) finally if (!preExisting) spark.stop()
+  }
 
   private def load(spark: SparkSession, path: String): DataFrame =
     if (path.endsWith(".feather")) Feather.read(spark, path)
@@ -27,11 +34,11 @@ object ExportMains {
     def main(args: Array[String]): Unit = {
       val pos = args.filterNot(_.startsWith("--"))
       require(pos.length == 3, "usage: CocoMain <annos> <images> <out.json> [--train] [--d2]")
-      val spark = session()
-      try Coco.writeCocoDataset(load(spark, pos(0)), load(spark, pos(1)),
-        annoKeyCol = "anno_key", outputJson = pos(2),
-        train = args.contains("--train"), odtk = !args.contains("--d2"))
-      finally spark.stop()
+      withSession { spark =>
+        Coco.writeCocoDataset(load(spark, pos(0)), load(spark, pos(1)),
+          annoKeyCol = "anno_key", outputJson = pos(2),
+          train = args.contains("--train"), odtk = !args.contains("--d2"))
+      }
     }
   }
 
@@ -40,13 +47,12 @@ object ExportMains {
     def main(args: Array[String]): Unit = {
       val pos = args.filterNot(_.startsWith("--"))
       require(pos.length == 3, "usage: YoloMain <annos> <images> <outDir> [--segmentation]")
-      val spark = session()
-      try {
+      withSession { spark =>
         val annos = load(spark, pos(0))
         Yolo.writeYoloDataset(annos, load(spark, pos(1)), Coco.categoryDim(annos),
           annoKeyCol = "anno_key", outputDir = pos(2),
           segmentation = args.contains("--segmentation"))
-      } finally spark.stop()
+      }
     }
   }
 }
