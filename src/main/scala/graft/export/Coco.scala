@@ -68,9 +68,11 @@ object Coco {
     val imgs = imageDim(images).orderBy("image_id")
       .select("image_name", "height", "width", "image_id").collect().map(r =>
         s"""{"license": 1, "file_name": ${jstr(r.getString(0) + ".jpeg")}, "height": ${r.get(1)}, "width": ${r.get(2)}, "id": ${r.getInt(3)}}""")
+    // d2 always carries the raw polygon (ref :42); odtk eval exports
+    // carry the ROTATED-box polygon `rbox` (ref :26), train omits it.
     val segCol =
-      if (!odtk) to_json(array(col("segmentation"))) // d2 always carries seg (ref :42)
-      else when(lit(train), lit(null)).otherwise(to_json(array(col("segmentation"))))
+      if (!odtk) to_json(array(col("segmentation")))
+      else when(lit(train), lit(null)).otherwise(to_json(array(col("rbox"))))
     val annoJson = annotationRecords(annos, images, annoKeyCol, odtk)
       .withColumn("seg_json", segCol)
       .orderBy("id")

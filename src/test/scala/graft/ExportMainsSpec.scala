@@ -16,6 +16,7 @@ class ExportMainsSpec extends SparkSpec {
       ("img_a", "cat", 1L, Seq(0.0, 0.0, 8.0, 0.0, 8.0, 4.0, 0.0, 4.0), Seq(0.0, 0.0, 8.0, 4.0, 0.0)),
       ("img_b", "dog", 2L, Seq(2.0, 2.0, 6.0, 2.0, 6.0, 6.0, 2.0, 6.0), Seq(2.0, 2.0, 4.0, 4.0, 0.0))
     ).toDF("image_name", "category", "anno_key", "segmentation", "rcoco")
+      .withColumn("rbox", org.apache.spark.sql.functions.col("segmentation"))
     val images = Seq(("img_a", 100L, 50L), ("img_b", 200L, 100L))
       .toDF("image_name", "width", "height")
     val (ap, ip) = (s"$dir/annos", s"$dir/images")

@@ -18,6 +18,8 @@ class ExportSpec extends SparkSpec {
     ("img_a", "cat", 2L, Seq(5.0, 5.0, 25.0, 5.0, 25.0, 15.0, 5.0, 15.0), Seq(5.0, 5.0, 20.0, 10.0, 0.0)),
     ("img_a", "dog", 3L, Seq(1.0, 1.0, 9.0, 1.0, 9.0, 9.0, 1.0, 9.0), Seq(1.0, 1.0, 8.0, 8.0, 0.0))
   ).toDF("image_name", "category", "anno_key", "segmentation", "rcoco")
+    // odtk eval exports carry the rotated-box polygon (ref :26)
+    .withColumn("rbox", col("segmentation"))
 
   private def imageFixture = Seq(
     ("img_a", 640L, 480L), ("img_b", 320L, 240L)
