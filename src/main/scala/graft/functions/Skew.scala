@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Skew-salted equi-join (SCALE.md): when one join key dominates (a
+  * celebrity image, a stop-category), the shuffle partition holding it
+  * becomes the straggler. Salting splits the hot key's rows across
+  * `saltFactor` sub-partitions and replicates the (small) build side
+  * once per salt — a uniform shuffle at the cost of a saltFactor×
+  * build-side copy. AQE's skew-join handles sort-merge cases
+  * automatically; this helper is for when the build side is
+  * broadcast-sized and the salt must be explicit.
+  */
+object Skew {
+
+  /** Inner equi-join of `big` (skewed) with `small` on `bigKey` ==
+    * `smallKey`, salted `saltFactor` ways. Result equals the unsalted
+    * join (SkewSpec proves it).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                 smallKey: String, saltFactor: Int): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated,
+        salted(bigKey) === replicated(smallKey) && salted("_salt") === replicated("_salt"))
+      .drop("_salt")
+  }
+}
