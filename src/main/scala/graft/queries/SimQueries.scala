@@ -54,6 +54,20 @@ object SimQueries extends QueryPack {
         .orderBy("qid", "rank")
     }),
 
+    // Real IVF: deterministic seed centroids → cell assignment →
+    // nProbe=2 probing → top-3 per query (ext.Ivf). Fully replicated in
+    // the DuckDB oracle, so the whole quantizer is hash-checked.
+    "ann_ivf_real" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val centroids = graft.ext.Ivf.seedCentroids(emb, 8)
+      val corpus = graft.ext.Ivf.assign(s, emb, centroids)
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      graft.ext.Ivf.search(s, corpus, q, centroids, topK = 3, nProbe = 2)
+        .select("qid", "rank", "vec_id")
+        .orderBy("qid", "rank")
+    }),
+
     // IVF-style bucketed ANN: search only the query's coarse cell.
     "ann_ivf_bucketed" -> ((s, d) => {
       graft.plans.GraftFunctions.register(s)
@@ -71,7 +85,41 @@ object SimQueries extends QueryPack {
     })
   )
 
+  private val centCosSql =
+    """list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[]))
+       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(c.centroid AS DOUBLE[]), CAST(c.centroid AS DOUBLE[]))))"""
+
   val oracle: Map[String, String] = Map(
+    "ann_ivf_real" ->
+      s"""WITH cent AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                   embedding AS centroid
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+          assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+              SELECT e.vec_id, e.embedding, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY $centCosSql DESC, c.cell) AS rn
+              FROM embeddings e, cent c) WHERE rn = 1),
+          q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id % 50 = 0),
+          probes AS (
+            SELECT qid, qemb, cell FROM (
+              SELECT q.qid, q.qemb, c.cell,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY list_dot_product(CAST(q.qemb AS DOUBLE[]), CAST(c.centroid AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(q.qemb AS DOUBLE[]), CAST(q.qemb AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(c.centroid AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])))) DESC,
+                         c.cell) AS rn
+              FROM q, cent c) WHERE rn <= 2),
+          scored AS (
+            SELECT p.qid, a.vec_id,
+                   list_dot_product(CAST(p.qemb AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(p.qemb AS DOUBLE[]), CAST(p.qemb AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))) AS cos
+            FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid)
+          SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank, vec_id
+          FROM scored QUALIFY rank <= 3 ORDER BY qid, rank""",
     "ann_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 50 = 0),
           scored AS (

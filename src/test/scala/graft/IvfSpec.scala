@@ -1,0 +1,55 @@
+package graft
+
+import graft.ext.Ivf
+import org.apache.spark.sql.functions._
+
+/** IVF ANN against the brute-force ground truth on real embeddings:
+  * structure (cells partition the corpus), recall improves with nProbe,
+  * and nProbe = k (search everything) reproduces brute force exactly.
+  */
+class IvfSpec extends SparkSpec {
+
+  private def emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+  private val K = 8
+
+  private def centroids = Ivf.seedCentroids(emb, K)
+  private def corpus = Ivf.assign(spark, emb, centroids)
+  private def queries = emb.filter(col("vec_id") % 25 === 0)
+    .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+
+  private def bruteTop(k: Int): Set[(Long, Long)] = {
+    graft.plans.GraftFunctions.register(spark)
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("graft_dot(qemb, embedding)") /
+        (expr("graft_norm(qemb)") * expr("graft_norm(embedding)")))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def ivfTop(k: Int, nProbe: Int): Set[(Long, Long)] =
+    Ivf.search(spark, corpus, queries, centroids, k, nProbe)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("cells partition the corpus exhaustively") {
+    val c = corpus
+    assert(c.count() == emb.count())
+    assert(c.select("cell").distinct().count() <= K)
+    assert(c.filter(col("cell").isNull || col("cell") < 0 || col("cell") >= K).count() == 0)
+  }
+
+  test("recall is monotone in nProbe and hits 100% at nProbe = k") {
+    val truth = bruteTop(5)
+    val r1 = ivfTop(5, 1).intersect(truth).size.toDouble / truth.size
+    val r4 = ivfTop(5, 4).intersect(truth).size.toDouble / truth.size
+    val rAll = ivfTop(5, K).intersect(truth).size.toDouble / truth.size
+    assert(r1 <= r4 + 1e-9 && r4 <= rAll + 1e-9, s"recall not monotone: $r1 $r4 $rAll")
+    assert(rAll == 1.0, s"full probe must equal brute force, got $rAll")
+    assert(r1 > 0.0, "nProbe=1 found nothing — cells are broken")
+  }
+}
