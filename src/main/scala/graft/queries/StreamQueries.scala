@@ -21,6 +21,36 @@ object StreamQueries extends QueryPack {
           col("event_type"), col("n"))
         .orderBy("bucket_start", "event_type")),
 
+    // Batch sessionization via lag + running sum (the SQL-expressible
+    // twin of EventStreams.sessionize): a session break is a >30-minute
+    // gap; session ids are per-user running counts of breaks.
+    "st_sessionize_batch" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > 1800000000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("brk")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), Portable.moneySum(col("value")).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Moving frame aggregate: exact DECIMAL sum over the last 4 events
+    // per user (rows frame — deterministic content, engine-exact).
+    "st_moving_sum" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+      t(s, d, "events")
+        .withColumn("mov_sum",
+          sum(col("value").cast("decimal(12,2)")).over(w).cast("double"))
+        .select("event_id", "user_id", "mov_sum")
+        .orderBy("event_id")
+    }),
+
     // Event-time bucketing + exact DECIMAL value sums — pure integer
     // arithmetic on the raw nanosecond longs (engine-portable).
     "st_event_buckets" -> ((s, d) =>
@@ -37,6 +67,28 @@ object StreamQueries extends QueryPack {
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_start,
          event_type, count(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""",
+    "st_sessionize_batch" ->
+      """WITH g AS (
+           SELECT user_id, event_id, value, epoch_ns(ts) AS tns,
+                  lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         b AS (
+           SELECT user_id, event_id, value, tns,
+                  CASE WHEN prev IS NULL OR tns - prev > 1800000000000 THEN 1 ELSE 0 END AS brk
+           FROM g),
+         sess AS (
+           SELECT user_id, value,
+                  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM b)
+         SELECT user_id, session_id, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "st_moving_sum" ->
+      """SELECT event_id, user_id,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum
+         FROM events ORDER BY event_id""",
     "st_event_buckets" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS bucket,
          event_type, count(*) AS n,
