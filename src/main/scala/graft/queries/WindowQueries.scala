@@ -36,6 +36,34 @@ object WindowQueries extends QueryPack {
         .select("user_id", "event_id", "event_type")
         .orderBy("user_id")),
 
+    // Rollup with grouping ids (beyond the reference's surface; standard
+    // engine capability). Grouping-null rows sort first explicitly —
+    // Spark defaults NULLS FIRST, DuckDB NULLS LAST.
+    "a7_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)),
+
+    // Pivot expressed portably as conditional aggregation.
+    "a8_pivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("l_linestatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("l_linestatus") === "O", 1).otherwise(0)).as("n_o"))
+        .orderBy("l_returnflag")),
+
+    // Approximate distinct (HLL) — implementation-specific value, so the
+    // gate is rows-only; ApproxSpec bounds the error vs exact.
+    "a9_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+             countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy("l_returnflag")),
+
     // O3: sequential id assignment over an export (create_coco_from_feather
     // .py:75-85) — global row_number keyed by the natural sort key.
     "o3_seq_ids" -> ((s, d) =>
@@ -56,6 +84,16 @@ object WindowQueries extends QueryPack {
            FROM events) WHERE rn = 1 ORDER BY user_id""",
     "o3_seq_ids" ->
       """SELECT c_custkey, c_name, CAST(row_number() OVER (ORDER BY c_custkey) AS INT) AS image_id
-         FROM customer ORDER BY c_custkey"""
+         FROM customer ORDER BY c_custkey""",
+    "a7_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "a8_pivot" ->
+      """SELECT l_returnflag,
+         CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

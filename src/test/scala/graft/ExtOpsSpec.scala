@@ -34,6 +34,17 @@ class ExtOpsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("approx_count_distinct stays within 10% of exact") {
+    val rows = graft.queries.WindowQueries.defs("a9_approx_distinct")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("simhash: identical token lists → distance 0; disjoint → large") {
     val a = TextUdfs.simhash(Seq("spark", "scan", "shuffle", "agg"))
     val b = TextUdfs.simhash(Seq("spark", "scan", "shuffle", "agg"))
