@@ -120,6 +120,26 @@ object CoreQueries extends QueryPack {
                 get_json_object(col("props"), "$.k").cast("bigint").as("k"))
         .orderBy("event_id")),
 
+    // U3: intersect (absent from the reference — completes the set-op
+    // family; SQL INTERSECT is distinct-based in both engines).
+    "u3_intersect" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R").select("l_orderkey")
+        .intersect(
+          t(s, d, "lineitem").filter(col("l_linestatus") === "F").select("l_orderkey"))
+        .orderBy("l_orderkey")),
+
+    // SQL API entry: the same engine surface via spark.sql over temp
+    // views (everything else uses the DataFrame API).
+    "sql_api_join_agg" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "customer").createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT c.c_mktsegment, count(*) AS n_orders,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+    }),
+
     // U1: union-all of per-slice frames (pd.concat semantics, ref :196,245).
     "u1_union_all" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -168,6 +188,16 @@ object CoreQueries extends QueryPack {
     "f_j1_json_extract" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
     "u1_union_all" ->
-      "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F' UNION ALL SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey"
+      "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F' UNION ALL SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey",
+    "u3_intersect" ->
+      """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+         INTERSECT
+         SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+         ORDER BY l_orderkey""",
+    "sql_api_join_agg" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""
   )
 }
