@@ -1,6 +1,6 @@
 package graft.export
 
-import org.apache.spark.sql.expressions.Window
+import graft.operators.SeqIds
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
@@ -22,13 +22,14 @@ object Coco {
     * dense ids from 1 ("background is 0", ref :59-70).
     */
   def categoryDim(annos: DataFrame): DataFrame =
-    annos.select("category").distinct()
-      .withColumn("category_id", row_number().over(Window.orderBy("category")))
+    SeqIds.withSeqId(annos.select("category").distinct(),
+        Seq(col("category")), "category_id", startAt = 1L)
+      .withColumn("category_id", col("category_id").cast("int"))
 
   /** Image dimension: ids from 0 by image_name order (ref :73-85). */
   def imageDim(images: DataFrame): DataFrame =
-    images.withColumn("image_id",
-      row_number().over(Window.orderBy("image_name")) - 1)
+    SeqIds.withSeqId(images, Seq(col("image_name")), "image_id")
+      .withColumn("image_id", col("image_id").cast("int"))
 
   /** Annotation records (ref :97-106 + make_anno_odtk/make_anno_d2
     * :14-44): join image ids (J4) and category ids (J5, both broadcast —
@@ -40,13 +41,13 @@ object Coco {
     */
   def annotationRecords(annos: DataFrame, images: DataFrame,
                         annoKeyCol: String, odtk: Boolean = true): DataFrame = {
-    val withIds = annos
+    val joined = annos
       .join(broadcast(imageDim(images).select("image_name", "image_id")), Seq("image_name"))
       .join(broadcast(categoryDim(annos)), Seq("category"))
-      // category breaks annoKey ties so ids are total-ordered even when
-      // the caller's key collides across categories
-      .withColumn("id",
-        row_number().over(Window.orderBy(col(annoKeyCol), col("category"))) - 1)
+    // category breaks annoKey ties so ids are total-ordered even when
+    // the caller's key collides across categories
+    val withIds = SeqIds.withSeqId(joined, Seq(col(annoKeyCol), col("category")), "id")
+      .withColumn("id", col("id").cast("int"))
     val bbox =
       if (odtk) col("rcoco")
       else graft.functions.GeomUdfs.segmentation2bbox(col("segmentation"))

@@ -1,42 +1,80 @@
 package graft.ext
 
+import graft.operators.SeqIds
 import graft.plans.GraftFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** IVF (inverted-file) approximate nearest-neighbor search — the real
   * quantizer behind the scale path that `ann_ivf_bucketed` demonstrates
   * with the `label` stand-in cell.
   *
   * Coarse cells come from k deterministic seed centroids (the k lowest
-  * vec_ids — an init-only quantizer; Lloyd iterations are a pluggable
-  * refinement and don't change the query shape). Every stage is scale-
-  * safe: centroids broadcast (k ≪ corpus), assignment is one pass, the
-  * search joins each query only against its nProbe cells.
+  * vec_ids), optionally refined with Lloyd iterations. Every stage is
+  * scale-safe: centroids are driver/broadcast-sized (k ≪ corpus),
+  * assignment is a zero-shuffle per-row argmax, and the search joins each
+  * query only against its nProbe cells.
   */
 object Ivf {
 
   /** k seed centroids: (cell, centroid vector). */
   def seedCentroids(embeddings: DataFrame, k: Int): DataFrame =
-    embeddings.orderBy("vec_id").limit(k)
-      .withColumn("cell", row_number().over(Window.orderBy("vec_id")) - 1)
+    SeqIds.withSeqId(embeddings.orderBy("vec_id").limit(k), Seq(col("vec_id")), "cell")
+      .withColumn("cell", col("cell").cast("int"))
       .select(col("cell"), col("embedding").as("centroid"))
 
   /** Assign each vector to its nearest centroid by cosine (ties by
-    * cell id). Adds a `cell` column.
+    * lowest cell id). Adds a `cell` column.
+    *
+    * Centroids are broadcast-sized by construction, so they are pulled to
+    * the driver once and inlined as literals: the nearest-centroid pick
+    * becomes a per-row argmax inside one codegen projection — no
+    * crossJoin, no window, no exchange anywhere in the plan. The score
+    * arithmetic (dot/(norm·norm), double accumulation, tie to lowest
+    * cell) is bit-identical to the former crossJoin+row_number form, so
+    * the DuckDB oracle replication is unchanged.
     */
   def assign(spark: SparkSession, embeddings: DataFrame,
              centroids: DataFrame): DataFrame = {
     GraftFunctions.register(spark)
-    val scored = embeddings.crossJoin(broadcast(centroids))
-      .withColumn("score",
-        expr("graft_dot(embedding, centroid)")
-          / (expr("graft_norm(embedding)") * expr("graft_norm(centroid)")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell"))))
-    scored.filter(col("rn") === 1)
-      .drop("rn", "score", "centroid")
+    val cents: Seq[(Int, Seq[Float])] = centroids.select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toIndexedSeq)).toSeq.sortBy(_._1)
+    val withLits = cents.foldLeft(embeddings.withColumn("_n", expr("graft_norm(embedding)"))) {
+      case (df, (cellId, vec)) => df.withColumn(s"_c$cellId", typedlit(vec))
+    }
+    // argmax via greatest() over (score, -cell) structs: max score wins,
+    // ties go to the lowest cell — same order as (score DESC, cell ASC)
+    val scored: Seq[Column] = cents.map { case (cellId, _) =>
+      struct(
+        (expr(s"graft_dot(embedding, _c$cellId)")
+          / (col("_n") * expr(s"graft_norm(_c$cellId)"))).as("score"),
+        lit(-cellId).as("negcell"))
+    }
+    withLits
+      .withColumn("cell", (-greatest(scored: _*).getField("negcell")).cast("int"))
+      .drop("_n" +: cents.map(c => s"_c${c._1}"): _*)
+  }
+
+  /** Lloyd refinement: recompute each cell's centroid as the element-wise
+    * mean of its members, reassign, repeat. Each iteration is one
+    * zero-shuffle assignment pass plus one aggregation
+    * (posexplode → partial-agg mean per (cell, dim) → rebuild), both
+    * linear in the corpus; centroids stay driver-sized throughout.
+    * Cells that lose all members drop out (standard Lloyd behavior).
+    */
+  def lloyd(spark: SparkSession, embeddings: DataFrame, init: DataFrame,
+            iters: Int): DataFrame = {
+    var cents = init
+    for (_ <- 0 until iters) {
+      cents = assign(spark, embeddings, cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .getField("m").cast("array<float>").as("centroid"))
+    }
+    cents
   }
 
   /** Top-k cosine neighbors per query, searching only each query's

@@ -15,13 +15,13 @@ object ExportQueries extends QueryPack {
     // S10 core: annotation records with dense category ids (A5/J5),
     // image ids by name order (J4), sequential anno ids (O3), integer
     // bbox JSON (F-J2 canonicalized).
-    // Ordered by (anno_key, category) BEFORE the projection: identical
-    // row order to ORDER BY id (id is row_number over exactly that
-    // ordering), but the window's existing single-partition sort already
-    // satisfies it, so no second global sort is planned (2× faster).
+    // No final orderBy: SeqIds.withSeqId's output is already globally
+    // ordered by (anno_key, category) — range-partitioned and sorted
+    // within, partitions in key order — which is identical to ORDER BY id
+    // (id is the ordinal over exactly that ordering). A second global
+    // sort would double the exchange cost for nothing.
     "s10_coco_annos" -> ((s, d) =>
       Coco.annotationRecords(Synth.annos(s, d), Synth.images(s, d), "anno_key")
-        .orderBy("anno_key", "category")
         .select(col("id"), col("image_id"), col("category_id"),
                 to_json(col("bbox").cast("array<bigint>")).as("bbox_json"),
                 col("area").cast("bigint").as("area"))),
@@ -52,7 +52,7 @@ object ExportQueries extends QueryPack {
     // the string is engine-exact; integer fields only).
     "f_j2_json_assembly" -> ((s, d) =>
       Coco.annotationRecords(Synth.annos(s, d), Synth.images(s, d), "anno_key")
-        .orderBy("anno_key", "category") // = id order; reuses window sort
+        // already in id order from SeqIds — no second sort (see s10)
         .select(col("id"), concat(
           lit("""{"iscrowd": 0, "image_id": """), col("image_id"),
           lit(""", "category_id": """), col("category_id"),

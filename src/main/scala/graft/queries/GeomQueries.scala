@@ -104,7 +104,11 @@ object GeomQueries extends QueryPack {
         .withColumn("rcoco", GeomUdfs.rbbFromSeg(col("seg")))
         .withColumn("coco", GeomUdfs.cocoFromSeg(col("seg")))
         .filter(col("rcoco").isNotNull) // P9: degenerate guard
-        .select(col("p_partkey"), col("rcoco"), col("coco"))
+        // arrays serialized to JSON strings so the driver's comparator can
+        // hash the rows (same canonicalization as f_g6_aabb2poly)
+        .select(col("p_partkey"),
+                to_json(col("rcoco")).as("rcoco_json"),
+                to_json(col("coco")).as("coco_json"))
         .orderBy("p_partkey"))
   )
 

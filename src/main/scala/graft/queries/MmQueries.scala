@@ -46,9 +46,11 @@ object MmQueries extends QueryPack {
         .withColumn("h", (col("p_partkey") % 12 + 8).cast("int"))
         .withColumn("jpeg", genJpeg(col("w"), col("h"), (col("p_partkey") % 250).cast("int")))
         .withColumn("dims", redactAndDims(col("jpeg")))
-        .select(col("p_partkey"), col("w"), col("h"),
-          octet_length(col("jpeg")).as("n_bytes"), col("dims"))
         .filter(col("dims")(0) === col("w") && col("dims")(1) === col("h"))
+        // dims serialized to JSON so the driver's comparator can hash rows
+        .select(col("p_partkey"), col("w"), col("h"),
+          octet_length(col("jpeg")).as("n_bytes"),
+          to_json(col("dims")).as("dims_json"))
         .orderBy("p_partkey")
     }),
 

@@ -7,12 +7,11 @@ import org.apache.spark.sql.functions._
 /** SURVEY §2.4 A5 + §2.6 O2/O3 — the reference's id-assignment and
   * per-track ordering logic as window functions.
   *
-  * Scale notes: A5/O2 windows are partitioned (or over a dimension-sized
-  * distinct set), so they parallelize; O3's global row_number is a single-
-  * partition stage by construction — acceptable because the reference
-  * semantics (sequential ids over one export, create_coco_from_feather.py
-  * :75-85) are inherently total-order, and the input to it is an
-  * export-sized frame, not the fact table.
+  * Scale notes: O2's window is partitioned, so it parallelizes. A5 and O3
+  * are inherently total-order (sequential ids over one export,
+  * create_coco_from_feather.py:75-85) but are assigned via the two-pass
+  * partition-offset scheme in operators.SeqIds — identical ids to a
+  * global row_number with no single-partition window stage.
   */
 object WindowQueries extends QueryPack {
 
@@ -20,9 +19,10 @@ object WindowQueries extends QueryPack {
     // A5: sorted-distinct → dense ids from 1 ("background is 0" —
     // create_coco_from_feather.py:59-70, lexicographic per np.sort).
     "a5_dense_ids" -> ((s, d) =>
-      t(s, d, "part")
-        .select("p_brand").distinct()
-        .withColumn("cat_id", row_number().over(Window.orderBy("p_brand")))
+      graft.operators.SeqIds.withSeqId(
+          t(s, d, "part").select("p_brand").distinct(),
+          Seq(col("p_brand")), "cat_id", startAt = 1L)
+        .withColumn("cat_id", col("cat_id").cast("int"))
         .orderBy("p_brand")),
 
     // O2: last shape per track — sort by frame within key, take max
@@ -65,11 +65,13 @@ object WindowQueries extends QueryPack {
         .orderBy("l_returnflag")),
 
     // O3: sequential id assignment over an export (create_coco_from_feather
-    // .py:75-85) — global row_number keyed by the natural sort key.
+    // .py:75-85) — two-pass partition-offset assignment (operators.SeqIds),
+    // not a single-partition global window.
     "o3_seq_ids" -> ((s, d) =>
-      t(s, d, "customer")
-        .select("c_custkey", "c_name")
-        .withColumn("image_id", row_number().over(Window.orderBy("c_custkey")))
+      graft.operators.SeqIds.withSeqId(
+          t(s, d, "customer").select("c_custkey", "c_name"),
+          Seq(col("c_custkey")), "image_id", startAt = 1L)
+        .withColumn("image_id", col("image_id").cast("int"))
         .orderBy("c_custkey"))
   )
 
