@@ -12,19 +12,30 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *  - exact: hash-groupBy — one shuffle on the content hash, no pairs.
   *  - n-gram Jaccard: candidate pairs ONLY via a shingle equi-join
   *    (never all-pairs); integer-arithmetic threshold so the oracle
-  *    matches exactly. At 100 TB the frequent-shingle skew is handled by
-  *    dropping stop-shingles (document frequency cap) before the join —
-  *    here the 3-gram space is large enough that the join stays sparse.
+  *    matches exactly. Stop-shingles (document frequency > MaxBucket)
+  *    are dropped before the join, bounding bucket fan-out at 100 TB.
   *  - MinHash LSH: 8 md5-derived min-hashes → 4 bands of 2 → bucket
-  *    equi-join. Deterministic (content-keyed, no RNG state), so it is
-  *    reproducible across engines and cluster sizes, unlike seeded-RNG
-  *    LSH models.
-  *  - SimHash: 64-bit signature, 4×16-bit band buckets (UDF-computed,
-  *    rows-only check + unit spec).
+  *    equi-join, buckets capped at MaxBucket. Deterministic
+  *    (content-keyed, no RNG state), so it is reproducible across
+  *    engines and cluster sizes, unlike seeded-RNG LSH models.
+  *  - SimHash: 64-bit signature, 2×32-bit band buckets capped at
+  *    MaxBucket (UDF-computed, rows-only check + unit spec).
   *  - embedding cosine: label-blocked (coarse-quantizer stand-in) —
   *    pairs only within a cell, never across the full table.
   */
 object DedupQueries extends QueryPack {
+
+  /** Stop-shingle / LSH-bucket document-frequency cap. A bucket (shingle
+    * or band value) shared by more than this many documents is dropped
+    * before pair explosion, bounding per-bucket fan-out to
+    * O(MaxBucket²) regardless of corpus size — the difference between a
+    * bounded join and an executor-OOM key at 100 TB. The cap is mirrored
+    * in the DuckDB oracle SQL, so the capped semantics are themselves
+    * hash-checked (at the test scale factors the max observed bucket is
+    * 25, so the cap drops nothing there; DedupCapSpec exercises the
+    * dropping path on a skewed corpus).
+    */
+  val MaxBucket = 32
 
   /** Distinct word 3-gram shingles per doc; empty for <3 tokens.
     * Compiled UDF rather than transform/element_at: Catalyst inlines the
@@ -74,16 +85,18 @@ object DedupQueries extends QueryPack {
     // 10*shared >= 8*union (J >= 0.8). Candidate pairs come from
     // per-shingle doc buckets (groupBy + pair explosion) — ONE pass over
     // the shingles instead of a self-join that recomputes and shuffles
-    // the exploded table twice. At 100 TB add a document-frequency cap
-    // on shingles before pairing (stop-shingle removal) to bound bucket
-    // fan-out; the synthetic vocab here keeps buckets small enough.
+    // the exploded table twice. Stop-shingles (document frequency >
+    // MaxBucket) are dropped before pairing, so a hot shingle can never
+    // produce a quadratic bucket; `shared` then undercounts for pairs
+    // that co-occurred only in dropped shingles (conservative recall
+    // trade, standard for shingle-LSH at scale).
     "d_ngram_jaccard" -> ((s, d) => {
       val sh = shingled(t(s, d, "documents"))
       val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       val cnt = sh.select(col("doc_id"), size(col("shingles")).as("n"))
       val pairs = ex.groupBy("s")
         .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-        .filter(size(col("docs")) > 1)
+        .filter(size(col("docs")) > 1 && size(col("docs")) <= MaxBucket)
         .select(explode(graft.functions.VecUdfs.orderedPairs(col("docs"))).as("p"))
         .groupBy(col("p._1").as("da"), col("p._2").as("db"))
         .agg(count(lit(1)).as("shared"))
@@ -111,25 +124,31 @@ object DedupQueries extends QueryPack {
       )).as("bk")).select(col("doc_id"), col("bk.band"), col("bk.k"))
       bands.groupBy("band", "k")
         .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-        .filter(size(col("docs")) > 1)
+        .filter(size(col("docs")) > 1 && size(col("docs")) <= MaxBucket)
         .select(explode(graft.functions.VecUdfs.orderedPairs(col("docs"))).as("p"))
         .select(col("p._1").as("da"), col("p._2").as("db"))
         .distinct()
         .orderBy("da", "db")
     }),
 
-    // SimHash near-dup candidates: 64-bit signature, 4×16-bit bands
-    // (UDF — rows-only check; SimhashSpec covers the kernel).
+    // SimHash near-dup candidates: 64-bit signature, 2×32-bit bands
+    // (UDF — rows-only check; SimhashSpec covers the kernel). 32-bit
+    // bands (vs the earlier 16-bit) require a 32-bit half-signature
+    // match for candidacy — on a common-vocab corpus that cuts the
+    // quadratic per-band collision growth by orders of magnitude while
+    // still catching near-identical documents (≤2 differing bits land in
+    // one band's half with high probability). MaxBucket caps whatever
+    // skew remains.
     "d_simhash" -> ((s, d) => {
       val sigs = t(s, d, "documents")
         .select(col("doc_id"), TextUdfs.simhash64(split(col("text"), " ")).as("sig"))
       val bands = sigs.select(col("doc_id"), col("sig"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("k"))): _*)).as("bk"))
+        explode(array((0 until 2).map(b =>
+          struct(lit(b).as("band"), shiftright(col("sig"), b * 32).bitwiseAND(lit(0xFFFFFFFFL)).as("k"))): _*)).as("bk"))
         .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.k"))
       val candidates = bands.groupBy("band", "k")
         .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-        .filter(size(col("docs")) > 1)
+        .filter(size(col("docs")) > 1 && size(col("docs")) <= MaxBucket)
         .select(explode(graft.functions.VecUdfs.orderedPairs(col("docs"))).as("p"))
         .select(col("p._1").as("da"), col("p._2").as("db"))
         .distinct()
@@ -163,8 +182,10 @@ object DedupQueries extends QueryPack {
          FROM documents GROUP BY 1 ORDER BY content_hash""",
     "d_ngram_jaccard" ->
       s"""WITH $shingleCtes,
+          oks AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 32),
           pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) shared
                     FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                    WHERE a.s IN (SELECT s FROM oks)
                     GROUP BY 1, 2)
           SELECT da, db, shared, ca.n AS na, cb.n AS nb
           FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
@@ -182,10 +203,13 @@ object DedupQueries extends QueryPack {
             SELECT doc_id, 0 band, s0||s1 k FROM sig UNION ALL
             SELECT doc_id, 1, s2||s3 FROM sig UNION ALL
             SELECT doc_id, 2, s4||s5 FROM sig UNION ALL
-            SELECT doc_id, 3, s6||s7 FROM sig)
+            SELECT doc_id, 3, s6||s7 FROM sig),
+          okb AS (SELECT band, k FROM bands GROUP BY band, k
+                  HAVING count(*) <= 32)
           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+          JOIN okb o ON o.band = a.band AND o.k = a.k
           ORDER BY da, db""",
     "d_embed_neardup" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label

@@ -36,13 +36,26 @@ object SimQueries extends QueryPack {
        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
           * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))"""
 
+  /** Fixed-size query set: every 50th vector, capped at MaxQueries by
+    * vec_id order (TakeOrderedAndProject — no global sort materializes).
+    * The cap keeps the broadcast side CONSTANT at any corpus scale; an
+    * uncapped modulo filter grows linearly with the table and would OOM
+    * the broadcast at 100×.
+    */
+  val MaxQueries = 64
+
+  private def querySet(df: DataFrame): DataFrame =
+    df.filter(col("vec_id") % 50 === 0).orderBy("vec_id").limit(MaxQueries)
+
+  private val querySetSql =
+    "SELECT * FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64"
+
   val defs: Map[String, QueryFn] = Map(
-    // Brute-force cosine top-5 per query vector (every 50th vector is a
-    // query; scales with the table).
+    // Brute-force cosine top-5 per query vector (bounded query set).
     "ann_topk_brute" -> ((s, d) => {
       graft.plans.GraftFunctions.register(s)
       val e = withNorm(t(s, d, "embeddings"))
-      val q = withNorm(t(s, d, "embeddings").filter(col("vec_id") % 50 === 0))
+      val q = withNorm(querySet(t(s, d, "embeddings")))
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("norm").as("qnorm"))
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
@@ -61,7 +74,7 @@ object SimQueries extends QueryPack {
       val emb = t(s, d, "embeddings")
       val centroids = graft.ext.Ivf.seedCentroids(emb, 8)
       val corpus = graft.ext.Ivf.assign(s, emb, centroids)
-      val q = emb.filter(col("vec_id") % 50 === 0)
+      val q = querySet(emb)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
       graft.ext.Ivf.search(s, corpus, q, centroids, topK = 3, nProbe = 2)
         .select("qid", "rank", "vec_id")
@@ -72,7 +85,7 @@ object SimQueries extends QueryPack {
     "ann_ivf_bucketed" -> ((s, d) => {
       graft.plans.GraftFunctions.register(s)
       val e = withNorm(t(s, d, "embeddings"))
-      val q = withNorm(t(s, d, "embeddings").filter(col("vec_id") % 50 === 0))
+      val q = withNorm(querySet(t(s, d, "embeddings")))
         .select(col("vec_id").as("qid"), col("label").as("qlabel"),
           col("embedding").as("qemb"), col("norm").as("qnorm"))
       e.join(broadcast(q), col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
@@ -102,7 +115,7 @@ object SimQueries extends QueryPack {
                      row_number() OVER (PARTITION BY e.vec_id
                        ORDER BY $centCosSql DESC, c.cell) AS rn
               FROM embeddings e, cent c) WHERE rn = 1),
-          q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id % 50 = 0),
+          q AS (SELECT vec_id AS qid, embedding AS qemb FROM ($querySetSql)),
           probes AS (
             SELECT qid, qemb, cell FROM (
               SELECT q.qid, q.qemb, c.cell,
@@ -121,7 +134,7 @@ object SimQueries extends QueryPack {
           SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank, vec_id
           FROM scored QUALIFY rank <= 3 ORDER BY qid, rank""",
     "ann_topk_brute" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 50 = 0),
+      s"""WITH q AS (SELECT vec_id AS qid, embedding FROM ($querySetSql)),
           scored AS (
             SELECT q.qid, e.vec_id, $cosSql AS cos
             FROM embeddings e, q WHERE e.vec_id <> q.qid),
@@ -131,7 +144,7 @@ object SimQueries extends QueryPack {
             FROM scored)
           SELECT qid, rank, vec_id FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
     "ann_ivf_bucketed" ->
-      s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding FROM embeddings WHERE vec_id % 50 = 0),
+      s"""WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding FROM ($querySetSql)),
           scored AS (
             SELECT q.qid, e.vec_id, $cosSql AS cos
             FROM embeddings e JOIN q ON e.label = q.qlabel AND e.vec_id <> q.qid),

@@ -1,0 +1,56 @@
+package graft
+
+import graft.queries.DedupQueries
+import org.apache.spark.sql.DataFrame
+
+/** The stop-shingle / LSH-bucket cap (DedupQueries.MaxBucket) on a
+  * deliberately skewed corpus: a bucket hotter than the cap must produce
+  * ZERO pairs (bounded fan-out — the 100 TB OOM-key guard), while the
+  * same duplicate group under the cap must produce exactly its C(n,2)
+  * pairs (the cap does not break ordinary dedup).
+  */
+class DedupCapSpec extends SparkSpec {
+
+  /** nDup identical docs (ids 0..nDup-1) + 50 unique-token docs. */
+  private def corpus(nDup: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("dedup-cap").toString
+    val dup = (0 until nDup).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+    val uniq = (0 until 50).map(i => ((1000 + i).toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e"))
+    import spark.implicits._
+    (dup ++ uniq).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def pairs(q: String, dir: String): Set[(Long, Long)] =
+    DedupQueries.defs(q)(spark, dir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def expectedDupPairs(n: Int): Set[(Long, Long)] =
+    (for (a <- 0 until n; b <- a + 1 until n) yield (a.toLong, b.toLong)).toSet
+
+  private val over = DedupQueries.MaxBucket + 8   // hot bucket, above cap
+  private val under = 10                          // ordinary dup group
+
+  for (q <- Seq("d_ngram_jaccard", "d_minhash_lsh", "d_simhash")) {
+    test(s"$q: a bucket hotter than MaxBucket yields no pairs") {
+      val p = pairs(q, corpus(over))
+      val fromHot = p.filter { case (a, b) => a < over && b < over }
+      assert(fromHot.isEmpty,
+        s"capped bucket still produced ${fromHot.size} pairs")
+    }
+
+    test(s"$q: a duplicate group under the cap pairs fully") {
+      val p = pairs(q, corpus(under))
+      assert(expectedDupPairs(under).subsetOf(p),
+        s"missing dup pairs: got ${p.size}")
+    }
+  }
+
+  test("pair fan-out is bounded by C(MaxBucket, 2) per bucket") {
+    // with every doc identical, the uncapped candidate count would be
+    // C(over, 2) = 780+; the cap admits none of them
+    val p = pairs("d_minhash_lsh", corpus(over))
+    assert(p.size <= DedupQueries.MaxBucket * (DedupQueries.MaxBucket - 1) / 2)
+  }
+}

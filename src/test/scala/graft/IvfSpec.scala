@@ -43,6 +43,22 @@ class IvfSpec extends SparkSpec {
     assert(c.filter(col("cell").isNull || col("cell") < 0 || col("cell") >= K).count() == 0)
   }
 
+  test("Lloyd refinement keeps a valid quantizer and does not hurt recall") {
+    val refined = Ivf.lloyd(spark, emb, centroids, iters = 2)
+    val k2 = refined.count()
+    assert(k2 > 0 && k2 <= K, s"Lloyd produced $k2 cells")
+    val corpus2 = Ivf.assign(spark, emb, refined)
+    assert(corpus2.count() == emb.count(), "assignment must cover the corpus")
+    val truth = bruteTop(5)
+    val seedRecall = ivfTop(5, 2).intersect(truth).size.toDouble / truth.size
+    val lloydRecall = Ivf.search(spark, corpus2, queries, refined, 5, 2)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(truth).size.toDouble / truth.size
+    assert(lloydRecall >= seedRecall - 0.05,
+      s"Lloyd recall regressed: seed=$seedRecall lloyd=$lloydRecall")
+  }
+
   test("recall is monotone in nProbe and hits 100% at nProbe = k") {
     val truth = bruteTop(5)
     val r1 = ivfTop(5, 1).intersect(truth).size.toDouble / truth.size
