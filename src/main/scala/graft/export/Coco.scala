@@ -19,10 +19,12 @@ import org.apache.spark.sql.DataFrame
 object Coco {
 
   /** Category dimension: lexicographically sorted distinct categories,
-    * dense ids from 1 ("background is 0", ref :59-70).
+    * dense ids from 1 ("background is 0", ref :59-70). Category
+    * cardinality is bounded (a label vocabulary), so the dim-sized id
+    * path applies.
     */
   def categoryDim(annos: DataFrame): DataFrame =
-    SeqIds.withSeqId(annos.select("category").distinct(),
+    SeqIds.withSeqIdDim(annos.select("category").distinct(),
         Seq(col("category")), "category_id", startAt = 1L)
       .withColumn("category_id", col("category_id").cast("int"))
 
@@ -41,9 +43,24 @@ object Coco {
     */
   def annotationRecords(annos: DataFrame, images: DataFrame,
                         annoKeyCol: String, odtk: Boolean = true): DataFrame = {
+    val spark = annos.sparkSession
+    import spark.implicits._
+    // Both dims are broadcast-sized by the existing join contract (J4/J5
+    // broadcast true dimensions), so their dense ids are assigned on the
+    // driver: collect → sort → zipWithIndex → LocalRelation. Identical
+    // ids to imageDim/categoryDim, identical memory bound to the
+    // broadcast itself — but the dim plan is NOT re-executed for every
+    // downstream action (broadcast sides rebuild per action; a
+    // LocalRelation is free). The fact-sized anno-id assignment below
+    // stays on the distributed two-pass SeqIds path.
+    val imgDim = images.select("image_name").collect().map(_.getString(0))
+      .sorted.zipWithIndex.toSeq.toDF("image_name", "image_id")
+    val catDim = annos.select("category").distinct().collect().map(_.getString(0))
+      .sorted.zipWithIndex.map { case (c, i) => (c, i + 1) }.toSeq
+      .toDF("category", "category_id")
     val joined = annos
-      .join(broadcast(imageDim(images).select("image_name", "image_id")), Seq("image_name"))
-      .join(broadcast(categoryDim(annos)), Seq("category"))
+      .join(broadcast(imgDim), Seq("image_name"))
+      .join(broadcast(catDim), Seq("category"))
     // category breaks annoKey ties so ids are total-ordered even when
     // the caller's key collides across categories
     val withIds = SeqIds.withSeqId(joined, Seq(col(annoKeyCol), col("category")), "id")
@@ -71,9 +88,13 @@ object Coco {
         s"""{"license": 1, "file_name": ${jstr(r.getString(0) + ".jpeg")}, "height": ${r.get(1)}, "width": ${r.get(2)}, "id": ${r.getInt(3)}}""")
     // d2 always carries the raw polygon (ref :42); odtk eval exports
     // carry the ROTATED-box polygon `rbox` (ref :26), train omits it.
+    // The train branch must not reference rbox at all (a Column-level
+    // when() would still analyze it): the reference exports training sets
+    // from frames that carry no rbox column.
     val segCol =
       if (!odtk) to_json(array(col("segmentation")))
-      else when(lit(train), lit(null)).otherwise(to_json(array(col("rbox"))))
+      else if (train) lit(null).cast("string")
+      else to_json(array(col("rbox")))
     val annoJson = annotationRecords(annos, images, annoKeyCol, odtk)
       .withColumn("seg_json", segCol)
       .orderBy("id")

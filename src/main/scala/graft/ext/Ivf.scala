@@ -18,9 +18,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Ivf {
 
-  /** k seed centroids: (cell, centroid vector). */
+  /** k seed centroids: (cell, centroid vector) — k rows, dim-sized id path. */
   def seedCentroids(embeddings: DataFrame, k: Int): DataFrame =
-    SeqIds.withSeqId(embeddings.orderBy("vec_id").limit(k), Seq(col("vec_id")), "cell")
+    SeqIds.withSeqIdDim(embeddings.orderBy("vec_id").limit(k), Seq(col("vec_id")), "cell")
       .withColumn("cell", col("cell").cast("int"))
       .select(col("cell"), col("embedding").as("centroid"))
 

@@ -16,12 +16,17 @@ object Skew {
 
   /** Inner equi-join of `big` (skewed) with `small` on `bigKey` ==
     * `smallKey`, salted `saltFactor` ways. Result equals the unsalted
-    * join (SkewSpec proves it).
+    * join (SkewSpec proves it). The salt is derived from ROW CONTENT
+    * (hash of every big-side column), not monotonically_increasing_id:
+    * a content hash is stable under task retry and stage recomputation,
+    * so no reliance on indeterminate-stage rollback. Caveat: rows that
+    * are bit-identical land on one salt — append a distinguishing key
+    * column upstream if the hot key's rows are full duplicates.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, saltFactor: Int): DataFrame = {
     val salted = big.withColumn("_salt",
-      pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+      pmod(hash(big.columns.map(col).toSeq: _*), lit(saltFactor)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated,

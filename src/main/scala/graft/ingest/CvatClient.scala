@@ -155,26 +155,31 @@ class CvatClient(baseUrlRaw: String, headers: Map[String, String],
 
   /** S8: async bulk image export — request, poll until 201, download the
     * zip, extract entries under `images/` into outputDir/jobId
-    * (ref :150-201).
+    * (ref :150-201). A connection failure mid-poll is NOT fatal: like the
+    * reference's `try_get` (ref :152-156, "it keeps timing out halfway
+    * through"), a dropped request is treated as one more poll tick —
+    * sleep and retry — in both the export-status and the download loop.
     */
   def fetchJobImages(jobId: Int, outputDir: String, query: Map[String, String] = Map.empty): Unit = {
     require(Files.isDirectory(Paths.get(outputDir)), s"Directory $outputDir does not exist.")
     val extra = if (query.nonEmpty) "&" + query.map { case (k, v) => s"$k=$v" }.mkString("&") else ""
     val url = s"/jobs/$jobId/dataset?use_default_location=false&location=local&format=CVAT+for+images+1.1$extra"
 
-    def get(u: String): HttpResponse[Array[Byte]] =
-      http.send(request(u), HttpResponse.BodyHandlers.ofByteArray())
+    def tryGet(u: String): Option[HttpResponse[Array[Byte]]] =
+      try Some(http.send(request(u), HttpResponse.BodyHandlers.ofByteArray()))
+      catch { case _: java.io.IOException => None } // connection error → retry
 
-    var resp = get(url)
-    while (resp.statusCode() == 202) { Thread.sleep(pollMillis); resp = get(url) }
-    if (resp.statusCode() != 201)
-      throw new RuntimeException(s"Expected status code 201. Got ${resp.statusCode()} instead.")
+    var resp = tryGet(url)
+    while (resp.forall(_.statusCode() == 202)) { Thread.sleep(pollMillis); resp = tryGet(url) }
+    if (resp.get.statusCode() != 201)
+      throw new RuntimeException(s"Expected status code 201. Got ${resp.get.statusCode()} instead.")
 
-    var dl = get(url + "&action=download")
-    while (dl.statusCode() != 200) { Thread.sleep(pollMillis); dl = get(url + "&action=download") }
+    var dl = tryGet(url + "&action=download")
+    while (dl.forall(_.statusCode() != 200)) { Thread.sleep(pollMillis); dl = tryGet(url + "&action=download") }
+    val body = dl.get.body()
 
     val destRoot = Paths.get(outputDir, jobId.toString)
-    val zin = new ZipInputStream(new java.io.ByteArrayInputStream(dl.body()))
+    val zin = new ZipInputStream(new java.io.ByteArrayInputStream(body))
     try {
       var e = zin.getNextEntry
       while (e != null) {

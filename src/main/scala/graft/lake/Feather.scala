@@ -76,8 +76,8 @@ object Feather {
       case x: VarCharVector => new String(x.get(i), "UTF-8")
       case x: BitVector => x.get(i) == 1
       case x: VarBinaryVector => x.get(i)
-      case x: TimeStampMicroTZVector => new java.sql.Timestamp(x.get(i) / 1000L)
-      case x: TimeStampMicroVector => new java.sql.Timestamp(x.get(i) / 1000L)
+      case x: TimeStampMicroTZVector => microsToTimestamp(x.get(i))
+      case x: TimeStampMicroVector => microsToTimestamp(x.get(i))
       case x: ListVector =>
         val inner = x.getDataVector
         val start = x.getOffsetBuffer.getInt(i * 4L)
@@ -85,5 +85,16 @@ object Feather {
         (start until end).map(j => get(inner.asInstanceOf[FieldVector], j))
       case other => throw new UnsupportedOperationException(s"vector ${other.getClass}")
     }
+  }
+
+  /** timestamp[us] → java.sql.Timestamp with FULL microsecond precision
+    * (the reference's feather carries datetime.now() microseconds).
+    * setNanos replaces the whole sub-second part, so the split must be at
+    * the second boundary — floorDiv/floorMod keep pre-1970 values exact.
+    */
+  private def microsToTimestamp(us: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
   }
 }

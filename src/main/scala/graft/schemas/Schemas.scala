@@ -85,24 +85,46 @@ object Schemas {
   def projectionWithCast(df: DataFrame, casts: Seq[(String, DataType)]): DataFrame =
     df.select(casts.map { case (name, dt) => col(name).cast(dt).as(name) }: _*)
 
-  /** rbb_anno_proj (TrainDatasets.py:25-36). */
+  /** rbb_anno_proj (TrainDatasets.py:25-36) — rotated-box detection. */
   val rbbAnnoProj: Seq[(String, DataType)] = Seq(
     "project_id" -> LongType, "task_id" -> LongType, "job_id" -> LongType,
-    "track_id" -> LongType, "image_name" -> StringType, "category" -> StringType,
+    "image_name" -> StringType, "category" -> StringType,
     "segmentation" -> ArrayType(FloatType), "rcoco" -> ArrayType(FloatType),
-    "coco" -> ArrayType(FloatType), "gt_iid" -> LongType, "gt_attr" -> StringType,
+    "coco" -> ArrayType(FloatType), "gt_iid" -> LongType,
     "ts" -> TimestampType)
 
-  /** aa_anno_proj (TrainDatasets.py:60-68) — axis-aligned variant. */
+  /** four_d_anno_proj (TrainDatasets.py:38-48) — 4d OD variant. */
+  val fourDAnnoProj: Seq[(String, DataType)] = Seq(
+    "project_id" -> LongType, "task_id" -> LongType, "job_id" -> LongType,
+    "image_name" -> StringType, "category" -> StringType,
+    "segmentation" -> ArrayType(FloatType), "coco" -> ArrayType(FloatType),
+    "report_id" -> StringType, "ts" -> TimestampType)
+
+  /** aa_anno_proj (TrainDatasets.py:60-68) — axis-aligned variant; the
+    * reference projects the legacy `bbox` field here, not `coco`.
+    */
   val aaAnnoProj: Seq[(String, DataType)] = Seq(
     "project_id" -> LongType, "task_id" -> LongType, "job_id" -> LongType,
     "image_name" -> StringType, "category" -> StringType,
-    "coco" -> ArrayType(FloatType), "gt_iid" -> LongType, "gt_attr" -> StringType,
-    "ts" -> TimestampType)
+    "bbox" -> ArrayType(FloatType), "ts" -> TimestampType)
 
   /** image_proj (TrainDatasets.py:50-58). */
   val imageProj: Seq[(String, DataType)] = Seq(
     "project_id" -> LongType, "task_id" -> LongType, "job_id" -> LongType,
     "image_name" -> StringType, "image_bytes" -> BinaryType,
     "tags" -> ArrayType(StringType), "ts" -> TimestampType)
+
+  /** Schema-catalog dispatch by dataset name (TrainDatasets.py:165-171):
+    * `od_rbb` reads the default anno schema through the rotated-box
+    * projection; `4d_od` swaps in the 4d schema AND projection; every
+    * other dataset id gets the axis-aligned projection over the default
+    * schema. Returns (declared read schema, projection-with-cast spec)
+    * for use with Lake.readDeclared + projectionWithCast.
+    */
+  def forDataset(dataset: String): (StructType, Seq[(String, DataType)]) =
+    dataset match {
+      case "od_rbb" => (anno, rbbAnnoProj)
+      case "4d_od"  => (fourDAnno, fourDAnnoProj)
+      case _        => (anno, aaAnnoProj)
+    }
 }

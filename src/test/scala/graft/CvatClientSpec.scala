@@ -18,6 +18,8 @@ class CvatClientSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var server: HttpServer = _
   private var base: String = _
   private val exportPolls = new AtomicInteger(0)
+  private val pollAttempts101 = new AtomicInteger(0)
+  private val dlAttempts101 = new AtomicInteger(0)
 
   private def json(x: HttpExchange, body: String, code: Int = 200): Unit = {
     val b = body.getBytes("UTF-8")
@@ -77,6 +79,21 @@ class CvatClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       } else if (exportPolls.incrementAndGet() < 3) json(x, "{}", 202)
       else json(x, "{}", 201)
     }
+    // job 101: FIRST status request and FIRST download request both drop
+    // the connection (close with no response) — the client must retry
+    h("/jobs/101/dataset") { x =>
+      val q = Option(x.getRequestURI.getQuery).getOrElse("")
+      if (q.contains("action=download")) {
+        if (dlAttempts101.incrementAndGet() == 1) x.close()
+        else {
+          val b = zipBytes
+          x.sendResponseHeaders(200, b.length); x.getResponseBody.write(b); x.close()
+        }
+      } else {
+        if (pollAttempts101.incrementAndGet() == 1) x.close()
+        else json(x, "{}", 201)
+      }
+    }
     server.start()
   }
 
@@ -124,5 +141,14 @@ class CvatClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(java.nio.file.Files.readAllBytes(p1)) == "JPEGDATA1")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "100", "annotations.xml")))
     assert(exportPolls.get() >= 3) // really polled through 202s
+  }
+
+  test("fetchJobImages: dropped connections on poll and download are retried (S8)") {
+    val dir = java.nio.file.Files.createTempDirectory("cvat-retry").toString
+    client.fetchJobImages(101, dir) // would throw without the retry path
+    val p0 = java.nio.file.Paths.get(dir, "101", "frame_0.jpeg")
+    assert(new String(java.nio.file.Files.readAllBytes(p0)) == "JPEGDATA0")
+    assert(pollAttempts101.get() >= 2, "first poll must have been retried")
+    assert(dlAttempts101.get() >= 2, "first download must have been retried")
   }
 }

@@ -61,6 +61,14 @@ class ExportSpec extends SparkSpec {
     val a0 = droot.get("annotations").get(0)
     assert(a0.get("bbox").size() == 4) // aa bbox from segmentation
     assert(a0.has("segmentation"))     // d2 always carries seg (ref :42)
+
+    // train=true must not resolve rbox at all: a frame WITHOUT an rbox
+    // column (how the reference exports training sets) still exports
+    val noRbox = annoFixture.drop("rbox")
+    val nrOut = dir.resolve("train_norbox.json").toString
+    Coco.writeCocoDataset(noRbox, imageFixture, "anno_key", nrOut, train = true)
+    val nroot = new ObjectMapper().readTree(Files.readString(Paths.get(nrOut)))
+    assert(!nroot.get("annotations").get(0).has("segmentation"))
   }
 
   test("YOLO dataset: one txt per annotated image, normalized lines") {

@@ -22,4 +22,11 @@ class FeatherSpec extends SparkSpec {
     assert(rows(0).getTimestamp(6).getTime == 1700000000000L)
     assert(rows(2).isNullAt(6))
   }
+
+  test("timestamp[us] keeps full microsecond precision") {
+    val df = Feather.read(spark, "src/test/resources/fixture.feather")
+    val ts = df.orderBy("id").collect()(1).getTimestamp(6)
+    assert(ts.getTime == 1700000001123L, "millisecond part")
+    assert(ts.getNanos == 123456000, "microsecond part survives into nanos")
+  }
 }
