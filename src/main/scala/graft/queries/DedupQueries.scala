@@ -159,19 +159,26 @@ object DedupQueries extends QueryPack {
         .orderBy("da", "db")
     }),
 
-    // Embedding-cosine near-dup, blocked by the coarse `label` cell.
-    // Norms are computed once per vector BEFORE the pair join (the pair
-    // side then costs one compiled dot product, not three array folds).
+    // Embedding-cosine near-dup, blocked by REAL coarse-quantizer cells
+    // (Ivf.seedCentroids + shuffle-free assign — the same machinery as
+    // ann_ivf_real, oracle-replicated below). Pairs are generated only
+    // within a cell, never across the corpus; at scale the cell count
+    // grows with the corpus (k ≈ n/targetCellSize), keeping per-cell
+    // pair fan-out bounded. Norms are computed once per vector BEFORE
+    // the pair join (the pair side then costs one compiled dot product,
+    // not three array folds).
     "d_embed_neardup" -> ((s, d) => {
       graft.plans.GraftFunctions.register(s)
-      val e = t(s, d, "embeddings")
+      val emb = t(s, d, "embeddings")
+      val centroids = graft.ext.Ivf.seedCentroids(emb, 8)
+      val e = graft.ext.Ivf.assign(s, emb, centroids)
         .withColumn("norm", expr("graft_norm(embedding)"))
       e.as("a")
-        .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .join(e.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos",
           expr("graft_dot(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm")))
         .filter(col("cos") >= 0.35)
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("a.label").as("label"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("a.cell").as("cell"))
         .orderBy("va", "vb")
     })
   )
@@ -211,10 +218,66 @@ object DedupQueries extends QueryPack {
             ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
           JOIN okb o ON o.band = a.band AND o.k = a.k
           ORDER BY da, db""",
+    // Full SQL replication of the SimHash kernel (TextUdfs.simhash):
+    // token hash = first 8 md5 bytes (two 32-bit hex parses combined in
+    // HUGEINT — pure arithmetic, no signed-shift semantics questions),
+    // per-bit votes over range(64), sign → signature, 2×32-bit bands
+    // with the MaxBucket cap, hamming via bit_count(xor) on the signed
+    // reinterpretation. Upgrades d_simhash from rows-only to hash-checked.
+    "d_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         th AS (
+           SELECT doc_id, tok,
+                  CAST(('0x'||substr(md5(tok),1,8))::BIGINT AS HUGEINT) * 4294967296
+                    + ('0x'||substr(md5(tok),9,8))::BIGINT AS hu
+           FROM toks),
+         bits AS (
+           SELECT doc_id, r.range AS b,
+                  SUM(CASE WHEN (hu // (1::HUGEINT << r.range)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+           FROM th CROSS JOIN range(64) r GROUP BY 1, 2),
+         sig AS (
+           SELECT doc_id,
+                  SUM(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS sigu
+           FROM bits GROUP BY 1),
+         sigs AS (
+           SELECT doc_id,
+                  CAST(sigu - CASE WHEN sigu >= 9223372036854775808::HUGEINT
+                                   THEN 18446744073709551616::HUGEINT
+                                   ELSE 0::HUGEINT END AS BIGINT) AS sig,
+                  CAST(sigu % 4294967296 AS BIGINT) AS k0,
+                  CAST(sigu // 4294967296 AS BIGINT) AS k1
+           FROM sig),
+         bands AS (
+           SELECT doc_id, 0 AS band, k0 AS k FROM sigs UNION ALL
+           SELECT doc_id, 1, k1 FROM sigs),
+         okb AS (SELECT band, k FROM bands GROUP BY band, k
+                 HAVING count(*) BETWEEN 2 AND 32),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+           JOIN okb o ON o.band = a.band AND o.k = a.k)
+         SELECT c.da, c.db, CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+         FROM cand c JOIN sigs sa ON sa.doc_id = c.da JOIN sigs sb ON sb.doc_id = c.db
+         ORDER BY da, db""",
     "d_embed_neardup" ->
-      """SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label
-         FROM embeddings a JOIN embeddings b
-           ON a.label = b.label AND a.vec_id < b.vec_id
+      """WITH cent AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                  embedding AS centroid
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         assigned AS (
+           SELECT vec_id, embedding, cell FROM (
+             SELECT e.vec_id, e.embedding, c.cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[]))
+                        / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                           * sqrt(list_dot_product(CAST(c.centroid AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])))) DESC,
+                        c.cell) AS rn
+             FROM embeddings e, cent c) WHERE rn = 1)
+         SELECT a.vec_id AS va, b.vec_id AS vb, a.cell AS cell
+         FROM assigned a JOIN assigned b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id
          WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35
