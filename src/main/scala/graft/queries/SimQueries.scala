@@ -81,6 +81,24 @@ object SimQueries extends QueryPack {
         .orderBy("qid", "rank")
     }),
 
+    // IVF with ONE Lloyd refinement iteration: seed → assign →
+    // per-(cell,dim) mean → reassign → probe/search. The refinement is
+    // replicated end-to-end in the DuckDB oracle (means recomputed in
+    // SQL, cast to float32 so both engines quantize the centroid
+    // identically), hash-checking the full k-means step — not just the
+    // seed quantizer.
+    "ann_ivf_lloyd" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val refined = graft.ext.Ivf.lloyd(s, emb,
+        graft.ext.Ivf.seedCentroids(emb, 8), iters = 1)
+      val corpus = graft.ext.Ivf.assign(s, emb, refined)
+      val q = querySet(emb)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      graft.ext.Ivf.search(s, corpus, q, refined, topK = 3, nProbe = 2)
+        .select("qid", "rank", "vec_id")
+        .orderBy("qid", "rank")
+    }),
+
     // IVF-style bucketed ANN: search only the query's coarse cell.
     "ann_ivf_bucketed" -> ((s, d) => {
       graft.plans.GraftFunctions.register(s)
@@ -104,6 +122,51 @@ object SimQueries extends QueryPack {
           * sqrt(list_dot_product(CAST(c.centroid AS DOUBLE[]), CAST(c.centroid AS DOUBLE[]))))"""
 
   val oracle: Map[String, String] = Map(
+    // Lloyd step replicated in SQL: the refined centroid is the
+    // per-(cell, dim) mean of the seed assignment, quantized to float32
+    // exactly as Ivf.lloyd's cast("array<float>") does (dim = 64 per
+    // TESTDATA.md's embeddings schema).
+    "ann_ivf_lloyd" ->
+      s"""WITH cent0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                   embedding AS centroid
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+          a0 AS (
+            SELECT vec_id, embedding, cell FROM (
+              SELECT e.vec_id, e.embedding, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY $centCosSql DESC, c.cell) AS rn
+              FROM embeddings e, cent0 c) WHERE rn = 1),
+          cent AS (
+            SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+              SELECT a.cell, r.range AS pos,
+                     CAST(AVG(CAST(embedding[r.range + 1] AS DOUBLE)) AS FLOAT) AS m
+              FROM a0 a CROSS JOIN range(64) r GROUP BY 1, 2)
+            GROUP BY cell),
+          assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+              SELECT e.vec_id, e.embedding, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY $centCosSql DESC, c.cell) AS rn
+              FROM embeddings e, cent c) WHERE rn = 1),
+          q AS (SELECT vec_id AS qid, embedding AS qemb FROM ($querySetSql)),
+          probes AS (
+            SELECT qid, qemb, cell FROM (
+              SELECT q.qid, q.qemb, c.cell,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY list_dot_product(CAST(q.qemb AS DOUBLE[]), CAST(c.centroid AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(q.qemb AS DOUBLE[]), CAST(q.qemb AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(c.centroid AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])))) DESC,
+                         c.cell) AS rn
+              FROM q, cent c) WHERE rn <= 2),
+          scored AS (
+            SELECT p.qid, a.vec_id,
+                   list_dot_product(CAST(p.qemb AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(p.qemb AS DOUBLE[]), CAST(p.qemb AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))) AS cos
+            FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid)
+          SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank, vec_id
+          FROM scored QUALIFY rank <= 3 ORDER BY qid, rank""",
     "ann_ivf_real" ->
       s"""WITH cent AS (
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
