@@ -73,6 +73,29 @@ object DedupQueries extends QueryPack {
        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
        cnt AS (SELECT doc_id, len(shingles) AS n FROM sh)"""
 
+  /** MinHash-LSH candidate pairs (da < db, distinct), shared by
+    * d_minhash_lsh and d_dup_clusters: md5 min-hash signature as one
+    * compiled map pass, 4 bands of 2, band-bucket groupBy capped at
+    * MaxBucket.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sigArr = shingled(t(s, d, "documents"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), TextUdfs.minhashSigUdf(8)(col("shingles")).as("sig"))
+    val sig = sigArr.select(
+      col("doc_id") +: (0 until 8).map(j => col("sig")(j).as(s"s$j")): _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(b =>
+        struct(lit(b).as("band"), concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("k"))): _*
+    )).as("bk")).select(col("doc_id"), col("bk.band"), col("bk.k"))
+    bands.groupBy("band", "k")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= MaxBucket)
+      .select(explode(graft.functions.VecUdfs.orderedPairs(col("docs"))).as("p"))
+      .select(col("p._1").as("da"), col("p._2").as("db"))
+      .distinct()
+  }
+
   val defs: Map[String, QueryFn] = Map(
     // Exact dedup: group on the content hash, keep the smallest id.
     "d_exact_dedup" -> ((s, d) =>
@@ -112,23 +135,44 @@ object DedupQueries extends QueryPack {
     // signature is one compiled pass over each doc's shingle set (pure
     // map — no explode/shuffle; the only shuffle is the band-bucket
     // groupBy, which is the LSH join itself).
-    "d_minhash_lsh" -> ((s, d) => {
-      val sigArr = shingled(t(s, d, "documents"))
-        .filter(size(col("shingles")) > 0)
-        .select(col("doc_id"), TextUdfs.minhashSigUdf(8)(col("shingles")).as("sig"))
-      val sig = sigArr.select(
-        col("doc_id") +: (0 until 8).map(j => col("sig")(j).as(s"s$j")): _*)
-      val bands = sig.select(col("doc_id"), explode(array(
-        (0 until 4).map(b =>
-          struct(lit(b).as("band"), concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("k"))): _*
-      )).as("bk")).select(col("doc_id"), col("bk.band"), col("bk.k"))
-      bands.groupBy("band", "k")
-        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-        .filter(size(col("docs")) > 1 && size(col("docs")) <= MaxBucket)
-        .select(explode(graft.functions.VecUdfs.orderedPairs(col("docs"))).as("p"))
-        .select(col("p._1").as("da"), col("p._2").as("db"))
-        .distinct()
-        .orderBy("da", "db")
+    "d_minhash_lsh" -> ((s, d) =>
+      minhashPairs(s, d).orderBy("da", "db")),
+
+    // Duplicate-cluster resolution: connected components over the
+    // MinHash-LSH candidate pairs — the canonical post-LSH step (every
+    // near-dup group collapses to its lowest doc_id as the canonical
+    // representative). Implemented as min-label propagation to a driver-
+    // checked fixpoint: each round is one edge join + min-aggregate, and
+    // the number of rounds is the cluster diameter (near-dup clusters
+    // are shallow — dup groups are cliques from the band join, so 1-2
+    // rounds; the general scale tool for deep graphs is large/small-star
+    // — this propagation keeps the same join shape). Each round persists
+    // its labels and drops the previous round's cache, so lineage stays
+    // flat. Only docs that appear in some pair are emitted (singletons
+    // are not "clusters").
+    "d_dup_clusters" -> ((s, d) => {
+      val pairs = minhashPairs(s, d)
+      val edges = pairs.select(col("da"), col("db"))
+        .union(pairs.select(col("db").as("da"), col("da").as("db")))
+        .persist()
+      var labels = edges.select(col("da").as("node")).distinct()
+        .withColumn("cluster", col("node")).persist()
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges.join(labels, edges("db") === labels("node"))
+          .groupBy(edges("da").as("node2")).agg(min("cluster").as("nb"))
+        val next = labels.join(prop, labels("node") === prop("node2"), "left")
+          .select(col("node"),
+            least(col("cluster"), coalesce(col("nb"), col("cluster"))).as("cluster"))
+          .persist()
+        changed = next.join(labels.withColumnRenamed("cluster", "old"), "node")
+          .filter(col("cluster") =!= col("old")).count()
+        labels.unpersist(blocking = false)
+        labels = next
+      }
+      val out = labels.select(col("node").as("doc_id"), col("cluster")).orderBy("doc_id")
+      edges.unpersist(blocking = false)
+      out
     }),
 
     // SimHash near-dup candidates: 64-bit signature, 2×32-bit bands
@@ -183,6 +227,27 @@ object DedupQueries extends QueryPack {
     })
   )
 
+  /** SQL mirror of [[minhashPairs]], ending in a `mpairs(da, db)` CTE. */
+  private def minhashCtes = s"""$shingleCtes,
+          sig AS (SELECT doc_id,
+            min(substr(md5('0|'||s),1,8)) s0, min(substr(md5('1|'||s),1,8)) s1,
+            min(substr(md5('2|'||s),1,8)) s2, min(substr(md5('3|'||s),1,8)) s3,
+            min(substr(md5('4|'||s),1,8)) s4, min(substr(md5('5|'||s),1,8)) s5,
+            min(substr(md5('6|'||s),1,8)) s6, min(substr(md5('7|'||s),1,8)) s7
+            FROM ex GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, 0 band, s0||s1 k FROM sig UNION ALL
+            SELECT doc_id, 1, s2||s3 FROM sig UNION ALL
+            SELECT doc_id, 2, s4||s5 FROM sig UNION ALL
+            SELECT doc_id, 3, s6||s7 FROM sig),
+          okb AS (SELECT band, k FROM bands GROUP BY band, k
+                  HAVING count(*) <= 32),
+          mpairs AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+            JOIN okb o ON o.band = a.band AND o.k = a.k)"""
+
   val oracle: Map[String, String] = Map(
     "d_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
@@ -199,25 +264,21 @@ object DedupQueries extends QueryPack {
           WHERE shared * 10 >= (ca.n + cb.n - shared) * 8
           ORDER BY da, db""",
     "d_minhash_lsh" ->
-      s"""WITH $shingleCtes,
-          sig AS (SELECT doc_id,
-            min(substr(md5('0|'||s),1,8)) s0, min(substr(md5('1|'||s),1,8)) s1,
-            min(substr(md5('2|'||s),1,8)) s2, min(substr(md5('3|'||s),1,8)) s3,
-            min(substr(md5('4|'||s),1,8)) s4, min(substr(md5('5|'||s),1,8)) s5,
-            min(substr(md5('6|'||s),1,8)) s6, min(substr(md5('7|'||s),1,8)) s7
-            FROM ex GROUP BY doc_id),
-          bands AS (
-            SELECT doc_id, 0 band, s0||s1 k FROM sig UNION ALL
-            SELECT doc_id, 1, s2||s3 FROM sig UNION ALL
-            SELECT doc_id, 2, s4||s5 FROM sig UNION ALL
-            SELECT doc_id, 3, s6||s7 FROM sig),
-          okb AS (SELECT band, k FROM bands GROUP BY band, k
-                  HAVING count(*) <= 32)
-          SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
-          JOIN okb o ON o.band = a.band AND o.k = a.k
-          ORDER BY da, db""",
+      s"""WITH $minhashCtes
+          SELECT da, db FROM mpairs ORDER BY da, db""",
+    // Transitive closure of the LSH pairs via a recursive CTE; cluster
+    // id = min doc_id reachable in the component — the same fixpoint the
+    // Spark label propagation converges to.
+    "d_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          edges AS (SELECT da AS a, db AS b FROM mpairs
+                    UNION SELECT db, da FROM mpairs),
+          reach AS (
+            SELECT a AS node, b AS peer FROM edges
+            UNION
+            SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a)
+          SELECT node AS doc_id, LEAST(node, MIN(peer)) AS cluster
+          FROM reach GROUP BY node ORDER BY doc_id""",
     // Full SQL replication of the SimHash kernel (TextUdfs.simhash):
     // token hash = first 8 md5 bytes (two 32-bit hex parses combined in
     // HUGEINT — pure arithmetic, no signed-shift semantics questions),

@@ -47,6 +47,17 @@ class DedupCapSpec extends SparkSpec {
     }
   }
 
+  test("d_dup_clusters collapses each dup group to its lowest doc_id") {
+    val p = DedupQueries.defs("d_dup_clusters")(spark, corpus(under))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the `under`-sized identical group forms one component rooted at 0
+    val grp = p.filter(_._1 < under)
+    assert(grp.length == under && grp.forall(_._2 == 0L),
+      s"expected all $under dup docs clustered at 0, got ${grp.toSeq}")
+    // unique docs never appear (no pairs → no cluster membership)
+    assert(p.forall(_._1 < under))
+  }
+
   test("pair fan-out is bounded by C(MaxBucket, 2) per bucket") {
     // with every doc identical, the uncapped candidate count would be
     // C(over, 2) = 780+; the cap admits none of them
