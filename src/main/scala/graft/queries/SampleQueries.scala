@@ -45,6 +45,21 @@ object SampleQueries extends QueryPack {
         .withColumn("split", Portable.md5SplitLabel(col("c_custkey"), 409, 819))
         .orderBy("c_custkey")),
 
+    // SP5: stratified sampling — per-stratum deterministic rates over
+    // the event stream (clicks kept at 1/2, views at 1/8, the rest at
+    // 1/4), all via the same md5-bucket predicate as SP1 so membership
+    // is reproducible on any engine or cluster size. A scan-side filter,
+    // no shuffle; at 100 TB the predicate is pushed past the scan's
+    // row-group pruning like any other filter.
+    "sp5_stratified" -> ((s, d) =>
+      t(s, d, "events")
+        .filter(
+          (col("event_type") === "click" && Portable.md5Sample(col("event_id"), 2048)) ||
+          (col("event_type") === "view" && Portable.md5Sample(col("event_id"), 512)) ||
+          (!col("event_type").isin("click", "view") && Portable.md5Sample(col("event_id"), 1024)))
+        .select("event_id", "event_type")
+        .orderBy("event_id")),
+
     // SP3 full orchestration: the Samplers.imageSampler API (tag-skip +
     // md5 split + three semi-join routes) over the synthesized
     // anno/image frames; per-split row counts are the oracle surface.
@@ -82,6 +97,12 @@ object SampleQueries extends QueryPack {
       s"SELECT o_custkey FROM (SELECT DISTINCT o_custkey FROM orders) WHERE ${sampleWhere("o_custkey", 2048)} ORDER BY o_custkey",
     "sp3_split_label" ->
       s"SELECT c_custkey, ${labelCase("c_custkey")} AS split FROM (SELECT DISTINCT c_custkey FROM customer) ORDER BY c_custkey",
+    "sp5_stratified" ->
+      s"""SELECT event_id, event_type FROM events
+          WHERE (event_type = 'click' AND ${Portable.md5SampleSql("event_id", 2048)})
+             OR (event_type = 'view' AND ${Portable.md5SampleSql("event_id", 512)})
+             OR (event_type NOT IN ('click', 'view') AND ${Portable.md5SampleSql("event_id", 1024)})
+          ORDER BY event_id""",
     "sp4_image_sampler" ->
       s"""WITH ${graft.queries.Synth.annosSqlCte}, ${graft.queries.Synth.imagesSqlCte},
           keys AS (

@@ -65,7 +65,29 @@ object TextQueries extends QueryPack {
           md5(lower(col("text")).cast("binary")).as("content_hash"),
           md5(expr("concat_ws(' ', filter(toks, (x, i) -> i % 16 = 0))").cast("binary"))
             .as("sketch_hash"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Per-language top-5 bigrams: bigram explode (higher-order fns, no
+    // UDF) → two-phase count → per-lang ranking window. The groupBy is
+    // partially aggregated map-side, so the shuffle carries (lang,
+    // bigram, partial-count) — vocabulary-sized, not corpus-sized; the
+    // ranking window partitions by lang (parallel; WindowGroupLimit
+    // prunes to the top-k before the final sort at scale).
+    "t_ngram_top" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .as("bigram"))
+        .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))))
+        .filter(col("rn") <= 5)
+        .select("lang", "rn", "bigram", "n")
+        .orderBy("lang", "rn")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -94,6 +116,18 @@ object TextQueries extends QueryPack {
       """SELECT doc_id, md5(lower(text)) AS content_hash,
          md5(array_to_string(list_filter(string_split(text,' '),
            (x, i) -> (i - 1) % 16 = 0), ' ')) AS sketch_hash
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "t_ngram_top" ->
+      """WITH toks AS (
+           SELECT lang, string_split(text, ' ') AS tk FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         bi AS (
+           SELECT lang, unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+           FROM toks),
+         cnt AS (SELECT lang, bigram, count(*) AS n FROM bi GROUP BY 1, 2)
+         SELECT lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INT) AS rn,
+                bigram, n
+         FROM cnt QUALIFY rn <= 5 ORDER BY lang, rn"""
   )
 }

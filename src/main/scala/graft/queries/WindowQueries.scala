@@ -64,6 +64,21 @@ object WindowQueries extends QueryPack {
              countDistinct(col("l_orderkey")).as("exact_orders"))
         .orderBy("l_returnflag")),
 
+    // A10: exact interpolated percentiles per group (Spark `percentile`
+    // and DuckDB `quantile_cont` share the linear-interpolation
+    // definition, so the oracle matches). Exact percentile is a
+    // sort-based aggregation — at 100 TB the scale path is
+    // approx_percentile (t-digest, partial-merge; a9 demonstrates the
+    // approx-sketch pattern); the exact form stays for export-sized
+    // frames and oracle checking.
+    "a10_percentiles" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+             expr("percentile(l_quantity, 0.5)").as("p50"),
+             expr("percentile(l_quantity, 0.75)").as("p75"))
+        .orderBy("l_returnflag")),
+
     // O3: sequential id assignment over an export (create_coco_from_feather
     // .py:75-85) — two-pass partition-offset assignment (operators.SeqIds),
     // not a single-partition global window.
@@ -96,6 +111,12 @@ object WindowQueries extends QueryPack {
       """SELECT l_returnflag,
          CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
          CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a10_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.25) AS p25,
+         quantile_cont(l_quantity, 0.5) AS p50,
+         quantile_cont(l_quantity, 0.75) AS p75
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
