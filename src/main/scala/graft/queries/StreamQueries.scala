@@ -58,7 +58,21 @@ object StreamQueries extends QueryPack {
         .withColumn("bucket", expr("ts div 3600000000000")) // exact integer division
         .groupBy("bucket", "event_type")
         .agg(count(lit(1)).as("n"), Portable.moneySum(col("value")).as("sum_value"))
-        .orderBy("bucket", "event_type"))
+        .orderBy("bucket", "event_type")),
+
+    // Streaming replay dedup, batch twin: the input is the event stream
+    // REPLAYED twice (union — an at-least-once delivery), pushed through
+    // dedupEvents (watermarked dropDuplicates by event_id). Integer
+    // aggregates per type prove exactly-once semantics survived the
+    // replay; StreamingSpec covers the incremental/state-eviction side.
+    "st_dedup_replay" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      EventStreams.dedupEvents(ev.union(ev))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("event_type")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -93,6 +107,11 @@ object StreamQueries extends QueryPack {
       """SELECT epoch_ns(ts) // 3600000000000 AS bucket,
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+    // the replayed union deduped by id is just the original stream
+    "st_dedup_replay" ->
+      """SELECT event_type, count(*) AS n,
+         min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

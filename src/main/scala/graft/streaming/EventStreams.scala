@@ -40,6 +40,19 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop replayed events by id, with a
+    * watermark bounding the dedup state — only ids within the watermark
+    * horizon are remembered, so state evicts as event time advances
+    * (the scale-safe guard for at-least-once / replaying sources; an
+    * unbounded `dropDuplicates` would grow state forever). In batch
+    * mode the watermark is a no-op and the dedup is exact over the
+    * whole frame.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .dropDuplicates("event_id")
+
   final case class Event(user_id: Long, event_time: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, start: java.sql.Timestamp,
                            end: java.sql.Timestamp, n_events: Long, sum_value: Double)

@@ -68,6 +68,23 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dedupEvents drops replayed ids incrementally across batches") {
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark, 2)
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = EventStreams.dedupEvents(events)
+      .select("event_id", "event_type")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(nsRow(1, 10, "a"), nsRow(2, 11, "a"))
+      query.processAllAvailable()
+      // batch 2 replays id 1 (at-least-once delivery) and adds id 3
+      input.addData(nsRow(1, 10, "a"), nsRow(3, 12, "b"))
+      query.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"replayed id must appear once: ${ids.toSeq}")
+    } finally query.stop()
+  }
+
   test("the same windowedCounts program runs in batch mode (unified API)") {
     val batch = Seq(nsRow(1, 10, "a"), nsRow(2, 20, "a"), nsRow(3, 70, "b"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
