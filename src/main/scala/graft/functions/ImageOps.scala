@@ -104,6 +104,21 @@ object ImageOps {
     encodeJpeg(img)
   }
 
+  /** Resize to exact target dims (bilinear) — the multimodal
+    * feature-extraction preprocessing step; runs where the bytes live,
+    * one row at a time on the executor.
+    */
+  def resize(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    decode(bytes).flatMap { img =>
+      val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, targetW, targetH, null)
+      g.dispose()
+      encodeJpeg(dst)
+    }
+
   /** F-B3: decode at the consumer edge. */
   def decode(bytes: Array[Byte]): Option[BufferedImage] =
     if (bytes == null) None

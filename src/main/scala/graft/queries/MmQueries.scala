@@ -54,6 +54,51 @@ object MmQueries extends QueryPack {
         .orderBy("p_partkey")
     }),
 
+    // Real distributed RESIZE: executor-side encode → resize to half
+    // dims → decode-verify. The filter keeps only rows whose decoded
+    // dims equal the integer-arithmetic targets, so the oracle (which
+    // knows nothing about images and expects every row) catches any
+    // kernel misbehavior as a row-count mismatch.
+    "mm_resize_pipeline" -> ((s, d) => {
+      val genJpeg = udf((w: Int, h: Int, shade: Int) => {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(shade, 255 - shade, shade / 2))
+        g.fillRect(0, 0, w, h); g.dispose()
+        ImageOps.encodeJpeg(img).orNull
+      })
+      val resizedDims = udf((b: Array[Byte], tw: Int, th: Int) =>
+        ImageOps.resize(b, tw, th).flatMap(ImageOps.dims)
+          .map { case (w, h) => Seq(w, h) }.orNull)
+      t(s, d, "part").filter(col("p_partkey") <= 200)
+        .withColumn("w", (col("p_partkey") % 16 + 8).cast("int"))
+        .withColumn("h", (col("p_partkey") % 12 + 8).cast("int"))
+        .withColumn("tw", (col("w") / 2).cast("int"))
+        .withColumn("th", (col("h") / 2).cast("int"))
+        .withColumn("dims", resizedDims(
+          genJpeg(col("w"), col("h"), (col("p_partkey") % 250).cast("int")),
+          col("tw"), col("th")))
+        .filter(col("dims")(0) === col("tw") && col("dims")(1) === col("th"))
+        .select("p_partkey", "w", "h", "tw", "th")
+        .orderBy("p_partkey")
+    }),
+
+    // Frame sampling over a multimodal "video" column: per-video frame
+    // ids exploded from typed metadata, keeping every 5th frame plus
+    // the final frame — the standard keyframe-ish sampling shape. The
+    // explode is executor-side (no driver loop) and the downstream
+    // decode would run only on sampled frames.
+    "mm_frame_sample" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("n_frames",
+          (octet_length(col("text").cast("binary")) % 30 + 1).cast("int"))
+        .select(col("doc_id"), col("n_frames"),
+          explode(expr("sequence(0, n_frames - 1)")).as("frame_id"))
+        .filter(col("frame_id") % 5 === 0 || col("frame_id") === col("n_frames") - 1)
+        .select(col("doc_id"), col("frame_id").cast("int").as("frame_id"), col("n_frames"))
+        .orderBy("doc_id", "frame_id")),
+
     // STUB decode: deterministic fake width/height/frame metadata from
     // the payload — stands in for the image/video decode UDF whose
     // Spark-side schema/partitioning this exercises.
@@ -79,6 +124,27 @@ object MmQueries extends QueryPack {
          octet_length(CAST(text AS BLOB)) * 7 % 480 + 1 AS height,
          octet_length(CAST(text AS BLOB)) % 30 + 1 AS n_frames,
          'stub/raw' AS format
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // the oracle expects EVERY row <= 200; a resize-kernel failure drops
+    // rows on the Spark side and the row counts diverge
+    "mm_resize_pipeline" ->
+      """SELECT p_partkey,
+         CAST(p_partkey % 16 + 8 AS INT) AS w,
+         CAST(p_partkey % 12 + 8 AS INT) AS h,
+         CAST((p_partkey % 16 + 8) // 2 AS INT) AS tw,
+         CAST((p_partkey % 12 + 8) // 2 AS INT) AS th
+         FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""",
+    "mm_frame_sample" ->
+      """WITH v AS (
+           SELECT doc_id,
+                  CAST(octet_length(CAST(text AS BLOB)) % 30 + 1 AS INT) AS n_frames
+           FROM documents),
+         f AS (
+           SELECT doc_id, n_frames,
+                  CAST(unnest(range(0, n_frames)) AS INT) AS frame_id
+           FROM v)
+         SELECT doc_id, frame_id, n_frames FROM f
+         WHERE frame_id % 5 = 0 OR frame_id = n_frames - 1
+         ORDER BY doc_id, frame_id"""
   )
 }

@@ -82,6 +82,19 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(ImageOps.redact("junk".getBytes, Seq(Array(0.0, 0.0, 1.0, 0.0, 1.0, 1.0))).isEmpty)
   }
 
+  test("resize produces exact target dims and preserves gross content") {
+    val src = jpegBytes(testImage(16, 8))
+    val out = ImageOps.resize(src, 8, 4)
+    assert(out.isDefined)
+    assert(ImageOps.dims(out.get).contains((8, 4)))
+    // left half still red-ish, right half still blue-ish after bilinear
+    val img = ImageOps.decode(out.get).get
+    val left = new java.awt.Color(img.getRGB(1, 2))
+    val right = new java.awt.Color(img.getRGB(6, 2))
+    assert(left.getRed > left.getBlue, s"left pixel not red-ish: $left")
+    assert(right.getBlue > right.getRed, s"right pixel not blue-ish: $right")
+  }
+
   test("image file sink writes per-row files (S9)") {
     val dir = java.nio.file.Files.createTempDirectory("imgsink").toString
     ImageOps.writeImageFile(dir, "a/b.jpeg", Array[Byte](1, 2, 3))
