@@ -66,7 +66,61 @@ object JoinQueries extends QueryPack {
       t(s, d, "lineitem").select("l_partkey").distinct()
         .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
         .select("l_partkey", "p_name")
-        .orderBy("l_partkey"))
+        .orderBy("l_partkey")),
+
+    // J8: AS-OF join — for each click, the user's most recent view at or
+    // before it. Spark has no native as-of operator; the SCALE-SAFE
+    // composition is union → one shuffle on user → carry-forward window
+    // (`last(..., ignoreNulls)` over rows-unbounded-preceding): linear,
+    // partitioned by key, ONE exchange — never a per-row inequality join
+    // (a BroadcastNestedLoop as-of is quadratic and was rejected). At
+    // equal timestamps the view sorts first (kind 0 < 1), matching the
+    // <= as-of bound; the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so
+    // the composition is hash-checked against a reference
+    // implementation of the operator.
+    "j8_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          col("event_id").as("click_id"), lit(null).cast("bigint").as("view_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+          lit(null).cast("bigint").as("click_id"), col("event_id").as("view_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("kind"), col("view_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      clicks.union(views)
+        .withColumn("last_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+        .filter(col("click_id").isNotNull)
+        .select(col("user_id"), col("click_id"), col("last_view_id"))
+        .orderBy("user_id", "click_id")
+    }),
+
+    // J9: RANGE join — pairs of events of the same user within 5
+    // minutes. The scale-safe Spark shape is interval bucketing: each
+    // left row equi-joins on (user, bucket) against right rows
+    // replicated into their bucket AND its successor, then the exact
+    // range predicate filters residuals — one equi-shuffle instead of
+    // the quadratic nested-loop a raw inequality join plans. Bucket
+    // width == range width, so each right row lands in exactly 2
+    // buckets (bounded amplification at any scale). The oracle is the
+    // plain inequality join DuckDB executes natively (IEJoin).
+    "j9_range_join" -> ((s, d) => {
+      val win = 300000000000L // 5 min in ns
+      val ev = t(s, d, "events").select("user_id", "event_id", "ts")
+      val left = ev.select(col("user_id"), col("event_id").as("ea"), col("ts").as("ta"))
+        .withColumn("bucket", expr(s"ta div $win"))
+      // tb > ta bounds tb's bucket to {ta_bucket, ta_bucket + 1}, so the
+      // right side lands in its own bucket and the PREVIOUS one; the
+      // left side keeps its single bucket → every qualifying pair
+      // matches exactly once (the two replicas have distinct buckets).
+      val right = ev.select(col("user_id"), col("event_id").as("eb"), col("ts").as("tb"))
+        .withColumn("bucket", explode(array(expr(s"tb div $win"), expr(s"tb div $win - 1"))))
+      left.join(right, Seq("user_id", "bucket"))
+        .filter(col("tb") > col("ta") && col("tb") - col("ta") <= win)
+        .select("user_id", "ea", "eb")
+        .orderBy("user_id", "ea", "eb")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -85,6 +139,22 @@ object JoinQueries extends QueryPack {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderkey ORDER BY o_orderkey""",
     "j7_key_probe_join" ->
-      "SELECT l_partkey, p_name FROM (SELECT DISTINCT l_partkey FROM lineitem) l JOIN part ON l_partkey = p_partkey ORDER BY l_partkey"
+      "SELECT l_partkey, p_name FROM (SELECT DISTINCT l_partkey FROM lineitem) l JOIN part ON l_partkey = p_partkey ORDER BY l_partkey",
+    // the oracle uses DuckDB's NATIVE ASOF JOIN as the reference
+    // implementation of the operator the Spark side composes
+    "j8_asof_join" ->
+      """WITH clicks AS (SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+         views AS (SELECT user_id, event_id AS view_id, ts FROM events WHERE event_type = 'view')
+         SELECT c.user_id, c.click_id, v.view_id AS last_view_id
+         FROM clicks c ASOF LEFT JOIN views v
+           ON c.user_id = v.user_id AND v.ts <= c.ts
+         ORDER BY c.user_id, c.click_id""",
+    "j9_range_join" ->
+      """SELECT a.user_id, a.event_id AS ea, b.event_id AS eb
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND epoch_ns(b.ts) > epoch_ns(a.ts)
+          AND epoch_ns(b.ts) - epoch_ns(a.ts) <= 300000000000
+         ORDER BY a.user_id, ea, eb"""
   )
 }
