@@ -96,6 +96,70 @@ object DedupQueries extends QueryPack {
       .distinct()
   }
 
+  /** Connected components over an undirected pair graph `(da, db)`:
+    * every node labeled with the min doc_id reachable in its component.
+    *
+    * Hybrid by pair count — the standard engineering shape for this
+    * operator. The DUP-PAIR graph is orders of magnitude smaller than
+    * the corpus (it is the LSH survivors, already bucket-capped), so
+    * below `driverMax` pairs a driver-side union-find (path compression
+    * + min-root union) resolves components in one collect — no
+    * iteration, no per-round plan compile. Above the threshold the
+    * distributed min-label-propagation loop takes over: one edge join +
+    * min-aggregate per round (the round count is the component
+    * diameter; each round is ONE action whose `next` frame carries its
+    * own convergence flag), per-round persist with the previous round
+    * dropped so lineage stays flat.
+    */
+  def clustersOf(pairsIn: DataFrame, driverMax: Long = 1000000L): DataFrame = {
+    val s = pairsIn.sparkSession
+    import s.implicits._
+    val pairs = pairsIn.persist()
+    val out =
+      if (pairs.count() <= driverMax) {
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        pairs.select("da", "db").collect().foreach { r =>
+          val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val labels = parent.keys.toSeq.map(n => (n, find(n)))
+        // roots of multi-node components label themselves
+        val roots = labels.map(_._2).distinct.map(r => (r, r))
+        s.createDataFrame((labels ++ roots).distinct).toDF("doc_id", "cluster")
+      } else {
+        val edges = pairs.select(col("da"), col("db"))
+          .union(pairs.select(col("db").as("da"), col("da").as("db")))
+          .persist()
+        var labels = edges.select(col("da").as("node")).distinct()
+          .withColumn("cluster", col("node")).persist()
+        var changed = 1L
+        while (changed > 0) {
+          val prop = edges.join(labels, edges("db") === labels("node"))
+            .groupBy(edges("da").as("node2")).agg(min("cluster").as("nb"))
+          val next = labels.join(prop, labels("node") === prop("node2"), "left")
+            .select(col("node"),
+              least(col("cluster"), coalesce(col("nb"), col("cluster"))).as("cluster"),
+              (col("nb").isNotNull && col("nb") < col("cluster")).as("chg"))
+            .persist()
+          changed = Option(next.agg(sum(col("chg").cast("long"))).collect()(0).get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+          labels.unpersist(blocking = false)
+          labels = next.drop("chg")
+        }
+        edges.unpersist(blocking = false)
+        labels.select(col("node").as("doc_id"), col("cluster"))
+      }
+    pairs.unpersist(blocking = false)
+    out
+  }
+
   val defs: Map[String, QueryFn] = Map(
     // Exact dedup: group on the content hash, keep the smallest id.
     "d_exact_dedup" -> ((s, d) =>
@@ -141,39 +205,10 @@ object DedupQueries extends QueryPack {
     // Duplicate-cluster resolution: connected components over the
     // MinHash-LSH candidate pairs — the canonical post-LSH step (every
     // near-dup group collapses to its lowest doc_id as the canonical
-    // representative). Implemented as min-label propagation to a driver-
-    // checked fixpoint: each round is one edge join + min-aggregate, and
-    // the number of rounds is the cluster diameter (near-dup clusters
-    // are shallow — dup groups are cliques from the band join, so 1-2
-    // rounds; the general scale tool for deep graphs is large/small-star
-    // — this propagation keeps the same join shape). Each round persists
-    // its labels and drops the previous round's cache, so lineage stays
-    // flat. Only docs that appear in some pair are emitted (singletons
-    // are not "clusters").
-    "d_dup_clusters" -> ((s, d) => {
-      val pairs = minhashPairs(s, d)
-      val edges = pairs.select(col("da"), col("db"))
-        .union(pairs.select(col("db").as("da"), col("da").as("db")))
-        .persist()
-      var labels = edges.select(col("da").as("node")).distinct()
-        .withColumn("cluster", col("node")).persist()
-      var changed = 1L
-      while (changed > 0) {
-        val prop = edges.join(labels, edges("db") === labels("node"))
-          .groupBy(edges("da").as("node2")).agg(min("cluster").as("nb"))
-        val next = labels.join(prop, labels("node") === prop("node2"), "left")
-          .select(col("node"),
-            least(col("cluster"), coalesce(col("nb"), col("cluster"))).as("cluster"))
-          .persist()
-        changed = next.join(labels.withColumnRenamed("cluster", "old"), "node")
-          .filter(col("cluster") =!= col("old")).count()
-        labels.unpersist(blocking = false)
-        labels = next
-      }
-      val out = labels.select(col("node").as("doc_id"), col("cluster")).orderBy("doc_id")
-      edges.unpersist(blocking = false)
-      out
-    }),
+    // representative). Only docs that appear in some pair are emitted
+    // (singletons are not "clusters").
+    "d_dup_clusters" -> ((s, d) =>
+      clustersOf(minhashPairs(s, d)).orderBy("doc_id")),
 
     // SimHash near-dup candidates: 64-bit signature, 2×32-bit bands
     // (UDF — rows-only check; SimhashSpec covers the kernel). 32-bit

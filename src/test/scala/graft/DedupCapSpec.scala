@@ -58,6 +58,20 @@ class DedupCapSpec extends SparkSpec {
     assert(p.forall(_._1 < under))
   }
 
+  test("distributed propagation path equals the driver union-find path") {
+    import spark.implicits._
+    // a chain 1-2, 2-3, 3-4 plus a separate pair 10-11: diameter > 1
+    // forces multiple propagation rounds
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("da", "db")
+    val driver = DedupQueries.clustersOf(pairs, driverMax = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = DedupQueries.clustersOf(pairs, driverMax = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L))
+    assert(driver == expected, s"driver path: $driver")
+    assert(dist == expected, s"distributed path: $dist")
+  }
+
   test("pair fan-out is bounded by C(MaxBucket, 2) per bucket") {
     // with every doc identical, the uncapped candidate count would be
     // C(over, 2) = 780+; the cap admits none of them
