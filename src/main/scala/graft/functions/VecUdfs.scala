@@ -46,17 +46,7 @@ object VecUdfs {
     math.sqrt(s)
   })
 
-  /** All ordered pairs (i<j) from a pre-sorted id list — the bucket →
-    * candidate-pairs step of LSH/blocking, compiled.
-    */
-  val orderedPairs: UserDefinedFunction = udf((xs: Seq[Long]) => {
-    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-    var i = 0
-    while (i < xs.length) {
-      var j = i + 1
-      while (j < xs.length) { out += ((xs(i), xs(j))); j += 1 }
-      i += 1
-    }
-    out.toSeq
-  })
+  // The former orderedPairs UDF (bucket → candidate pairs) was promoted
+  // to the native graft_pairs generator — plans.OrderedPairsGen, which
+  // streams pairs instead of materializing the C(n,2) array.
 }

@@ -27,7 +27,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => DotProductF(args(0), args(1))),
     (FunctionIdentifier("graft_norm"),
       new ExpressionInfo(classOf[NormF].getName, "graft_norm"),
-      (args: Seq[Expression]) => NormF(args(0)))
+      (args: Seq[Expression]) => NormF(args(0))),
+    (FunctionIdentifier("graft_pairs"),
+      new ExpressionInfo(classOf[OrderedPairsGen].getName, "graft_pairs"),
+      (args: Seq[Expression]) => OrderedPairsGen(args(0)))
   )
 
   /** Idempotent per-session registration. */

@@ -111,3 +111,57 @@ case class NormF(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Native GENERATOR for the bucket → candidate-pairs step of LSH /
+  * blocking dedup: all ordered pairs (i < j) of a pre-sorted bigint
+  * list, streamed one `(da, db)` row at a time.
+  *
+  * Versus the former UDF+explode (`VecUdfs.orderedPairs`): no
+  * Row↔Scala serialization, and crucially no materialized C(n,2)
+  * buffer — the UDF built the entire pair array per bucket before
+  * explode could stream it, an O(bucket²) allocation on exactly the
+  * hot (large-bucket) keys the dedup caps exist to protect. The
+  * iterator form is O(1) memory per bucket regardless of size.
+  */
+case class OrderedPairsGen(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_pairs expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("da", LongType, nullable = false),
+    StructField("db", LongType, nullable = false)))
+
+  override def prettyName: String = "graft_pairs"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null) Iterator.empty
+    else {
+      val n = arr.numElements()
+      new Iterator[InternalRow] {
+        private var i = 0
+        private var j = 1
+        override def hasNext: Boolean = j < n
+        override def next(): InternalRow = {
+          val r = InternalRow(arr.getLong(i), arr.getLong(j))
+          j += 1
+          if (j >= n) { i += 1; j = i + 1 }
+          r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

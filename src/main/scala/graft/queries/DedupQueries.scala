@@ -19,9 +19,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *    (content-keyed, no RNG state), so it is reproducible across
   *    engines and cluster sizes, unlike seeded-RNG LSH models.
   *  - SimHash: 64-bit signature, 2×32-bit band buckets capped at
-  *    MaxBucket (UDF-computed, rows-only check + unit spec).
-  *  - embedding cosine: label-blocked (coarse-quantizer stand-in) —
+  *    MaxBucket (kernel fully replicated in the DuckDB oracle).
+  *  - embedding cosine: blocked by REAL IVF coarse-quantizer cells —
   *    pairs only within a cell, never across the full table.
+  *  - bucket → pairs uses the native graft_pairs GENERATOR
+  *    (plans.OrderedPairsGen): streams (da, db) rows without
+  *    materializing the C(n,2) pair array the former UDF built.
   */
 object DedupQueries extends QueryPack {
 
@@ -79,6 +82,7 @@ object DedupQueries extends QueryPack {
     * MaxBucket.
     */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     val sigArr = shingled(t(s, d, "documents"))
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), TextUdfs.minhashSigUdf(8)(col("shingles")).as("sig"))
@@ -91,8 +95,7 @@ object DedupQueries extends QueryPack {
     bands.groupBy("band", "k")
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= MaxBucket)
-      .select(explode(graft.functions.VecUdfs.orderedPairs(col("docs"))).as("p"))
-      .select(col("p._1").as("da"), col("p._2").as("db"))
+      .select(expr("graft_pairs(docs)"))
       .distinct()
   }
 
@@ -178,14 +181,15 @@ object DedupQueries extends QueryPack {
     // that co-occurred only in dropped shingles (conservative recall
     // trade, standard for shingle-LSH at scale).
     "d_ngram_jaccard" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
       val sh = shingled(t(s, d, "documents"))
       val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       val cnt = sh.select(col("doc_id"), size(col("shingles")).as("n"))
       val pairs = ex.groupBy("s")
         .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
         .filter(size(col("docs")) > 1 && size(col("docs")) <= MaxBucket)
-        .select(explode(graft.functions.VecUdfs.orderedPairs(col("docs"))).as("p"))
-        .groupBy(col("p._1").as("da"), col("p._2").as("db"))
+        .select(expr("graft_pairs(docs)"))
+        .groupBy("da", "db")
         .agg(count(lit(1)).as("shared"))
       pairs
         .join(cnt.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
@@ -219,6 +223,7 @@ object DedupQueries extends QueryPack {
     // one band's half with high probability). MaxBucket caps whatever
     // skew remains.
     "d_simhash" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
       val sigs = t(s, d, "documents")
         .select(col("doc_id"), TextUdfs.simhash64(split(col("text"), " ")).as("sig"))
       val bands = sigs.select(col("doc_id"), col("sig"),
@@ -228,8 +233,7 @@ object DedupQueries extends QueryPack {
       val candidates = bands.groupBy("band", "k")
         .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
         .filter(size(col("docs")) > 1 && size(col("docs")) <= MaxBucket)
-        .select(explode(graft.functions.VecUdfs.orderedPairs(col("docs"))).as("p"))
-        .select(col("p._1").as("da"), col("p._2").as("db"))
+        .select(expr("graft_pairs(docs)"))
         .distinct()
       candidates
         .join(sigs.select(col("doc_id").as("da"), col("sig").as("sa")), "da")

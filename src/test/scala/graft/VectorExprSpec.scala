@@ -55,6 +55,19 @@ class VectorExprSpec extends SparkSpec {
     assert(udfPlan.contains("UDF("), udfPlan)
   }
 
+  test("graft_pairs generator streams ordered pairs without a ScalaUDF") {
+    GraftFunctions.register(spark)
+    val df = Seq((Seq(3L, 7L, 9L)), (Seq(5L)), (Seq.empty[Long]))
+      .toDF("docs")
+      .select(expr("graft_pairs(docs)"))
+    assert(df.columns.toSeq == Seq("da", "db"))
+    val out = df.as[(Long, Long)].collect().toSet
+    assert(out == Set((3L, 7L), (3L, 9L), (7L, 9L)), s"got $out")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && plan.contains("graft_pairs"),
+      s"expected native generator in plan:\n$plan")
+  }
+
   test("type mismatch is rejected at analysis") {
     GraftFunctions.register(spark)
     val bad = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v") // array<double>
