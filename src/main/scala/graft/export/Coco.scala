@@ -33,6 +33,24 @@ object Coco {
     SeqIds.withSeqId(images, Seq(col("image_name")), "image_id")
       .withColumn("image_id", col("image_id").cast("int"))
 
+  /** Driver-side dense-id dim over one string column: collect → sort
+    * (nulls FIRST, matching Spark's ASC NULLS FIRST so the ids agree
+    * with the SeqIds-based categoryDim/imageDim) → zipWithIndex →
+    * LocalRelation. Bounded by the broadcast contract of the caller.
+    */
+  private def localDim(df: DataFrame, nameCol: String, idCol: String,
+                       startAt: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nullsFirst = Ordering.fromLessThan[String] { (a, b) =>
+      if (a == null) b != null else if (b == null) false else a < b
+    }
+    df.collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+      .sorted(nullsFirst).zipWithIndex
+      .map { case (n, i) => (n, i + startAt) }.toSeq
+      .toDF(nameCol, idCol)
+  }
+
   /** Annotation records (ref :97-106 + make_anno_odtk/make_anno_d2
     * :14-44): join image ids (J4) and category ids (J5, both broadcast —
     * true dimensions), assign sequential anno ids (O3) by `annoKeyCol`.
@@ -43,21 +61,17 @@ object Coco {
     */
   def annotationRecords(annos: DataFrame, images: DataFrame,
                         annoKeyCol: String, odtk: Boolean = true): DataFrame = {
-    val spark = annos.sparkSession
-    import spark.implicits._
     // Both dims are broadcast-sized by the existing join contract (J4/J5
     // broadcast true dimensions), so their dense ids are assigned on the
-    // driver: collect → sort → zipWithIndex → LocalRelation. Identical
-    // ids to imageDim/categoryDim, identical memory bound to the
-    // broadcast itself — but the dim plan is NOT re-executed for every
-    // downstream action (broadcast sides rebuild per action; a
-    // LocalRelation is free). The fact-sized anno-id assignment below
-    // stays on the distributed two-pass SeqIds path.
-    val imgDim = images.select("image_name").collect().map(_.getString(0))
-      .sorted.zipWithIndex.toSeq.toDF("image_name", "image_id")
-    val catDim = annos.select("category").distinct().collect().map(_.getString(0))
-      .sorted.zipWithIndex.map { case (c, i) => (c, i + 1) }.toSeq
-      .toDF("category", "category_id")
+    // driver (localDim): identical ids to imageDim/categoryDim
+    // (CocoSpec's id-consistency test pins that), identical memory
+    // bound to the broadcast itself — but the dim plan is NOT
+    // re-executed for every downstream action (broadcast sides rebuild
+    // per action; a LocalRelation is free). The fact-sized anno-id
+    // assignment below stays on the distributed two-pass SeqIds path.
+    val imgDim = localDim(images.select("image_name"), "image_name", "image_id", 0)
+    val catDim = localDim(annos.select("category").distinct(),
+      "category", "category_id", 1)
     val joined = annos
       .join(broadcast(imgDim), Seq("image_name"))
       .join(broadcast(catDim), Seq("category"))

@@ -44,15 +44,21 @@ object Ivf {
       case (df, (cellId, vec)) => df.withColumn(s"_c$cellId", typedlit(vec))
     }
     // argmax via greatest() over (score, -cell) structs: max score wins,
-    // ties go to the lowest cell — same order as (score DESC, cell ASC)
+    // ties go to the lowest cell — same order as (score DESC, cell ASC).
+    // greatest() needs >= 2 args; 0/1-centroid quantizers (degenerate
+    // corpora, Lloyd collapsing cells) are handled explicitly.
+    require(cents.nonEmpty, "assign requires at least one centroid")
     val scored: Seq[Column] = cents.map { case (cellId, _) =>
       struct(
         (expr(s"graft_dot(embedding, _c$cellId)")
           / (col("_n") * expr(s"graft_norm(_c$cellId)"))).as("score"),
         lit(-cellId).as("negcell"))
     }
+    val cellCol =
+      if (cents.size == 1) lit(cents.head._1)
+      else (-greatest(scored: _*).getField("negcell")).cast("int")
     withLits
-      .withColumn("cell", (-greatest(scored: _*).getField("negcell")).cast("int"))
+      .withColumn("cell", cellCol)
       .drop("_n" +: cents.map(c => s"_c${c._1}"): _*)
   }
 

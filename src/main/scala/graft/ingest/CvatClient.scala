@@ -21,7 +21,8 @@ import scala.jdk.CollectionConverters._
   * `images/` prefix (:188-192).
   */
 class CvatClient(baseUrlRaw: String, headers: Map[String, String],
-                 timeoutSeconds: Int = 5, pollMillis: Long = 3000L) {
+                 timeoutSeconds: Int = 5, pollMillis: Long = 3000L,
+                 maxConnectRetries: Int = 20) {
 
   val baseUrl: String = baseUrlRaw.stripSuffix("/")
   private val mapper = new ObjectMapper()
@@ -165,9 +166,24 @@ class CvatClient(baseUrlRaw: String, headers: Map[String, String],
     val extra = if (query.nonEmpty) "&" + query.map { case (k, v) => s"$k=$v" }.mkString("&") else ""
     val url = s"/jobs/$jobId/dataset?use_default_location=false&location=local&format=CVAT+for+images+1.1$extra"
 
+    // consecutive connection failures are capped: the reference loops
+    // forever ("it keeps timing out halfway through"), but a permanently
+    // unreachable server should fail, not hang — any successful response
+    // resets the counter
+    var misses = 0
     def tryGet(u: String): Option[HttpResponse[Array[Byte]]] =
-      try Some(http.send(request(u), HttpResponse.BodyHandlers.ofByteArray()))
-      catch { case _: java.io.IOException => None } // connection error → retry
+      try {
+        val r = http.send(request(u), HttpResponse.BodyHandlers.ofByteArray())
+        misses = 0
+        Some(r)
+      } catch {
+        case e: java.io.IOException => // connection error → retry
+          misses += 1
+          if (misses > maxConnectRetries)
+            throw new RuntimeException(
+              s"$maxConnectRetries consecutive connection failures for $u", e)
+          None
+      }
 
     var resp = tryGet(url)
     while (resp.forall(_.statusCode() == 202)) { Thread.sleep(pollMillis); resp = tryGet(url) }

@@ -117,7 +117,10 @@ object DedupQueries extends QueryPack {
   def clustersOf(pairsIn: DataFrame, driverMax: Long = 1000000L): DataFrame = {
     val s = pairsIn.sparkSession
     import s.implicits._
-    val pairs = pairsIn.persist()
+    // self-loops carry no connectivity information and would make the
+    // two paths disagree (the driver path ignores them, the propagation
+    // path would emit the node) — normalize them away up front
+    val pairs = pairsIn.filter(col("da") =!= col("db")).persist()
     val out =
       if (pairs.count() <= driverMax) {
         val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -280,7 +283,7 @@ object DedupQueries extends QueryPack {
             SELECT doc_id, 2, s4||s5 FROM sig UNION ALL
             SELECT doc_id, 3, s6||s7 FROM sig),
           okb AS (SELECT band, k FROM bands GROUP BY band, k
-                  HAVING count(*) <= 32),
+                  HAVING count(*) <= $MaxBucket),
           mpairs AS (
             SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
             FROM bands a JOIN bands b
@@ -293,7 +296,7 @@ object DedupQueries extends QueryPack {
          FROM documents GROUP BY 1 ORDER BY content_hash""",
     "d_ngram_jaccard" ->
       s"""WITH $shingleCtes,
-          oks AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 32),
+          oks AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $MaxBucket),
           pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) shared
                     FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
                     WHERE a.s IN (SELECT s FROM oks)
@@ -325,7 +328,7 @@ object DedupQueries extends QueryPack {
     // with the MaxBucket cap, hamming via bit_count(xor) on the signed
     // reinterpretation. Upgrades d_simhash from rows-only to hash-checked.
     "d_simhash" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
          th AS (
            SELECT doc_id, tok,
@@ -352,7 +355,7 @@ object DedupQueries extends QueryPack {
            SELECT doc_id, 0 AS band, k0 AS k FROM sigs UNION ALL
            SELECT doc_id, 1, k1 FROM sigs),
          okb AS (SELECT band, k FROM bands GROUP BY band, k
-                 HAVING count(*) BETWEEN 2 AND 32),
+                 HAVING count(*) BETWEEN 2 AND $MaxBucket),
          cand AS (
            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
            FROM bands a JOIN bands b

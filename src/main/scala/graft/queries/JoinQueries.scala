@@ -77,7 +77,11 @@ object JoinQueries extends QueryPack {
     // equal timestamps the view sorts first (kind 0 < 1), matching the
     // <= as-of bound; the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so
     // the composition is hash-checked against a reference
-    // implementation of the operator.
+    // implementation of the operator. Data contract: per-user event
+    // timestamps are distinct (the events table carries ns-resolution
+    // times) — among ties on view ts the Spark side deterministically
+    // takes the max view_id while DuckDB's ASOF tie choice is
+    // unspecified, so a ts-colliding dataset could diverge.
     "j8_asof_join" -> ((s, d) => {
       val ev = t(s, d, "events")
       val clicks = ev.filter(col("event_type") === "click")

@@ -48,7 +48,7 @@ object SimQueries extends QueryPack {
     df.filter(col("vec_id") % 50 === 0).orderBy("vec_id").limit(MaxQueries)
 
   private val querySetSql =
-    "SELECT * FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64"
+    s"SELECT * FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT $MaxQueries"
 
   val defs: Map[String, QueryFn] = Map(
     // Brute-force cosine top-5 per query vector (bounded query set).

@@ -120,6 +120,14 @@ object Schemas {
     * other dataset id gets the axis-aligned projection over the default
     * schema. Returns (declared read schema, projection-with-cast spec)
     * for use with Lake.readDeclared + projectionWithCast.
+    *
+    * Fidelity note: the reference's default (aa) pairing is internally
+    * inconsistent — `aa_anno_proj` projects a legacy `bbox` field that
+    * `anno_schema` does not declare, so it only resolves over files
+    * that physically carry a `bbox` column (legacy aa datasets). That
+    * inconsistency is the reference's, preserved deliberately;
+    * SchemasSpec pins both the failure on bbox-less files and the
+    * success on legacy-shaped ones.
     */
   def forDataset(dataset: String): (StructType, Seq[(String, DataType)]) =
     dataset match {

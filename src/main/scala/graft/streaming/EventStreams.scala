@@ -40,18 +40,20 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
-  /** Streaming exact dedup: drop replayed events by id, with a
-    * watermark bounding the dedup state — only ids within the watermark
-    * horizon are remembered, so state evicts as event time advances
-    * (the scale-safe guard for at-least-once / replaying sources; an
-    * unbounded `dropDuplicates` would grow state forever). In batch
-    * mode the watermark is a no-op and the dedup is exact over the
-    * whole frame.
+  /** Streaming exact dedup: drop replayed events by (id, event time),
+    * with a watermark bounding the dedup state. The event-time column
+    * MUST be part of the dedup subset: streaming deduplication only
+    * evicts state for keys whose watermarked column ages out — with
+    * `dropDuplicates("event_id")` alone every id is remembered forever
+    * and a long-running stream OOMs. A true at-least-once replay
+    * carries the identical event time, so (id, time) deduping is the
+    * replay guard with evictable state. In batch mode the watermark is
+    * a no-op and the dedup is exact over the whole frame.
     */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     withEventTime(events)
       .withWatermark("event_time", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicates("event_id", "event_time")
 
   final case class Event(user_id: Long, event_time: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, start: java.sql.Timestamp,

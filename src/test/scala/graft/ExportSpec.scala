@@ -48,6 +48,24 @@ class ExportSpec extends SparkSpec {
     assert(a0.has("segmentation") && a0.get("segmentation").get(0).size() == 8)
   }
 
+  test("annotationRecords ids agree with imageDim/categoryDim (single source of truth)") {
+    // cocoDocument builds the images array from imageDim (SeqIds path)
+    // and annotation image_id/category_id from the localized driver dims;
+    // this pins that the two assignments never desync
+    val recs = Coco.annotationRecords(annoFixture, imageFixture, "anno_key")
+      .select("image_name", "image_id", "category", "category_id").distinct().collect()
+    val imgIds = Coco.imageDim(imageFixture).select("image_name", "image_id")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val catIds = Coco.categoryDim(annoFixture).select("category", "category_id")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    recs.foreach { r =>
+      assert(imgIds(r.getString(0)) == r.getInt(1),
+        s"image id desync for ${r.getString(0)}")
+      assert(catIds(r.getString(2)) == r.getInt(3),
+        s"category id desync for ${r.getString(2)}")
+    }
+  }
+
   test("COCO train=true omits segmentation; d2 variant uses aa bbox") {
     val dir = Files.createTempDirectory("coco2")
     val trainOut = dir.resolve("train.json").toString

@@ -41,6 +41,24 @@ class SchemasSpec extends SparkSpec {
     assert(Schemas.aaAnnoProj.map(_._1).contains("bbox"))
   }
 
+  test("aa projection mirrors the reference's legacy-bbox pairing") {
+    import spark.implicits._
+    val (_, proj) = Schemas.forDataset("od_aa")
+    // over a legacy-shaped frame that carries bbox, the projection works
+    val legacy = Seq((1L, 2L, 3L, "img.jpg", "cat", Seq(1f, 2f, 3f, 4f),
+      new java.sql.Timestamp(0L)))
+      .toDF("project_id", "task_id", "job_id", "image_name", "category", "bbox", "ts")
+    val out = Schemas.projectionWithCast(legacy, proj)
+    assert(out.columns.toSeq == proj.map(_._1) && out.count() == 1)
+    // over an anno-schema frame WITHOUT bbox it fails to resolve — the
+    // reference's own inconsistency (aa_anno_proj vs anno_schema),
+    // preserved deliberately (see Schemas.forDataset scaladoc)
+    val annoShaped = legacy.drop("bbox")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Schemas.projectionWithCast(annoShaped, proj)
+    }
+  }
+
   test("dispatch pair drives a declared read + projection end-to-end (od_rbb)") {
     val dir = Files.createTempDirectory("graft-schemas").toString
     val rows = (1 to 6).map { i =>
