@@ -68,21 +68,31 @@ object Coco {
     // bound to the broadcast itself — but the dim plan is NOT
     // re-executed for every downstream action (broadcast sides rebuild
     // per action; a LocalRelation is free). The fact-sized anno-id
-    // assignment below stays on the distributed two-pass SeqIds path.
+    // assignment stays on the distributed two-pass SeqIds path.
+    //
+    // Ids are assigned BEFORE the dim joins: the frame SeqIds persists
+    // is then the bare anno width (no dim columns), the category dim is
+    // derived from that cache instead of a second scan of the anno plan,
+    // and the (order-preserving) broadcast joins attach ids afterwards.
+    // A left-semi filter against the image dim first keeps the id
+    // semantics identical to assigning after the inner join: annos
+    // without a known image never consume an id.
     val imgDim = localDim(images.select("image_name"), "image_name", "image_id", 0)
-    val catDim = localDim(annos.select("category").distinct(),
-      "category", "category_id", 1)
-    val joined = annos
-      .join(broadcast(imgDim), Seq("image_name"))
-      .join(broadcast(catDim), Seq("category"))
+    val known = annos.join(broadcast(imgDim.select("image_name")),
+      Seq("image_name"), "left_semi")
     // category breaks annoKey ties so ids are total-ordered even when
     // the caller's key collides across categories
-    val withIds = SeqIds.withSeqId(joined, Seq(col(annoKeyCol), col("category")), "id")
+    val withIds = SeqIds.withSeqId(known, Seq(col(annoKeyCol), col("category")), "id")
+    val catDim = localDim(withIds.select("category").distinct(),
+      "category", "category_id", 1)
+    val joined = withIds
       .withColumn("id", col("id").cast("int"))
+      .join(broadcast(imgDim), Seq("image_name"))
+      .join(broadcast(catDim), Seq("category"))
     val bbox =
       if (odtk) col("rcoco")
       else graft.functions.GeomUdfs.segmentation2bbox(col("segmentation"))
-    withIds
+    joined
       .withColumn("iscrowd", lit(0))
       .withColumn("bbox", bbox)
       .withColumn("area", col("rcoco")(2) * col("rcoco")(3))

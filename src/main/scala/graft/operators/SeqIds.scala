@@ -29,17 +29,39 @@ import org.apache.spark.sql.{Column, DataFrame}
   * upstream plan executes exactly ONCE for both passes. The cache spills
   * to disk under pressure; its cost is comparable to the range shuffle
   * it already pays, the standard trade for global-ordinal assignment
-  * (the judge-prescribed sort → per-partition counts → offset+local-index
-  * scheme needs both passes to agree on partitioning, and a pinned cache
-  * is what makes them agree). The cache must outlive downstream
-  * consumption of the returned frame, so it is not unpersisted here;
-  * repeated constructions of the same plan reuse it.
+  * (the sort → per-partition counts → offset+local-index scheme needs
+  * both passes to agree on partitioning, and a pinned cache is what
+  * makes them agree). The cache must outlive downstream consumption of
+  * the returned frame, so it is not unpersisted here; every pinned
+  * frame is tracked in a registry and released by [[releaseAll]]
+  * (Bench/Verify call it after each gate query's action). Repeated
+  * constructions of the same plan between releases reuse one cache.
   *
   * `sortCols` must define a total order (break ties explicitly), otherwise
   * ids within a tie group are partition-order-dependent — the same caveat
   * as `row_number`.
   */
 object SeqIds {
+
+  /** Frames pinned by [[withSeqId]] since the last [[releaseAll]].
+    * The cache must outlive downstream consumption of the returned
+    * frame, so withSeqId cannot unpersist it itself — the consumer
+    * (Bench/Verify per gate query; a user session at whatever
+    * granularity fits) calls releaseAll() after its action. Without
+    * the release, repeated withSeqId calls accumulate pinned
+    * InMemoryRelations for the session lifetime.
+    */
+  private val caches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  /** Unpersist every frame pinned by withSeqId since the last release.
+    * Safe to call at any point where no returned frame is still awaiting
+    * an action; a frame consumed after release recomputes (correct —
+    * range bounds and order are resampled together) rather than erroring.
+    */
+  def releaseAll(): Unit = caches.synchronized {
+    caches.foreach(_.unpersist(blocking = false))
+    caches.clear()
+  }
 
   /** Adds `idName: bigint` = startAt + global ordinal of the row under
     * `sortCols` ascending. Output rows are globally sorted by `sortCols`.
@@ -51,6 +73,7 @@ object SeqIds {
       .withColumn("_g_pid", spark_partition_id())
       .withColumn("_g_mid", monotonically_increasing_id())
       .persist()
+    caches.synchronized { caches += sorted }
     val counts = sorted.groupBy("_g_pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = startAt
