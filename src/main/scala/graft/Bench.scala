@@ -45,6 +45,11 @@ object Bench {
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      } finally {
+        // Release every SeqIds-pinned cache once the query's action is
+        // done, so pinned InMemoryRelations don't accumulate across the
+        // suite and skew later queries' memory/timing.
+        graft.operators.SeqIds.releaseAll()
       }
     }
     def esc(s: String): String =

@@ -37,16 +37,31 @@ object Coco {
     * (nulls FIRST, matching Spark's ASC NULLS FIRST so the ids agree
     * with the SeqIds-based categoryDim/imageDim) → zipWithIndex →
     * LocalRelation. Bounded by the broadcast contract of the caller.
+    *
+    * The sort compares UTF-8 bytes unsigned — exactly Spark's
+    * UTF8String binary ordering. Scala's `String.<` compares UTF-16
+    * code units, which disagrees for U+E000..U+FFFF vs
+    * supplementary-plane characters and would desync these ids from
+    * the SeqIds-path dims on such names.
     */
   private def localDim(df: DataFrame, nameCol: String, idCol: String,
                        startAt: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val nullsFirst = Ordering.fromLessThan[String] { (a, b) =>
-      if (a == null) b != null else if (b == null) false else a < b
+    val utf8NullsFirst = Ordering.fromLessThan[String] { (a, b) =>
+      if (a == null) b != null
+      else if (b == null) false
+      else {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0; var r = 0
+        while (i < n && r == 0) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+        if (r != 0) r < 0 else x.length < y.length
+      }
     }
     df.collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
-      .sorted(nullsFirst).zipWithIndex
+      .sorted(utf8NullsFirst).zipWithIndex
       .map { case (n, i) => (n, i + startAt) }.toSeq
       .toDF(nameCol, idCol)
   }
@@ -71,19 +86,26 @@ object Coco {
     // assignment stays on the distributed two-pass SeqIds path.
     //
     // Ids are assigned BEFORE the dim joins: the frame SeqIds persists
-    // is then the bare anno width (no dim columns), the category dim is
-    // derived from that cache instead of a second scan of the anno plan,
-    // and the (order-preserving) broadcast joins attach ids afterwards.
-    // A left-semi filter against the image dim first keeps the id
-    // semantics identical to assigning after the inner join: annos
-    // without a known image never consume an id.
+    // is then the bare anno width (no dim columns), and the
+    // (order-preserving) broadcast joins attach ids afterwards.
+    // A left-semi filter against the image dim (and a NOT NULL category
+    // filter) first keeps the id semantics identical to assigning after
+    // the inner joins: annos without a known image or without a category
+    // never consume an id, so the exported id sequence stays gapless.
     val imgDim = localDim(images.select("image_name"), "image_name", "image_id", 0)
-    val known = annos.join(broadcast(imgDim.select("image_name")),
-      Seq("image_name"), "left_semi")
+    val known = annos
+      .join(broadcast(imgDim.select("image_name")), Seq("image_name"), "left_semi")
+      .filter(col("category").isNotNull)
     // category breaks annoKey ties so ids are total-ordered even when
     // the caller's key collides across categories
     val withIds = SeqIds.withSeqId(known, Seq(col(annoKeyCol), col("category")), "id")
-    val catDim = localDim(withIds.select("category").distinct(),
+    // The category dim MUST come from the same unfiltered distinct set
+    // cocoDocument's categories array uses (categoryDim over all annos):
+    // deriving it from the image-filtered annos would shift the dense
+    // ids whenever a category occurs only on unknown-image annos, and
+    // every annotation's category_id would silently point at the wrong
+    // entry of the document's categories array.
+    val catDim = localDim(annos.select("category").distinct(),
       "category", "category_id", 1)
     val joined = withIds
       .withColumn("id", col("id").cast("int"))

@@ -33,9 +33,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   * both passes to agree on partitioning, and a pinned cache is what
   * makes them agree). The cache must outlive downstream consumption of
   * the returned frame, so it is not unpersisted here; every pinned
-  * frame is tracked in a registry and released by [[releaseAll]]
-  * (Bench/Verify call it after each gate query's action). Repeated
-  * constructions of the same plan between releases reuse one cache.
+  * frame is tracked in a registry and released by [[releaseAll]], which
+  * Bench and Verify call after each gate query's action completes.
+  * Released frames must not be re-executed (see [[releaseAll]]).
   *
   * `sortCols` must define a total order (break ties explicitly), otherwise
   * ids within a tie group are partition-order-dependent — the same caveat
@@ -54,9 +54,16 @@ object SeqIds {
   private val caches = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
   /** Unpersist every frame pinned by withSeqId since the last release.
-    * Safe to call at any point where no returned frame is still awaiting
-    * an action; a frame consumed after release recomputes (correct —
-    * range bounds and order are resampled together) rather than erroring.
+    *
+    * WARNING: release INVALIDATES every frame previously returned by
+    * [[withSeqId]] — do not execute one afterwards. The per-partition
+    * adjustment map was collected from the cached partitioning; after
+    * unpersist, `repartitionByRange` resamples its range bounds, so a
+    * recomputation's partition ids/counts no longer match the stale
+    * adjustment map and the ids come out silently wrong (null for
+    * unseen pids, shifted otherwise). Call releaseAll only once every
+    * outstanding frame's action has completed, and construct frames
+    * afresh afterwards (Bench/Verify call it between gate queries).
     */
   def releaseAll(): Unit = caches.synchronized {
     caches.foreach(_.unpersist(blocking = false))

@@ -66,6 +66,65 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("category only on unknown-image annos cannot desync category ids") {
+    // "aardvark" sorts before every fixture category but appears only on
+    // an image absent from the image dim: the document's categories array
+    // (built from ALL annos) includes it, so annotation category_ids must
+    // be assigned against that same unfiltered dim or every id shifts.
+    val ghost = Seq(("img_ghost", "aardvark", 9L,
+      Seq(0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0), Seq(0.0, 0.0, 4.0, 4.0, 0.0)))
+      .toDF("image_name", "category", "anno_key", "segmentation", "rcoco")
+      .withColumn("rbox", col("segmentation"))
+    val annos = annoFixture.unionByName(ghost)
+    val out = Files.createTempDirectory("cocoGhost").resolve("out.json").toString
+    Coco.writeCocoDataset(annos, imageFixture, "anno_key", out)
+    val root = new ObjectMapper().readTree(Files.readString(Paths.get(out)))
+    val catById = (0 until root.get("categories").size()).map { i =>
+      val c = root.get("categories").get(i)
+      c.get("id").asInt() -> c.get("name").asText()
+    }.toMap
+    assert(catById == Map(1 -> "aardvark", 2 -> "cat", 3 -> "dog"))
+    // no annotation references the ghost category or a stale shifted id
+    val recs = root.get("annotations")
+    assert(recs.size() == 3)
+    // anno_key 1 is (img_b, dog): must resolve to "dog" through the array
+    assert(catById(recs.get(0).get("category_id").asInt()) == "dog")
+    assert(catById(recs.get(1).get("category_id").asInt()) == "cat")
+  }
+
+  test("null-category annos are skipped without consuming an id (gapless)") {
+    val nullCat = Seq(("img_a", null: String, 0L,
+      Seq(0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0), Seq(0.0, 0.0, 2.0, 2.0, 0.0)))
+      .toDF("image_name", "category", "anno_key", "segmentation", "rcoco")
+      .withColumn("rbox", col("segmentation"))
+    // anno_key 0 sorts FIRST: if it consumed an id the sequence would
+    // start at 1 and have a gap
+    val recs = Coco.annotationRecords(
+      annoFixture.unionByName(nullCat), imageFixture, "anno_key")
+      .select("id").collect().map(_.getInt(0)).sorted
+    assert(recs.toSeq == Seq(0, 1, 2), "id sequence must be gapless from 0")
+  }
+
+  test("supplementary-plane category names agree across both dim paths") {
+    // U+FFFD (�, 3 UTF-8 bytes) vs U+10400 (surrogate pair, 4 UTF-8
+    // bytes): UTF-16 code-unit order puts the surrogate (0xD801) first,
+    // UTF8String binary order puts � first. The driver-side localDim
+    // must agree with the SeqIds/Spark ordering.
+    val annos = Seq(
+      ("img_a", "�", 1L, Seq(0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0), Seq(0.0, 0.0, 2.0, 2.0, 0.0)),
+      ("img_a", new String(Character.toChars(0x10400)), 2L,
+        Seq(0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0), Seq(0.0, 0.0, 2.0, 2.0, 0.0))
+    ).toDF("image_name", "category", "anno_key", "segmentation", "rcoco")
+      .withColumn("rbox", col("segmentation"))
+    val seqIdsPath = Coco.categoryDim(annos).select("category", "category_id")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val localPath = Coco.annotationRecords(annos, imageFixture, "anno_key")
+      .select("category", "category_id").distinct()
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(localPath == seqIdsPath,
+      s"dim paths must agree on non-BMP ordering: $localPath vs $seqIdsPath")
+  }
+
   test("COCO train=true omits segmentation; d2 variant uses aa bbox") {
     val dir = Files.createTempDirectory("coco2")
     val trainOut = dir.resolve("train.json").toString

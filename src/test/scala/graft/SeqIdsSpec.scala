@@ -71,6 +71,20 @@ class SeqIdsSpec extends SparkSpec {
       s"id assignment must stay in Tungsten (no RDD round-trip):\n$physical")
   }
 
+  test("releaseAll unpins every withSeqId cache (gate-query lifecycle)") {
+    SeqIds.releaseAll() // start from a clean registry
+    val wasEmpty = spark.sharedState.cacheManager.isEmpty
+    // A gate query that goes through withSeqId, consumed to completion —
+    // the same shape Bench/Verify run before calling releaseAll.
+    val out = SparkEntry.queries("a5_dense_ids")(spark, sf())
+    out.collect()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "withSeqId must have pinned a cache for the two-pass id assignment")
+    SeqIds.releaseAll()
+    assert(spark.sharedState.cacheManager.isEmpty == wasEmpty,
+      "releaseAll must leave zero SeqIds-pinned InMemoryRelations behind")
+  }
+
   test("output arrives globally sorted by the sort cols") {
     val df = (0 until 4000).map(i => ((i * 48271L) % 9973, i)).toDF("key", "v")
       .repartition(6)
