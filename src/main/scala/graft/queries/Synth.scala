@@ -16,6 +16,15 @@ object Synth {
     */
   def annos(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
+      // The testdata files are single-row-group parquet, so the scan
+      // cannot split: without a rebalance the whole projection below
+      // (string concat + array building, the dominant cost) runs in ONE
+      // task, and every consumer that executes this plan more than once
+      // (dim collects, range-bound sampling, cache builds) serializes on
+      // it. REBALANCE shuffles only the six pruned key columns and lets
+      // AQE size the partitions — at 100 TB the scan arrives pre-split
+      // and AQE coalesces this to a near-noop instead of exploding it.
+      .hint("rebalance")
       .withColumn("image_name", concat(lit("img_"), (col("l_orderkey") % 311).cast("string")))
       .withColumn("category", lower(concat(lit("cat_"), col("l_returnflag"), col("l_linestatus"))))
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
