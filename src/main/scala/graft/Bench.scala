@@ -28,6 +28,20 @@ object Bench {
     // query doesn't absorb session startup (excluded from metrics).
     spark.range(100000).selectExpr("sum(id) as s")
       .write.format("noop").mode("overwrite").save()
+    // Also first-touch the heavier engine machinery the export/dedup
+    // paths lean on — InMemoryRelation build+scan, RangePartitioner
+    // sampling, broadcast exchange, sort-within-partitions — on a
+    // 1000-row synthetic frame (~100 ms). A long-lived cluster session
+    // runs all of this warm; without it the alphabetically-first query
+    // using each mechanism absorbs several seconds of one-time JIT.
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = spark.range(1000).select(col("id"), (col("id") % 7).as("k"))
+      graft.operators.SeqIds.withSeqId(w.toDF(), Seq(col("id")), "sid")
+        .join(broadcast(w.groupBy("k").count()), Seq("k"))
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.SeqIds.releaseAll()
+    }
 
     // Optional comma-separated query-name filter for targeted profiling.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -35,21 +49,34 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
+    // SPARK_GRAFT_PASSES=N runs each query N times (fresh plan + caches
+    // per pass — SeqIds.releaseAll between). Pass 1 is the cold number
+    // reported in `queries` (driver-compatible); the last pass lands in
+    // `warm`, separating steady-state query cost from one-time
+    // JIT/codegen/first-touch that a per-process cold run conflates.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(1).max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-      } finally {
-        // Release every SeqIds-pinned cache once the query's action is
-        // done, so pinned InMemoryRelations don't accumulate across the
-        // suite and skew later queries' memory/timing.
-        graft.operators.SeqIds.releaseAll()
+      var p = 0
+      while (p < passes && !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (p == 0) timings(name) = sec
+          if (p == passes - 1) warm(name) = sec
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        } finally {
+          // Release every SeqIds-pinned cache once the query's action is
+          // done, so pinned InMemoryRelations don't accumulate across the
+          // suite and skew later queries' memory/timing.
+          graft.operators.SeqIds.releaseAll()
+        }
+        p += 1
       }
     }
     def esc(s: String): String =
@@ -62,8 +89,13 @@ object Bench {
     val qs = timings.map { case (k, v) => f""""${esc(k)}":$v%.3f""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = f"${timings.values.sum}%.3f"
+    val warmField =
+      if (passes > 1)
+        "," + warm.map { case (k, v) => f""""${esc(k)}":$v%.3f""" }
+          .mkString(""""warm":{""", ",", "}")
+      else ""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$warmField,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(0) // errors reported in-band, not via rc
   }

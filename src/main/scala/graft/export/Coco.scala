@@ -48,22 +48,44 @@ object Coco {
                        startAt: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val utf8NullsFirst = Ordering.fromLessThan[String] { (a, b) =>
-      if (a == null) b != null
-      else if (b == null) false
-      else {
-        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val n = math.min(x.length, y.length)
-        var i = 0; var r = 0
-        while (i < n && r == 0) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
-        if (r != 0) r < 0 else x.length < y.length
-      }
-    }
     df.collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
       .sorted(utf8NullsFirst).zipWithIndex
       .map { case (n, i) => (n, i + startAt) }.toSeq
       .toDF(nameCol, idCol)
+  }
+
+  /** Both exporter dims in ONE action: the image-name and category
+    * value sets are unioned (tagged) into a single distinct+collect, so
+    * the job-scheduling and upstream-scan cost of the second dim collect
+    * disappears. Driver-side the tagged values are split and sorted with
+    * the same UTF-8 ordering as [[localDim]], so ids are identical to
+    * the two-collect formulation.
+    */
+  private def localDims(images: DataFrame, annos: DataFrame): (DataFrame, DataFrame) = {
+    val spark = annos.sparkSession
+    import spark.implicits._
+    val tagged = images.select(col("image_name").as("v"), lit(0).as("kind"))
+      .union(annos.select(col("category").as("v"), lit(1).as("kind")).distinct())
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getInt(1)))
+    def dim(kind: Int, nameCol: String, idCol: String, startAt: Int) =
+      tagged.collect { case (v, k) if k == kind => v }
+        .sorted(utf8NullsFirst).zipWithIndex
+        .map { case (n, i) => (n, i + startAt) }.toSeq
+        .toDF(nameCol, idCol)
+    (dim(0, "image_name", "image_id", 0), dim(1, "category", "category_id", 1))
+  }
+
+  private val utf8NullsFirst = Ordering.fromLessThan[String] { (a, b) =>
+    if (a == null) b != null
+    else if (b == null) false
+    else {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0; var r = 0
+      while (i < n && r == 0) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+      if (r != 0) r < 0 else x.length < y.length
+    }
   }
 
   /** Annotation records (ref :97-106 + make_anno_odtk/make_anno_d2
@@ -92,21 +114,31 @@ object Coco {
     // filter) first keeps the id semantics identical to assigning after
     // the inner joins: annos without a known image or without a category
     // never consume an id, so the exported id sequence stays gapless.
-    val imgDim = localDim(images.select("image_name"), "image_name", "image_id", 0)
-    val known = annos
+    //
+    // The anno input is pinned ONCE up front: the two localDim collects
+    // (imgDim here, catDim below), the SeqIds persisted pass, and — via
+    // Catalyst's cache substitution, which rewrites any sameResult
+    // subplan to the InMemoryRelation — a caller-side `images` frame
+    // derived from the same anno plan all read this single cached
+    // execution. Without the pin each of those is a full re-execution
+    // of the (possibly expensive) upstream anno projection — at 100 TB,
+    // 3-4 full fact-table scans where one suffices. Released with the
+    // id caches by SeqIds.releaseAll() after the consumer's action.
+    val a = SeqIds.pin(annos)
+    // One collect serves both dims (localDims); the category dim MUST
+    // come from the same unfiltered distinct set cocoDocument's
+    // categories array uses (categoryDim over all annos): deriving it
+    // from the image-filtered annos would shift the dense ids whenever a
+    // category occurs only on unknown-image annos, and every
+    // annotation's category_id would silently point at the wrong entry
+    // of the document's categories array.
+    val (imgDim, catDim) = localDims(images, a)
+    val known = a
       .join(broadcast(imgDim.select("image_name")), Seq("image_name"), "left_semi")
       .filter(col("category").isNotNull)
     // category breaks annoKey ties so ids are total-ordered even when
     // the caller's key collides across categories
     val withIds = SeqIds.withSeqId(known, Seq(col(annoKeyCol), col("category")), "id")
-    // The category dim MUST come from the same unfiltered distinct set
-    // cocoDocument's categories array uses (categoryDim over all annos):
-    // deriving it from the image-filtered annos would shift the dense
-    // ids whenever a category occurs only on unknown-image annos, and
-    // every annotation's category_id would silently point at the wrong
-    // entry of the document's categories array.
-    val catDim = localDim(annos.select("category").distinct(),
-      "category", "category_id", 1)
     val joined = withIds
       .withColumn("id", col("id").cast("int"))
       .join(broadcast(imgDim), Seq("image_name"))
@@ -126,6 +158,15 @@ object Coco {
     */
   def cocoDocument(annos: DataFrame, images: DataFrame, annoKeyCol: String,
                    train: Boolean = false, odtk: Boolean = true): String = {
+    // One pinned execution of the anno plan serves every collect below:
+    // categoryDim, imageDim (an `images` derived from the same anno plan
+    // hits the cache via substitution), and annotationRecords' dims + id
+    // pass (its internal pin of the already-persisted frame is a no-op).
+    // Unpersisted before returning — every action completes in this
+    // method and the result is a plain String, so unlike
+    // annotationRecords no cache may outlive the call.
+    annos.persist()
+    try {
     val cats = categoryDim(annos).orderBy("category_id")
       .collect().map(r =>
         s"""{"supercategory": ${jstr(r.getString(0))}, "id": ${r.getInt(1)}, "name": ${jstr(r.getString(0))}}""")
@@ -153,6 +194,7 @@ object Coco {
     val info = """{"description": "Dataset", "version": "1.0", "year": 2022}"""
     val licenses = """[{"id": 1, "name": "placeholder"}]"""
     s"""{"info": $info, "licenses": $licenses, "images": [${imgs.mkString(", ")}], "annotations": [${annoJson.mkString(", ")}], "categories": [${cats.mkString(", ")}]}"""
+    } finally annos.unpersist(blocking = false)
   }
 
   def writeCocoDataset(annos: DataFrame, images: DataFrame, annoKeyCol: String,

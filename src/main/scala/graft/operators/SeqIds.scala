@@ -70,6 +70,22 @@ object SeqIds {
     caches.clear()
   }
 
+  /** Pin an arbitrary frame in the same registry: persisted now,
+    * unpersisted at the next [[releaseAll]]. Unlike withSeqId's internal
+    * caches, a pinned frame is safe to re-execute after release — it
+    * simply recomputes. Used by operators whose plan would otherwise
+    * execute an expensive upstream subplan several times per action
+    * (e.g. the COCO exporter's dim collects + id pass all share one
+    * cached anno execution; Catalyst's cache substitution also rewrites
+    * any sameResult subplan of OTHER frames to this InMemoryRelation,
+    * so derived inputs built on the same plan hit it too).
+    */
+  def pin(df: DataFrame): DataFrame = {
+    df.persist()
+    caches.synchronized { caches += df }
+    df
+  }
+
   /** Adds `idName: bigint` = startAt + global ordinal of the row under
     * `sortCols` ascending. Output rows are globally sorted by `sortCols`.
     */

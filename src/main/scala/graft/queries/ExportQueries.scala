@@ -29,8 +29,12 @@ object ExportQueries extends QueryPack {
     // S11 core: per-image YOLO bodies — semi-filter (P8), group-join
     // (J6), line format (F-S4) with integer boxes so both engines
     // stringify identically.
+    // The anno plan appears three times in this one action (directly,
+    // via Synth.images' distinct, via categoryDim) — pin it once so the
+    // synthesized projection executes once (released by Bench/Verify's
+    // per-query SeqIds.releaseAll).
     "s11_yolo_lines" -> ((s, d) => {
-      val a = Synth.annos(s, d)
+      val a = graft.operators.SeqIds.pin(Synth.annos(s, d))
       val catMap = Coco.categoryDim(a)
       a.join(Synth.images(s, d), Seq("image_name"))
         .join(catMap, Seq("category"))
