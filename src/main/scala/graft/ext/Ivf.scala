@@ -27,39 +27,26 @@ object Ivf {
   /** Assign each vector to its nearest centroid by cosine (ties by
     * lowest cell id). Adds a `cell` column.
     *
-    * Centroids are broadcast-sized by construction, so they are pulled to
-    * the driver once and inlined as literals: the nearest-centroid pick
-    * becomes a per-row argmax inside one codegen projection — no
-    * crossJoin, no window, no exchange anywhere in the plan. The score
-    * arithmetic (dot/(norm·norm), double accumulation, tie to lowest
-    * cell) is bit-identical to the former crossJoin+row_number form, so
-    * the DuckDB oracle replication is unchanged.
+    * Centroids are broadcast-sized by construction, so they are pulled
+    * to the driver once and packed into ONE literal matrix consumed by
+    * the native `graft_nearest_cell` argmax expression — no crossJoin,
+    * no window, no exchange anywhere in the plan, and the plan/codegen
+    * size is O(1) in k (the former one-literal-column-per-centroid form
+    * compiled O(k) expression trees and cliffed at a few hundred
+    * cells). The score arithmetic (dot/(norm·norm), double
+    * accumulation, NaN-greatest, tie to lowest cell) is bit-identical
+    * to the former greatest()-over-structs form, so the DuckDB oracle
+    * replication is unchanged.
     */
   def assign(spark: SparkSession, embeddings: DataFrame,
              centroids: DataFrame): DataFrame = {
     GraftFunctions.register(spark)
     val cents: Seq[(Int, Seq[Float])] = centroids.select("cell", "centroid").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toIndexedSeq)).toSeq.sortBy(_._1)
-    val withLits = cents.foldLeft(embeddings.withColumn("_n", expr("graft_norm(embedding)"))) {
-      case (df, (cellId, vec)) => df.withColumn(s"_c$cellId", typedlit(vec))
-    }
-    // argmax via greatest() over (score, -cell) structs: max score wins,
-    // ties go to the lowest cell — same order as (score DESC, cell ASC).
-    // greatest() needs >= 2 args; 0/1-centroid quantizers (degenerate
-    // corpora, Lloyd collapsing cells) are handled explicitly.
     require(cents.nonEmpty, "assign requires at least one centroid")
-    val scored: Seq[Column] = cents.map { case (cellId, _) =>
-      struct(
-        (expr(s"graft_dot(embedding, _c$cellId)")
-          / (col("_n") * expr(s"graft_norm(_c$cellId)"))).as("score"),
-        lit(-cellId).as("negcell"))
-    }
-    val cellCol =
-      if (cents.size == 1) lit(cents.head._1)
-      else (-greatest(scored: _*).getField("negcell")).cast("int")
-    withLits
-      .withColumn("cell", cellCol)
-      .drop("_n" +: cents.map(c => s"_c${c._1}"): _*)
+    embeddings.withColumn("cell",
+      call_function("graft_nearest_cell", col("embedding"),
+        typedlit(cents.map(_._2)), typedlit(cents.map(_._1))))
   }
 
   /** Lloyd refinement: recompute each cell's centroid as the element-wise

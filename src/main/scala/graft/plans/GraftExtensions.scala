@@ -30,7 +30,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => NormF(args(0))),
     (FunctionIdentifier("graft_pairs"),
       new ExpressionInfo(classOf[OrderedPairsGen].getName, "graft_pairs"),
-      (args: Seq[Expression]) => OrderedPairsGen(args(0)))
+      (args: Seq[Expression]) => OrderedPairsGen(args(0))),
+    (FunctionIdentifier("graft_nearest_cell"),
+      new ExpressionInfo(classOf[NearestCellF].getName, "graft_nearest_cell"),
+      (args: Seq[Expression]) => NearestCellF(args(0), args(1), args(2)))
   )
 
   /** Idempotent per-session registration. */

@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expressions for the embedding hot path (SURVEY §2.11:
   * geometry/vector kernels "can later be promoted to codegen'd Catalyst
@@ -110,6 +110,135 @@ case class NormF(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Nearest-centroid argmax for IVF assignment: returns the cell id of
+  * the centroid with the highest cosine score against `vec`, ties to
+  * the lowest cell id, NaN scores ranked greatest (Spark's double
+  * ordering — bit-compatible with the former greatest()-over-structs
+  * formulation and with the DuckDB `row_number ... ORDER BY score DESC,
+  * cell` oracle replication).
+  *
+  * `centroids` (array<array<float>>, cell-ascending) and `cells`
+  * (array<int>) must be FOLDABLE — they are broadcast-bounded literals
+  * pulled to the driver by Ivf.assign. The matrix lives in ONE Literal
+  * node (plan size O(1) in k) and is staged as a reference object, so
+  * k=8 and k=10,000 compile to the same generated code: the former
+  * k-literal-columns form made the plan — and codegen — O(k), cliffing
+  * at a few hundred cells.
+  */
+case class NearestCellF(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  import VectorExpressions.isFloatArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!isFloatArray(first.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest_cell expects array<float> vec, got ${first.dataType.simpleString}")
+    else if (!(second.dataType match {
+      case ArrayType(e, _) => isFloatArray(e); case _ => false
+    }))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest_cell expects array<array<float>> centroids, got ${second.dataType.simpleString}")
+    else if (!(third.dataType match {
+      case ArrayType(IntegerType, _) => true; case _ => false
+    }))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest_cell expects array<int> cells, got ${third.dataType.simpleString}")
+    else if (!second.foldable || !third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_nearest_cell centroids/cells must be literals")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_cell"
+
+  @transient private lazy val (cellIds, cellMats, cellNorms) = {
+    val ids = third.eval(null).asInstanceOf[ArrayData].toIntArray()
+    val cd = second.eval(null).asInstanceOf[ArrayData]
+    val mats = Array.tabulate(cd.numElements())(i => cd.getArray(i).toFloatArray())
+    val norms = mats.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i).toDouble; s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    require(ids.length == mats.length && ids.nonEmpty,
+      s"graft_nearest_cell: ${ids.length} cells vs ${mats.length} centroids")
+    (ids, mats, norms)
+  }
+
+  override protected def nullSafeEval(v: Any, c: Any, ids: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val ne = x.numElements()
+    var en = 0.0
+    var i = 0
+    while (i < ne) { val d = x.getFloat(i).toDouble; en += d * d; i += 1 }
+    en = math.sqrt(en)
+    var bi = 0
+    var best = 0.0
+    var c2 = 0
+    while (c2 < cellMats.length) {
+      val cv = cellMats(c2)
+      val n = math.min(ne, cv.length)
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += x.getFloat(i).toDouble * cv(i).toDouble; i += 1 }
+      val s = dot / (en * cellNorms(c2))
+      if (c2 == 0 || s > best || (s.isNaN && !best.isNaN)) { best = s; bi = c2 }
+      c2 += 1
+    }
+    cellIds(bi)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mats = ctx.addReferenceObj("cellMats", cellMats, "float[][]")
+    val norms = ctx.addReferenceObj("cellNorms", cellNorms, "double[]")
+    val ids = ctx.addReferenceObj("cellIds", cellIds, "int[]")
+    nullSafeCodeGen(ctx, ev, (v, _, _) => {
+      val ne = ctx.freshName("ne")
+      val en = ctx.freshName("en")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val s = ctx.freshName("s")
+      val bi = ctx.freshName("bi")
+      val best = ctx.freshName("best")
+      val d = ctx.freshName("d")
+      s"""
+         |int $ne = $v.numElements();
+         |double $en = 0.0;
+         |for (int $i = 0; $i < $ne; $i++) {
+         |  double $d = (double) $v.getFloat($i);
+         |  $en += $d * $d;
+         |}
+         |$en = java.lang.Math.sqrt($en);
+         |int $bi = 0;
+         |double $best = 0.0;
+         |for (int $c = 0; $c < $mats.length; $c++) {
+         |  float[] $cv = $mats[$c];
+         |  int $n = java.lang.Math.min($ne, $cv.length);
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $dot += (double) $v.getFloat($j) * (double) $cv[$j];
+         |  }
+         |  double $s = $dot / ($en * $norms[$c]);
+         |  if ($c == 0 || $s > $best
+         |      || (Double.isNaN($s) && !Double.isNaN($best))) {
+         |    $best = $s; $bi = $c;
+         |  }
+         |}
+         |${ev.value} = $ids[$bi];
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** Native GENERATOR for the bucket → candidate-pairs step of LSH /

@@ -40,6 +40,13 @@ object DedupQueries extends QueryPack {
     */
   val MaxBucket = 32
 
+  /** Target vectors per IVF cell for embedding near-dup blocking: the
+    * cell count is derived as k = ceil(n / EmbedCellTarget), so within-
+    * cell pair generation stays O(EmbedCellTarget²) per cell as the
+    * corpus grows instead of O((n/k)²) with a fixed k.
+    */
+  val EmbedCellTarget = 256L
+
   /** Distinct word 3-gram shingles per doc; empty for <3 tokens.
     * Compiled UDF rather than transform/element_at: Catalyst inlines the
     * `split(text)` subexpression into every lambda reference, so the
@@ -120,9 +127,17 @@ object DedupQueries extends QueryPack {
     // self-loops carry no connectivity information and would make the
     // two paths disagree (the driver path ignores them, the propagation
     // path would emit the node) — normalize them away up front
-    val pairs = pairsIn.filter(col("da") =!= col("db")).persist()
-    val out =
-      if (pairs.count() <= driverMax) {
+    val pairsPlan = pairsIn.filter(col("da") =!= col("db"))
+    // ONE action decides the path AND (in the common case) delivers the
+    // full pair set: limit(driverMax+1) pulls partitions incrementally,
+    // so small pair graphs pay a single execution of the LSH plan — no
+    // separate count() job, no cache build. Only if the limit truncated
+    // (> driverMax rows came back, so the driver set is incomplete)
+    // does the distributed propagation path take over, persisting the
+    // pair set it is about to iterate on.
+    val capped = math.min(driverMax, Int.MaxValue - 2L).toInt
+    val sample = pairsPlan.select("da", "db").limit(capped + 1).collect()
+    if (sample.length <= capped) {
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x: Long): Long = {
           var r = x
@@ -131,7 +146,7 @@ object DedupQueries extends QueryPack {
           while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
           r
         }
-        pairs.select("da", "db").collect().foreach { r =>
+        sample.foreach { r =>
           val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         }
@@ -140,6 +155,7 @@ object DedupQueries extends QueryPack {
         val roots = labels.map(_._2).distinct.map(r => (r, r))
         s.createDataFrame((labels ++ roots).distinct).toDF("doc_id", "cluster")
       } else {
+        val pairs = pairsPlan.persist()
         val edges = pairs.select(col("da"), col("db"))
           .union(pairs.select(col("db").as("da"), col("da").as("db")))
           .persist()
@@ -160,10 +176,9 @@ object DedupQueries extends QueryPack {
           labels = next.drop("chg")
         }
         edges.unpersist(blocking = false)
+        pairs.unpersist(blocking = false)
         labels.select(col("node").as("doc_id"), col("cluster"))
       }
-    pairs.unpersist(blocking = false)
-    out
   }
 
   val defs: Map[String, QueryFn] = Map(
@@ -248,15 +263,19 @@ object DedupQueries extends QueryPack {
     // Embedding-cosine near-dup, blocked by REAL coarse-quantizer cells
     // (Ivf.seedCentroids + shuffle-free assign — the same machinery as
     // ann_ivf_real, oracle-replicated below). Pairs are generated only
-    // within a cell, never across the corpus; at scale the cell count
-    // grows with the corpus (k ≈ n/targetCellSize), keeping per-cell
-    // pair fan-out bounded. Norms are computed once per vector BEFORE
-    // the pair join (the pair side then costs one compiled dot product,
-    // not three array folds).
+    // within a cell, never across the corpus, and the cell count is
+    // DERIVED from the corpus size (k = ceil(n / EmbedCellTarget)), so
+    // per-cell pair fan-out stays O(EmbedCellTarget²) no matter how
+    // large the corpus grows — a fixed k would go quadratic within
+    // cells at 100 TB. The count() is parquet-metadata-cheap; the same
+    // formula is replicated in the oracle's LIMIT subquery. Norms are
+    // computed once per vector BEFORE the pair join (the pair side then
+    // costs one compiled dot product, not three array folds).
     "d_embed_neardup" -> ((s, d) => {
       graft.plans.GraftFunctions.register(s)
       val emb = t(s, d, "embeddings")
-      val centroids = graft.ext.Ivf.seedCentroids(emb, 8)
+      val k = math.max(1L, (emb.count() + EmbedCellTarget - 1) / EmbedCellTarget).toInt
+      val centroids = graft.ext.Ivf.seedCentroids(emb, k)
       val e = graft.ext.Ivf.assign(s, emb, centroids)
         .withColumn("norm", expr("graft_norm(embedding)"))
       e.as("a")
@@ -365,10 +384,12 @@ object DedupQueries extends QueryPack {
          FROM cand c JOIN sigs sa ON sa.doc_id = c.da JOIN sigs sb ON sb.doc_id = c.db
          ORDER BY da, db""",
     "d_embed_neardup" ->
-      """WITH cent AS (
+      s"""WITH cent AS (
            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
                   embedding AS centroid
-           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+           FROM (SELECT * FROM embeddings ORDER BY vec_id
+                 LIMIT (SELECT GREATEST(1, CAST(CEIL(count(*) / $EmbedCellTarget.0) AS BIGINT))
+                        FROM embeddings))),
          assigned AS (
            SELECT vec_id, embedding, cell FROM (
              SELECT e.vec_id, e.embedding, c.cell,

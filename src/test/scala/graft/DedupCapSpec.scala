@@ -78,4 +78,27 @@ class DedupCapSpec extends SparkSpec {
     val p = pairs("d_minhash_lsh", corpus(over))
     assert(p.size <= DedupQueries.MaxBucket * (DedupQueries.MaxBucket - 1) / 2)
   }
+
+  test("d_embed_neardup derives its cell count from the corpus size") {
+    // The scale contract: k = ceil(n / EmbedCellTarget), so the mean
+    // cell size — and with it the within-cell pair fan-out — stays
+    // O(EmbedCellTarget) as the corpus grows instead of O(n/8) with the
+    // old fixed k=8. Checked structurally on the real sf0.001 corpus
+    // (n=500 → k=2: the query must materialize at most k distinct
+    // cells, and every emitted pair shares its cell by construction).
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val n = emb.count()
+    val expectedK = math.max(1L,
+      (n + DedupQueries.EmbedCellTarget - 1) / DedupQueries.EmbedCellTarget)
+    val out = DedupQueries.defs("d_embed_neardup")(spark, sf())
+    val cells = out.select("cell").distinct().collect().map(_.getInt(0))
+    assert(cells.nonEmpty && cells.length <= expectedK,
+      s"expected <= $expectedK cells for n=$n, saw ${cells.length}")
+    assert(cells.forall(c => c >= 0 && c < expectedK),
+      s"cell ids must be dense below k=$expectedK: ${cells.toSeq.sorted}")
+    // doubling the corpus doubles k: pure formula check
+    val k2 = math.max(1L,
+      (2 * n + DedupQueries.EmbedCellTarget - 1) / DedupQueries.EmbedCellTarget)
+    assert(k2 == math.max(1L, (2 * n + 255) / 256))
+  }
 }

@@ -59,6 +59,43 @@ class IvfSpec extends SparkSpec {
       s"Lloyd recall regressed: seed=$seedRecall lloyd=$lloydRecall")
   }
 
+  test("assign stays O(1)-plan-size and correct at k=256") {
+    // 256 synthetic centroids: far beyond the literal-inlining cliff of
+    // the former one-column-per-centroid form. The plan must stay a
+    // single flat projection (no crossJoin/window/exchange) whose size
+    // does not grow with k, and the picked cell must equal a driver-side
+    // brute-force argmax with the same tie rule (max cos, lowest cell).
+    import spark.implicits._
+    val dim = 8
+    val k = 256
+    val cents = (0 until k)
+      .map(c => (c, (0 until dim).map(j => ((c * 31 + j * 7) % 97 - 48) / 16.0f)))
+      .toDF("cell", "centroid")
+    val vecs = (0 until 500)
+      .map(v => (v.toLong, (0 until dim).map(j => ((v * 13 + j * 5) % 89 - 44) / 8.0f)))
+      .toDF("vec_id", "embedding")
+    val assigned = Ivf.assign(spark, vecs, cents)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window") && !plan.contains("Exchange"),
+      s"assign plan must be a flat projection:\n$plan")
+    assert(plan.length < 4000, s"plan size grew with k (${plan.length} chars)")
+    val cmat = cents.collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def brute(v: Array[Float]): Int = {
+      val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
+      var bi = 0; var best = Double.NegativeInfinity
+      for (((_, c), i) <- cmat.zipWithIndex) {
+        val dot = v.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        val s = dot / (nv * math.sqrt(c.map(x => x.toDouble * x).sum))
+        if (s > best) { best = s; bi = i }
+      }
+      cmat(bi)._1
+    }
+    assigned.collect().foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      assert(r.getInt(2) == brute(v), s"vec ${r.getLong(0)} assigned to wrong cell")
+    }
+  }
+
   test("recall is monotone in nProbe and hits 100% at nProbe = k") {
     val truth = bruteTop(5)
     val r1 = ivfTop(5, 1).intersect(truth).size.toDouble / truth.size
