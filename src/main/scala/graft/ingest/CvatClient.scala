@@ -185,13 +185,34 @@ class CvatClient(baseUrlRaw: String, headers: Map[String, String],
           None
       }
 
+    // Both poll loops are bounded: a server that PERMANENTLY answers
+    // 202 (export never finishes) or non-200 (download always fails)
+    // must raise, not hang the driver — the same cap that bounds
+    // consecutive connection failures bounds consecutive non-success
+    // responses. Any success resets nothing here: the caps count total
+    // unproductive polls per loop, which is the hang being guarded.
+    var statusPolls = 0
     var resp = tryGet(url)
-    while (resp.forall(_.statusCode() == 202)) { Thread.sleep(pollMillis); resp = tryGet(url) }
+    while (resp.forall(_.statusCode() == 202)) {
+      statusPolls += 1
+      if (statusPolls > maxConnectRetries)
+        throw new RuntimeException(
+          s"Export for job $jobId still pending (202) after $statusPolls polls")
+      Thread.sleep(pollMillis); resp = tryGet(url)
+    }
     if (resp.get.statusCode() != 201)
       throw new RuntimeException(s"Expected status code 201. Got ${resp.get.statusCode()} instead.")
 
+    var dlPolls = 0
     var dl = tryGet(url + "&action=download")
-    while (dl.forall(_.statusCode() != 200)) { Thread.sleep(pollMillis); dl = tryGet(url + "&action=download") }
+    while (dl.forall(_.statusCode() != 200)) {
+      dlPolls += 1
+      if (dlPolls > maxConnectRetries)
+        throw new RuntimeException(
+          s"Download for job $jobId failed after $dlPolls attempts" +
+            dl.map(r => s" (last status ${r.statusCode()})").getOrElse(" (no response)"))
+      Thread.sleep(pollMillis); dl = tryGet(url + "&action=download")
+    }
     val body = dl.get.body()
 
     val destRoot = Paths.get(outputDir, jobId.toString)

@@ -79,6 +79,14 @@ class CvatClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       } else if (exportPolls.incrementAndGet() < 3) json(x, "{}", 202)
       else json(x, "{}", 201)
     }
+    // job 102: export reports 201 but the download permanently 404s
+    h("/jobs/102/dataset") { x =>
+      val q = Option(x.getRequestURI.getQuery).getOrElse("")
+      if (q.contains("action=download")) json(x, "{}", 404)
+      else json(x, "{}", 201)
+    }
+    // job 103: export permanently stuck at 202
+    h("/jobs/103/dataset") { x => json(x, "{}", 202) }
     // job 101: FIRST status request and FIRST download request both drop
     // the connection (close with no response) — the client must retry
     h("/jobs/101/dataset") { x =>
@@ -150,5 +158,21 @@ class CvatClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(java.nio.file.Files.readAllBytes(p0)) == "JPEGDATA0")
     assert(pollAttempts101.get() >= 2, "first poll must have been retried")
     assert(dlAttempts101.get() >= 2, "first download must have been retried")
+  }
+
+  test("fetchJobImages: a permanently-404 download raises instead of hanging (S8)") {
+    val bounded = new CvatClient(base + "/", Map.empty,
+      timeoutSeconds = 5, pollMillis = 1L, maxConnectRetries = 3)
+    val dir = java.nio.file.Files.createTempDirectory("cvat-404").toString
+    val e = intercept[RuntimeException] { bounded.fetchJobImages(102, dir) }
+    assert(e.getMessage.contains("404"), e.getMessage)
+  }
+
+  test("fetchJobImages: an export stuck at 202 raises instead of hanging (S8)") {
+    val bounded = new CvatClient(base + "/", Map.empty,
+      timeoutSeconds = 5, pollMillis = 1L, maxConnectRetries = 3)
+    val dir = java.nio.file.Files.createTempDirectory("cvat-202").toString
+    val e = intercept[RuntimeException] { bounded.fetchJobImages(103, dir) }
+    assert(e.getMessage.contains("202"), e.getMessage)
   }
 }
