@@ -52,6 +52,41 @@ object ExportQueries extends QueryPack {
         .orderBy("image_name")
     }),
 
+    // S9 composed image-file sink (TrainDatasets.py:318-368): real
+    // executor-side JPEGs synthesized per image, probed by anno names
+    // (J7), badimage-skipped (P6), excluderegion-redacted (F-B2,
+    // category remapped so the synth data exercises the redaction
+    // path), written to a temp dir, manifest decode-verified. The
+    // manifest dims come from DECODING the redacted re-encoded JPEG,
+    // so a kernel failure shows up as a dim/row divergence from the
+    // oracle, which predicts them arithmetically.
+    "s9_write_images" -> ((s, d) => {
+      val genJpeg = udf((w: Int, h: Int, shade: Int) => {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(shade, 255 - shade, shade / 2))
+        g.fillRect(0, 0, w, h); g.dispose()
+        graft.functions.ImageOps.encodeJpeg(img).orNull
+      })
+      val a = graft.operators.SeqIds.pin(Synth.annos(s, d)
+        .withColumn("category",
+          when(col("category") === "cat_no", "excluderegion")
+            .otherwise(col("category"))))
+      val imgs = Synth.images(s, d)
+        .withColumn("num", substring(col("image_name"), 5, 10).cast("int"))
+        .withColumn("image_bytes", genJpeg(
+          (col("num") % 16 + 8).cast("int"),
+          (col("num") % 12 + 8).cast("int"),
+          (col("num") % 250).cast("int")))
+        .select("image_name", "image_bytes", "tags")
+      val outDir = java.nio.file.Files.createTempDirectory("graft-s9").toString
+      graft.export.ImageDataset.writeImages(a, imgs, outDir)
+        .select(col("image_name"), col("width"), col("height"),
+          col("n_redactions").cast("bigint").as("n_redactions"))
+        .orderBy("image_name")
+    }),
+
     // F-J2: per-row COCO annotation JSON built portably (concat-based so
     // the string is engine-exact; integer fields only).
     "f_j2_json_assembly" -> ((s, d) =>
@@ -80,6 +115,21 @@ object ExportQueries extends QueryPack {
          FROM sannos a JOIN imgs i USING (image_name) JOIN cats c USING (category))"""
 
   val oracle: Map[String, String] = Map(
+    "s9_write_images" ->
+      s"""$ctes,
+          red AS (
+            SELECT image_name, count(*) AS n_red FROM sannos
+            WHERE category = 'cat_no' GROUP BY image_name),
+          img AS (
+            SELECT image_name, CAST(substr(image_name, 5) AS BIGINT) AS num, tags
+            FROM simages)
+          SELECT i.image_name,
+                 CAST(num % 16 + 8 AS INT) AS width,
+                 CAST(num % 12 + 8 AS INT) AS height,
+                 COALESCE(r.n_red, 0) AS n_redactions
+          FROM img i LEFT JOIN red r USING (image_name)
+          WHERE NOT list_contains(tags, 'badimage')
+          ORDER BY image_name""",
     "s10_coco_annos" ->
       s"""$ctes, $dims
           SELECT id, image_id, category_id,
