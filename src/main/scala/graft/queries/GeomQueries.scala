@@ -109,6 +109,27 @@ object GeomQueries extends QueryPack {
         .select(col("p_partkey"),
                 to_json(col("rcoco")).as("rcoco_json"),
                 to_json(col("coco")).as("coco_json"))
+        .orderBy("p_partkey")),
+
+    // F-G1 axis-aligned half, HASH-CHECKED (COCOUtils.py:82-89): the
+    // same degenerate-marked pipeline and live P9 rcoco guard as
+    // f_g1_rbb_pipeline, but emitting only the SQL-expressible `coco`
+    // bbox. The oracle predicts both the surviving row set (for this
+    // data, degenerate ⇔ p_partkey % 10 = 0 — a guard that wrongly
+    // passes collinear input or drops a real triangle diverges the row
+    // count) and the aa-bbox arithmetic. The atan2-based rcoco VALUES
+    // stay rows-only+golden in f_g1_rbb_pipeline.
+    "f_g1_aa_coco" -> ((s, d) =>
+      withTriangle(t(s, d, "part"))
+        .withColumn("seg", when(col("p_partkey") % 10 === 0,
+          array(col("x0"), col("y0"), col("x1"), col("y0"), col("x1") + 1, col("y0"))
+        ).otherwise(col("seg")))
+        .withColumn("rcoco", GeomUdfs.rbbFromSeg(col("seg")))
+        .withColumn("coco", GeomUdfs.cocoFromSeg(col("seg")))
+        .filter(col("rcoco").isNotNull) // P9: degenerate guard
+        .select(col("p_partkey"),
+                col("coco")(0).as("xmin"), col("coco")(1).as("ymin"),
+                col("coco")(2).as("w"), col("coco")(3).as("h"))
         .orderBy("p_partkey"))
   )
 
@@ -145,6 +166,13 @@ object GeomQueries extends QueryPack {
                  least(x0,x1,x2) AS xmin, least(y0,y1,y2) AS ymin,
                  greatest(x0,x1,x2) AS xmax, greatest(y0,y1,y2) AS ymax
           FROM tri ORDER BY p_partkey""",
+    "f_g1_aa_coco" ->
+      s"""$triangleSqlCtes
+          SELECT p_partkey,
+                 least(x0,x1,x2) AS xmin, least(y0,y1,y2) AS ymin,
+                 greatest(x0,x1,x2) - least(x0,x1,x2) AS w,
+                 greatest(y0,y1,y2) - least(y0,y1,y2) AS h
+          FROM tri WHERE p_partkey % 10 <> 0 ORDER BY p_partkey""",
     "f_g8_yolo_bbox" ->
       s"""$triangleSqlCtes
           SELECT p_partkey,

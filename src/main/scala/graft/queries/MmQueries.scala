@@ -27,8 +27,10 @@ object MmQueries extends QueryPack {
 
     // Real JPEG round-trip, distributed (F-B1..B4 plumbing): each row
     // encodes a small JPEG on an executor, redacts a polygon, and
-    // decodes dims back. Rows-only check (JPEG bytes are codec-
-    // dependent); ImageOpsSpec covers the kernels' semantics.
+    // decodes dims back. HASH-checked: only codec-independent outputs
+    // are emitted (the decoded dims and the arithmetic they must
+    // equal — a kernel failure drops rows or diverges dims_json);
+    // byte-level codec output stays covered by ImageOpsSpec.
     "mm_image_pipeline" -> ((s, d) => {
       val genJpeg = udf((w: Int, h: Int, shade: Int) => {
         val img = new java.awt.image.BufferedImage(w, h,
@@ -49,7 +51,6 @@ object MmQueries extends QueryPack {
         .filter(col("dims")(0) === col("w") && col("dims")(1) === col("h"))
         // dims serialized to JSON so the driver's comparator can hash rows
         .select(col("p_partkey"), col("w"), col("h"),
-          octet_length(col("jpeg")).as("n_bytes"),
           to_json(col("dims")).as("dims_json"))
         .orderBy("p_partkey")
     }),
@@ -125,6 +126,16 @@ object MmQueries extends QueryPack {
          octet_length(CAST(text AS BLOB)) % 30 + 1 AS n_frames,
          'stub/raw' AS format
          FROM documents ORDER BY doc_id""",
+    // the oracle expects EVERY row <= 200 with arithmetically-predicted
+    // dims; a redact/encode/decode kernel failure drops rows or
+    // diverges dims_json on the Spark side
+    "mm_image_pipeline" ->
+      """SELECT p_partkey,
+         CAST(p_partkey % 16 + 8 AS INT) AS w,
+         CAST(p_partkey % 12 + 8 AS INT) AS h,
+         to_json(LIST_VALUE(CAST(p_partkey % 16 + 8 AS INT),
+                            CAST(p_partkey % 12 + 8 AS INT))) AS dims_json
+         FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""",
     // the oracle expects EVERY row <= 200; a resize-kernel failure drops
     // rows on the Spark side and the row counts diverge
     "mm_resize_pipeline" ->
