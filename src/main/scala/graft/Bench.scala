@@ -69,6 +69,10 @@ object Bench {
           if (p == passes - 1) warm(name) = sec
         } catch {
           case e: Throwable =>
+            // an error on ANY pass voids the query entirely: without
+            // this, a pass-2 failure would leave the query counted in
+            // both n_ok and n_err with a cold time but no warm one
+            timings.remove(name); warm.remove(name)
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         } finally {
           // Release every SeqIds-pinned cache once the query's action is

@@ -24,6 +24,14 @@ import org.apache.spark.sql.types._
   * Documented deviations: duplicate image rows write once (the
   * reference re-writes the same name per duplicate row); undecodable
   * bytes drop the row from the manifest (the reference crashes).
+  *
+  * `outputDir` must be a path every executor can write and the caller
+  * can read — a shared filesystem (NFS/FUSE-mounted object store) on a
+  * real cluster, any local path in local mode. Writing through
+  * java.nio is deliberate (one file per image is the reference's
+  * contract, not a Spark table); a Hadoop-FS path would be the
+  * alternative if only HDFS-style storage is available. The same
+  * contract applies to [[Yolo.writeYoloDataset]].
   */
 object ImageDataset {
 

@@ -22,7 +22,7 @@ import scala.jdk.CollectionConverters._
   */
 class CvatClient(baseUrlRaw: String, headers: Map[String, String],
                  timeoutSeconds: Int = 5, pollMillis: Long = 3000L,
-                 maxConnectRetries: Int = 20) {
+                 maxConnectRetries: Int = 20, maxStatusPolls: Int = 1200) {
 
   val baseUrl: String = baseUrlRaw.stripSuffix("/")
   private val mapper = new ObjectMapper()
@@ -187,15 +187,17 @@ class CvatClient(baseUrlRaw: String, headers: Map[String, String],
 
     // Both poll loops are bounded: a server that PERMANENTLY answers
     // 202 (export never finishes) or non-200 (download always fails)
-    // must raise, not hang the driver — the same cap that bounds
-    // consecutive connection failures bounds consecutive non-success
-    // responses. Any success resets nothing here: the caps count total
-    // unproductive polls per loop, which is the hang being guarded.
+    // must raise, not hang the driver. The bounds differ because the
+    // semantics differ: 202 is a LEGITIMATE "still processing" that can
+    // last minutes on a bulk export, so it gets its own generous cap
+    // (maxStatusPolls × pollMillis ≈ 1 h at defaults — a deadline, not
+    // a retry budget), while a non-200 download is an error response
+    // and shares the tight consecutive-failure cap.
     var statusPolls = 0
     var resp = tryGet(url)
     while (resp.forall(_.statusCode() == 202)) {
       statusPolls += 1
-      if (statusPolls > maxConnectRetries)
+      if (statusPolls > maxStatusPolls)
         throw new RuntimeException(
           s"Export for job $jobId still pending (202) after $statusPolls polls")
       Thread.sleep(pollMillis); resp = tryGet(url)

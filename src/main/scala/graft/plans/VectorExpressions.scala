@@ -126,6 +126,13 @@ case class NormF(child: Expression)
   * k=8 and k=10,000 compile to the same generated code: the former
   * k-literal-columns form made the plan — and codegen — O(k), cliffing
   * at a few hundred cells.
+  *
+  * Null handling deviates from the former form: a NULL embedding
+  * yields a NULL cell (standard expression null propagation; such rows
+  * drop out of cell equi-joins), where the struct formulation
+  * accidentally assigned cell 0 via the negcell tiebreak over all-null
+  * scores. No corpus in the gate has null embeddings; dropping them is
+  * the deliberate semantics.
   */
 case class NearestCellF(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {

@@ -40,12 +40,22 @@ object DedupQueries extends QueryPack {
     */
   val MaxBucket = 32
 
-  /** Target vectors per IVF cell for embedding near-dup blocking: the
-    * cell count is derived as k = ceil(n / EmbedCellTarget), so within-
-    * cell pair generation stays O(EmbedCellTarget²) per cell as the
-    * corpus grows instead of O((n/k)²) with a fixed k.
+  /** Target vectors per IVF cell for embedding near-dup blocking. The
+    * cell count is k = max(1, min(ceil(n/EmbedCellTarget), ceil(√n))):
+    * the n/256 term keeps within-cell pair generation O(256²) per cell
+    * on small/medium corpora, and the √n bound keeps the ASSIGNMENT
+    * stage (cost n·k) and the centroid literal (k·dim floats on the
+    * driver) from themselves going quadratic/unbounded as n grows —
+    * total cost n·k + n²/k is minimized at k ≈ √n, the standard IVF
+    * scaling law. At 10⁹ vectors that is ~32k centroids (~16 MB at
+    * dim=128), not the 4M a pure n/256 rule would demand.
     */
   val EmbedCellTarget = 256L
+
+  /** k for [[EmbedCellTarget]]-based blocking over an n-vector corpus. */
+  def embedCellCount(n: Long): Int =
+    math.max(1L, math.min((n + EmbedCellTarget - 1) / EmbedCellTarget,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
 
   /** Distinct word 3-gram shingles per doc; empty for <3 tokens.
     * Compiled UDF rather than transform/element_at: Catalyst inlines the
@@ -177,6 +187,12 @@ object DedupQueries extends QueryPack {
         }
         edges.unpersist(blocking = false)
         pairs.unpersist(blocking = false)
+        // the final round's cache must outlive downstream consumption of
+        // the returned frame (its lineage reaches back through every
+        // round) — register it for the consumer's releaseAll instead of
+        // leaking one InMemoryRelation per invocation. pin() re-persists
+        // a no-op and is safe to re-execute after release (recompute).
+        graft.operators.SeqIds.pin(labels)
         labels.select(col("node").as("doc_id"), col("cluster"))
       }
   }
@@ -264,17 +280,18 @@ object DedupQueries extends QueryPack {
     // (Ivf.seedCentroids + shuffle-free assign — the same machinery as
     // ann_ivf_real, oracle-replicated below). Pairs are generated only
     // within a cell, never across the corpus, and the cell count is
-    // DERIVED from the corpus size (k = ceil(n / EmbedCellTarget)), so
-    // per-cell pair fan-out stays O(EmbedCellTarget²) no matter how
-    // large the corpus grows — a fixed k would go quadratic within
-    // cells at 100 TB. The count() is parquet-metadata-cheap; the same
+    // DERIVED from the corpus size (embedCellCount: n/256 bounded by
+    // √n), so per-cell pair fan-out stays bounded no matter how large
+    // the corpus grows — a fixed k would go quadratic within cells at
+    // 100 TB, and an unbounded n/256 rule would blow up the assignment
+    // stage (n·k) instead. The count() is parquet-metadata-cheap; the same
     // formula is replicated in the oracle's LIMIT subquery. Norms are
     // computed once per vector BEFORE the pair join (the pair side then
     // costs one compiled dot product, not three array folds).
     "d_embed_neardup" -> ((s, d) => {
       graft.plans.GraftFunctions.register(s)
       val emb = t(s, d, "embeddings")
-      val k = math.max(1L, (emb.count() + EmbedCellTarget - 1) / EmbedCellTarget).toInt
+      val k = embedCellCount(emb.count())
       val centroids = graft.ext.Ivf.seedCentroids(emb, k)
       val e = graft.ext.Ivf.assign(s, emb, centroids)
         .withColumn("norm", expr("graft_norm(embedding)"))
@@ -388,7 +405,9 @@ object DedupQueries extends QueryPack {
            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
                   embedding AS centroid
            FROM (SELECT * FROM embeddings ORDER BY vec_id
-                 LIMIT (SELECT GREATEST(1, CAST(CEIL(count(*) / $EmbedCellTarget.0) AS BIGINT))
+                 LIMIT (SELECT GREATEST(1, LEAST(
+                          CAST(CEIL(count(*) / $EmbedCellTarget.0) AS BIGINT),
+                          CAST(CEIL(SQRT(count(*))) AS BIGINT)))
                         FROM embeddings))),
          assigned AS (
            SELECT vec_id, embedding, cell FROM (

@@ -69,10 +69,13 @@ object ExportQueries extends QueryPack {
         g.fillRect(0, 0, w, h); g.dispose()
         graft.functions.ImageOps.encodeJpeg(img).orNull
       })
-      val a = graft.operators.SeqIds.pin(Synth.annos(s, d)
+      // pin the BARE anno plan (not the remapped one) so Synth.images'
+      // internal annos subplan cache-substitutes too; the remap is a
+      // cheap projection on top of the cache
+      val a = graft.operators.SeqIds.pin(Synth.annos(s, d))
         .withColumn("category",
           when(col("category") === "cat_no", "excluderegion")
-            .otherwise(col("category"))))
+            .otherwise(col("category")))
       val imgs = Synth.images(s, d)
         .withColumn("num", substring(col("image_name"), 5, 10).cast("int"))
         .withColumn("image_bytes", genJpeg(
@@ -80,8 +83,7 @@ object ExportQueries extends QueryPack {
           (col("num") % 12 + 8).cast("int"),
           (col("num") % 250).cast("int")))
         .select("image_name", "image_bytes", "tags")
-      val outDir = java.nio.file.Files.createTempDirectory("graft-s9").toString
-      graft.export.ImageDataset.writeImages(a, imgs, outDir)
+      graft.export.ImageDataset.writeImages(a, imgs, s9OutDir)
         .select(col("image_name"), col("width"), col("height"),
           col("n_redactions").cast("bigint").as("n_redactions"))
         .orderBy("image_name")
@@ -97,6 +99,19 @@ object ExportQueries extends QueryPack {
           lit(""", "category_id": """), col("category_id"),
           lit(""", "id": """), col("id"), lit("}")).as("anno_json")))
   )
+
+  /** One gate-output dir per JVM, reused by every s9 pass (overwritten
+    * files, no per-invocation /tmp accumulation), removed on exit.
+    */
+  private lazy val s9OutDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-s9")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => })
+    }))
+    p.toString
+  }
 
   private val ctes = s"WITH ${Synth.annosSqlCte}, ${Synth.imagesSqlCte}"
 

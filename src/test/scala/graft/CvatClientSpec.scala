@@ -170,7 +170,7 @@ class CvatClientSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("fetchJobImages: an export stuck at 202 raises instead of hanging (S8)") {
     val bounded = new CvatClient(base + "/", Map.empty,
-      timeoutSeconds = 5, pollMillis = 1L, maxConnectRetries = 3)
+      timeoutSeconds = 5, pollMillis = 1L, maxConnectRetries = 3, maxStatusPolls = 5)
     val dir = java.nio.file.Files.createTempDirectory("cvat-202").toString
     val e = intercept[RuntimeException] { bounded.fetchJobImages(103, dir) }
     assert(e.getMessage.contains("202"), e.getMessage)

@@ -80,25 +80,29 @@ class DedupCapSpec extends SparkSpec {
   }
 
   test("d_embed_neardup derives its cell count from the corpus size") {
-    // The scale contract: k = ceil(n / EmbedCellTarget), so the mean
-    // cell size — and with it the within-cell pair fan-out — stays
-    // O(EmbedCellTarget) as the corpus grows instead of O(n/8) with the
-    // old fixed k=8. Checked structurally on the real sf0.001 corpus
-    // (n=500 → k=2: the query must materialize at most k distinct
-    // cells, and every emitted pair shares its cell by construction).
+    // The scale contract: k = max(1, min(ceil(n/256), ceil(√n))) —
+    // cell size stays O(EmbedCellTarget) as the corpus grows (no fixed
+    // k going quadratic within cells) while the √n bound keeps the
+    // assignment stage n·k and the centroid broadcast sub-quadratic /
+    // bounded. Checked structurally on the real sf0.001 corpus
+    // (n=500 → k=2: at most k distinct dense cells materialize).
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val n = emb.count()
-    val expectedK = math.max(1L,
-      (n + DedupQueries.EmbedCellTarget - 1) / DedupQueries.EmbedCellTarget)
+    val expectedK = DedupQueries.embedCellCount(n)
+    assert(expectedK == math.max(1L, math.min((n + 255) / 256,
+      math.ceil(math.sqrt(n.toDouble)).toLong)))
     val out = DedupQueries.defs("d_embed_neardup")(spark, sf())
     val cells = out.select("cell").distinct().collect().map(_.getInt(0))
     assert(cells.nonEmpty && cells.length <= expectedK,
       s"expected <= $expectedK cells for n=$n, saw ${cells.length}")
     assert(cells.forall(c => c >= 0 && c < expectedK),
       s"cell ids must be dense below k=$expectedK: ${cells.toSeq.sorted}")
-    // doubling the corpus doubles k: pure formula check
-    val k2 = math.max(1L,
-      (2 * n + DedupQueries.EmbedCellTarget - 1) / DedupQueries.EmbedCellTarget)
-    assert(k2 == math.max(1L, (2 * n + 255) / 256))
+    // the scaling law: n/256 governs small corpora, √n the large ones,
+    // so k never exceeds either bound
+    for (m <- Seq(100L, 100000L, 1000000000L)) {
+      val k = DedupQueries.embedCellCount(m).toLong
+      assert(k <= math.max((m + 255) / 256, 1L))
+      assert(k <= math.max(math.ceil(math.sqrt(m.toDouble)).toLong, 1L))
+    }
   }
 }
