@@ -92,4 +92,43 @@ object ImageDataset {
       }
     }(Encoders.row(manifestSchema))
   }
+
+  private val cropManifestSchema = StructType(Seq(
+    StructField("item_id", LongType),
+    StructField("image_name", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** S9 N1 variant (TrainDatasets.py:435-451, `DatasetN1Crops
+    * .write_images`): crop rows filtered to the requested item ids,
+    * one `outputDir/{item_id}/{image_name}.jpeg` per crop, with the
+    * reference's decode→re-encode round-trip (Image.open → img.save).
+    * The item filter is a plain IN predicate, so against a
+    * hive-partitioned crop store Catalyst prunes to exactly the
+    * requested partitions — the distributed analogue of the
+    * reference's per-iid partition scans. `crops` needs (item_id,
+    * image_name, crop_data); same shared-filesystem contract as
+    * [[writeImages]].
+    */
+  def writeItemCrops(crops: DataFrame, itemIds: Seq[Long],
+                     outputDir: String): DataFrame = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outputDir))
+    crops.filter(col("item_id").isin(itemIds: _*))
+      .select(col("item_id"), col("image_name"), col("crop_data"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val iid = r.getLong(0)
+          val name = r.getString(1)
+          for {
+            img <- ImageOps.decode(r.getAs[Array[Byte]](2))
+            enc <- ImageOps.encodeJpeg(img)
+          } yield {
+            ImageOps.writeImageFile(
+              java.nio.file.Paths.get(outputDir, iid.toString).toString,
+              name + ".jpeg", enc)
+            Row(iid, name, img.getWidth, img.getHeight)
+          }
+        }
+      }(Encoders.row(cropManifestSchema))
+  }
 }

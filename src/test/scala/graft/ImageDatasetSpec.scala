@@ -78,4 +78,29 @@ class ImageDatasetSpec extends SparkSpec {
     val plain = ImageOps.decode(java.nio.file.Files.readAllBytes(file("plain"))).get
     assert(plain.getWidth == 20 && plain.getHeight == 16)
   }
+
+  test("writeItemCrops: per-item subdirectories, only requested ids (N1 variant)") {
+    val cropSchema = StructType(Seq(
+      StructField("item_id", LongType),
+      StructField("image_name", StringType),
+      StructField("crop_data", BinaryType)))
+    val crops = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(7L, "a", jpeg(10, 8, 0xFF0000)),
+        Row(7L, "b", jpeg(12, 9, 0x00FF00)),
+        Row(9L, "c", jpeg(14, 10, 0x0000FF)),
+        Row(11L, "d", jpeg(16, 11, 0x808080))),
+      cropSchema)
+    val dir = java.nio.file.Files.createTempDirectory("n1-crops").toString
+    val manifest = ImageDataset.writeItemCrops(crops, Seq(7L, 9L), dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(manifest == Set((7L, "a", 10, 8), (7L, "b", 12, 9), (9L, "c", 14, 10)))
+    def p(iid: Long, n: String) = java.nio.file.Paths.get(dir, iid.toString, n + ".jpeg")
+    for ((iid, n) <- Seq((7L, "a"), (7L, "b"), (9L, "c"))) {
+      val img = ImageOps.decode(java.nio.file.Files.readAllBytes(p(iid, n))).get
+      assert(img.getWidth > 0)
+    }
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "11")),
+      "unrequested item id must not be exported")
+  }
 }
