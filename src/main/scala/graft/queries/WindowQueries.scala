@@ -64,6 +64,36 @@ object WindowQueries extends QueryPack {
              countDistinct(col("l_orderkey")).as("exact_orders"))
         .orderBy("l_returnflag")),
 
+    // Portable KMV (k-minimum-values) distinct sketch — the
+    // deterministic counterpart to a9's HLL: hashes are md5-derived, so
+    // BOTH engines compute the identical estimate and the gate is a
+    // full hash check (a sketch whose VALUE is hash-checkable
+    // cross-engine, not just error-bounded). Estimate = (k-1)/u_k with
+    // u_k the k-th smallest normalized hash per group; groups with
+    // fewer than k distinct keys report their exact count. Scale shape:
+    // the rn<=k filter compiles to WindowGroupLimit (partial per-map
+    // top-k BEFORE the shuffle), so per-group state is O(k) everywhere
+    // — never a whole group in one task's memory.
+    "a11_kmv_distinct" -> ((s, d) => {
+      val k = 64
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey")).distinct()
+        .withColumn("u",
+          conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+            .cast("double") / lit(math.pow(16.0, 15)))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("l_returnflag").orderBy(col("u"), col("l_orderkey"))))
+        .filter(col("rn") <= k)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_mins"), max(col("u")).as("uk"))
+        .select(col("l_returnflag"),
+          when(col("n_mins") < k, col("n_mins").cast("double"))
+            .otherwise(lit((k - 1).toDouble) / col("uk")).as("kmv_estimate"),
+          col("n_mins"))
+        .orderBy("l_returnflag")
+    }),
+
     // A10: exact interpolated percentiles per group (Spark `percentile`
     // and DuckDB `quantile_cont` share the linear-interpolation
     // definition, so the oracle matches). Exact percentile is a
@@ -117,6 +147,22 @@ object WindowQueries extends QueryPack {
          quantile_cont(l_quantity, 0.25) AS p25,
          quantile_cont(l_quantity, 0.5) AS p50,
          quantile_cont(l_quantity, 0.75) AS p75
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a11_kmv_distinct" ->
+      """WITH dist AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem),
+         h AS (
+           SELECT l_returnflag, l_orderkey,
+                  CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                    / POWER(16, 15) AS u
+           FROM dist),
+         scored AS (
+           SELECT l_returnflag, u,
+                  row_number() OVER (PARTITION BY l_returnflag ORDER BY u, l_orderkey) AS rn
+           FROM h)
+         SELECT l_returnflag,
+                CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                     ELSE 63.0 / max(u) END AS kmv_estimate,
+                count(*) AS n_mins
+         FROM scored WHERE rn <= 64 GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

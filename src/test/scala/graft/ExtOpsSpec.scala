@@ -45,6 +45,22 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("KMV estimate stays within 30% of exact distinct per group") {
+    // k=64 gives ~1/sqrt(62) ≈ 12.7% expected relative error; 30% is a
+    // generous determinism-safe bound (the estimate is md5-derived, so
+    // this can never flake — it either holds forever or the kernel
+    // changed)
+    val kmv = graft.queries.WindowQueries.defs("a11_kmv_distinct")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = graft.queries.WindowQueries.defs("a9_approx_distinct")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(2).toDouble).toMap
+    assert(kmv.keySet == exact.keySet)
+    for ((g, est) <- kmv) {
+      assert(math.abs(est - exact(g)) / exact(g) < 0.30,
+        s"$g: kmv $est vs exact ${exact(g)}")
+    }
+  }
+
   test("simhash: identical token lists → distance 0; disjoint → large") {
     val a = TextUdfs.simhash(Seq("spark", "scan", "shuffle", "agg"))
     val b = TextUdfs.simhash(Seq("spark", "scan", "shuffle", "agg"))

@@ -82,6 +82,36 @@ class PropertySpec extends AnyFunSuite {
     }, min = 50)
   }
 
+  test("graft_nearest_cell matches a brute-force argmax with NaN/tie rules") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+    // zeros are likely, so zero-norm vectors (NaN scores) are exercised
+    val fgen = Gen.frequency(3 -> Gen.chooseNum(-10.0f, 10.0f), 1 -> Gen.const(0.0f))
+    val g = for {
+      dim <- Gen.chooseNum(1, 6)
+      k <- Gen.chooseNum(1, 12)
+      vec <- Gen.listOfN(dim, fgen)
+      cents <- Gen.listOfN(k, Gen.listOfN(dim, fgen))
+    } yield (vec, cents)
+    check("nearest-cell", Prop.forAllNoShrink(g) { case (vec, cents) =>
+      val e = graft.plans.NearestCellF(
+        Literal.create(vec, ArrayType(FloatType)),
+        Literal.create(cents, ArrayType(ArrayType(FloatType))),
+        Literal.create(cents.indices.toList, ArrayType(IntegerType)))
+      val got = e.eval(null).asInstanceOf[Int]
+      def norm(v: Seq[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val nv = norm(vec)
+      var bi = 0
+      var best = 0.0
+      for ((c, i) <- cents.zipWithIndex) {
+        val s = vec.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum /
+          (nv * norm(c))
+        if (i == 0 || s > best || (s.isNaN && !best.isNaN)) { best = s; bi = i }
+      }
+      got == bi
+    })
+  }
+
   test("interpolation covers exactly [first, end) and preserves keyframes") {
     val frameGaps = Gen.listOfN(3, Gen.chooseNum(1, 5))
     check("interp-frames", Prop.forAllNoShrink(frameGaps) { gaps =>
