@@ -63,12 +63,17 @@ object SampleQueries extends QueryPack {
     // SP3 full orchestration: the Samplers.imageSampler API (tag-skip +
     // md5 split + three semi-join routes) over the synthesized
     // anno/image frames; per-split row counts are the oracle surface.
-    "sp4_image_sampler" -> ((s, d) =>
+    // the anno plan backs both inputs (images derives from it) — pin it
+    // once so the synthesized projection executes once per action
+    // (released by Bench/Verify's per-query SeqIds.releaseAll)
+    "sp4_image_sampler" -> ((s, d) => {
+      val a = graft.operators.SeqIds.pin(Synth.annos(s, d))
       graft.datasets.Samplers.labeledAnnos(
-        Synth.annos(s, d), Synth.images(s, d),
+        a, Synth.images(s, d),
         skipTags = Seq("badimage"), valBuckets = 409, testBuckets = 410)
         .groupBy("split").agg(count(lit(1)).as("n_annos"))
-        .orderBy("split")),
+        .orderBy("split")
+    }),
 
     // P7: membership routing — fact rows routed to their key's split via
     // a broadcast join against the labeled key set (replaces the
