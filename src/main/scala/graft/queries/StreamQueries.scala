@@ -60,6 +60,20 @@ object StreamQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), Portable.moneySum(col("value")).as("sum_value"))
         .orderBy("bucket", "event_type")),
 
+    // Stream-static enrichment (batch twin of the broadcast
+    // dim join StreamingSpec runs under readStream): per-segment
+    // per-type event rollup after the dim attach. The static side is
+    // dimension-sized → broadcast; the stream side never shuffles for
+    // the join itself.
+    "st_enrich_join" -> ((s, d) =>
+      EventStreams.enrichWithDim(
+        t(s, d, "events"),
+        t(s, d, "customer").select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+        "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"), Portable.moneySum(col("value")).as("sum_value"))
+        .orderBy("c_mktsegment", "event_type")),
+
     // Streaming replay dedup, batch twin: the input is the event stream
     // REPLAYED twice (union — an at-least-once delivery), pushed through
     // dedupEvents (watermarked dropDuplicates by event_id). Integer
@@ -108,6 +122,11 @@ object StreamQueries extends QueryPack {
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+    "st_enrich_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""",
     // the replayed union deduped by id is just the original stream
     "st_dedup_replay" ->
       """SELECT event_type, count(*) AS n,

@@ -55,6 +55,16 @@ object EventStreams {
       .withWatermark("event_time", watermark)
       .dropDuplicates("event_id", "event_time")
 
+  /** Stream-static enrichment join: events against a broadcast
+    * dimension. In a streaming query Spark re-plans the static side per
+    * micro-batch, so a slowly-refreshing dim table is picked up without
+    * restarting the query; the broadcast keeps the join stateless (no
+    * stream-stream state store), which is why this is the canonical
+    * enrichment shape at any event rate.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key))
+
   final case class Event(user_id: Long, event_time: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, start: java.sql.Timestamp,
                            end: java.sql.Timestamp, n_events: Long, sum_value: Double)

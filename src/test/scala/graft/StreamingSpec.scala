@@ -85,6 +85,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("enrichWithDim joins a stream against a static broadcast dim incrementally") {
+    val dim = Seq((1L, "SEG_A"), (2L, "SEG_B"))
+      .toDF("user_id", "segment")
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark, 3)
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = EventStreams.enrichWithDim(events, dim, "user_id")
+      .select("event_id", "segment")
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      input.addData((10L, 0L, 1L, "a", 1.0, "{}"), (11L, 0L, 2L, "a", 1.0, "{}"))
+      query.processAllAvailable()
+      // user 3 has no dim row — inner join must drop it, later batches still flow
+      input.addData((12L, 0L, 3L, "a", 1.0, "{}"), (13L, 0L, 1L, "b", 1.0, "{}"))
+      query.processAllAvailable()
+      val out = spark.table("enrich").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out == Map(10L -> "SEG_A", 11L -> "SEG_B", 13L -> "SEG_A"), out.toString)
+    } finally query.stop()
+  }
+
   test("the same windowedCounts program runs in batch mode (unified API)") {
     val batch = Seq(nsRow(1, 10, "a"), nsRow(2, 20, "a"), nsRow(3, 70, "b"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
