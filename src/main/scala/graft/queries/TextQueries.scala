@@ -67,6 +67,29 @@ object TextQueries extends QueryPack {
             .as("sketch_hash"))
         .orderBy("doc_id")),
 
+    // Composed corpus-cleaning stage — the user-facing operation a
+    // training-data pipeline actually runs, chaining the kernels above:
+    // quality gate (stopword ratio) → language filter (cascaded-argmax
+    // == 'en') → exact near-copy collapse (content hash, keep lowest
+    // doc_id, min_by carries the kept doc's token count). One scan-side
+    // map then one hash-groupBy shuffle — the same shape at any corpus
+    // size.
+    "t_corpus_clean" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("n_stop", expr(s"size(filter(toks, x -> x IN ${inList(enStops)}))"))
+        .withColumn("s_es", expr(s"size(filter(toks, x -> x IN ${inList(esStops)}))"))
+        .withColumn("s_de", expr(s"size(filter(toks, x -> x IN ${inList(deStops)}))"))
+        .filter(col("n_stop") * 10 >= col("n_tokens"))
+        .filter(col("n_stop") >= col("s_es") && col("n_stop") >= col("s_de"))
+        .withColumn("content_hash", md5(lower(col("text")).cast("binary")))
+        .groupBy("content_hash")
+        .agg(min(col("doc_id")).as("keep_doc_id"),
+             min_by(col("n_tokens"), col("doc_id")).as("n_tokens"),
+             count(lit(1)).as("n_copies"))
+        .orderBy("keep_doc_id")),
+
     // Per-language top-5 bigrams: bigram explode (higher-order fns, no
     // UDF) → two-phase count → per-lang ranking window. The groupBy is
     // partially aggregated map-side, so the shuffle carries (lang,
@@ -117,6 +140,22 @@ object TextQueries extends QueryPack {
          md5(array_to_string(list_filter(string_split(text,' '),
            (x, i) -> (i - 1) % 16 = 0), ' ')) AS sketch_hash
          FROM documents ORDER BY doc_id""",
+    "t_corpus_clean" ->
+      s"""WITH scored AS (
+           SELECT doc_id, text,
+                  len(string_split(text,' ')) AS n_tokens,
+                  len(list_filter(string_split(text,' '), x -> x IN ${inList(enStops)})) AS n_stop,
+                  len(list_filter(string_split(text,' '), x -> x IN ${inList(esStops)})) AS s_es,
+                  len(list_filter(string_split(text,' '), x -> x IN ${inList(deStops)})) AS s_de
+           FROM documents),
+         kept AS (
+           SELECT doc_id, n_tokens, md5(lower(text)) AS content_hash
+           FROM scored
+           WHERE n_stop * 10 >= n_tokens AND n_stop >= s_es AND n_stop >= s_de)
+         SELECT content_hash, min(doc_id) AS keep_doc_id,
+                arg_min(n_tokens, doc_id) AS n_tokens,
+                count(*) AS n_copies
+         FROM kept GROUP BY content_hash ORDER BY keep_doc_id""",
     "t_ngram_top" ->
       """WITH toks AS (
            SELECT lang, string_split(text, ' ') AS tk FROM documents
