@@ -248,6 +248,21 @@ object DedupQueries extends QueryPack {
     "d_dup_clusters" -> ((s, d) =>
       clustersOf(minhashPairs(s, d)).orderBy("doc_id")),
 
+    // Dedup APPLIED — the user-facing "give me the deduped corpus"
+    // operation composed from the pieces: LSH candidate pairs →
+    // connected components → drop every non-canonical cluster member
+    // (anti join; J3 shape), emitting the surviving documents. The
+    // anti-join side is the dup-cluster set (orders of magnitude
+    // smaller than the corpus — broadcastable at scale).
+    "d_dedup_apply" -> ((s, d) => {
+      val clusters = clustersOf(minhashPairs(s, d))
+      val drop = clusters.filter(col("doc_id") =!= col("cluster")).select("doc_id")
+      t(s, d, "documents")
+        .join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).as("n_chars"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup candidates: 64-bit signature, 2×32-bit bands
     // (UDF — rows-only check; SimhashSpec covers the kernel). 32-bit
     // bands (vs the earlier 16-bit) require a 32-bit half-signature
@@ -357,6 +372,20 @@ object DedupQueries extends QueryPack {
             SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a)
           SELECT node AS doc_id, LEAST(node, MIN(peer)) AS cluster
           FROM reach GROUP BY node ORDER BY doc_id""",
+    "d_dedup_apply" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          edges AS (SELECT da AS a, db AS b FROM mpairs
+                    UNION SELECT db, da FROM mpairs),
+          reach AS (
+            SELECT a AS node, b AS peer FROM edges
+            UNION
+            SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a)
+          SELECT doc_id, CAST(len(text) AS INT) AS n_chars, lang
+          FROM documents
+          WHERE doc_id NOT IN (
+            SELECT node FROM reach GROUP BY node
+            HAVING LEAST(node, MIN(peer)) <> node)
+          ORDER BY doc_id""",
     // Full SQL replication of the SimHash kernel (TextUdfs.simhash):
     // token hash = first 8 md5 bytes (two 32-bit hex parses combined in
     // HUGEINT — pure arithmetic, no signed-shift semantics questions),
