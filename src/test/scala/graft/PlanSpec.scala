@@ -60,4 +60,20 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"), plan.take(500))
   }
+
+  test("a11 KMV top-k compiles to WindowGroupLimit (O(k) per-task state)") {
+    // the scale claim of the sketch: the rn<=k filter must prune to the
+    // per-map top-k BEFORE the shuffle, never buffering a whole group
+    val plan = graft.queries.WindowQueries.defs("a11_kmv_distinct")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
+
+  test("d_dedup_apply anti join never degenerates to a cartesian") {
+    val plan = graft.queries.DedupQueries.defs("d_dedup_apply")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    graft.operators.SeqIds.releaseAll()
+  }
 }
