@@ -108,7 +108,10 @@ object ImageDataset {
     * requested partitions — the distributed analogue of the
     * reference's per-iid partition scans. `crops` needs (item_id,
     * image_name, crop_data); same shared-filesystem contract as
-    * [[writeImages]].
+    * [[writeImages]], and the same documented deviation: undecodable
+    * crop bytes drop the row from the manifest (the reference
+    * crashes), so export completeness is audited by comparing manifest
+    * counts against the input.
     */
   def writeItemCrops(crops: DataFrame, itemIds: Seq[Long],
                      outputDir: String): DataFrame = {

@@ -259,7 +259,7 @@ object DedupQueries extends QueryPack {
       val drop = clusters.filter(col("doc_id") =!= col("cluster")).select("doc_id")
       t(s, d, "documents")
         .join(drop, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), length(col("text")).as("n_chars"), col("lang"))
+        .select(col("doc_id"), col("n_chars"), col("lang"))
         .orderBy("doc_id")
     }),
 
@@ -380,7 +380,7 @@ object DedupQueries extends QueryPack {
             SELECT a AS node, b AS peer FROM edges
             UNION
             SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a)
-          SELECT doc_id, CAST(len(text) AS INT) AS n_chars, lang
+          SELECT doc_id, n_chars, lang
           FROM documents
           WHERE doc_id NOT IN (
             SELECT node FROM reach GROUP BY node

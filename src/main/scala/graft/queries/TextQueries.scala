@@ -17,6 +17,16 @@ object TextQueries extends QueryPack {
 
   private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
 
+  /** Stopword-profile count over the `toks` column — THE quality/lang-ID
+    * kernel, defined once for every query that composes it (and its SQL
+    * twin below, so Scala and oracle can never drift independently).
+    */
+  private def stopCount(stops: Seq[String]) =
+    expr(s"size(filter(toks, x -> x IN ${inList(stops)}))")
+
+  private def stopCountSql(stops: Seq[String]) =
+    s"len(list_filter(string_split(text,' '), x -> x IN ${inList(stops)}))"
+
   val defs: Map[String, QueryFn] = Map(
     // Token counting (whitespace tokenizer — the BPE-ish variant is the
     // regexp_extract_all split below).
@@ -34,9 +44,9 @@ object TextQueries extends QueryPack {
         .withColumn("toks", split(col("text"), " "))
         .select(col("doc_id"),
           size(col("toks")).as("n_tokens"),
-          expr(s"size(filter(toks, x -> x IN ${inList(enStops)}))").as("n_stop"),
+          stopCount(enStops).as("n_stop"),
           expr("aggregate(toks, 0, (acc, x) -> acc + length(x))").as("sum_tok_len"),
-          (expr(s"size(filter(toks, x -> x IN ${inList(enStops)}))") * 10
+          (stopCount(enStops) * 10
             >= size(col("toks"))).as("keep"))
         .orderBy("doc_id")),
 
@@ -46,9 +56,9 @@ object TextQueries extends QueryPack {
     "t_lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .withColumn("toks", split(col("text"), " "))
-        .withColumn("s_en", expr(s"size(filter(toks, x -> x IN ${inList(enStops)}))"))
-        .withColumn("s_es", expr(s"size(filter(toks, x -> x IN ${inList(esStops)}))"))
-        .withColumn("s_de", expr(s"size(filter(toks, x -> x IN ${inList(deStops)}))"))
+        .withColumn("s_en", stopCount(enStops))
+        .withColumn("s_es", stopCount(esStops))
+        .withColumn("s_de", stopCount(deStops))
         .select(col("doc_id"), col("lang"),
           when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
             .when(col("s_es") >= col("s_de"), "es")
@@ -78,9 +88,9 @@ object TextQueries extends QueryPack {
       t(s, d, "documents")
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_tokens", size(col("toks")))
-        .withColumn("n_stop", expr(s"size(filter(toks, x -> x IN ${inList(enStops)}))"))
-        .withColumn("s_es", expr(s"size(filter(toks, x -> x IN ${inList(esStops)}))"))
-        .withColumn("s_de", expr(s"size(filter(toks, x -> x IN ${inList(deStops)}))"))
+        .withColumn("n_stop", stopCount(enStops))
+        .withColumn("s_es", stopCount(esStops))
+        .withColumn("s_de", stopCount(deStops))
         .filter(col("n_stop") * 10 >= col("n_tokens"))
         .filter(col("n_stop") >= col("s_es") && col("n_stop") >= col("s_de"))
         .withColumn("content_hash", md5(lower(col("text")).cast("binary")))
@@ -120,16 +130,16 @@ object TextQueries extends QueryPack {
          FROM documents ORDER BY doc_id""",
     "t_quality_score" ->
       s"""SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
-          len(list_filter(string_split(text,' '), x -> x IN ${inList(enStops)})) AS n_stop,
+          ${stopCountSql(enStops)} AS n_stop,
           CAST(list_sum(list_transform(string_split(text,' '), x -> len(x))) AS INT) AS sum_tok_len,
-          len(list_filter(string_split(text,' '), x -> x IN ${inList(enStops)})) * 10
+          ${stopCountSql(enStops)} * 10
             >= len(string_split(text,' ')) AS keep
           FROM documents ORDER BY doc_id""",
     "t_lang_id" ->
       s"""WITH sc AS (SELECT doc_id, lang,
-            len(list_filter(string_split(text,' '), x -> x IN ${inList(enStops)})) s_en,
-            len(list_filter(string_split(text,' '), x -> x IN ${inList(esStops)})) s_es,
-            len(list_filter(string_split(text,' '), x -> x IN ${inList(deStops)})) s_de
+            ${stopCountSql(enStops)} s_en,
+            ${stopCountSql(esStops)} s_es,
+            ${stopCountSql(deStops)} s_de
           FROM documents)
           SELECT doc_id, lang,
             CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
@@ -144,9 +154,9 @@ object TextQueries extends QueryPack {
       s"""WITH scored AS (
            SELECT doc_id, text,
                   len(string_split(text,' ')) AS n_tokens,
-                  len(list_filter(string_split(text,' '), x -> x IN ${inList(enStops)})) AS n_stop,
-                  len(list_filter(string_split(text,' '), x -> x IN ${inList(esStops)})) AS s_es,
-                  len(list_filter(string_split(text,' '), x -> x IN ${inList(deStops)})) AS s_de
+                  ${stopCountSql(enStops)} AS n_stop,
+                  ${stopCountSql(esStops)} AS s_es,
+                  ${stopCountSql(deStops)} AS s_de
            FROM documents),
          kept AS (
            SELECT doc_id, n_tokens, md5(lower(text)) AS content_hash

@@ -50,10 +50,14 @@ class ExtOpsSpec extends SparkSpec {
     // generous determinism-safe bound (the estimate is md5-derived, so
     // this can never flake — it either holds forever or the kernel
     // changed)
+    import org.apache.spark.sql.functions._
     val kmv = graft.queries.WindowQueries.defs("a11_kmv_distinct")(spark, sf())
+      .select("l_returnflag", "kmv_estimate")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val exact = graft.queries.WindowQueries.defs("a9_approx_distinct")(spark, sf())
-      .collect().map(r => r.getString(0) -> r.getLong(2).toDouble).toMap
+    val exact = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
     assert(kmv.keySet == exact.keySet)
     for ((g, est) <- kmv) {
       assert(math.abs(est - exact(g)) / exact(g) < 0.30,

@@ -89,6 +89,9 @@ class ImageDatasetSpec extends SparkSpec {
         Row(7L, "a", jpeg(10, 8, 0xFF0000)),
         Row(7L, "b", jpeg(12, 9, 0x00FF00)),
         Row(9L, "c", jpeg(14, 10, 0x0000FF)),
+        // undecodable bytes for a REQUESTED id: documented deviation —
+        // dropped from the manifest, no file, no crash
+        Row(9L, "junk", Array[Byte](1, 2, 3)),
         Row(11L, "d", jpeg(16, 11, 0x808080))),
       cropSchema)
     val dir = java.nio.file.Files.createTempDirectory("n1-crops").toString
@@ -102,5 +105,7 @@ class ImageDatasetSpec extends SparkSpec {
     }
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "11")),
       "unrequested item id must not be exported")
+    assert(!java.nio.file.Files.exists(p(9L, "junk")),
+      "undecodable crop must be dropped, not written")
   }
 }

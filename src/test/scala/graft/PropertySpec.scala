@@ -99,15 +99,20 @@ class PropertySpec extends AnyFunSuite {
         Literal.create(cents, ArrayType(ArrayType(FloatType))),
         Literal.create(cents.indices.toList, ArrayType(IntegerType)))
       val got = e.eval(null).asInstanceOf[Int]
+      // SPEC-derived oracle (not the expression's loop): argmax under
+      // the documented ordering — NaN ranks above every number, ties
+      // go to the lowest cell — expressed as a lexicographic max over
+      // (isNaN, score, -index) so a drift in the kernel's conditional
+      // cannot be self-confirming
       def norm(v: Seq[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
       val nv = norm(vec)
-      var bi = 0
-      var best = 0.0
-      for ((c, i) <- cents.zipWithIndex) {
-        val s = vec.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum /
-          (nv * norm(c))
-        if (i == 0 || s > best || (s.isNaN && !best.isNaN)) { best = s; bi = i }
+      val scores = cents.map { c =>
+        vec.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum / (nv * norm(c))
       }
+      // normalize -0.0 to 0.0: the spec ordering treats IEEE-equal
+      // zeros as a tie (lowest cell), like Spark's double comparison
+      val bi = scores.map(s => if (s == 0.0) 0.0 else s).zipWithIndex
+        .maxBy { case (s, i) => (s.isNaN, s, -i) }._2
       got == bi
     })
   }
