@@ -20,11 +20,20 @@ object ExportQueries extends QueryPack {
     // within, partitions in key order — which is identical to ORDER BY id
     // (id is the ordinal over exactly that ordering). A second global
     // sort would double the exchange cost for nothing.
-    "s10_coco_annos" -> ((s, d) =>
-      Coco.annotationRecords(Synth.annos(s, d), Synth.images(s, d), "anno_key")
+    // The anno input is pre-narrowed to the four columns this query's
+    // odtk path consumes before annotationRecords pins it — the cache
+    // then skips materializing the (widest, unused) segmentation
+    // column. The images side only contributes its name set here, and
+    // that set is BY DEFINITION the anno names (Synth.images =
+    // annos.distinct), so it derives from the same narrow frame and
+    // rides the same cache.
+    "s10_coco_annos" -> ((s, d) => {
+      val a = Synth.annos(s, d).select("image_name", "category", "anno_key", "rcoco")
+      Coco.annotationRecords(a, a.select("image_name").distinct(), "anno_key")
         .select(col("id"), col("image_id"), col("category_id"),
                 to_json(col("bbox").cast("array<bigint>")).as("bbox_json"),
-                col("area").cast("bigint").as("area"))),
+                col("area").cast("bigint").as("area"))
+    }),
 
     // S11 core: per-image YOLO bodies — semi-filter (P8), group-join
     // (J6), line format (F-S4) with integer boxes so both engines
@@ -34,9 +43,13 @@ object ExportQueries extends QueryPack {
     // synthesized projection executes once (released by Bench/Verify's
     // per-query SeqIds.releaseAll).
     "s11_yolo_lines" -> ((s, d) => {
-      val a = graft.operators.SeqIds.pin(Synth.annos(s, d))
+      val a = graft.operators.SeqIds.pin(
+        Synth.annos(s, d).select("image_name", "category", "anno_key", "rcoco"))
       val catMap = Coco.categoryDim(a)
-      a.join(Synth.images(s, d), Seq("image_name"))
+      // the images side contributes only its name set (width/height are
+      // unused by the integer-box formatting) — derive it from the same
+      // narrow cached frame instead of re-running the full synth plan
+      a.join(a.select("image_name").distinct(), Seq("image_name"))
         .join(catMap, Seq("category"))
         .withColumn("line", concat_ws(" ",
           col("category_id").cast("string"),
@@ -91,13 +104,16 @@ object ExportQueries extends QueryPack {
 
     // F-J2: per-row COCO annotation JSON built portably (concat-based so
     // the string is engine-exact; integer fields only).
-    "f_j2_json_assembly" -> ((s, d) =>
-      Coco.annotationRecords(Synth.annos(s, d), Synth.images(s, d), "anno_key")
+    "f_j2_json_assembly" -> ((s, d) => {
+      // same narrow-pin shape as s10 (this query consumes only ids)
+      val a = Synth.annos(s, d).select("image_name", "category", "anno_key", "rcoco")
+      Coco.annotationRecords(a, a.select("image_name").distinct(), "anno_key")
         // already in id order from SeqIds — no second sort (see s10)
         .select(col("id"), concat(
           lit("""{"iscrowd": 0, "image_id": """), col("image_id"),
           lit(""", "category_id": """), col("category_id"),
-          lit(""", "id": """), col("id"), lit("}")).as("anno_json")))
+          lit(""", "id": """), col("id"), lit("}")).as("anno_json"))
+    })
   )
 
   /** One gate-output dir per JVM, reused by every s9 pass (overwritten
