@@ -33,33 +33,16 @@ object Coco {
     SeqIds.withSeqId(images, Seq(col("image_name")), "image_id")
       .withColumn("image_id", col("image_id").cast("int"))
 
-  /** Driver-side dense-id dim over one string column: collect → sort
-    * (nulls FIRST, matching Spark's ASC NULLS FIRST so the ids agree
-    * with the SeqIds-based categoryDim/imageDim) → zipWithIndex →
-    * LocalRelation. Bounded by the broadcast contract of the caller.
-    *
-    * The sort compares UTF-8 bytes unsigned — exactly Spark's
-    * UTF8String binary ordering. Scala's `String.<` compares UTF-16
-    * code units, which disagrees for U+E000..U+FFFF vs
-    * supplementary-plane characters and would desync these ids from
-    * the SeqIds-path dims on such names.
-    */
-  private def localDim(df: DataFrame, nameCol: String, idCol: String,
-                       startAt: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
-      .sorted(utf8NullsFirst).zipWithIndex
-      .map { case (n, i) => (n, i + startAt) }.toSeq
-      .toDF(nameCol, idCol)
-  }
-
   /** Both exporter dims in ONE action: the image-name and category
     * value sets are unioned (tagged) into a single distinct+collect, so
-    * the job-scheduling and upstream-scan cost of the second dim collect
-    * disappears. Driver-side the tagged values are split and sorted with
-    * the same UTF-8 ordering as [[localDim]], so ids are identical to
-    * the two-collect formulation.
+    * the job-scheduling and upstream-scan cost of a second dim collect
+    * disappears. Driver-side the tagged values are split, sorted with
+    * UTF-8 byte ordering (nulls FIRST — exactly Spark's ASC NULLS FIRST
+    * over UTF8String, so these ids agree with the SeqIds-based
+    * categoryDim/imageDim; Scala's `String.<` compares UTF-16 code
+    * units and would desync on U+E000..U+FFFF vs supplementary-plane
+    * names), zipped with their index, and returned as LocalRelations.
+    * Bounded by the broadcast contract of the caller.
     */
   private def localDims(images: DataFrame, annos: DataFrame): (DataFrame, DataFrame) = {
     val spark = annos.sparkSession
@@ -100,7 +83,7 @@ object Coco {
                         annoKeyCol: String, odtk: Boolean = true): DataFrame = {
     // Both dims are broadcast-sized by the existing join contract (J4/J5
     // broadcast true dimensions), so their dense ids are assigned on the
-    // driver (localDim): identical ids to imageDim/categoryDim
+    // driver (localDims): identical ids to imageDim/categoryDim
     // (CocoSpec's id-consistency test pins that), identical memory
     // bound to the broadcast itself — but the dim plan is NOT
     // re-executed for every downstream action (broadcast sides rebuild
@@ -115,8 +98,8 @@ object Coco {
     // the inner joins: annos without a known image or without a category
     // never consume an id, so the exported id sequence stays gapless.
     //
-    // The anno input is pinned ONCE up front: the two localDim collects
-    // (imgDim here, catDim below), the SeqIds persisted pass, and — via
+    // The anno input is pinned ONCE up front: the localDims collect,
+    // the SeqIds persisted pass, and — via
     // Catalyst's cache substitution, which rewrites any sameResult
     // subplan to the InMemoryRelation — a caller-side `images` frame
     // derived from the same anno plan all read this single cached

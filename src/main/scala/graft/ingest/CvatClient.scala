@@ -185,14 +185,14 @@ class CvatClient(baseUrlRaw: String, headers: Map[String, String],
           None
       }
 
-    // Both poll loops are bounded: a server that PERMANENTLY answers
-    // 202 (export never finishes) or non-200 (download always fails)
-    // must raise, not hang the driver. The bounds differ because the
-    // semantics differ: 202 is a LEGITIMATE "still processing" that can
-    // last minutes on a bulk export, so it gets its own generous cap
-    // (maxStatusPolls × pollMillis ≈ 1 h at defaults — a deadline, not
-    // a retry budget), while a non-200 download is an error response
-    // and shares the tight consecutive-failure cap.
+    // Both poll loops are bounded by the same generous deadline
+    // (maxStatusPolls × pollMillis ≈ 1 h at defaults): a server that
+    // PERMANENTLY answers 202 (export never finishes) or non-200
+    // (download always fails) must raise, not hang the driver — but a
+    // TRANSIENT non-success (202 while the zip is being composed, a
+    // 503 burst from a proxy) must not abort a bulk export the way the
+    // tight consecutive-connect-failure cap would. Connection drops
+    // remain separately capped at maxConnectRetries consecutive misses.
     var statusPolls = 0
     var resp = tryGet(url)
     while (resp.forall(_.statusCode() == 202)) {
@@ -209,7 +209,7 @@ class CvatClient(baseUrlRaw: String, headers: Map[String, String],
     var dl = tryGet(url + "&action=download")
     while (dl.forall(_.statusCode() != 200)) {
       dlPolls += 1
-      if (dlPolls > maxConnectRetries)
+      if (dlPolls > maxStatusPolls)
         throw new RuntimeException(
           s"Download for job $jobId failed after $dlPolls attempts" +
             dl.map(r => s" (last status ${r.statusCode()})").getOrElse(" (no response)"))

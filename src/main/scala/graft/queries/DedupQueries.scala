@@ -169,8 +169,14 @@ object DedupQueries extends QueryPack {
         val edges = pairs.select(col("da"), col("db"))
           .union(pairs.select(col("db").as("da"), col("da").as("db")))
           .persist()
-        var labels = edges.select(col("da").as("node")).distinct()
+        // `cached` tracks the frame that actually holds each round's
+        // persist — unpersist must target IT, not a projection over it
+        // (unpersisting `next.drop("chg")` is a silent no-op: the
+        // projected plan is not sameResult with the cached one, so
+        // every round would leak its InMemoryRelation)
+        var cached = edges.select(col("da").as("node")).distinct()
           .withColumn("cluster", col("node")).persist()
+        var labels = cached
         var changed = 1L
         while (changed > 0) {
           val prop = edges.join(labels, edges("db") === labels("node"))
@@ -182,17 +188,18 @@ object DedupQueries extends QueryPack {
             .persist()
           changed = Option(next.agg(sum(col("chg").cast("long"))).collect()(0).get(0))
             .map(_.asInstanceOf[Long]).getOrElse(0L)
-          labels.unpersist(blocking = false)
+          cached.unpersist(blocking = false)
+          cached = next
           labels = next.drop("chg")
         }
         edges.unpersist(blocking = false)
         pairs.unpersist(blocking = false)
         // the final round's cache must outlive downstream consumption of
         // the returned frame (its lineage reaches back through every
-        // round) — register it for the consumer's releaseAll instead of
-        // leaking one InMemoryRelation per invocation. pin() re-persists
-        // a no-op and is safe to re-execute after release (recompute).
-        graft.operators.SeqIds.pin(labels)
+        // round) — register the PERSISTED frame for the consumer's
+        // releaseAll instead of leaking it. pin()'s re-persist is a
+        // no-op, and post-release re-execution recomputes correctly.
+        graft.operators.SeqIds.pin(cached)
         labels.select(col("node").as("doc_id"), col("cluster"))
       }
   }

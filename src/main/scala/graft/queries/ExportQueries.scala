@@ -122,9 +122,15 @@ object ExportQueries extends QueryPack {
   private lazy val s9OutDir: String = {
     val p = java.nio.file.Files.createTempDirectory("graft-s9")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => })
+      // fully guarded: an already-removed dir (external tmp cleaner)
+      // must not stack-trace inside the shutdown hook
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Exception => })
+        finally walk.close()
+      } catch { case _: Exception => }
     }))
     p.toString
   }

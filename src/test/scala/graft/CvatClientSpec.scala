@@ -162,7 +162,7 @@ class CvatClientSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("fetchJobImages: a permanently-404 download raises instead of hanging (S8)") {
     val bounded = new CvatClient(base + "/", Map.empty,
-      timeoutSeconds = 5, pollMillis = 1L, maxConnectRetries = 3)
+      timeoutSeconds = 5, pollMillis = 1L, maxConnectRetries = 3, maxStatusPolls = 5)
     val dir = java.nio.file.Files.createTempDirectory("cvat-404").toString
     val e = intercept[RuntimeException] { bounded.fetchJobImages(102, dir) }
     assert(e.getMessage.contains("404"), e.getMessage)

@@ -108,7 +108,7 @@ class ExportSpec extends SparkSpec {
   test("supplementary-plane category names agree across both dim paths") {
     // U+FFFD (�, 3 UTF-8 bytes) vs U+10400 (surrogate pair, 4 UTF-8
     // bytes): UTF-16 code-unit order puts the surrogate (0xD801) first,
-    // UTF8String binary order puts � first. The driver-side localDim
+    // UTF8String binary order puts � first. The driver-side localDims
     // must agree with the SeqIds/Spark ordering.
     val annos = Seq(
       ("img_a", "�", 1L, Seq(0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0), Seq(0.0, 0.0, 2.0, 2.0, 0.0)),
