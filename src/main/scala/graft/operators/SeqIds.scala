@@ -1,6 +1,8 @@
 package graft.operators
 
+import graft.plans.{SeqIdAdjustF, SeqIdReleaseToken}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** Scale-safe global sequential-id assignment (SURVEY §2.6 O3 / §2.4 A5;
@@ -53,21 +55,35 @@ object SeqIds {
     */
   private val caches = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
+  /** Release tokens of frames minted by [[withSeqId]] since the last
+    * [[releaseAll]]. Each token rides its frame's codegen reference
+    * array, which Spark re-serializes at every job submission — so
+    * invalidating it turns post-release re-execution (the silent-id-
+    * corruption case documented on [[releaseAll]]) into a driver-side
+    * IllegalStateException at submission time.
+    */
+  private val tokens = scala.collection.mutable.ArrayBuffer[SeqIdReleaseToken]()
+
   /** Unpersist every frame pinned by withSeqId since the last release.
     *
-    * WARNING: release INVALIDATES every frame previously returned by
-    * [[withSeqId]] — do not execute one afterwards. The per-partition
-    * adjustment map was collected from the cached partitioning; after
-    * unpersist, `repartitionByRange` resamples its range bounds, so a
-    * recomputation's partition ids/counts no longer match the stale
-    * adjustment map and the ids come out silently wrong (null for
-    * unseen pids, shifted otherwise). Call releaseAll only once every
-    * outstanding frame's action has completed, and construct frames
-    * afresh afterwards (Bench/Verify call it between gate queries).
+    * Release INVALIDATES every frame previously returned by
+    * [[withSeqId]]: the per-partition adjustment map was collected from
+    * the cached partitioning; after unpersist, `repartitionByRange`
+    * resamples its range bounds, so a recomputation's partition
+    * ids/counts no longer match the stale adjustment map. This is not a
+    * silent hazard — each frame carries a [[SeqIdReleaseToken]] in its
+    * codegen reference array, invalidated here, so a post-release
+    * execution fails at job submission with an IllegalStateException
+    * (see the token's writeObject) instead of mis-numbering. Call
+    * releaseAll once every outstanding frame's action has completed,
+    * and construct frames afresh afterwards (Bench/Verify call it
+    * between gate queries).
     */
   def releaseAll(): Unit = caches.synchronized {
     caches.foreach(_.unpersist(blocking = false))
     caches.clear()
+    tokens.foreach(_.invalidate())
+    tokens.clear()
   }
 
   /** Pin an arbitrary frame in the same registry: persisted now,
@@ -99,16 +115,26 @@ object SeqIds {
     caches.synchronized { caches += sorted }
     val counts = sorted.groupBy("_g_pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = startAt
-    val adjust: Map[Int, Long] = counts.map { case (pid, n) =>
-      val adj = acc - (pid.toLong << 33)
-      acc += n
-      (pid, adj)
-    }.toMap
-    if (adjust.isEmpty) sorted.withColumn(idName, lit(startAt)).drop("_g_pid", "_g_mid")
-    else sorted
-      .withColumn(idName, col("_g_mid") + element_at(typedlit(adjust), col("_g_pid")))
-      .drop("_g_pid", "_g_mid")
+    if (counts.isEmpty) sorted.withColumn(idName, lit(startAt)).drop("_g_pid", "_g_mid")
+    else {
+      // Dense long[] indexed by pid, Long.MinValue marking partitions
+      // that were empty at count time (a legitimate execution never
+      // routes a row there — SeqIdAdjustF throws on drift). The array
+      // travels in the codegen reference array, not a plan Literal, and
+      // the token alongside it makes post-release re-execution fail at
+      // job submission (see releaseAll).
+      val adjust = Array.fill(counts.map(_._1).max + 1)(Long.MinValue)
+      var acc = startAt
+      counts.foreach { case (pid, n) =>
+        adjust(pid) = acc - (pid.toLong << 33)
+        acc += n
+      }
+      val token = new SeqIdReleaseToken
+      caches.synchronized { tokens += token }
+      val adjCol = ColumnBridge.column(
+        SeqIdAdjustF(ColumnBridge.expression(col("_g_pid")), adjust, token))
+      sorted.withColumn(idName, col("_g_mid") + adjCol).drop("_g_pid", "_g_mid")
+    }
   }
 
   /** Dimension-sized variant: for inputs with BOUNDED cardinality (a

@@ -215,6 +215,11 @@ case class NearestCellF(first: Expression, second: Expression, third: Expression
       val bi = ctx.freshName("bi")
       val best = ctx.freshName("best")
       val d = ctx.freshName("d")
+      // Spark's codegen Block interpolator re-applies stripMargin on
+      // toString, so no emitted line may BEGIN with `|` (e.g. a
+      // wrapped `||` condition) — it would be eaten as a margin
+      // marker, the stage would fail Janino compilation, and the whole
+      // plan silently falls back to interpreted eval.
       s"""
          |int $ne = $v.numElements();
          |double $en = 0.0;
@@ -233,8 +238,8 @@ case class NearestCellF(first: Expression, second: Expression, third: Expression
          |    $dot += (double) $v.getFloat($j) * (double) $cv[$j];
          |  }
          |  double $s = $dot / ($en * $norms[$c]);
-         |  if ($c == 0 || $s > $best
-         |      || (Double.isNaN($s) && !Double.isNaN($best))) {
+         |  if ($c == 0 || $s > $best ||
+         |      (Double.isNaN($s) && !Double.isNaN($best))) {
          |    $best = $s; $bi = $c;
          |  }
          |}

@@ -96,6 +96,22 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("graft_nearest_cell whole-stage codegen compiles (no interpreted fallback)") {
+    // A parquet-backed scan (a LocalRelation input is constant-folded
+    // before any codegen happens) with fallback disabled: if the
+    // generated Java fails Janino, the action throws here instead of
+    // silently degrading the whole stage to interpreted eval. Guards
+    // the stripMargin-eaten `||` regression in NearestCellF.doGenCode —
+    // gate results stayed green through that failure, only the
+    // execution mode (and throughput) degraded.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val assigned = Ivf.assign(spark, emb, centroids)
+      assert(assigned.select("cell").distinct().count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("recall is monotone in nProbe and hits 100% at nProbe = k") {
     val truth = bruteTop(5)
     val r1 = ivfTop(5, 1).intersect(truth).size.toDouble / truth.size

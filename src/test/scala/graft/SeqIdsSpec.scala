@@ -85,6 +85,28 @@ class SeqIdsSpec extends SparkSpec {
       "releaseAll must leave zero SeqIds-pinned InMemoryRelations behind")
   }
 
+  test("post-release re-execution throws at submission, never mis-numbers") {
+    SeqIds.releaseAll()
+    val df = (0 until 2000).map(i => (i * 31L) % 997).toDF("k").repartition(4)
+    val out = SeqIds.withSeqId(df, Seq(col("k")), "id")
+    // legitimate consumption while pinned — evaluates the id column
+    assert(out.agg(sum("id")).head.getLong(0) == (0L until 2000L).sum)
+    SeqIds.releaseAll()
+    // The frame's cache is gone and its release token is invalidated:
+    // any further execution that evaluates the id must fail at job
+    // submission (the token's writeObject fires when Spark serializes
+    // the task binary) rather than recompute under resampled range
+    // bounds and silently emit wrong ids. (An action that PRUNES the id
+    // column — a bare count() — never ships the expression and is
+    // legitimately allowed to succeed.)
+    val e = intercept[Throwable] { out.agg(sum("id")).head }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage != null && c.getMessage.contains("released")),
+      s"expected the SeqIdReleaseToken submission failure, got: $e")
+  }
+
   test("output arrives globally sorted by the sort cols") {
     val df = (0 until 4000).map(i => ((i * 48271L) % 9973, i)).toDF("key", "v")
       .repartition(6)
