@@ -58,6 +58,37 @@ object Coco {
     (dim(0, "image_name", "image_id", 0), dim(1, "category", "category_id", 1))
   }
 
+  /** Session conf key: image-count threshold above which
+    * [[annotationRecords]] stops collecting/broadcasting the image
+    * dimension (localDims) and switches to distributed id assignment +
+    * shuffle join. The default (1M names) is comfortably inside the
+    * broadcast envelope (~50 MB of names); an annotated-image corpus at
+    * 100 TB scale crosses it and must never reach the driver.
+    */
+  val ImageBroadcastMaxRowsKey = "graft.coco.imageBroadcastMaxRows"
+  private val ImageBroadcastMaxRowsDefault = 1L << 20
+
+  /** Test observability hook: which image-dim tier the last
+    * [[annotationRecords]] call took (true = driver localDims,
+    * false = distributed). Read by PlanSpec only.
+    */
+  @volatile private[graft] var lastImageDimWasLocal: Boolean = true
+
+  /** Category dimension for the distributed-image tier: same values,
+    * ordering (UTF-8, nulls first) and dense ids from 1 as localDims'
+    * category half — but the distinct set is computed distributed and
+    * only the bounded label vocabulary is collected.
+    */
+  private def driverCatDim(annos: DataFrame): DataFrame = {
+    val spark = annos.sparkSession
+    import spark.implicits._
+    annos.select("category").distinct().collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+      .sorted(utf8NullsFirst).zipWithIndex
+      .map { case (n, i) => (n, i + 1) }.toSeq
+      .toDF("category", "category_id")
+  }
+
   private val utf8NullsFirst = Ordering.fromLessThan[String] { (a, b) =>
     if (a == null) b != null
     else if (b == null) false
@@ -81,14 +112,19 @@ object Coco {
     */
   def annotationRecords(annos: DataFrame, images: DataFrame,
                         annoKeyCol: String, odtk: Boolean = true): DataFrame = {
-    // Both dims are broadcast-sized by the existing join contract (J4/J5
-    // broadcast true dimensions), so their dense ids are assigned on the
-    // driver (localDims): identical ids to imageDim/categoryDim
-    // (CocoSpec's id-consistency test pins that), identical memory
-    // bound to the broadcast itself — but the dim plan is NOT
-    // re-executed for every downstream action (broadcast sides rebuild
-    // per action; a LocalRelation is free). The fact-sized anno-id
-    // assignment stays on the distributed two-pass SeqIds path.
+    // Two image-dim tiers, switched on a bounded row probe against
+    // ImageBroadcastMaxRowsKey. Below the threshold the dims are
+    // assigned on the driver (localDims): identical ids to
+    // imageDim/categoryDim (CocoSpec's id-consistency test pins that),
+    // identical memory bound to the broadcast the join pays anyway —
+    // but the dim plan is NOT re-executed for every downstream action
+    // (broadcast sides rebuild per action; a LocalRelation is free).
+    // Above it — an annotated-image corpus at 100 TB is not
+    // dimension-bounded — image ids are assigned with the distributed
+    // two-pass SeqIds operator and attached via shuffle join; only the
+    // bounded category vocabulary is ever collected. The fact-sized
+    // anno-id assignment stays on the distributed SeqIds path in both
+    // tiers.
     //
     // Ids are assigned BEFORE the dim joins: the frame SeqIds persists
     // is then the bare anno width (no dim columns), and the
@@ -108,23 +144,45 @@ object Coco {
     // 3-4 full fact-table scans where one suffices. Released with the
     // id caches by SeqIds.releaseAll() after the consumer's action.
     val a = SeqIds.pin(annos)
+    // Tier probe: a bounded early-stop count (never more than
+    // threshold+1 rows are scanned) decides whether the image dim fits
+    // the driver/broadcast envelope. Below it, localDims applies; above
+    // it, image ids are assigned distributed (the same two-pass SeqIds
+    // operator the anno ids use) and attached with a shuffle join —
+    // the image-name set never reaches the driver.
+    val maxLocal = annos.sparkSession.conf
+      .get(ImageBroadcastMaxRowsKey, ImageBroadcastMaxRowsDefault.toString).toLong
+    val probe = math.min(maxLocal + 1, Int.MaxValue.toLong).toInt
+    val imagesLocal = images.limit(probe).count() <= maxLocal
+    lastImageDimWasLocal = imagesLocal
     // One collect serves both dims (localDims); the category dim MUST
     // come from the same unfiltered distinct set cocoDocument's
     // categories array uses (categoryDim over all annos): deriving it
     // from the image-filtered annos would shift the dense ids whenever a
     // category occurs only on unknown-image annos, and every
     // annotation's category_id would silently point at the wrong entry
-    // of the document's categories array.
-    val (imgDim, catDim) = localDims(images, a)
+    // of the document's categories array. The distributed tier keeps
+    // identical id semantics: driverCatDim collects only the bounded
+    // category vocabulary, and imageDim's SeqIds sort is the same
+    // UTF8String ordering localDims replicates driver-side.
+    val (imgDim, catDim) =
+      if (imagesLocal) localDims(images, a)
+      else (imageDim(images.select("image_name")), driverCatDim(a))
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (imagesLocal) broadcast(df) else df
     val known = a
-      .join(broadcast(imgDim.select("image_name")), Seq("image_name"), "left_semi")
+      .join(maybeBroadcast(imgDim.select("image_name")), Seq("image_name"), "left_semi")
       .filter(col("category").isNotNull)
     // category breaks annoKey ties so ids are total-ordered even when
     // the caller's key collides across categories
     val withIds = SeqIds.withSeqId(known, Seq(col(annoKeyCol), col("category")), "id")
+    // In the distributed tier the image join is a shuffle join, so the
+    // returned row order is no longer the id order the broadcast tier
+    // preserves — callers needing id order sort explicitly
+    // (cocoDocument does).
     val joined = withIds
       .withColumn("id", col("id").cast("int"))
-      .join(broadcast(imgDim), Seq("image_name"))
+      .join(maybeBroadcast(imgDim), Seq("image_name"))
       .join(broadcast(catDim), Seq("category"))
     val bbox =
       if (odtk) col("rcoco")

@@ -69,6 +69,44 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("S10 scale tier: image dim never collected above the broadcast threshold") {
+    import spark.implicits._
+    val annos = (0 until 60).map { i =>
+      (s"img_${i % 12}", s"cat_${i % 3}", i.toLong,
+        Seq(i.toDouble, 1.0, 4.0, 3.0, 0.0))
+    }.toDF("image_name", "category", "anno_key", "rcoco")
+    val images = annos.select("image_name").distinct()
+    def run(): (Seq[(Int, Int, Int)], String) = {
+      val out = graft.export.Coco.annotationRecords(annos, images, "anno_key")
+        .select("id", "image_id", "category_id")
+      val rows = out.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+        .toSeq.sortBy(_._1)
+      val plan = out.queryExecution.executedPlan.toString
+      graft.operators.SeqIds.releaseAll()
+      (rows, plan)
+    }
+    val (smallRows, smallPlan) = run()
+    assert(graft.export.Coco.lastImageDimWasLocal,
+      "below the threshold the localDims tier must apply")
+    // a driver-built image dim is a LocalTableScan carrying image_id;
+    // the fixture's own LocalRelation (image_name but no image_id) is
+    // not a collect
+    def driverImgDims(plan: String) = plan.linesIterator.filter(l =>
+      l.contains("LocalTableScan") && l.contains("image_name") && l.contains("image_id")).toSeq
+    assert(driverImgDims(smallPlan).nonEmpty,
+      s"broadcast tier should carry a driver-built image dim:\n$smallPlan")
+    spark.conf.set(graft.export.Coco.ImageBroadcastMaxRowsKey, "4")
+    try {
+      val (bigRows, bigPlan) = run()
+      assert(!graft.export.Coco.lastImageDimWasLocal,
+        "above the threshold the image dim must take the distributed tier")
+      val localImg = driverImgDims(bigPlan)
+      assert(localImg.isEmpty,
+        s"image names reached the driver above the threshold:\n${localImg.mkString("\n")}")
+      assert(bigRows == smallRows, "both tiers must assign identical ids")
+    } finally spark.conf.unset(graft.export.Coco.ImageBroadcastMaxRowsKey)
+  }
+
   test("d_dedup_apply anti join never degenerates to a cartesian") {
     val plan = graft.queries.DedupQueries.defs("d_dedup_apply")(spark, sf())
       .queryExecution.executedPlan.toString
