@@ -30,6 +30,17 @@ object GeomQueries extends QueryPack {
       .withColumn("seg", array(col("x0"), col("y0"), col("x1"), col("y1"),
                                col("x2"), col("y2")))
 
+  /** Deterministic axis-aligned rectangle per part row: integer coords,
+    * sides ≥2 × ≥3 (clamps idle). Open 8-coord polygon TL,TR,BR,BL.
+    */
+  private def withRect(df: DataFrame): DataFrame =
+    df.withColumn("rx0", (col("p_partkey") % 50).cast("double"))
+      .withColumn("ry0", (col("p_partkey") % 37).cast("double"))
+      .withColumn("rx1", col("rx0") + 2 + (col("p_size") % 13).cast("double"))
+      .withColumn("ry1", col("ry0") + 3 + (col("p_partkey") % 7).cast("double"))
+      .withColumn("rseg", array(col("rx0"), col("ry0"), col("rx1"), col("ry0"),
+                                col("rx1"), col("ry1"), col("rx0"), col("ry1")))
+
   private val triangleSqlCtes =
     """WITH tri AS (
          SELECT p_partkey, p_size,
@@ -111,6 +122,24 @@ object GeomQueries extends QueryPack {
                 to_json(col("coco")).as("coco_json"))
         .orderBy("p_partkey")),
 
+    // F-G2→G4 rectangle subclass, HASH-CHECKED (COCOUtils.py:17-80): an
+    // axis-aligned rectangle degenerates the min rotated rect to its own
+    // aabb with theta = 0 — yet every step of the GENERAL path still
+    // runs (hull, rotating calipers, corner permutation, bearing,
+    // rotation matrix), and on this subclass each one is exact integer
+    // arithmetic DuckDB predicts: rcoco = [x0, y0, w, h, 0]. Sides are
+    // ≥2 × ≥3 so the min_hw/min_area clamps stay idle; the atan2 theta
+    // is exactly 0.0 (atan2(0, +w)). Hash-pins the calipers/permutation
+    // code the rows-only f_g1_rbb_pipeline can only row-count.
+    "f_g1_rect_rcoco" -> ((s, d) =>
+      withRect(t(s, d, "part"))
+        .withColumn("rcoco", GeomUdfs.rbbFromSeg(col("rseg")))
+        .select(col("p_partkey"),
+          col("rcoco")(0).as("x"), col("rcoco")(1).as("y"),
+          col("rcoco")(2).as("w"), col("rcoco")(3).as("h"),
+          col("rcoco")(4).as("theta"))
+        .orderBy("p_partkey")),
+
     // F-G1 axis-aligned half, HASH-CHECKED (COCOUtils.py:82-89): the
     // same degenerate-marked pipeline and live P9 rcoco guard as
     // f_g1_rbb_pipeline, but emitting only the SQL-expressible `coco`
@@ -166,6 +195,16 @@ object GeomQueries extends QueryPack {
                  least(x0,x1,x2) AS xmin, least(y0,y1,y2) AS ymin,
                  greatest(x0,x1,x2) AS xmax, greatest(y0,y1,y2) AS ymax
           FROM tri ORDER BY p_partkey""",
+    "f_g1_rect_rcoco" ->
+      """WITH rect AS (
+           SELECT p_partkey,
+                  CAST(p_partkey % 50 AS DOUBLE) AS x0,
+                  CAST(p_partkey % 37 AS DOUBLE) AS y0,
+                  2 + CAST(p_size % 13 AS DOUBLE) AS w,
+                  3 + CAST(p_partkey % 7 AS DOUBLE) AS h
+           FROM part)
+         SELECT p_partkey, x0 AS x, y0 AS y, w, h, CAST(0.0 AS DOUBLE) AS theta
+         FROM rect ORDER BY p_partkey""",
     "f_g1_aa_coco" ->
       s"""$triangleSqlCtes
           SELECT p_partkey,

@@ -5,41 +5,108 @@ import graft.operators.TrackOps
 import graft.operators.TrackOps.TrackRow
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** SURVEY §2.9 — track interpolation as a distributed operator, driven
   * by keyframe tracks synthesized deterministically from `orders`
   * (~300 tracks, keyframes every 3 frames → 2 interpolated frames per
-  * gap). Rows-only check (the interpolation math is not SQL-
-  * expressible); the kernel itself is golden-tested in InterpSpec
-  * against the reference's own output.
+  * gap).
+  *
+  * Two gate angles:
+  *  - `interp_tracks`: full output incl. coordinate arity — rows-only
+  *    (the interpolation math is not SQL-expressible); the kernel is
+  *    golden-tested in InterpSpec against the reference's own output.
+  *  - `interp_counts`: hash-checked. The state machine's row accounting
+  *    (ref CvatApi.py:637-665,712-729) IS SQL-expressible: per
+  *    (track, keyframe-pair) the operator must emit exactly
+  *    gap-1 interpolated frames when the left keyframe is not outside
+  *    and none when it is; the trailing keyframe propagates
+  *    endFrameOffset-1 frames unless outside; every keyframe row
+  *    survives the [trackFrame, endFrame) clip. DuckDB predicts all of
+  *    that from the synthesized keyframes with lead() arithmetic, so a
+  *    drift in break/clip/propagation logic hash-fails.
   */
 object InterpQueries extends QueryPack {
 
+  /** Deterministic keyframe synth shared by both gate queries:
+    * ≤8 keyframes per track at frames 0,3,6,…; outside on every
+    * o_orderkey % 17 == 0 keyframe.
+    */
+  private def keyframes(s: SparkSession, d: String) = {
+    import s.implicits._
+    t(s, d, "orders")
+      .withColumn("track_id", col("o_orderkey") % 300)
+      .withColumn("seq", row_number().over(
+        Window.partitionBy("track_id").orderBy("o_orderkey")))
+      .filter(col("seq") <= 8) // ≤8 keyframes per track
+      .withColumn("frame", (col("seq") - 1) * 3)
+      .withColumn("x", (col("o_custkey") % 100).cast("double"))
+      .withColumn("y", (col("o_orderkey") % 80).cast("double"))
+      .withColumn("sz", (col("o_custkey") % 9 + 2).cast("double"))
+      .select(col("track_id"), col("frame").cast("int").as("frame"),
+        array(col("x"), col("y"), col("x") + col("sz"), col("y"),
+              col("x") + col("sz"), col("y") + col("sz"), col("x"), col("y") + col("sz"))
+          .as("points"),
+        (col("o_orderkey") % 17 === 0).as("outside"))
+      .as[TrackRow]
+  }
+
+  private def interpolated(s: SparkSession, d: String): DataFrame =
+    TrackOps.interpolateTracks(s, keyframes(s, d), endFrameOffset = 3).toDF()
+
   val defs: Map[String, QueryFn] = Map(
-    "interp_tracks" -> ((s, d) => {
-      import s.implicits._
-      val keyframes = t(s, d, "orders")
-        .withColumn("track_id", col("o_orderkey") % 300)
-        .withColumn("seq", row_number().over(
-          Window.partitionBy("track_id").orderBy("o_orderkey")))
-        .filter(col("seq") <= 8) // ≤8 keyframes per track
-        .withColumn("frame", (col("seq") - 1) * 3)
-        .withColumn("x", (col("o_custkey") % 100).cast("double"))
-        .withColumn("y", (col("o_orderkey") % 80).cast("double"))
-        .withColumn("sz", (col("o_custkey") % 9 + 2).cast("double"))
-        .select(col("track_id"), col("frame").cast("int").as("frame"),
-          array(col("x"), col("y"), col("x") + col("sz"), col("y"),
-                col("x") + col("sz"), col("y") + col("sz"), col("x"), col("y") + col("sz"))
-            .as("points"),
-          (col("o_orderkey") % 17 === 0).as("outside"))
-        .as[TrackRow]
-      TrackOps.interpolateTracks(s, keyframes, endFrameOffset = 3)
-        .toDF()
+    "interp_tracks" -> ((s, d) =>
+      interpolated(s, d)
         .select(col("track_id"), col("frame"), col("keyframe"),
           size(col("points")).as("n_coords"))
-        .orderBy("track_id", "frame")
-    })
+        .orderBy("track_id", "frame")),
+
+    // Row accounting of the same operator output, grouped per
+    // (track, segment): a keyframe row is its own segment; an
+    // interpolated/propagated row belongs to the keyframe that opened
+    // it (frames are multiples of 3 by construction, so
+    // frame - frame % 3 is exactly the left keyframe's frame — also
+    // for trailing propagation, which sits right after the last
+    // keyframe).
+    "interp_counts" -> ((s, d) =>
+      interpolated(s, d)
+        .withColumn("seg", when(col("keyframe"), col("frame"))
+          .otherwise(col("frame") - col("frame") % 3))
+        .groupBy("track_id", "seg", "keyframe")
+        .agg(count(lit(1)).as("n_rows"),
+          min("frame").as("first_frame"),
+          max("frame").as("last_frame"))
+        .orderBy("track_id", "seg", "keyframe"))
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    // Pure frame-gap arithmetic over the same synthesized keyframes:
+    // every keyframe emits itself (kept by the clip even when outside);
+    // a non-outside keyframe with a successor emits gap-1 interpolated
+    // frames; the non-outside trailing keyframe propagates
+    // endFrameOffset-1 = 2 frames.
+    "interp_counts" ->
+      """WITH kf AS (
+           SELECT track_id, CAST((seq - 1) * 3 AS INT) AS frame, outside FROM (
+             SELECT o_orderkey % 300 AS track_id,
+                    row_number() OVER (PARTITION BY o_orderkey % 300 ORDER BY o_orderkey) AS seq,
+                    (o_orderkey % 17 = 0) AS outside
+             FROM orders) WHERE seq <= 8),
+         seg AS (
+           SELECT track_id, frame, outside,
+                  lead(frame) OVER (PARTITION BY track_id ORDER BY frame) AS next_frame
+           FROM kf)
+         SELECT track_id, seg, keyframe, n_rows, first_frame, last_frame FROM (
+           SELECT track_id, frame AS seg, TRUE AS keyframe,
+                  CAST(1 AS BIGINT) AS n_rows,
+                  frame AS first_frame, frame AS last_frame FROM kf
+           UNION ALL
+           SELECT track_id, frame, FALSE, CAST(next_frame - frame - 1 AS BIGINT),
+                  frame + 1, next_frame - 1
+           FROM seg WHERE NOT outside AND next_frame IS NOT NULL AND next_frame - frame > 1
+           UNION ALL
+           SELECT track_id, frame, FALSE, CAST(2 AS BIGINT), frame + 1, frame + 2
+           FROM seg WHERE NOT outside AND next_frame IS NULL
+         ) ORDER BY track_id, seg, keyframe"""
+  )
 }
