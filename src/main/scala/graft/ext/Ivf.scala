@@ -24,19 +24,31 @@ object Ivf {
       .withColumn("cell", col("cell").cast("int"))
       .select(col("cell"), col("embedding").as("centroid"))
 
+  /** Bytes of centroid floats above which [[assign]] ships the matrix
+    * as a broadcast variable instead of a foldable Literal. A Literal
+    * is re-serialized into every task binary at every job submission;
+    * a broadcast ships once per executor. 128 KB keeps small quantizers
+    * on the simpler literal plan (trivially cacheable, oracle-visible)
+    * while k·dim beyond a few thousand cells rides the broadcast.
+    */
+  val CentroidLiteralMaxBytes: Long = 128L * 1024
+
   /** Assign each vector to its nearest centroid by cosine (ties by
     * lowest cell id). Adds a `cell` column.
     *
     * Centroids are broadcast-sized by construction, so they are pulled
-    * to the driver once and packed into ONE literal matrix consumed by
-    * the native `graft_nearest_cell` argmax expression — no crossJoin,
-    * no window, no exchange anywhere in the plan, and the plan/codegen
+    * to the driver once and packed into ONE matrix consumed by the
+    * native `graft_nearest_cell` argmax expression — no crossJoin, no
+    * window, no exchange anywhere in the plan, and the plan/codegen
     * size is O(1) in k (the former one-literal-column-per-centroid form
     * compiled O(k) expression trees and cliffed at a few hundred
-    * cells). The score arithmetic (dot/(norm·norm), double
-    * accumulation, NaN-greatest, tie to lowest cell) is bit-identical
-    * to the former greatest()-over-structs form, so the DuckDB oracle
-    * replication is unchanged.
+    * cells). Below [[CentroidLiteralMaxBytes]] the matrix travels as a
+    * foldable Literal; above it, as a Spark broadcast variable
+    * (NearestCellBcastF) so the per-job task binary stays O(1) in k
+    * too. The score arithmetic (dot/(norm·norm), double accumulation,
+    * NaN-greatest, tie to lowest cell) is bit-identical across both
+    * tiers and to the former greatest()-over-structs form, so the
+    * DuckDB oracle replication is unchanged.
     */
   def assign(spark: SparkSession, embeddings: DataFrame,
              centroids: DataFrame): DataFrame = {
@@ -44,9 +56,20 @@ object Ivf {
     val cents: Seq[(Int, Seq[Float])] = centroids.select("cell", "centroid").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toIndexedSeq)).toSeq.sortBy(_._1)
     require(cents.nonEmpty, "assign requires at least one centroid")
-    embeddings.withColumn("cell",
-      call_function("graft_nearest_cell", col("embedding"),
-        typedlit(cents.map(_._2)), typedlit(cents.map(_._1))))
+    val floatBytes = cents.iterator.map(_._2.length.toLong * 4).sum
+    if (floatBytes <= CentroidLiteralMaxBytes)
+      embeddings.withColumn("cell",
+        call_function("graft_nearest_cell", col("embedding"),
+          typedlit(cents.map(_._2)), typedlit(cents.map(_._1))))
+    else {
+      val model = new graft.plans.NearestCellModel(
+        cents.map(_._2.toArray).toArray, cents.map(_._1).toArray)
+      val bc = spark.sparkContext.broadcast(model)
+      embeddings.withColumn("cell",
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.plans.NearestCellBcastF(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")), bc)))
+    }
   }
 
   /** Lloyd refinement: recompute each cell's centroid as the element-wise

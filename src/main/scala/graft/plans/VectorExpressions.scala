@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -22,6 +23,108 @@ private object VectorExpressions {
   def isFloatArray(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) => true
     case _ => false
+  }
+}
+
+/** Centroid matrix + precomputed norms + cell ids, shipped to executors
+  * either inline (literal tier, [[NearestCellF]]) or as a broadcast
+  * variable (large-k tier, [[NearestCellBcastF]]). Plain class with
+  * accessor methods so Janino-generated code can read it directly.
+  */
+final class NearestCellModel(val mats: Array[Array[Float]],
+                             val ids: Array[Int]) extends Serializable {
+  require(ids.length == mats.length && ids.nonEmpty,
+    s"graft_nearest_cell: ${ids.length} cells vs ${mats.length} centroids")
+  val norms: Array[Double] = mats.map { v =>
+    var s = 0.0; var i = 0
+    while (i < v.length) { val d = v(i).toDouble; s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+}
+
+/** The argmax kernel shared by both nearest-cell expression variants:
+  * one interpreted form, one codegen template — byte-identical score
+  * arithmetic (double accumulation, dot/(norm·norm), NaN-greatest,
+  * tie to lowest cell) so the two tiers are hash-interchangeable.
+  */
+private object NearestCellKernel {
+
+  def eval(x: ArrayData, mats: Array[Array[Float]], norms: Array[Double],
+           ids: Array[Int]): Int = {
+    val ne = x.numElements()
+    var en = 0.0
+    var i = 0
+    while (i < ne) { val d = x.getFloat(i).toDouble; en += d * d; i += 1 }
+    en = math.sqrt(en)
+    var bi = 0
+    var best = 0.0
+    var c2 = 0
+    while (c2 < mats.length) {
+      val cv = mats(c2)
+      val n = math.min(ne, cv.length)
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += x.getFloat(i).toDouble * cv(i).toDouble; i += 1 }
+      val s = dot / (en * norms(c2))
+      if (c2 == 0 || s > best || (s.isNaN && !best.isNaN)) { best = s; bi = c2 }
+      c2 += 1
+    }
+    ids(bi)
+  }
+
+  /** Emit the loop reading from `matsExpr`/`normsExpr`/`idsExpr` (any
+    * Java expressions of types float[][]/double[]/int[]; evaluated once
+    * into locals). Spark's codegen Block interpolator re-applies
+    * stripMargin on toString, so no emitted line may BEGIN with `|`
+    * (e.g. a wrapped `||` condition) — it would be eaten as a margin
+    * marker, the stage would fail Janino compilation, and the whole
+    * plan silently falls back to interpreted eval.
+    */
+  def gen(ctx: CodegenContext, v: String, matsExpr: String, normsExpr: String,
+          idsExpr: String, result: String): String = {
+    val ne = ctx.freshName("ne")
+    val en = ctx.freshName("en")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val c = ctx.freshName("c")
+    val cv = ctx.freshName("cv")
+    val n = ctx.freshName("n")
+    val dot = ctx.freshName("dot")
+    val s = ctx.freshName("s")
+    val bi = ctx.freshName("bi")
+    val best = ctx.freshName("best")
+    val d = ctx.freshName("d")
+    val mats = ctx.freshName("mats")
+    val norms = ctx.freshName("norms")
+    val ids = ctx.freshName("ids")
+    s"""
+       |float[][] $mats = $matsExpr;
+       |double[] $norms = $normsExpr;
+       |int[] $ids = $idsExpr;
+       |int $ne = $v.numElements();
+       |double $en = 0.0;
+       |for (int $i = 0; $i < $ne; $i++) {
+       |  double $d = (double) $v.getFloat($i);
+       |  $en += $d * $d;
+       |}
+       |$en = java.lang.Math.sqrt($en);
+       |int $bi = 0;
+       |double $best = 0.0;
+       |for (int $c = 0; $c < $mats.length; $c++) {
+       |  float[] $cv = $mats[$c];
+       |  int $n = java.lang.Math.min($ne, $cv.length);
+       |  double $dot = 0.0;
+       |  for (int $j = 0; $j < $n; $j++) {
+       |    $dot += (double) $v.getFloat($j) * (double) $cv[$j];
+       |  }
+       |  double $s = $dot / ($en * $norms[$c]);
+       |  if ($c == 0 || $s > $best ||
+       |      (Double.isNaN($s) && !Double.isNaN($best))) {
+       |    $best = $s; $bi = $c;
+       |  }
+       |}
+       |$result = $ids[$bi];
+     """.stripMargin
   }
 }
 
@@ -161,96 +264,74 @@ case class NearestCellF(first: Expression, second: Expression, third: Expression
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_nearest_cell"
 
-  @transient private lazy val (cellIds, cellMats, cellNorms) = {
+  @transient private lazy val model = {
     val ids = third.eval(null).asInstanceOf[ArrayData].toIntArray()
     val cd = second.eval(null).asInstanceOf[ArrayData]
     val mats = Array.tabulate(cd.numElements())(i => cd.getArray(i).toFloatArray())
-    val norms = mats.map { v =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { val d = v(i).toDouble; s += d * d; i += 1 }
-      math.sqrt(s)
-    }
-    require(ids.length == mats.length && ids.nonEmpty,
-      s"graft_nearest_cell: ${ids.length} cells vs ${mats.length} centroids")
-    (ids, mats, norms)
+    new NearestCellModel(mats, ids)
   }
 
-  override protected def nullSafeEval(v: Any, c: Any, ids: Any): Any = {
-    val x = v.asInstanceOf[ArrayData]
-    val ne = x.numElements()
-    var en = 0.0
-    var i = 0
-    while (i < ne) { val d = x.getFloat(i).toDouble; en += d * d; i += 1 }
-    en = math.sqrt(en)
-    var bi = 0
-    var best = 0.0
-    var c2 = 0
-    while (c2 < cellMats.length) {
-      val cv = cellMats(c2)
-      val n = math.min(ne, cv.length)
-      var dot = 0.0
-      i = 0
-      while (i < n) { dot += x.getFloat(i).toDouble * cv(i).toDouble; i += 1 }
-      val s = dot / (en * cellNorms(c2))
-      if (c2 == 0 || s > best || (s.isNaN && !best.isNaN)) { best = s; bi = c2 }
-      c2 += 1
-    }
-    cellIds(bi)
-  }
+  override protected def nullSafeEval(v: Any, c: Any, ids: Any): Any =
+    NearestCellKernel.eval(v.asInstanceOf[ArrayData], model.mats, model.norms, model.ids)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mats = ctx.addReferenceObj("cellMats", cellMats, "float[][]")
-    val norms = ctx.addReferenceObj("cellNorms", cellNorms, "double[]")
-    val ids = ctx.addReferenceObj("cellIds", cellIds, "int[]")
-    nullSafeCodeGen(ctx, ev, (v, _, _) => {
-      val ne = ctx.freshName("ne")
-      val en = ctx.freshName("en")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val c = ctx.freshName("c")
-      val cv = ctx.freshName("cv")
-      val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot")
-      val s = ctx.freshName("s")
-      val bi = ctx.freshName("bi")
-      val best = ctx.freshName("best")
-      val d = ctx.freshName("d")
-      // Spark's codegen Block interpolator re-applies stripMargin on
-      // toString, so no emitted line may BEGIN with `|` (e.g. a
-      // wrapped `||` condition) — it would be eaten as a margin
-      // marker, the stage would fail Janino compilation, and the whole
-      // plan silently falls back to interpreted eval.
-      s"""
-         |int $ne = $v.numElements();
-         |double $en = 0.0;
-         |for (int $i = 0; $i < $ne; $i++) {
-         |  double $d = (double) $v.getFloat($i);
-         |  $en += $d * $d;
-         |}
-         |$en = java.lang.Math.sqrt($en);
-         |int $bi = 0;
-         |double $best = 0.0;
-         |for (int $c = 0; $c < $mats.length; $c++) {
-         |  float[] $cv = $mats[$c];
-         |  int $n = java.lang.Math.min($ne, $cv.length);
-         |  double $dot = 0.0;
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    $dot += (double) $v.getFloat($j) * (double) $cv[$j];
-         |  }
-         |  double $s = $dot / ($en * $norms[$c]);
-         |  if ($c == 0 || $s > $best ||
-         |      (Double.isNaN($s) && !Double.isNaN($best))) {
-         |    $best = $s; $bi = $c;
-         |  }
-         |}
-         |${ev.value} = $ids[$bi];
-       """.stripMargin
-    })
+    val mats = ctx.addReferenceObj("cellMats", model.mats, "float[][]")
+    val norms = ctx.addReferenceObj("cellNorms", model.norms, "double[]")
+    val ids = ctx.addReferenceObj("cellIds", model.ids, "int[]")
+    nullSafeCodeGen(ctx, ev, (v, _, _) =>
+      NearestCellKernel.gen(ctx, v, mats, norms, ids, ev.value))
   }
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Large-k tier of the nearest-cell argmax: the centroid matrix rides a
+  * Spark broadcast variable instead of a foldable Literal. A Literal
+  * matrix is re-serialized into EVERY task binary at every job
+  * submission (and inflates plan/analysis size linearly in k·dim); a
+  * broadcast ships once per executor and the task binary carries only
+  * the handle, so k=10⁵ centroids cost the same per-job bytes as k=8.
+  * Same kernel, bit-identical scores to [[NearestCellF]].
+  *
+  * Carries executor-side state a FunctionRegistry signature can't
+  * express, so it is constructed directly (via ColumnBridge) by
+  * [[graft.ext.Ivf.assign]] above its size threshold.
+  */
+case class NearestCellBcastF(child: Expression, bc: Broadcast[NearestCellModel])
+    extends UnaryExpression {
+
+  import VectorExpressions.isFloatArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cell expects array<float> vec, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_nearest_cell_bcast"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val m = bc.value
+    NearestCellKernel.eval(v.asInstanceOf[ArrayData], m.mats, m.norms, m.ids)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelCls = classOf[NearestCellModel].getName
+    val bcRef = ctx.addReferenceObj("nearestBc", bc, classOf[Broadcast[_]].getName)
+    // resolved from the broadcast once per generated-class instance,
+    // not per row
+    val model = ctx.addMutableState(modelCls, "nearestModel",
+      v => s"$v = ($modelCls) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, v =>
+      NearestCellKernel.gen(ctx, v,
+        s"$model.mats()", s"$model.norms()", s"$model.ids()", ev.value))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Native GENERATOR for the bucket → candidate-pairs step of LSH /

@@ -96,6 +96,52 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("k=4096 centroids ride a broadcast, not a plan literal") {
+    // 4096 × dim-16 centroids = 256 KB of floats — above
+    // Ivf.CentroidLiteralMaxBytes, so the matrix must travel as a
+    // broadcast variable: the plan carries only the handle (flat size),
+    // never a quarter-megabyte literal re-serialized into every task
+    // binary. Correctness is pinned against a driver-side brute-force
+    // argmax with the same tie rule, with codegen fallback disabled so
+    // the generated kernel must actually compile.
+    import spark.implicits._
+    val dim = 16
+    val k = 4096
+    val cents = (0 until k)
+      .map(c => (c, (0 until dim).map(j => ((c * 31 + j * 7) % 97 - 48) / 16.0f)))
+      .toDF("cell", "centroid")
+    val vecs = (0 until 200)
+      .map(v => (v.toLong, (0 until dim).map(j => ((v * 13 + j * 5) % 89 - 44) / 8.0f)))
+      .toDF("vec_id", "embedding")
+      .repartition(4) // defeat local-relation constant folding
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val assigned = Ivf.assign(spark, vecs, cents)
+      val plan = assigned.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_nearest_cell_bcast"),
+        s"large k must take the broadcast tier:\n${plan.take(1500)}")
+      assert(plan.length < 4000, s"plan size grew with k (${plan.length} chars)")
+      assert(!plan.contains("Join") && !plan.contains("Window"),
+        s"assign must stay a flat projection:\n${plan.take(1500)}")
+      val cmat = cents.collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      def brute(v: Array[Float]): Int = {
+        val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
+        var bi = 0; var best = Double.NegativeInfinity
+        for (((_, c), i) <- cmat.zipWithIndex) {
+          val dot = v.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum
+          val s = dot / (nv * math.sqrt(c.map(x => x.toDouble * x).sum))
+          if (s > best) { best = s; bi = i }
+        }
+        cmat(bi)._1
+      }
+      assigned.collect().foreach { r =>
+        val v = r.getSeq[Float](1).toArray
+        assert(r.getInt(2) == brute(v), s"vec ${r.getLong(0)} assigned to wrong cell")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("graft_nearest_cell whole-stage codegen compiles (no interpreted fallback)") {
     // A parquet-backed scan (a LocalRelation input is constant-folded
     // before any codegen happens) with fallback disabled: if the
