@@ -48,6 +48,39 @@ class YoloFidelitySpec extends SparkSpec {
     }
   }
 
+  test("written directory tree matches the yoloLines manifest (names + line counts)") {
+    // The file sink's contract is exactly its relational manifest
+    // (yoloLines, hash-checked as s11_yolo_lines): one {image_name}.txt
+    // per ANNOTATED image — an image with no annotations must produce
+    // no file (P8 semi-filter) — whose content is the manifest body and
+    // whose line count is n_annos. Driven by the full Synth frames at
+    // the test scale, not a hand fixture, so the executor-side fan-out
+    // path is exercised across real partitions.
+    val annos = graft.queries.Synth.annos(spark, sf())
+    val images = graft.queries.Synth.images(spark, sf())
+      .unionByName(spark.sql(
+        "SELECT 'img_unannotated' AS image_name, CAST(640 AS BIGINT) AS width, " +
+        "CAST(480 AS BIGINT) AS height, CAST(array() AS array<string>) AS tags"))
+    val catMap = Coco.categoryDim(annos)
+    val dir = Files.createTempDirectory("yolofid-layout").toString
+    Yolo.writeYoloDataset(annos, images, catMap, "anno_key", dir)
+    val manifest = Yolo.yoloLines(annos, images, catMap, "anno_key")
+      .select("image_name", "body", "n_annos").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(manifest.nonEmpty)
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(files == manifest.keySet.map(_ + ".txt"),
+      s"file tree diverges from manifest: ${files.size} files vs ${manifest.size} manifest rows")
+    assert(!files.contains("img_unannotated.txt"),
+      "an image with no annotations must produce no file")
+    for ((name, (body, n)) <- manifest) {
+      val content = Files.readString(Paths.get(dir, name + ".txt"))
+      assert(content == body + "\n", s"$name.txt content diverges from manifest body")
+      assert(content.trim.split("\n").length.toLong == n,
+        s"$name.txt line count != n_annos=$n")
+    }
+  }
+
   test("YOLO output matches the reference exporter (bbox + segmentation modes)") {
     val (annos, images) = fixtureFrames
     val catMap = Coco.categoryDim(annos) // lexicographic ids from 1 = golden cat_map
