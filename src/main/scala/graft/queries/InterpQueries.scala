@@ -54,6 +54,38 @@ object InterpQueries extends QueryPack {
   private def interpolated(s: SparkSession, d: String): DataFrame =
     TrackOps.interpolateTracks(s, keyframes(s, d), endFrameOffset = 3).toDF()
 
+  /** Translation-only rectangle tracks: per track a FIXED w×h rectangle
+    * whose position varies per keyframe. On this subclass the full
+    * interpolation kernel is exactly predictable: identical shapes have
+    * identical arc-length offset vectors, so the nearest-pair matching
+    * is the identity; every corner lerps independently
+    * (c0 + (c1-c0)·offset, all exact-integer differences, so the IEEE
+    * double is engine-identical); and the decimation keeps all corners
+    * because each side ≥ perimeter/10 for the bounded aspect ratios
+    * used here (w∈[3,10], h∈[4,8]). All outside=false, so the only
+    * state-machine paths are interpolate + trailing propagation.
+    */
+  private def rectKeyframes(s: SparkSession, d: String) = {
+    import s.implicits._
+    t(s, d, "orders")
+      .withColumn("track_id", col("o_orderkey") % 200)
+      .withColumn("seq", row_number().over(
+        Window.partitionBy("track_id").orderBy("o_orderkey")))
+      .filter(col("seq") <= 6)
+      .withColumn("frame", ((col("seq") - 1) * 3).cast("int"))
+      .withColumn("w", (col("track_id") % 8 + 3).cast("double"))
+      .withColumn("h", (col("track_id") % 5 + 4).cast("double"))
+      .withColumn("x0", (col("o_custkey") % 50).cast("double"))
+      .withColumn("y0", (col("o_orderkey") % 40).cast("double"))
+      .select(col("track_id"), col("frame"),
+        array(col("x0"), col("y0"),
+              col("x0") + col("w"), col("y0"),
+              col("x0") + col("w"), col("y0") + col("h"),
+              col("x0"), col("y0") + col("h")).as("points"),
+        lit(false).as("outside"))
+      .as[TrackRow]
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "interp_tracks" -> ((s, d) =>
       interpolated(s, d)
@@ -76,7 +108,21 @@ object InterpQueries extends QueryPack {
         .agg(count(lit(1)).as("n_rows"),
           min("frame").as("first_frame"),
           max("frame").as("last_frame"))
-        .orderBy("track_id", "seg", "keyframe"))
+        .orderBy("track_id", "seg", "keyframe")),
+
+    // Interpolated COORDINATES, hash-checked, on the translation-only
+    // rectangle subclass (see rectKeyframes): the operator's output
+    // points must equal the per-corner lerp DuckDB computes with the
+    // same double arithmetic — matching, decimation and propagation all
+    // exercised through the general kernel.
+    "interp_rect_values" -> ((s, d) =>
+      TrackOps.interpolateTracks(s, rectKeyframes(s, d), endFrameOffset = 3).toDF()
+        .select(col("track_id"), col("frame"), col("keyframe"),
+          col("points")(0).as("px0"), col("points")(1).as("py0"),
+          col("points")(2).as("px1"), col("points")(3).as("py1"),
+          col("points")(4).as("px2"), col("points")(5).as("py2"),
+          col("points")(6).as("px3"), col("points")(7).as("py3"))
+        .orderBy("track_id", "frame"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -107,6 +153,52 @@ object InterpQueries extends QueryPack {
            UNION ALL
            SELECT track_id, frame, FALSE, CAST(2 AS BIGINT), frame + 1, frame + 2
            FROM seg WHERE NOT outside AND next_frame IS NULL
-         ) ORDER BY track_id, seg, keyframe"""
+         ) ORDER BY track_id, seg, keyframe""",
+    // Per-corner lerp with the kernel's exact expression shape:
+    // corner + (next_corner - corner) * (g / gap). All corner
+    // differences are exact-integer doubles, so the one inexact step
+    // (the multiply-add against g/gap) is the same IEEE operation in
+    // both engines. Trailing propagation copies the last keyframe.
+    "interp_rect_values" ->
+      """WITH kf AS (
+           SELECT track_id, CAST((seq - 1) * 3 AS INT) AS frame,
+                  CAST(track_id % 8 + 3 AS DOUBLE) AS w,
+                  CAST(track_id % 5 + 4 AS DOUBLE) AS h,
+                  CAST(o_custkey % 50 AS DOUBLE) AS x0,
+                  CAST(o_orderkey % 40 AS DOUBLE) AS y0
+           FROM (
+             SELECT o_orderkey, o_custkey, o_orderkey % 200 AS track_id,
+                    row_number() OVER (PARTITION BY o_orderkey % 200 ORDER BY o_orderkey) AS seq
+             FROM orders) WHERE seq <= 6),
+         seg AS (
+           SELECT track_id, frame, w, h, x0, y0,
+                  lead(frame) OVER tw AS nf,
+                  lead(x0) OVER tw AS nx,
+                  lead(y0) OVER tw AS ny
+           FROM kf WINDOW tw AS (PARTITION BY track_id ORDER BY frame))
+         SELECT track_id, frame, keyframe,
+                px0, py0, px1, py1, px2, py2, px3, py3 FROM (
+           SELECT track_id, frame, TRUE AS keyframe,
+                  x0 AS px0, y0 AS py0, x0 + w AS px1, y0 AS py1,
+                  x0 + w AS px2, y0 + h AS py2, x0 AS px3, y0 + h AS py3
+           FROM kf
+           UNION ALL
+           SELECT track_id, frame + CAST(g AS INT), FALSE,
+                  x0 + (nx - x0) * (CAST(g AS DOUBLE) / (nf - frame)),
+                  y0 + (ny - y0) * (CAST(g AS DOUBLE) / (nf - frame)),
+                  (x0 + w) + (nx - x0) * (CAST(g AS DOUBLE) / (nf - frame)),
+                  y0 + (ny - y0) * (CAST(g AS DOUBLE) / (nf - frame)),
+                  (x0 + w) + (nx - x0) * (CAST(g AS DOUBLE) / (nf - frame)),
+                  (y0 + h) + (ny - y0) * (CAST(g AS DOUBLE) / (nf - frame)),
+                  x0 + (nx - x0) * (CAST(g AS DOUBLE) / (nf - frame)),
+                  (y0 + h) + (ny - y0) * (CAST(g AS DOUBLE) / (nf - frame))
+           FROM (SELECT *, UNNEST(generate_series(1, nf - frame - 1)) AS g
+                 FROM seg WHERE nf IS NOT NULL)
+           UNION ALL
+           SELECT track_id, frame + CAST(g AS INT), FALSE,
+                  x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h
+           FROM (SELECT *, UNNEST([1, 2]) AS g
+                 FROM seg WHERE nf IS NULL)
+         ) ORDER BY track_id, frame"""
   )
 }
