@@ -48,6 +48,24 @@ class ExportSpec extends SparkSpec {
     assert(a0.has("segmentation") && a0.get("segmentation").get(0).size() == 8)
   }
 
+  test("cocoDocument is byte-identical across both image-dim tiers") {
+    // The scale tier must be invisible in the output: the same fixture
+    // exported with the driver localDims path and with the distributed
+    // image-id path (threshold forced to 0) must produce the same COCO
+    // document byte for byte.
+    val small = Coco.cocoDocument(annoFixture, imageFixture, "anno_key")
+    graft.operators.SeqIds.releaseAll()
+    spark.conf.set(Coco.ImageBroadcastMaxRowsKey, "0")
+    try {
+      val big = Coco.cocoDocument(annoFixture, imageFixture, "anno_key")
+      assert(!Coco.lastImageDimWasLocal, "threshold 0 must force the distributed tier")
+      assert(big == small, "document diverges across image-dim tiers")
+    } finally {
+      spark.conf.unset(Coco.ImageBroadcastMaxRowsKey)
+      graft.operators.SeqIds.releaseAll()
+    }
+  }
+
   test("annotationRecords ids agree with imageDim/categoryDim (single source of truth)") {
     // cocoDocument builds the images array from imageDim (SeqIds path)
     // and annotation image_id/category_id from the localized driver dims;
