@@ -68,6 +68,34 @@ class VectorExprSpec extends SparkSpec {
       s"expected native generator in plan:\n$plan")
   }
 
+  test("every native expression compiles under codegen fallback=false") {
+    // The nearest-cell regression proved a plan can CONTAIN a native
+    // expression, return green results, and still run interpreted
+    // because its generated Java failed Janino. Execute each native
+    // expression over a parquet-backed frame (local relations are
+    // folded before codegen) with fallback disabled, so any compile
+    // failure throws instead of degrading silently.
+    GraftFunctions.register(spark)
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      // graft_dot + graft_norm in one projection
+      assert(e.select(expr("graft_dot(embedding, embedding)").as("d"),
+          expr("graft_norm(embedding)").as("n"))
+        .agg(sum("d"), sum("n")).head() != null)
+      // graft_pairs through GenerateExec
+      assert(e.limit(64).select(col("vec_id") % 4 as "b", col("vec_id"))
+        .groupBy("b").agg(sort_array(collect_list("vec_id")).as("ids"))
+        .selectExpr("graft_pairs(ids)").count() > 0)
+      // SeqIdAdjustF via the two-pass id operator
+      val ids = graft.operators.SeqIds.withSeqId(
+        e.select("vec_id"), Seq(col("vec_id")), "sid")
+      assert(ids.agg(max("sid")).head().getLong(0) >= 0)
+      graft.operators.SeqIds.releaseAll()
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("type mismatch is rejected at analysis") {
     GraftFunctions.register(spark)
     val bad = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v") // array<double>
