@@ -33,21 +33,27 @@ object Coco {
     SeqIds.withSeqId(images, Seq(col("image_name")), "image_id")
       .withColumn("image_id", col("image_id").cast("int"))
 
-  /** Both exporter dims in ONE action: the image-name and category
-    * value sets are unioned (tagged) into a single distinct+collect, so
-    * the job-scheduling and upstream-scan cost of a second dim collect
-    * disappears. Driver-side the tagged values are split, sorted with
-    * UTF-8 byte ordering (nulls FIRST — exactly Spark's ASC NULLS FIRST
-    * over UTF8String, so these ids agree with the SeqIds-based
+  /** ONE action serves the tier decision AND both exporter dims: the
+    * image side is collected LIMIT-capped at `maxImages`+1 rows and
+    * unioned (tagged) with the distinct category vocabulary. If the cap
+    * was not hit, the image values are complete and both dims come back
+    * as driver LocalRelations (broadcast tier); if it was, only the
+    * bounded category dim is built — image names beyond the cap never
+    * reach the driver and the caller switches to the distributed
+    * image-id path. Either way the driver holds at most maxImages+1
+    * image names, and no separate probe job runs. Values are sorted
+    * with UTF-8 byte ordering (nulls FIRST — exactly Spark's ASC NULLS
+    * FIRST over UTF8String, so these ids agree with the SeqIds-based
     * categoryDim/imageDim; Scala's `String.<` compares UTF-16 code
     * units and would desync on U+E000..U+FFFF vs supplementary-plane
     * names), zipped with their index, and returned as LocalRelations.
-    * Bounded by the broadcast contract of the caller.
     */
-  private def localDims(images: DataFrame, annos: DataFrame): (DataFrame, DataFrame) = {
+  private def localDims(images: DataFrame, annos: DataFrame,
+                        maxImages: Long): (Option[DataFrame], DataFrame) = {
     val spark = annos.sparkSession
     import spark.implicits._
-    val tagged = images.select(col("image_name").as("v"), lit(0).as("kind"))
+    val cap = math.min(maxImages + 1, Int.MaxValue.toLong).toInt
+    val tagged = images.select(col("image_name").as("v"), lit(0).as("kind")).limit(cap)
       .union(annos.select(col("category").as("v"), lit(1).as("kind")).distinct())
       .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getInt(1)))
     def dim(kind: Int, nameCol: String, idCol: String, startAt: Int) =
@@ -55,7 +61,10 @@ object Coco {
         .sorted(utf8NullsFirst).zipWithIndex
         .map { case (n, i) => (n, i + startAt) }.toSeq
         .toDF(nameCol, idCol)
-    (dim(0, "image_name", "image_id", 0), dim(1, "category", "category_id", 1))
+    val imgCount = tagged.count(_._2 == 0)
+    val imgDim =
+      if (imgCount <= maxImages) Some(dim(0, "image_name", "image_id", 0)) else None
+    (imgDim, dim(1, "category", "category_id", 1))
   }
 
   /** Session conf key: image-count threshold above which
@@ -73,21 +82,6 @@ object Coco {
     * false = distributed). Read by PlanSpec only.
     */
   @volatile private[graft] var lastImageDimWasLocal: Boolean = true
-
-  /** Category dimension for the distributed-image tier: same values,
-    * ordering (UTF-8, nulls first) and dense ids from 1 as localDims'
-    * category half — but the distinct set is computed distributed and
-    * only the bounded label vocabulary is collected.
-    */
-  private def driverCatDim(annos: DataFrame): DataFrame = {
-    val spark = annos.sparkSession
-    import spark.implicits._
-    annos.select("category").distinct().collect()
-      .map(r => if (r.isNullAt(0)) null else r.getString(0))
-      .sorted(utf8NullsFirst).zipWithIndex
-      .map { case (n, i) => (n, i + 1) }.toSeq
-      .toDF("category", "category_id")
-  }
 
   private val utf8NullsFirst = Ordering.fromLessThan[String] { (a, b) =>
     if (a == null) b != null
@@ -144,32 +138,24 @@ object Coco {
     // 3-4 full fact-table scans where one suffices. Released with the
     // id caches by SeqIds.releaseAll() after the consumer's action.
     val a = SeqIds.pin(annos)
-    // Tier probe: a bounded early-stop count (never more than
-    // threshold+1 rows are scanned) decides whether the image dim fits
-    // the driver/broadcast envelope. Below it, localDims applies; above
-    // it, image ids are assigned distributed (the same two-pass SeqIds
-    // operator the anno ids use) and attached with a shuffle join —
-    // the image-name set never reaches the driver.
-    val maxLocal = annos.sparkSession.conf
-      .get(ImageBroadcastMaxRowsKey, ImageBroadcastMaxRowsDefault.toString).toLong
-    val probe = math.min(maxLocal + 1, Int.MaxValue.toLong).toInt
-    val imagesLocal = images.limit(probe).count() <= maxLocal
-    lastImageDimWasLocal = imagesLocal
-    // One collect serves both dims (localDims); the category dim MUST
-    // come from the same unfiltered distinct set cocoDocument's
-    // categories array uses (categoryDim over all annos): deriving it
-    // from the image-filtered annos would shift the dense ids whenever a
+    // One LIMIT-capped collect (localDims) serves the tier decision and
+    // both dims — no separate probe job. The category dim MUST come
+    // from the same unfiltered distinct set cocoDocument's categories
+    // array uses (categoryDim over all annos): deriving it from the
+    // image-filtered annos would shift the dense ids whenever a
     // category occurs only on unknown-image annos, and every
     // annotation's category_id would silently point at the wrong entry
     // of the document's categories array. The distributed tier keeps
-    // identical id semantics: driverCatDim collects only the bounded
-    // category vocabulary, and imageDim's SeqIds sort is the same
-    // UTF8String ordering localDims replicates driver-side.
-    val (imgDim, catDim) =
-      if (imagesLocal) localDims(images, a)
-      else (imageDim(images.select("image_name")), driverCatDim(a))
+    // identical id semantics: only the bounded category vocabulary is
+    // collected, and imageDim's SeqIds sort is the same UTF8String
+    // ordering localDims replicates driver-side.
+    val maxLocal = annos.sparkSession.conf
+      .get(ImageBroadcastMaxRowsKey, ImageBroadcastMaxRowsDefault.toString).toLong
+    val (imgDimLocal, catDim) = localDims(images, a, maxLocal)
+    lastImageDimWasLocal = imgDimLocal.isDefined
+    val imgDim = imgDimLocal.getOrElse(imageDim(images.select("image_name")))
     def maybeBroadcast(df: DataFrame): DataFrame =
-      if (imagesLocal) broadcast(df) else df
+      if (imgDimLocal.isDefined) broadcast(df) else df
     val known = a
       .join(maybeBroadcast(imgDim.select("image_name")), Seq("image_name"), "left_semi")
       .filter(col("category").isNotNull)
