@@ -11,13 +11,20 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object TrackOps {
 
-  /** Input row: one keyframe shape of a track. */
+  /** Input row: one keyframe shape of a track. `attributes` are CVAT
+    * (spec_id, value) pairs; missing attributes inherit forward from
+    * the previous keyframe (ref CvatApi.py:700-703).
+    */
   final case class TrackRow(track_id: Long, frame: Int, points: Seq[Double],
-                            outside: Boolean)
+                            outside: Boolean,
+                            attributes: Seq[(Int, String)])
 
-  /** Output row: keyframe or interpolated shape. */
+  /** Output row: keyframe or interpolated shape, with the shape's
+    * resolved (post-propagation) attributes.
+    */
   final case class InterpRow(track_id: Long, frame: Int, keyframe: Boolean,
-                             points: Seq[Double])
+                             points: Seq[Double],
+                             attributes: Seq[(Int, String)])
 
   /** Interpolate every track; each track's end frame is its last
     * keyframe + `endFrameOffset` (the trailing-propagation window).
@@ -28,13 +35,14 @@ object TrackOps {
     rows.groupByKey(_.track_id).flatMapGroups { (tid, it) =>
       val keyframes = it.toSeq.map(r =>
         TrackShape(r.frame, "polygon", r.points.toArray, r.outside,
-          keyframe = false, attributes = Nil))
+          keyframe = false, attributes = r.attributes))
       if (keyframes.isEmpty) Iterator.empty
       else {
         val trackFrame = keyframes.map(_.frame).min
         val endFrame = keyframes.map(_.frame).max + endFrameOffset
         TrackInterpolation.interpolateShapes(trackFrame, keyframes, endFrame)
-          .iterator.map(s => InterpRow(tid, s.frame, s.keyframe, s.points.toSeq))
+          .iterator.map(s =>
+            InterpRow(tid, s.frame, s.keyframe, s.points.toSeq, s.attributes))
       }
     }
   }

@@ -47,7 +47,8 @@ object InterpQueries extends QueryPack {
         array(col("x"), col("y"), col("x") + col("sz"), col("y"),
               col("x") + col("sz"), col("y") + col("sz"), col("x"), col("y") + col("sz"))
           .as("points"),
-        (col("o_orderkey") % 17 === 0).as("outside"))
+        (col("o_orderkey") % 17 === 0).as("outside"),
+        typedlit(Seq.empty[(Int, String)]).as("attributes"))
       .as[TrackRow]
   }
 
@@ -82,7 +83,8 @@ object InterpQueries extends QueryPack {
               col("x0") + col("w"), col("y0"),
               col("x0") + col("w"), col("y0") + col("h"),
               col("x0"), col("y0") + col("h")).as("points"),
-        lit(false).as("outside"))
+        lit(false).as("outside"),
+        typedlit(Seq.empty[(Int, String)]).as("attributes"))
       .as[TrackRow]
   }
 
