@@ -88,6 +88,37 @@ object InterpQueries extends QueryPack {
       .as[TrackRow]
   }
 
+  /** Keyframes exercising attribute forward-propagation
+    * (ref CvatApi.py:700-703): attr 1 re-stated on every 3rd keyframe
+    * (value encodes which), attr 2 stated only on the first — every
+    * later shape must inherit both, latest statement winning.
+    */
+  private def attrKeyframes(s: SparkSession, d: String) = {
+    import s.implicits._
+    t(s, d, "orders")
+      .withColumn("track_id", col("o_orderkey") % 250)
+      .withColumn("seq", row_number().over(
+        Window.partitionBy("track_id").orderBy("o_orderkey")))
+      .filter(col("seq") <= 8)
+      .withColumn("frame", ((col("seq") - 1) * 3).cast("int"))
+      .withColumn("x", (col("o_custkey") % 60).cast("double"))
+      .withColumn("y", (col("o_orderkey") % 45).cast("double"))
+      .withColumn("attributes",
+        when(col("seq") === 1,
+          array(struct(lit(1).as("_1"),
+                  concat(lit("v"), col("seq").cast("string")).as("_2")),
+                struct(lit(2).as("_1"), lit("w").as("_2"))))
+        .when(col("seq") % 3 === 1,
+          array(struct(lit(1).as("_1"),
+                  concat(lit("v"), col("seq").cast("string")).as("_2"))))
+        .otherwise(typedlit(Seq.empty[(Int, String)])))
+      .select(col("track_id"), col("frame"),
+        array(col("x"), col("y"), col("x") + 5, col("y"),
+              col("x") + 5, col("y") + 4, col("x"), col("y") + 4).as("points"),
+        lit(false).as("outside"), col("attributes"))
+      .as[TrackRow]
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "interp_tracks" -> ((s, d) =>
       interpolated(s, d)
@@ -124,6 +155,19 @@ object InterpQueries extends QueryPack {
           col("points")(2).as("px1"), col("points")(3).as("py1"),
           col("points")(4).as("px2"), col("points")(5).as("py2"),
           col("points")(6).as("px3"), col("points")(7).as("py3"))
+        .orderBy("track_id", "frame")),
+
+    // Attribute propagation, hash-checked: every output shape's
+    // resolved attribute set (canonicalized: sorted by id, id=value
+    // joined with ';') must equal the forward-fill DuckDB predicts —
+    // a keyframe missing an attribute inherits the latest earlier
+    // statement; interpolated/propagated rows carry their left
+    // keyframe's resolved set.
+    "interp_attrs" -> ((s, d) =>
+      TrackOps.interpolateTracks(s, attrKeyframes(s, d), endFrameOffset = 3).toDF()
+        .select(col("track_id"), col("frame"), col("keyframe"),
+          expr("array_join(transform(array_sort(attributes), " +
+            "a -> concat(cast(a._1 AS string), '=', a._2)), ';')").as("attrs"))
         .orderBy("track_id", "frame"))
   )
 
@@ -201,6 +245,32 @@ object InterpQueries extends QueryPack {
                   x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h
            FROM (SELECT *, UNNEST([1, 2]) AS g
                  FROM seg WHERE nf IS NULL)
+         ) ORDER BY track_id, frame""",
+    // Forward fill in SQL: the latest keyframe seq m ≤ s with
+    // m % 3 = 1 is m = s - ((s-1) % 3), so attr 1 resolves to 'v'||m
+    // and attr 2 (stated once on seq 1) to 'w' everywhere. Interpolated
+    // and trailing rows copy their left keyframe's resolved string.
+    "interp_attrs" ->
+      """WITH kf AS (
+           SELECT track_id, CAST((seq - 1) * 3 AS INT) AS frame, seq FROM (
+             SELECT o_orderkey % 250 AS track_id,
+                    row_number() OVER (PARTITION BY o_orderkey % 250 ORDER BY o_orderkey) AS seq
+             FROM orders) WHERE seq <= 8),
+         res AS (
+           SELECT track_id, frame,
+                  '1=v' || CAST(seq - ((seq - 1) % 3) AS VARCHAR) || ';2=w' AS attrs,
+                  lead(frame) OVER (PARTITION BY track_id ORDER BY frame) AS nf
+           FROM kf)
+         SELECT track_id, frame, keyframe, attrs FROM (
+           SELECT track_id, frame, TRUE AS keyframe, attrs FROM res
+           UNION ALL
+           SELECT track_id, frame + CAST(g AS INT), FALSE, attrs
+           FROM (SELECT *, UNNEST(generate_series(1, nf - frame - 1)) AS g
+                 FROM res WHERE nf IS NOT NULL)
+           UNION ALL
+           SELECT track_id, frame + CAST(g AS INT), FALSE, attrs
+           FROM (SELECT *, UNNEST([1, 2]) AS g
+                 FROM res WHERE nf IS NULL)
          ) ORDER BY track_id, frame"""
   )
 }
