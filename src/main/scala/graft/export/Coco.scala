@@ -78,10 +78,14 @@ object Coco {
   private val ImageBroadcastMaxRowsDefault = 1L << 20
 
   /** Test observability hook: which image-dim tier the last
-    * [[annotationRecords]] call took (true = driver localDims,
-    * false = distributed). Read by PlanSpec only.
+    * [[annotationRecords]] call ON THIS THREAD took (true = driver
+    * localDims, false = distributed). Thread-local so concurrent
+    * exports in one JVM don't race each other's reads; read by
+    * PlanSpec/ExportSpec on the calling thread only.
     */
-  @volatile private[graft] var lastImageDimWasLocal: Boolean = true
+  private[graft] val lastImageDimWasLocalTL: ThreadLocal[Boolean] =
+    ThreadLocal.withInitial(() => true)
+  private[graft] def lastImageDimWasLocal: Boolean = lastImageDimWasLocalTL.get()
 
   private val utf8NullsFirst = Ordering.fromLessThan[String] { (a, b) =>
     if (a == null) b != null
@@ -103,6 +107,14 @@ object Coco {
     * odtk=true uses the rotated box (`rcoco`) as bbox; otherwise the
     * axis-aligned bbox recomputed from the segmentation (make_anno_d2).
     * `area` is rcoco w*h in both variants (ref :21,40).
+    *
+    * Input contract: `images` is one row per image_name (a dimension,
+    * as imageDim requires — duplicate rows would be assigned distinct
+    * image ids). The tier probe counts ROWS against
+    * [[ImageBroadcastMaxRowsKey]], so a frame violating the contract
+    * can also flip an in-threshold corpus to the distributed tier;
+    * output ids are identical either way, but the probe count equals
+    * the name count only under the contract.
     */
   def annotationRecords(annos: DataFrame, images: DataFrame,
                         annoKeyCol: String, odtk: Boolean = true): DataFrame = {
@@ -152,7 +164,7 @@ object Coco {
     val maxLocal = annos.sparkSession.conf
       .get(ImageBroadcastMaxRowsKey, ImageBroadcastMaxRowsDefault.toString).toLong
     val (imgDimLocal, catDim) = localDims(images, a, maxLocal)
-    lastImageDimWasLocal = imgDimLocal.isDefined
+    lastImageDimWasLocalTL.set(imgDimLocal.isDefined)
     val imgDim = imgDimLocal.getOrElse(imageDim(images.select("image_name")))
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (imgDimLocal.isDefined) broadcast(df) else df
@@ -179,27 +191,54 @@ object Coco {
       .withColumn("area", col("rcoco")(2) * col("rcoco")(3))
   }
 
-  /** Whole-document assembly (ref :46-116): single JSON string on the
-    * driver. Info/license text is neutral placeholder, not the
-    * reference's URLs.
+  /** Whole-document assembly (ref :46-116) STREAMED to `out`: the
+    * single-document output is inherently driver-written (one JSON
+    * file), but nothing forces the driver to hold the document — or
+    * any corpus-sized array — in memory. Categories are collected (a
+    * bounded label vocabulary); the images and annotations sections
+    * are driven by `toLocalIterator` over the id-sorted frames, which
+    * fetches ONE partition at a time (the sort's shuffle map stage
+    * runs once; each per-partition fetch job reuses its output), so
+    * peak driver memory is O(largest partition), constant in corpus
+    * size. Rows are formatted and written as they arrive — no
+    * per-section array, no whole-document string.
+    *
+    * Info/license text is neutral placeholder, not the reference's
+    * URLs.
     */
-  def cocoDocument(annos: DataFrame, images: DataFrame, annoKeyCol: String,
-                   train: Boolean = false, odtk: Boolean = true): String = {
-    // One pinned execution of the anno plan serves every collect below:
+  def writeCocoTo(out: java.io.Writer, annos: DataFrame, images: DataFrame,
+                  annoKeyCol: String, train: Boolean = false,
+                  odtk: Boolean = true): Unit = {
+    // One pinned execution of the anno plan serves every action below:
     // categoryDim, imageDim (an `images` derived from the same anno plan
     // hits the cache via substitution), and annotationRecords' dims + id
     // pass (its internal pin of the already-persisted frame is a no-op).
-    // Unpersisted before returning — every action completes in this
-    // method and the result is a plain String, so unlike
-    // annotationRecords no cache may outlive the call.
+    // Unpersisted before returning — the streamed write completes in
+    // this method, so unlike annotationRecords no cache may outlive
+    // the call.
     annos.persist()
     try {
-    val cats = categoryDim(annos).orderBy("category_id")
-      .collect().map(r =>
-        s"""{"supercategory": ${jstr(r.getString(0))}, "id": ${r.getInt(1)}, "name": ${jstr(r.getString(0))}}""")
-    val imgs = imageDim(images).orderBy("image_id")
-      .select("image_name", "height", "width", "image_id").collect().map(r =>
-        s"""{"license": 1, "file_name": ${jstr(r.getString(0) + ".jpeg")}, "height": ${r.get(1)}, "width": ${r.get(2)}, "id": ${r.getInt(3)}}""")
+    val info = """{"description": "Dataset", "version": "1.0", "year": 2022}"""
+    val licenses = """[{"id": 1, "name": "placeholder"}]"""
+    out.write(s"""{"info": $info, "licenses": $licenses, "images": [""")
+    // streamSection writes ", "-separated elements per row — the exact
+    // bytes the pre-streaming mkString produced (CocoFidelitySpec and
+    // the cross-tier byte-identity test pin this).
+    def streamSection[A](it: Iterator[A])(fmt: A => String): Unit = {
+      var first = true
+      it.foreach { a =>
+        if (!first) out.write(", ")
+        out.write(fmt(a)); first = false
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    streamSection(
+      imageDim(images).orderBy("image_id")
+        .select("image_name", "height", "width", "image_id")
+        .toLocalIterator().asScala) { r =>
+      s"""{"license": 1, "file_name": ${jstr(r.getString(0) + ".jpeg")}, "height": ${r.get(1)}, "width": ${r.get(2)}, "id": ${r.getInt(3)}}"""
+    }
+    out.write("""], "annotations": [""")
     // d2 always carries the raw polygon (ref :42); odtk eval exports
     // carry the ROTATED-box polygon `rbox` (ref :26), train omits it.
     // The train branch must not reference rbox at all (a Column-level
@@ -209,25 +248,42 @@ object Coco {
       if (!odtk) to_json(array(col("segmentation")))
       else if (train) lit(null).cast("string")
       else to_json(array(col("rbox")))
-    val annoJson = annotationRecords(annos, images, annoKeyCol, odtk)
-      .withColumn("seg_json", segCol)
-      .orderBy("id")
-      .select(col("image_id"), col("id"), col("category_id"),
-              to_json(col("bbox")).as("bbox_json"), col("area"), col("seg_json"))
-      .collect().map { r =>
-        val seg = Option(r.getString(5)).map(s => s""", "segmentation": $s""").getOrElse("")
-        s"""{"iscrowd": 0, "image_id": ${r.getInt(0)}, "bbox": ${r.getString(3)}, "category_id": ${r.getInt(2)}, "area": ${r.get(4)}, "id": ${r.getInt(1)}$seg}"""
-      }
-    val info = """{"description": "Dataset", "version": "1.0", "year": 2022}"""
-    val licenses = """[{"id": 1, "name": "placeholder"}]"""
-    s"""{"info": $info, "licenses": $licenses, "images": [${imgs.mkString(", ")}], "annotations": [${annoJson.mkString(", ")}], "categories": [${cats.mkString(", ")}]}"""
+    streamSection(
+      annotationRecords(annos, images, annoKeyCol, odtk)
+        .withColumn("seg_json", segCol)
+        .orderBy("id")
+        .select(col("image_id"), col("id"), col("category_id"),
+                to_json(col("bbox")).as("bbox_json"), col("area"), col("seg_json"))
+        .toLocalIterator().asScala) { r =>
+      val seg = Option(r.getString(5)).map(s => s""", "segmentation": $s""").getOrElse("")
+      s"""{"iscrowd": 0, "image_id": ${r.getInt(0)}, "bbox": ${r.getString(3)}, "category_id": ${r.getInt(2)}, "area": ${r.get(4)}, "id": ${r.getInt(1)}$seg}"""
+    }
+    out.write("""], "categories": [""")
+    // bounded label vocabulary — the one legitimately dim-sized collect
+    streamSection(
+      categoryDim(annos).orderBy("category_id").collect().iterator) { r =>
+      s"""{"supercategory": ${jstr(r.getString(0))}, "id": ${r.getInt(1)}, "name": ${jstr(r.getString(0))}}"""
+    }
+    out.write("]}")
     } finally annos.unpersist(blocking = false)
+  }
+
+  /** The document as one in-memory String — for tests and small
+    * exports. Necessarily O(document) on the driver; corpus-scale
+    * callers use [[writeCocoDataset]], which streams to the file.
+    */
+  def cocoDocument(annos: DataFrame, images: DataFrame, annoKeyCol: String,
+                   train: Boolean = false, odtk: Boolean = true): String = {
+    val sw = new java.io.StringWriter()
+    writeCocoTo(sw, annos, images, annoKeyCol, train, odtk)
+    sw.toString
   }
 
   def writeCocoDataset(annos: DataFrame, images: DataFrame, annoKeyCol: String,
                        outputJson: String, train: Boolean = false, odtk: Boolean = true): Unit = {
-    val doc = cocoDocument(annos, images, annoKeyCol, train, odtk)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outputJson), doc)
+    val w = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(outputJson))
+    try writeCocoTo(w, annos, images, annoKeyCol, train, odtk)
+    finally w.close()
   }
 
   private def jstr(s: String): String =

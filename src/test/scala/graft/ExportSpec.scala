@@ -66,6 +66,35 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("writeCocoTo streams per-row — never materializes the annotation array") {
+    // A spying Writer records every write() chunk: the streamed path
+    // must emit at least one chunk per annotation and per image (no
+    // single pre-joined mkString blob), and no chunk may approach the
+    // document size. Together with byte-identity vs cocoDocument this
+    // pins the O(1)-in-corpus driver-memory contract of the write path.
+    val sw = new java.io.StringWriter()
+    var chunks = 0
+    var maxChunk = 0
+    val spy = new java.io.Writer() {
+      override def write(cbuf: Array[Char], off: Int, len: Int): Unit = {
+        chunks += 1; maxChunk = math.max(maxChunk, len); sw.write(cbuf, off, len)
+      }
+      override def flush(): Unit = sw.flush()
+      override def close(): Unit = sw.close()
+    }
+    Coco.writeCocoTo(spy, annoFixture, imageFixture, "anno_key")
+    graft.operators.SeqIds.releaseAll()
+    val doc = sw.toString
+    assert(doc == Coco.cocoDocument(annoFixture, imageFixture, "anno_key"),
+      "streamed write must be byte-identical to cocoDocument")
+    graft.operators.SeqIds.releaseAll()
+    // 3 annos + 2 images + 2 cats + separators + envelope ⇒ well above 7
+    assert(chunks >= 7, s"only $chunks write() calls — not streaming per element")
+    assert(maxChunk < doc.length / 2,
+      s"a single $maxChunk-char chunk in a ${doc.length}-char document — " +
+        "the write path materialized a whole section")
+  }
+
   test("annotationRecords ids agree with imageDim/categoryDim (single source of truth)") {
     // cocoDocument builds the images array from imageDim (SeqIds path)
     // and annotation image_id/category_id from the localized driver dims;
