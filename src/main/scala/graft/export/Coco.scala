@@ -184,7 +184,7 @@ object Coco {
       .join(broadcast(catDim), Seq("category"))
     val bbox =
       if (odtk) col("rcoco")
-      else graft.functions.GeomUdfs.segmentation2bbox(col("segmentation"))
+      else graft.functions.GeomFunctions.segmentation2bbox(col("segmentation"))
     joined
       .withColumn("iscrowd", lit(0))
       .withColumn("bbox", bbox)

@@ -34,10 +34,10 @@ object Yolo {
       .join(broadcast(catMap), Seq("category"))
       .withColumn("box",
         if (segmentation)
-          graft.functions.GeomUdfs.yoloSegmentation(
+          graft.functions.GeomFunctions.yoloSegmentation(
             col("width").cast("double"), col("height").cast("double"), col("segmentation"))
         else
-          graft.functions.GeomUdfs.yoloBbox(
+          graft.functions.GeomFunctions.yoloBbox(
             col("width").cast("double"), col("height").cast("double"), col("segmentation")))
       .withColumn("line",
         concat_ws(" ", col("category_id"), concat_ws(" ", col("box"))))

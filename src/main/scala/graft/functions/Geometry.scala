@@ -5,7 +5,7 @@ package graft.functions
   * CvatApi.py:317-325, create_yolo_from_feather.py:9-23).
   *
   * Pure deterministic Scala so the functions can be unit/property tested
-  * in isolation and registered as UDFs (GeomUdfs); the min-rotated-
+  * in isolation and registered as UDFs (GeomFunctions); the min-rotated-
   * rectangle replaces shapely's `minimum_rotated_rectangle` with a convex
   * hull + rotating-calipers implementation (no JTS offline).
   *

@@ -1,6 +1,6 @@
 package graft.ingest
 
-import graft.functions.GeomUdfs
+import graft.functions.GeomFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -30,11 +30,11 @@ object CvatTables {
                      dropPrefix: Boolean = false): DataFrame = {
     val poly = shapes
       .withColumn("polygon",
-        when(col("shape_type") === "rectangle", GeomUdfs.rectToPolygon(col("points")))
+        when(col("shape_type") === "rectangle", GeomFunctions.rectToPolygon(col("points")))
           .otherwise(col("points")))
       .filter(size(col("polygon")) >= 5) // too-few-points guard (ref :360-362)
-      .withColumn("rcoco", GeomUdfs.rbbFromSeg(col("polygon")))
-      .withColumn("coco", GeomUdfs.cocoFromSeg(col("polygon")))
+      .withColumn("rcoco", GeomFunctions.rbbFromSeg(col("polygon")))
+      .withColumn("coco", GeomFunctions.cocoFromSeg(col("polygon")))
       .filter(col("rcoco").isNotNull) // degenerate-polygon guard (ref :363-369)
 
     val named = poly

@@ -1,0 +1,201 @@
+package graft.plans
+
+import graft.functions.Geometry
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for the export geometry kernels
+  * (SURVEY §2.11's promotion path, the export analogue of
+  * VectorExpressions): rbb/coco-from-seg, seg2bbox, aabb2poly,
+  * rect2poly and the YOLO normalizers run once per annotation row in
+  * every export query, and as Scala UDFs each call paid the
+  * Row↔Scala encoder tax (ArrayData → boxed WrappedArray[Double] and
+  * back) plus a codegen island break.
+  *
+  * These expressions read the input ArrayData directly, run the exact
+  * same [[graft.functions.Geometry]] kernels (one deterministic
+  * implementation shared by interpreted eval and generated code — the
+  * generated Java calls the kernel adapter through GeomKernels'
+  * static forwarders), and return UnsafeArrayData. The projection
+  * stays inside whole-stage codegen; only the kernel call itself is a
+  * (non-virtual, JIT-friendly) method call. Degenerate inputs yield
+  * SQL NULL exactly as the UDFs did (P9 guard semantics,
+  * CvatApi.py:360-369).
+  */
+object GeomKernels {
+
+  private def out(a: Array[Double]): ArrayData =
+    if (a == null) null else UnsafeArrayData.fromPrimitiveArray(a)
+
+  /** F-G5: null below 1 point, matching the former UDF guard. */
+  def seg2bbox(seg: ArrayData): ArrayData = {
+    if (seg.numElements() < 2) return null
+    out(Geometry.segmentation2bbox(seg.toDoubleArray()))
+  }
+
+  /** F-G6: [x,y,w,h] → open 8-coord rectangle; null below 4 coords. */
+  def aabb2poly(aabb: ArrayData): ArrayData = {
+    if (aabb.numElements() < 4) return null
+    out(Geometry.aabb2poly(aabb.toDoubleArray()))
+  }
+
+  /** F-G7: CVAT [l,t,r,b] → closed polygon; null below 4 coords. */
+  def rect2poly(pts: ArrayData): ArrayData = {
+    if (pts.numElements() < 4) return null
+    out(Geometry.rectToPolygon(pts.toDoubleArray()))
+  }
+
+  /** F-G1 rcoco [x,y,w,h,theta]; null on short or degenerate input. */
+  def rbbFromSeg(seg: ArrayData): ArrayData = {
+    if (seg.numElements() < 5) return null
+    out(Geometry.rbbCocoFromSeg(seg.toDoubleArray()).map(_._1).orNull)
+  }
+
+  /** F-G1 coco [xmin,ymin,w,h]; null on short or degenerate input. */
+  def cocoFromSeg(seg: ArrayData): ArrayData = {
+    if (seg.numElements() < 5) return null
+    out(Geometry.rbbCocoFromSeg(seg.toDoubleArray()).map(_._2).orNull)
+  }
+
+  /** F-G8 make_bbox; null on empty seg or non-positive canvas. */
+  def yoloBbox(width: Double, height: Double, seg: ArrayData): ArrayData = {
+    if (seg.numElements() == 0 || width <= 0 || height <= 0) return null
+    out(Geometry.yoloBbox(width, height, seg.toDoubleArray()))
+  }
+
+  /** F-G8 make_segmentation; null on non-positive canvas (empty seg
+    * normalizes to an empty list, matching the former UDF).
+    */
+  def yoloSeg(width: Double, height: Double, seg: ArrayData): ArrayData = {
+    if (width <= 0 || height <= 0) return null
+    out(Geometry.yoloSegmentation(width, height, seg.toDoubleArray()))
+  }
+}
+
+/** Shared shape: array<double> → array<double> through one GeomKernels
+  * adapter, nullable because the kernels null degenerate inputs.
+  * Inputs must already be array<double> — the GeomFunctions Column
+  * wrappers insert an explicit cast (a no-op when types match), since
+  * ImplicitCastInputTypes' AbstractDataType is private[sql].
+  */
+abstract class GeomArrayExpr extends UnaryExpression {
+  /** GeomKernels method name — must match a static forwarder. */
+  protected def kernel: String
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @inline private def call(a: ArrayData): ArrayData = kernel match {
+    case "seg2bbox" => GeomKernels.seg2bbox(a)
+    case "aabb2poly" => GeomKernels.aabb2poly(a)
+    case "rect2poly" => GeomKernels.rect2poly(a)
+    case "rbbFromSeg" => GeomKernels.rbbFromSeg(a)
+    case "cocoFromSeg" => GeomKernels.cocoFromSeg(a)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    call(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.plans.GeomKernels.$kernel($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+}
+
+case class Seg2BboxF(child: Expression) extends GeomArrayExpr {
+  override protected def kernel: String = "seg2bbox"
+  override def prettyName: String = "graft_seg2bbox"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class Aabb2PolyF(child: Expression) extends GeomArrayExpr {
+  override protected def kernel: String = "aabb2poly"
+  override def prettyName: String = "graft_aabb2poly"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class RectToPolyF(child: Expression) extends GeomArrayExpr {
+  override protected def kernel: String = "rect2poly"
+  override def prettyName: String = "graft_rect2poly"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class RbbFromSegF(child: Expression) extends GeomArrayExpr {
+  override protected def kernel: String = "rbbFromSeg"
+  override def prettyName: String = "graft_rbb_from_seg"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class CocoFromSegF(child: Expression) extends GeomArrayExpr {
+  override protected def kernel: String = "cocoFromSeg"
+  override def prettyName: String = "graft_coco_from_seg"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Shared shape for the YOLO normalizers: (width, height, seg). */
+abstract class YoloExpr extends TernaryExpression {
+  protected def kernel: String
+  def first: Expression; def second: Expression; def third: Expression
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (DoubleType, DoubleType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (double, double, array<double>), got " +
+          s"(${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(w: Any, h: Any, s: Any): Any = kernel match {
+    case "yoloBbox" =>
+      GeomKernels.yoloBbox(w.asInstanceOf[Double], h.asInstanceOf[Double],
+        s.asInstanceOf[ArrayData])
+    case "yoloSeg" =>
+      GeomKernels.yoloSeg(w.asInstanceOf[Double], h.asInstanceOf[Double],
+        s.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, h, s) => {
+      s"""
+         |${ev.value} = graft.plans.GeomKernels.$kernel($w, $h, $s);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+}
+
+case class YoloBboxF(first: Expression, second: Expression, third: Expression)
+    extends YoloExpr {
+  override protected def kernel: String = "yoloBbox"
+  override def prettyName: String = "graft_yolo_bbox"
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+case class YoloSegF(first: Expression, second: Expression, third: Expression)
+    extends YoloExpr {
+  override protected def kernel: String = "yoloSeg"
+  override def prettyName: String = "graft_yolo_seg"
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

@@ -33,7 +33,28 @@ object GraftFunctions {
       (args: Seq[Expression]) => OrderedPairsGen(args(0))),
     (FunctionIdentifier("graft_nearest_cell"),
       new ExpressionInfo(classOf[NearestCellF].getName, "graft_nearest_cell"),
-      (args: Seq[Expression]) => NearestCellF(args(0), args(1), args(2)))
+      (args: Seq[Expression]) => NearestCellF(args(0), args(1), args(2))),
+    (FunctionIdentifier("graft_seg2bbox"),
+      new ExpressionInfo(classOf[Seg2BboxF].getName, "graft_seg2bbox"),
+      (args: Seq[Expression]) => Seg2BboxF(args(0))),
+    (FunctionIdentifier("graft_aabb2poly"),
+      new ExpressionInfo(classOf[Aabb2PolyF].getName, "graft_aabb2poly"),
+      (args: Seq[Expression]) => Aabb2PolyF(args(0))),
+    (FunctionIdentifier("graft_rect2poly"),
+      new ExpressionInfo(classOf[RectToPolyF].getName, "graft_rect2poly"),
+      (args: Seq[Expression]) => RectToPolyF(args(0))),
+    (FunctionIdentifier("graft_rbb_from_seg"),
+      new ExpressionInfo(classOf[RbbFromSegF].getName, "graft_rbb_from_seg"),
+      (args: Seq[Expression]) => RbbFromSegF(args(0))),
+    (FunctionIdentifier("graft_coco_from_seg"),
+      new ExpressionInfo(classOf[CocoFromSegF].getName, "graft_coco_from_seg"),
+      (args: Seq[Expression]) => CocoFromSegF(args(0))),
+    (FunctionIdentifier("graft_yolo_bbox"),
+      new ExpressionInfo(classOf[YoloBboxF].getName, "graft_yolo_bbox"),
+      (args: Seq[Expression]) => YoloBboxF(args(0), args(1), args(2))),
+    (FunctionIdentifier("graft_yolo_seg"),
+      new ExpressionInfo(classOf[YoloSegF].getName, "graft_yolo_seg"),
+      (args: Seq[Expression]) => YoloSegF(args(0), args(1), args(2)))
   )
 
   /** Idempotent per-session registration. */

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables.t
-import graft.functions.GeomUdfs
+import graft.functions.GeomFunctions
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -56,7 +56,7 @@ object GeomQueries extends QueryPack {
     // F-G5: segmentation → axis-aligned bbox via the Scala kernel.
     "f_g5_seg2bbox" -> ((s, d) =>
       withTriangle(t(s, d, "part"))
-        .withColumn("bbox", GeomUdfs.segmentation2bbox(col("seg")))
+        .withColumn("bbox", GeomFunctions.segmentation2bbox(col("seg")))
         .select(col("p_partkey"),
                 col("bbox")(0).as("xmin"), col("bbox")(1).as("ymin"),
                 col("bbox")(2).as("w"), col("bbox")(3).as("h"))
@@ -66,7 +66,7 @@ object GeomQueries extends QueryPack {
     // engines stringify the exact-integer list identically.
     "f_g6_aabb2poly" -> ((s, d) =>
       withTriangle(t(s, d, "part"))
-        .withColumn("poly", GeomUdfs.aabb2poly(
+        .withColumn("poly", GeomFunctions.aabb2poly(
           array(col("x0"), col("y0"), lit(1) + col("p_size").cast("double"),
                 lit(2) + (col("p_partkey") % 9).cast("double"))))
         .select(col("p_partkey"),
@@ -76,7 +76,7 @@ object GeomQueries extends QueryPack {
     // F-G7: CVAT rect → closed polygon, same JSON canonicalization.
     "f_g7_rect2poly" -> ((s, d) =>
       withTriangle(t(s, d, "part"))
-        .withColumn("poly", GeomUdfs.rectToPolygon(
+        .withColumn("poly", GeomFunctions.rectToPolygon(
           array(col("x0"), col("y0"), col("x1"), col("y2"))))
         .select(col("p_partkey"),
                 to_json(col("poly").cast("array<bigint>")).as("poly_json"))
@@ -85,7 +85,7 @@ object GeomQueries extends QueryPack {
     // F-G8: YOLO center-format normalized bbox (640x480 canvas).
     "f_g8_yolo_bbox" -> ((s, d) =>
       withTriangle(t(s, d, "part"))
-        .withColumn("bb", GeomUdfs.yoloBbox(lit(640.0), lit(480.0), col("seg")))
+        .withColumn("bb", GeomFunctions.yoloBbox(lit(640.0), lit(480.0), col("seg")))
         .select(col("p_partkey"),
                 col("bb")(0).as("cx"), col("bb")(1).as("cy"),
                 col("bb")(2).as("w"), col("bb")(3).as("h"))
@@ -112,8 +112,8 @@ object GeomQueries extends QueryPack {
         .withColumn("seg", when(col("p_partkey") % 10 === 0,
           array(col("x0"), col("y0"), col("x1"), col("y0"), col("x1") + 1, col("y0"))
         ).otherwise(col("seg")))
-        .withColumn("rcoco", GeomUdfs.rbbFromSeg(col("seg")))
-        .withColumn("coco", GeomUdfs.cocoFromSeg(col("seg")))
+        .withColumn("rcoco", GeomFunctions.rbbFromSeg(col("seg")))
+        .withColumn("coco", GeomFunctions.cocoFromSeg(col("seg")))
         .filter(col("rcoco").isNotNull) // P9: degenerate guard
         // arrays serialized to JSON strings so the driver's comparator can
         // hash the rows (same canonicalization as f_g6_aabb2poly)
@@ -133,7 +133,7 @@ object GeomQueries extends QueryPack {
     // code the rows-only f_g1_rbb_pipeline can only row-count.
     "f_g1_rect_rcoco" -> ((s, d) =>
       withRect(t(s, d, "part"))
-        .withColumn("rcoco", GeomUdfs.rbbFromSeg(col("rseg")))
+        .withColumn("rcoco", GeomFunctions.rbbFromSeg(col("rseg")))
         .select(col("p_partkey"),
           col("rcoco")(0).as("x"), col("rcoco")(1).as("y"),
           col("rcoco")(2).as("w"), col("rcoco")(3).as("h"),
@@ -153,8 +153,8 @@ object GeomQueries extends QueryPack {
         .withColumn("seg", when(col("p_partkey") % 10 === 0,
           array(col("x0"), col("y0"), col("x1"), col("y0"), col("x1") + 1, col("y0"))
         ).otherwise(col("seg")))
-        .withColumn("rcoco", GeomUdfs.rbbFromSeg(col("seg")))
-        .withColumn("coco", GeomUdfs.cocoFromSeg(col("seg")))
+        .withColumn("rcoco", GeomFunctions.rbbFromSeg(col("seg")))
+        .withColumn("coco", GeomFunctions.cocoFromSeg(col("seg")))
         .filter(col("rcoco").isNotNull) // P9: degenerate guard
         .select(col("p_partkey"),
                 col("coco")(0).as("xmin"), col("coco")(1).as("ymin"),
