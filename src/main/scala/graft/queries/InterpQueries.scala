@@ -119,6 +119,42 @@ object InterpQueries extends QueryPack {
       .as[TrackRow]
   }
 
+  /** Decimation subclass (see InterpDecimationSpec): a FIXED 16×8
+    * rectangle, alternately sampled densely (bottom edge subdivided
+    * every 4 units → 7 points, odd keyframes) and coarsely (4 corners,
+    * even keyframes), translating between integer positions with
+    * keyframe gap 5. The asymmetric sampling drives
+    * reduce_interpolation's interior-drop loop and 2-point collapse —
+    * the paths the identity-matching rect subclass never reaches —
+    * and every branch decision sits ≥1/15 from its threshold, so the
+    * kept-point sets and their exact-integer-lerp coordinates are
+    * engine-independent and DuckDB-predictable.
+    */
+  private def decimationKeyframes(s: SparkSession, d: String) = {
+    import s.implicits._
+    t(s, d, "orders")
+      .withColumn("track_id", col("o_orderkey") % 200)
+      .withColumn("seq", row_number().over(
+        Window.partitionBy("track_id").orderBy("o_orderkey")))
+      .filter(col("seq") <= 4)
+      .withColumn("frame", ((col("seq") - 1) * 5).cast("int"))
+      .withColumn("x", (col("o_custkey") % 50).cast("double"))
+      .withColumn("y", (col("o_orderkey") % 40).cast("double"))
+      .select(col("track_id"), col("frame"),
+        when(col("seq") % 2 === 1,
+          array(col("x"), col("y"), col("x") + 4, col("y"),
+                col("x") + 8, col("y"), col("x") + 12, col("y"),
+                col("x") + 16, col("y"), col("x") + 16, col("y") + 8,
+                col("x"), col("y") + 8))
+        .otherwise(
+          array(col("x"), col("y"), col("x") + 16, col("y"),
+                col("x") + 16, col("y") + 8, col("x"), col("y") + 8))
+        .as("points"),
+        lit(false).as("outside"),
+        typedlit(Seq.empty[(Int, String)]).as("attributes"))
+      .as[TrackRow]
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "interp_tracks" -> ((s, d) =>
       interpolated(s, d)
@@ -156,6 +192,22 @@ object InterpQueries extends QueryPack {
           col("points")(4).as("px2"), col("points")(5).as("py2"),
           col("points")(6).as("px3"), col("points")(7).as("py3"))
         .orderBy("track_id", "frame")),
+
+    // Decimation branch (reduce_interpolation, ref CvatApi.py:519-612),
+    // hash-checked per COORDINATE: every output point of the decimation
+    // subclass, exploded to (idx, px, py) rows so the variable-length
+    // kept-point sets are compared numerically (no float→string
+    // formatting). Which points survive — interior drops on the
+    // dense-sampled runs, the 2-point collapse to an exact midpoint
+    // average — and their lerped values must equal DuckDB's prediction.
+    "interp_decimation" -> ((s, d) =>
+      TrackOps.interpolateTracks(s, decimationKeyframes(s, d), endFrameOffset = 3).toDF()
+        .select(col("track_id"), col("frame"), col("keyframe"),
+          expr("posexplode(transform(sequence(0, cast(size(points)/2 as int) - 1), " +
+            "i -> struct(points[2*i] AS px, points[2*i+1] AS py)))"))
+        .select(col("track_id"), col("frame"), col("keyframe"),
+          col("pos").as("idx"), col("col.px").as("px"), col("col.py").as("py"))
+        .orderBy("track_id", "frame", "idx")),
 
     // Attribute propagation, hash-checked: every output shape's
     // resolved attribute set (canonicalized: sorted by id, id=value
@@ -246,6 +298,126 @@ object InterpQueries extends QueryPack {
            FROM (SELECT *, UNNEST([1, 2]) AS g
                  FROM seg WHERE nf IS NULL)
          ) ORDER BY track_id, frame""",
+    // The decimation subclass is fully predictable (see
+    // InterpDecimationSpec for the derivation): dense→coarse segments
+    // keep all 7 matched points for g ≤ 3 and decimate to 5 (dropping
+    // the bottom-edge interior survivor and collapsing the (12,16)
+    // pair to its exact midpoint) at g = 4; coarse→dense mirrors it
+    // with the 5-point form at g = 1. Every coordinate is the kernel's
+    // own lerp expression shape — corner + (delta) * (g/gap) over
+    // exact-integer operands — so the IEEE doubles agree bit-for-bit.
+    "interp_decimation" ->
+      """WITH kf AS (
+           SELECT track_id, seq, CAST((seq - 1) * 5 AS INT) AS frame,
+                  CAST(o_custkey % 50 AS DOUBLE) AS ax,
+                  CAST(o_orderkey % 40 AS DOUBLE) AS ay,
+                  (seq % 2 = 1) AS dense
+           FROM (
+             SELECT o_orderkey, o_custkey, o_orderkey % 200 AS track_id,
+                    row_number() OVER (PARTITION BY o_orderkey % 200 ORDER BY o_orderkey) AS seq
+             FROM orders) WHERE seq <= 4),
+         seg AS (
+           SELECT track_id, frame, ax, ay, dense,
+                  lead(frame) OVER tw AS nf,
+                  lead(ax) OVER tw AS bx,
+                  lead(ay) OVER tw AS b_y
+           FROM kf WINDOW tw AS (PARTITION BY track_id ORDER BY frame)),
+         interp AS (
+           SELECT s.*, g.g, CAST(g.g AS DOUBLE) / (s.nf - s.frame) AS t
+           FROM seg s CROSS JOIN generate_series(1, 4) AS g(g)
+           WHERE s.nf IS NOT NULL AND g.g <= s.nf - s.frame - 1)
+         SELECT track_id, CAST(frame AS INT) AS frame, keyframe,
+                CAST(idx AS INT) AS idx, px, py FROM (
+           -- dense keyframes: 7 points
+           SELECT track_id, frame, TRUE AS keyframe, i.idx,
+                  ax + CASE i.idx WHEN 0 THEN 0 WHEN 1 THEN 4 WHEN 2 THEN 8
+                                  WHEN 3 THEN 12 WHEN 4 THEN 16 WHEN 5 THEN 16
+                                  ELSE 0 END AS px,
+                  ay + CASE WHEN i.idx >= 5 THEN 8 ELSE 0 END AS py
+           FROM kf CROSS JOIN generate_series(0, 6) AS i(idx) WHERE dense
+           UNION ALL
+           -- coarse keyframes: 4 corners
+           SELECT track_id, frame, TRUE, i.idx,
+                  ax + CASE i.idx WHEN 1 THEN 16 WHEN 2 THEN 16 ELSE 0 END,
+                  ay + CASE WHEN i.idx IN (2, 3) THEN 8 ELSE 0 END
+           FROM kf CROSS JOIN generate_series(0, 3) AS i(idx) WHERE NOT dense
+           UNION ALL
+           -- dense→coarse, g ≤ 3: all 7 matched points survive
+           SELECT track_id, frame + g, FALSE, i.idx,
+                  CASE i.idx
+                    WHEN 0 THEN ax + (bx - ax) * t
+                    WHEN 1 THEN (ax + 4) + (bx - (ax + 4)) * t
+                    WHEN 2 THEN (ax + 8) + (bx - (ax + 8)) * t
+                    WHEN 3 THEN (ax + 12) + ((bx + 16) - (ax + 12)) * t
+                    ELSE (CASE WHEN i.idx = 6 THEN ax ELSE ax + 16 END) + (bx - ax) * t
+                  END,
+                  CASE WHEN i.idx >= 5 THEN (ay + 8) + (b_y - ay) * t
+                       ELSE ay + (b_y - ay) * t END
+           FROM interp CROSS JOIN generate_series(0, 6) AS i(idx)
+           WHERE dense AND g <= 3
+           UNION ALL
+           -- dense→coarse, g = 4: interior dropped, (12,16) pair → midpoint
+           SELECT track_id, frame + g, FALSE, i.idx,
+                  CASE i.idx
+                    WHEN 0 THEN ax + (bx - ax) * t
+                    WHEN 1 THEN (ax + 8) + (bx - (ax + 8)) * t
+                    WHEN 2 THEN (((ax + 12) + ((bx + 16) - (ax + 12)) * t)
+                               + ((ax + 16) + (bx - ax) * t)) / 2
+                    WHEN 3 THEN (ax + 16) + (bx - ax) * t
+                    ELSE ax + (bx - ax) * t
+                  END,
+                  CASE WHEN i.idx >= 3 THEN (ay + 8) + (b_y - ay) * t
+                       ELSE ay + (b_y - ay) * t END
+           FROM interp CROSS JOIN generate_series(0, 4) AS i(idx)
+           WHERE dense AND g = 4
+           UNION ALL
+           -- coarse→dense, g ≥ 2: all 7 matched points survive
+           SELECT track_id, frame + g, FALSE, i.idx,
+                  CASE i.idx
+                    WHEN 1 THEN ax + ((bx + 4) - ax) * t
+                    WHEN 2 THEN ax + ((bx + 8) - ax) * t
+                    WHEN 3 THEN (ax + 16) + ((bx + 12) - (ax + 16)) * t
+                    WHEN 4 THEN (ax + 16) + (bx - ax) * t
+                    WHEN 5 THEN (ax + 16) + (bx - ax) * t
+                    ELSE ax + (bx - ax) * t
+                  END,
+                  CASE WHEN i.idx >= 5 THEN (ay + 8) + (b_y - ay) * t
+                       ELSE ay + (b_y - ay) * t END
+           FROM interp CROSS JOIN generate_series(0, 6) AS i(idx)
+           WHERE NOT dense AND g >= 2
+           UNION ALL
+           -- coarse→dense, g = 1: decimated 5-point form
+           SELECT track_id, frame + g, FALSE, i.idx,
+                  CASE i.idx
+                    WHEN 0 THEN ax + (bx - ax) * t
+                    WHEN 1 THEN ax + ((bx + 8) - ax) * t
+                    WHEN 2 THEN (((ax + 16) + ((bx + 12) - (ax + 16)) * t)
+                               + ((ax + 16) + (bx - ax) * t)) / 2
+                    WHEN 3 THEN (ax + 16) + (bx - ax) * t
+                    ELSE ax + (bx - ax) * t
+                  END,
+                  CASE WHEN i.idx >= 3 THEN (ay + 8) + (b_y - ay) * t
+                       ELSE ay + (b_y - ay) * t END
+           FROM interp CROSS JOIN generate_series(0, 4) AS i(idx)
+           WHERE NOT dense AND g = 1
+           UNION ALL
+           -- trailing propagation: 2 copies of the last keyframe
+           SELECT track_id, frame + g, FALSE, i.idx,
+                  ax + CASE i.idx WHEN 0 THEN 0 WHEN 1 THEN 4 WHEN 2 THEN 8
+                                  WHEN 3 THEN 12 WHEN 4 THEN 16 WHEN 5 THEN 16
+                                  ELSE 0 END,
+                  ay + CASE WHEN i.idx >= 5 THEN 8 ELSE 0 END
+           FROM seg CROSS JOIN generate_series(1, 2) AS g(g)
+                    CROSS JOIN generate_series(0, 6) AS i(idx)
+           WHERE nf IS NULL AND dense
+           UNION ALL
+           SELECT track_id, frame + g, FALSE, i.idx,
+                  ax + CASE i.idx WHEN 1 THEN 16 WHEN 2 THEN 16 ELSE 0 END,
+                  ay + CASE WHEN i.idx IN (2, 3) THEN 8 ELSE 0 END
+           FROM seg CROSS JOIN generate_series(1, 2) AS g(g)
+                    CROSS JOIN generate_series(0, 3) AS i(idx)
+           WHERE nf IS NULL AND NOT dense
+         ) ORDER BY track_id, frame, idx""",
     // Forward fill in SQL: the latest keyframe seq m ≤ s with
     // m % 3 = 1 is m = s - ((s-1) % 3), so attr 1 resolves to 'v'||m
     // and attr 2 (stated once on seq 1) to 'w' everywhere. Interpolated
