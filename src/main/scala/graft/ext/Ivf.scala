@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.operators.SeqIds
 import graft.plans.GraftFunctions
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -36,6 +37,14 @@ object Ivf {
   /** Assign each vector to its nearest centroid by cosine (ties by
     * lowest cell id). Adds a `cell` column.
     *
+    * Broadcast lifecycle: above [[CentroidLiteralMaxBytes]] the
+    * returned frame carries a Spark broadcast whose executor copies
+    * live until ContextCleaner reclaims the frame — fine for a
+    * one-shot assignment, but iterative callers would accumulate one
+    * multi-MB broadcast per call. [[lloyd]] manages this itself via
+    * [[assignWithHandle]], destroying each iteration's broadcast as
+    * soon as the next iteration has consumed its output.
+    *
     * Centroids are broadcast-sized by construction, so they are pulled
     * to the driver once and packed into ONE matrix consumed by the
     * native `graft_nearest_cell` argmax expression — no crossJoin, no
@@ -51,24 +60,33 @@ object Ivf {
     * DuckDB oracle replication is unchanged.
     */
   def assign(spark: SparkSession, embeddings: DataFrame,
-             centroids: DataFrame): DataFrame = {
+             centroids: DataFrame): DataFrame =
+    assignWithHandle(spark, embeddings, centroids)._1
+
+  /** [[assign]] plus the broadcast handle (None on the literal tier)
+    * so iterating callers can destroy each round's broadcast once its
+    * consumer has executed.
+    */
+  private[graft] def assignWithHandle(spark: SparkSession, embeddings: DataFrame,
+      centroids: DataFrame): (DataFrame, Option[Broadcast[graft.plans.NearestCellModel]]) = {
     GraftFunctions.register(spark)
     val cents: Seq[(Int, Seq[Float])] = centroids.select("cell", "centroid").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toIndexedSeq)).toSeq.sortBy(_._1)
     require(cents.nonEmpty, "assign requires at least one centroid")
     val floatBytes = cents.iterator.map(_._2.length.toLong * 4).sum
     if (floatBytes <= CentroidLiteralMaxBytes)
-      embeddings.withColumn("cell",
+      (embeddings.withColumn("cell",
         call_function("graft_nearest_cell", col("embedding"),
-          typedlit(cents.map(_._2)), typedlit(cents.map(_._1))))
+          typedlit(cents.map(_._2)), typedlit(cents.map(_._1)))), None)
     else {
       val model = new graft.plans.NearestCellModel(
         cents.map(_._2.toArray).toArray, cents.map(_._1).toArray)
       val bc = spark.sparkContext.broadcast(model)
-      embeddings.withColumn("cell",
+      (embeddings.withColumn("cell",
         org.apache.spark.sql.graft.ColumnBridge.column(
           graft.plans.NearestCellBcastF(
-            org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")), bc)))
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")), bc))),
+        Some(bc))
     }
   }
 
@@ -78,19 +96,43 @@ object Ivf {
     * (posexplode → partial-agg mean per (cell, dim) → rebuild), both
     * linear in the corpus; centroids stay driver-sized throughout.
     * Cells that lose all members drop out (standard Lloyd behavior).
+    *
+    * The corpus is pinned ONCE for the whole call: every iteration's
+    * assignment+mean pass (each iteration's centroid collect is an
+    * action) reads the cache instead of re-executing the upstream
+    * scan — at 100 TB, `iters` full fact scans where one suffices
+    * (IvfExecCountSpec pins single-execution). The returned frame is
+    * a LOCAL k-row relation (k is broadcast-bounded by construction),
+    * which decouples it from the pinned corpus and the last
+    * iteration's broadcast, so both are released before returning —
+    * nothing leaks past the call.
     */
   def lloyd(spark: SparkSession, embeddings: DataFrame, init: DataFrame,
             iters: Int): DataFrame = {
-    var cents = init
-    for (_ <- 0 until iters) {
-      cents = assign(spark, embeddings, cents)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .getField("m").cast("array<float>").as("centroid"))
-    }
-    cents
+    if (iters <= 0) return init
+    embeddings.persist()
+    try {
+      var cents = init
+      var prevBc: Option[Broadcast[graft.plans.NearestCellModel]] = None
+      for (_ <- 0 until iters) {
+        val (assigned, bc) = assignWithHandle(spark, embeddings, cents)
+        // assignWithHandle just collected `cents` — the only plan that
+        // could still reference the previous iteration's broadcast —
+        // so that broadcast is now dead and must not wait for GC
+        prevBc.foreach(_.destroy())
+        prevBc = bc
+        cents = assigned
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+            .getField("m").cast("array<float>").as("centroid"))
+      }
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+      prevBc.foreach(_.destroy())
+      local
+    } finally embeddings.unpersist(blocking = false)
   }
 
   /** Top-k cosine neighbors per query, searching only each query's

@@ -52,6 +52,18 @@ object DedupQueries extends QueryPack {
     */
   val EmbedCellTarget = 256L
 
+  /** Per-cell member cap for embedding near-dup pair generation — the
+    * IVF analogue of [[MaxBucket]]. The √n cell law bounds the AVERAGE
+    * cell at ~√n members, but nothing stops a pathological cluster
+    * (e.g. a mass-duplicated embedding) from pulling the whole corpus
+    * into one cell, where the self-join degenerates to C(n,2). Cells
+    * with more than 4×[[EmbedCellTarget]] members produce NO pairs —
+    * same recall trade as MaxBucket (a cluster that hot is its own
+    * signal; near-dup pairs inside it are redundant), same oracle
+    * replication, pinned by IvfSkewSpec.
+    */
+  val EmbedMaxCell = 4L * EmbedCellTarget
+
   /** k for [[EmbedCellTarget]]-based blocking over an n-vector corpus. */
   def embedCellCount(n: Long): Int =
     math.max(1L, math.min((n + EmbedCellTarget - 1) / EmbedCellTarget,
@@ -317,7 +329,12 @@ object DedupQueries extends QueryPack {
       val centroids = graft.ext.Ivf.seedCentroids(emb, k)
       val e = graft.ext.Ivf.assign(s, emb, centroids)
         .withColumn("norm", expr("graft_norm(embedding)"))
-      e.as("a")
+      // EmbedMaxCell skew guard: drop pair generation for cells a
+      // pathological cluster has overfilled (≤ k rows, broadcast;
+      // filtering the a-side suffices — b shares a.cell by the join key)
+      val okCells = e.groupBy("cell").count()
+        .filter(col("count") <= EmbedMaxCell).select("cell")
+      e.join(broadcast(okCells), Seq("cell"), "left_semi").as("a")
         .join(e.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos",
           expr("graft_dot(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm")))
@@ -453,9 +470,13 @@ object DedupQueries extends QueryPack {
                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
                            * sqrt(list_dot_product(CAST(c.centroid AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])))) DESC,
                         c.cell) AS rn
-             FROM embeddings e, cent c) WHERE rn = 1)
+             FROM embeddings e, cent c) WHERE rn = 1),
+         okcell AS (
+           SELECT cell FROM assigned GROUP BY cell
+           HAVING count(*) <= $EmbedMaxCell)
          SELECT a.vec_id AS va, b.vec_id AS vb, a.cell AS cell
-         FROM assigned a JOIN assigned b
+         FROM assigned a JOIN okcell o ON a.cell = o.cell
+         JOIN assigned b
            ON a.cell = b.cell AND a.vec_id < b.vec_id
          WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
