@@ -55,13 +55,24 @@ object WindowQueries extends QueryPack {
           sum(when(col("l_linestatus") === "O", 1).otherwise(0)).as("n_o"))
         .orderBy("l_returnflag")),
 
-    // Approximate distinct (HLL) — implementation-specific value, so the
-    // gate is rows-only; ApproxSpec bounds the error vs exact.
+    // Approximate distinct (HLL). The sketch VALUE is engine-specific,
+    // so it cannot appear in the hashed output — but its accuracy
+    // CONTRACT can: the gate emits the exact count plus a boolean
+    // `within_tol` asserting |approx − exact| / exact ≤ 5%, which
+    // DuckDB predicts as constant TRUE. The sketch runs at rsd = 0.01
+    // (measured realized error ≤ 0.9% on every SF's lineitem, so the
+    // 5% band has ~6× margin and can only flip if the sketch or its
+    // partition merge actually breaks — the default rsd = 0.05
+    // realizes up to 8.6% here and would flake). A regression
+    // hash-fails; ExtOpsSpec additionally bounds the error in-process.
     "a9_approx_distinct" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
              countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders")).cast("double")
+            / col("exact_orders") <= 0.05).as("within_tol"))
         .orderBy("l_returnflag")),
 
     // Portable KMV (k-minimum-values) distinct sketch — the
@@ -121,6 +132,14 @@ object WindowQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // The HLL value itself is engine-specific; what IS cross-engine
+    // checkable is the exact count and the error-band contract, which
+    // the oracle predicts as constant TRUE (see the query's comment).
+    "a9_approx_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_orderkey) AS exact_orders,
+         TRUE AS within_tol
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "a5_dense_ids" ->
       """SELECT p_brand, CAST(row_number() OVER (ORDER BY p_brand) AS INT) AS cat_id
          FROM (SELECT DISTINCT p_brand FROM part) ORDER BY p_brand""",
