@@ -25,13 +25,13 @@ import org.apache.spark.sql.types._
   * reference re-writes the same name per duplicate row); undecodable
   * bytes drop the row from the manifest (the reference crashes).
   *
-  * `outputDir` must be a path every executor can write and the caller
-  * can read — a shared filesystem (NFS/FUSE-mounted object store) on a
-  * real cluster, any local path in local mode. Writing through
-  * java.nio is deliberate (one file per image is the reference's
-  * contract, not a Spark table); a Hadoop-FS path would be the
-  * alternative if only HDFS-style storage is available. The same
-  * contract applies to [[Yolo.writeYoloDataset]].
+  * `outputDir` routes through [[FileSink]]: a bare path writes via
+  * java.nio (any local path in local mode; a shared NFS/FUSE mount on
+  * a real cluster), while a scheme-qualified path (`hdfs://`,
+  * `s3a://`, …) writes through the Hadoop FileSystem API so HDFS and
+  * object stores work without a mount. One file per image is the
+  * reference's contract, not a Spark table, hence no DataFrameWriter.
+  * The same contract applies to [[Yolo.writeYoloDataset]].
   */
 object ImageDataset {
 
@@ -54,7 +54,8 @@ object ImageDataset {
     * (image_name, category, segmentation).
     */
   def writeImages(annos: DataFrame, images: DataFrame, outputDir: String): DataFrame = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outputDir))
+    val sink = FileSink.forPath(annos.sparkSession, outputDir)
+    sink.prepare()
     // J7 probe: only images that actually carry annotations export
     val names = annos.select(stripExt(col("image_name")).as("image_name")).distinct()
     val probed = images.join(names, Seq("image_name"), "left_semi")
@@ -86,7 +87,7 @@ object ImageDataset {
           redacted <- ImageOps.redact(bytes, polys)
           (w, h) <- ImageOps.dims(redacted)
         } yield {
-          ImageOps.writeImageFile(outputDir, name + ".jpeg", redacted)
+          sink.write(name + ".jpeg", redacted)
           Row(name, w, h, polys.size, tags)
         }
       }
@@ -115,7 +116,8 @@ object ImageDataset {
     */
   def writeItemCrops(crops: DataFrame, itemIds: Seq[Long],
                      outputDir: String): DataFrame = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outputDir))
+    val sink = FileSink.forPath(crops.sparkSession, outputDir)
+    sink.prepare()
     crops.filter(col("item_id").isin(itemIds: _*))
       .select(col("item_id"), col("image_name"), col("crop_data"))
       .mapPartitions { rows =>
@@ -126,9 +128,7 @@ object ImageDataset {
             img <- ImageOps.decode(r.getAs[Array[Byte]](2))
             enc <- ImageOps.encodeJpeg(img)
           } yield {
-            ImageOps.writeImageFile(
-              java.nio.file.Paths.get(outputDir, iid.toString).toString,
-              name + ".jpeg", enc)
+            sink.write(s"$iid/$name.jpeg", enc)
             Row(iid, name, img.getWidth, img.getHeight)
           }
         }

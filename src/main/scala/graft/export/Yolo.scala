@@ -55,14 +55,12 @@ object Yolo {
   def writeYoloDataset(annos: DataFrame, images: DataFrame, catMap: DataFrame,
                        annoKeyCol: String, outputDir: String,
                        segmentation: Boolean = false): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outputDir))
+    val sink = FileSink.forPath(annos.sparkSession, outputDir)
+    sink.prepare()
     yoloLines(annos, images, catMap, annoKeyCol, segmentation)
       .select("image_name", "body")
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        rows.foreach { r =>
-          val p = java.nio.file.Paths.get(outputDir, r.getString(0) + ".txt")
-          java.nio.file.Files.writeString(p, r.getString(1) + "\n")
-        }
+        rows.foreach(r => sink.writeString(r.getString(0) + ".txt", r.getString(1) + "\n"))
       }
   }
 }

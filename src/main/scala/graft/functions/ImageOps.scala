@@ -153,13 +153,4 @@ object ImageOps {
     dst
   }
 
-  /** S9: write one image file per row (image-file sink,
-    * TrainDatasets.py:318-368) — called from foreachPartition so each
-    * executor writes only its rows.
-    */
-  def writeImageFile(dir: String, name: String, bytes: Array[Byte]): Unit = {
-    val p = java.nio.file.Paths.get(dir, name)
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, bytes)
-  }
 }

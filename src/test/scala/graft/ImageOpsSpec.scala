@@ -95,10 +95,4 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(right.getBlue > right.getRed, s"right pixel not blue-ish: $right")
   }
 
-  test("image file sink writes per-row files (S9)") {
-    val dir = java.nio.file.Files.createTempDirectory("imgsink").toString
-    ImageOps.writeImageFile(dir, "a/b.jpeg", Array[Byte](1, 2, 3))
-    assert(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "a/b.jpeg")).toSeq == Seq[Byte](1, 2, 3))
-  }
 }
