@@ -28,13 +28,23 @@ object Bench {
     // query doesn't absorb session startup (excluded from metrics).
     spark.range(100000).selectExpr("sum(id) as s")
       .write.format("noop").mode("overwrite").save()
-    // Also first-touch the heavier engine machinery the export/dedup
+
+    // SPARK_GRAFT_WARMUP=0 disables every warm-up beyond the trivial
+    // noop-writer init above — the per-query sf0.001 pre-run, the
+    // engine-shape first-touch, and the lineitem page-cache scan — so a
+    // genuinely cold-process measurement stays obtainable. The default
+    // (on) measures the long-lived-cluster steady state, and the output
+    // labels which mode produced it ("warmup":"steady"|"cold") so
+    // artifacts from the two modes are never conflated.
+    val warmupOn = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+
+    // First-touch the heavier engine machinery the export/dedup
     // paths lean on — InMemoryRelation build+scan, RangePartitioner
     // sampling, broadcast exchange, sort-within-partitions — on a
     // 1000-row synthetic frame (~100 ms). A long-lived cluster session
     // runs all of this warm; without it the alphabetically-first query
     // using each mechanism absorbs several seconds of one-time JIT.
-    locally {
+    if (warmupOn) {
       import org.apache.spark.sql.functions._
       val w = spark.range(1000).select(col("id"), (col("id") % 7).as("k"))
       graft.operators.SeqIds.withSeqId(w.toDF(), Seq(col("id")), "sid")
@@ -104,10 +114,15 @@ object Bench {
     // export family) is charged to whichever query a cold process runs
     // first. Skipped silently when the mini scale isn't present.
     val warmSf = "/root/testdata/sf0.001"
-    if (new java.io.File(warmSf).isDirectory && warmSf != sfDir)
-      selected.foreach { case (_, fn) =>
+    if (warmupOn && new java.io.File(warmSf).isDirectory && warmSf != sfDir)
+      selected.foreach { case (name, fn) =>
+        // NonFatal only: an OOM/interrupt aborting warm-up must abort
+        // the bench, not silently degrade the measurement mode
         try fn(spark, warmSf).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"warm-up failed for $name: ${e.getMessage}")
+        }
         finally graft.operators.SeqIds.releaseAll()
       }
 
@@ -160,8 +175,9 @@ object Bench {
         "," + warm.map { case (k, v) => f""""${esc(k)}":$v%.3f""" }
           .mkString(""""warm":{""", ",", "}")
       else ""
+    val mode = if (warmupOn) "steady" else "cold"
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$warmField,"n_ok":${timings.size},"n_err":${errors.size},"sf":"${esc(sfDir)}"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$warmField,"n_ok":${timings.size},"n_err":${errors.size},"warmup":"$mode","sf":"${esc(sfDir)}"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(0) // errors reported in-band, not via rc
   }
