@@ -65,15 +65,24 @@ object WindowQueries extends QueryPack {
     // partition merge actually breaks — the default rsd = 0.05
     // realizes up to 8.6% here and would flake). A regression
     // hash-fails; ExtOpsSpec additionally bounds the error in-process.
-    "a9_approx_distinct" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-             countDistinct(col("l_orderkey")).as("exact_orders"))
+    // The sketch and the exact count are DELIBERATELY separate
+    // aggregations joined on the 3-row group key: a mixed
+    // distinct + non-distinct agg plans through Expand, which drags
+    // the ~12 KB p=14 HLL buffer across 2× the input rows (measured
+    // 34 s vs 2 s at sf0.1 — the buffer, not the sketch math, is the
+    // cost).
+    "a9_approx_distinct" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val approx = li.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      exact.join(broadcast(approx), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("approx_orders") - col("exact_orders")).cast("double")
             / col("exact_orders") <= 0.05).as("within_tol"))
-        .orderBy("l_returnflag")),
+        .orderBy("l_returnflag")
+    }),
 
     // Portable KMV (k-minimum-values) distinct sketch — the
     // deterministic counterpart to a9's HLL: hashes are md5-derived, so
