@@ -279,9 +279,22 @@ object Coco {
     sw.toString
   }
 
+  /** Streamed to `outputJson` — a plain path via java.nio, or a
+    * scheme-qualified URI (`hdfs://`, `s3a://`, …) through the Hadoop
+    * FileSystem API, matching the [[FileSink]] contract of the other
+    * exporters. The document write is driver-side either way (single
+    * file), so only the driver needs reachability.
+    */
   def writeCocoDataset(annos: DataFrame, images: DataFrame, annoKeyCol: String,
                        outputJson: String, train: Boolean = false, odtk: Boolean = true): Unit = {
-    val w = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(outputJson))
+    val w: java.io.Writer =
+      if (FileSink.hasScheme(outputJson)) {
+        val p = new org.apache.hadoop.fs.Path(outputJson)
+        val fs = p.getFileSystem(annos.sparkSession.sparkContext.hadoopConfiguration)
+        fs.setWriteChecksum(false)
+        new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+      } else java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(outputJson))
     try writeCocoTo(w, annos, images, annoKeyCol, train, odtk)
     finally w.close()
   }

@@ -45,6 +45,23 @@ class FileSinkSpec extends SparkSpec {
     assert(Files.readAllBytes(dir.resolve("z.bin")).toSeq == Seq[Byte](7))
   }
 
+  test("COCO document through a file:-scheme URI matches the nio bytes") {
+    val annos = Seq(
+      ("img_a", "cat", 1L, Seq(0.0, 0.0, 8.0, 0.0, 8.0, 4.0, 0.0, 4.0), Seq(0.0, 0.0, 8.0, 4.0, 0.0))
+    ).toDF("image_name", "category", "anno_key", "segmentation", "rcoco")
+      .withColumn("rbox", col("segmentation"))
+    val images = Seq(("img_a", 640L, 480L)).toDF("image_name", "width", "height")
+    val dir = Files.createTempDirectory("cocouri")
+    val nioOut = dir.resolve("nio.json")
+    val hfsOut = dir.resolve("hfs.json")
+    Coco.writeCocoDataset(annos, images, "anno_key", nioOut.toString)
+    graft.operators.SeqIds.releaseAll()
+    Coco.writeCocoDataset(annos, images, "anno_key", hfsOut.toUri.toString)
+    graft.operators.SeqIds.releaseAll()
+    assert(Files.readString(hfsOut) == Files.readString(nioOut))
+    assert(Files.readString(nioOut).startsWith("""{"info":"""))
+  }
+
   test("YOLO export through a file:-scheme URI matches the nio tree") {
     val annos = Seq(
       ("img_b", "dog", 1L, Seq(0.0, 0.0, 10.0, 0.0, 10.0, 6.0, 0.0, 6.0), Seq(0.0, 0.0, 10.0, 6.0, 0.0)),
