@@ -327,8 +327,13 @@ object DedupQueries extends QueryPack {
       val emb = t(s, d, "embeddings")
       val k = embedCellCount(emb.count())
       val centroids = graft.ext.Ivf.seedCentroids(emb, k)
-      val e = graft.ext.Ivf.assign(s, emb, centroids)
-        .withColumn("norm", expr("graft_norm(embedding)"))
+      // pinned: the assignment (scan + argmax + norm) feeds THREE
+      // consumers — the cell-count probe, the a-side and the b-side of
+      // the pair join; without the pin each is a full corpus pass.
+      // Released by the consumer's releaseAll, like every pinned frame.
+      val e = graft.operators.SeqIds.pin(
+        graft.ext.Ivf.assign(s, emb, centroids)
+          .withColumn("norm", expr("graft_norm(embedding)")))
       // EmbedMaxCell skew guard: drop pair generation for cells a
       // pathological cluster has overfilled (≤ k rows, broadcast;
       // filtering the a-side suffices — b shares a.cell by the join key)
