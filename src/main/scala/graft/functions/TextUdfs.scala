@@ -38,9 +38,8 @@ object TextUdfs {
 
   val simhash64: UserDefinedFunction =
     udf((tokens: Seq[String]) => if (tokens == null) 0L else simhash(tokens))
-
-  val hamming64: UserDefinedFunction =
-    udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+  // per-pair hamming distance needs no UDF: bit_count(a ^ b) is a
+  // codegen'd built-in (used directly by d_simhash)
 
   private val HEX = "0123456789abcdef".toCharArray
 

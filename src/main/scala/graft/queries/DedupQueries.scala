@@ -292,8 +292,11 @@ object DedupQueries extends QueryPack {
     // skew remains.
     "d_simhash" -> ((s, d) => {
       graft.plans.GraftFunctions.register(s)
-      val sigs = t(s, d, "documents")
-        .select(col("doc_id"), TextUdfs.simhash64(split(col("text"), " ")).as("sig"))
+      // pinned: the signature pass (an md5 per token) feeds the band
+      // explosion AND both sides of the candidate join — three full
+      // document scans unpinned. Released by the consumer's releaseAll.
+      val sigs = graft.operators.SeqIds.pin(t(s, d, "documents")
+        .select(col("doc_id"), TextUdfs.simhash64(split(col("text"), " ")).as("sig")))
       val bands = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until 2).map(b =>
           struct(lit(b).as("band"), shiftright(col("sig"), b * 32).bitwiseAND(lit(0xFFFFFFFFL)).as("k"))): _*)).as("bk"))
@@ -306,7 +309,10 @@ object DedupQueries extends QueryPack {
       candidates
         .join(sigs.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
         .join(sigs.select(col("doc_id").as("db"), col("sig").as("sb")), "db")
-        .select(col("da"), col("db"), TextUdfs.hamming64(col("sa"), col("sb")).as("hamming"))
+        // per-pair hamming via built-ins (codegen'd), not a UDF: this
+        // is the hot path — one row per candidate pair
+        .select(col("da"), col("db"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
         .orderBy("da", "db")
     }),
 
