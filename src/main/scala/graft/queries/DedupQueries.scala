@@ -235,7 +235,10 @@ object DedupQueries extends QueryPack {
     // trade, standard for shingle-LSH at scale).
     "d_ngram_jaccard" -> ((s, d) => {
       graft.plans.GraftFunctions.register(s)
-      val sh = shingled(t(s, d, "documents"))
+      // pinned: the shingle pass (tokenize + distinct 3-grams per doc)
+      // feeds the explode AND both count-join sides — three full
+      // document scans unpinned. Released by the consumer's releaseAll.
+      val sh = graft.operators.SeqIds.pin(shingled(t(s, d, "documents")))
       val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       val cnt = sh.select(col("doc_id"), size(col("shingles")).as("n"))
       val pairs = ex.groupBy("s")
