@@ -17,6 +17,13 @@ import javax.imageio.ImageIO
   */
 object ImageOps {
 
+  // ImageIO defaults to FILE-backed stream caches: every encode/decode
+  // through a byte stream creates, writes and deletes a temp file.
+  // This path is small-image/high-count (thousands of JPEGs per
+  // partition), so memory-backed caches win; runs once per JVM when
+  // the object loads on an executor.
+  ImageIO.setUseCache(false)
+
   /** F-B4: (width, height) without full decode (header read). */
   def dims(bytes: Array[Byte]): Option[(Int, Int)] = {
     val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
