@@ -159,7 +159,41 @@ object GeomQueries extends QueryPack {
         .select(col("p_partkey"),
                 col("coco")(0).as("xmin"), col("coco")(1).as("ymin"),
                 col("coco")(2).as("w"), col("coco")(3).as("h"))
-        .orderBy("p_partkey"))
+        .orderBy("p_partkey")),
+
+    // F-G1/G2 GENERAL-path contract, hash-checked on oblique input:
+    // for ANY triangle the rotating-calipers minimum rectangle is
+    // side-aligned with area EXACTLY 2× the triangle area (every side
+    // alignment gives base·height = 2A, and calipers only considers
+    // side alignments). These scalene triangles have no axis-aligned
+    // side, so hull → calipers → bearing → rotation all run with
+    // nontrivial angles — unlike the rect subclass (θ = 0) — and the
+    // law w·h = 2A must still hold to 1e-6 relative. Geometry keeps
+    // the min_hw/min_area clamps idle (min rect height ≥ ~4, area
+    // ≥ 23). Like a9, the VALUES are not SQL-expressible (atan2/cos)
+    // but the CONTRACT is: the oracle predicts four constant-TRUE
+    // booleans per row, and any calipers/permutation/clamp regression
+    // flips one and hash-fails.
+    "f_g1_rbb_area_law" -> ((s, d) => {
+      val twoA = col("a") * col("b") - 2
+      t(s, d, "part")
+        .withColumn("x0", (col("p_partkey") % 40).cast("double"))
+        .withColumn("y0", (col("p_partkey") % 23).cast("double"))
+        .withColumn("a", (col("p_size") % 16 + 5).cast("double"))
+        .withColumn("b", (col("p_partkey") % 11 + 5).cast("double"))
+        .withColumn("seg", array(
+          col("x0"), col("y0"),
+          col("x0") + col("a"), col("y0") + 1,
+          col("x0") + 2, col("y0") + col("b")))
+        .withColumn("rcoco", GeomFunctions.rbbFromSeg(col("seg")))
+        .select(col("p_partkey"),
+          col("rcoco").isNotNull.as("defined"),
+          (abs(col("rcoco")(2) * col("rcoco")(3) - twoA) <= twoA * 1e-6)
+            .as("area_law"),
+          (col("rcoco")(2) >= 1 && col("rcoco")(3) >= 1).as("hw_unclamped"),
+          (abs(col("rcoco")(4)) <= math.Pi).as("theta_bounded"))
+        .orderBy("p_partkey")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -219,6 +253,13 @@ object GeomQueries extends QueryPack {
                  (greatest(y0,y1,y2)/480.0 + least(y0,y1,y2)/480.0)/2 AS cy,
                  greatest(x0,x1,x2)/640.0 - least(x0,x1,x2)/640.0 AS w,
                  greatest(y0,y1,y2)/480.0 - least(y0,y1,y2)/480.0 AS h
-          FROM tri ORDER BY p_partkey"""
+          FROM tri ORDER BY p_partkey""",
+    // The calipers/rotation values are not SQL-expressible; their
+    // CONTRACT is (see the query comment): four constant-TRUE booleans
+    // per part row.
+    "f_g1_rbb_area_law" ->
+      """SELECT p_partkey, TRUE AS defined, TRUE AS area_law,
+                TRUE AS hw_unclamped, TRUE AS theta_bounded
+         FROM part ORDER BY p_partkey"""
   )
 }
