@@ -97,6 +97,18 @@ object Bench {
           "max(l_suppkey) as c4", "max(l_returnflag) as c5",
           "max(l_linestatus) as c6")
         .write.format("noop").mode("overwrite").save()
+      // …and the remaining measured tables (all far smaller than
+      // lineitem): one full-column noop scan each, so file listing,
+      // footer decode and the OS page cache are resident for every
+      // query family, not just the lineitem-backed ones.
+      for (tbl <- Seq("documents", "embeddings", "events", "orders",
+                      "part", "customer", "supplier", "nation", "region"))
+        try graft.Tables.t(spark, sfDir, tbl)
+          .write.format("noop").mode("overwrite").save()
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"warm-up scan failed for $tbl: ${e.getMessage}")
+        }
     }
 
     // Optional comma-separated query-name filter for targeted profiling.
