@@ -82,8 +82,12 @@ object GeomKernels {
   * ImplicitCastInputTypes' AbstractDataType is private[sql].
   */
 abstract class GeomArrayExpr extends UnaryExpression {
-  /** GeomKernels method name — must match a static forwarder. */
+  /** GeomKernels method name — must match a static forwarder; the
+    * generated Java calls it directly.
+    */
   protected def kernel: String
+  /** The same kernel as a direct reference for interpreted eval. */
+  protected def run(a: ArrayData): ArrayData
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -93,16 +97,8 @@ abstract class GeomArrayExpr extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
 
-  @inline private def call(a: ArrayData): ArrayData = kernel match {
-    case "seg2bbox" => GeomKernels.seg2bbox(a)
-    case "aabb2poly" => GeomKernels.aabb2poly(a)
-    case "rect2poly" => GeomKernels.rect2poly(a)
-    case "rbbFromSeg" => GeomKernels.rbbFromSeg(a)
-    case "cocoFromSeg" => GeomKernels.cocoFromSeg(a)
-  }
-
   override protected def nullSafeEval(a: Any): Any =
-    call(a.asInstanceOf[ArrayData])
+    run(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
@@ -115,6 +111,7 @@ abstract class GeomArrayExpr extends UnaryExpression {
 
 case class Seg2BboxF(child: Expression) extends GeomArrayExpr {
   override protected def kernel: String = "seg2bbox"
+  override protected def run(a: ArrayData): ArrayData = GeomKernels.seg2bbox(a)
   override def prettyName: String = "graft_seg2bbox"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -122,6 +119,7 @@ case class Seg2BboxF(child: Expression) extends GeomArrayExpr {
 
 case class Aabb2PolyF(child: Expression) extends GeomArrayExpr {
   override protected def kernel: String = "aabb2poly"
+  override protected def run(a: ArrayData): ArrayData = GeomKernels.aabb2poly(a)
   override def prettyName: String = "graft_aabb2poly"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -129,6 +127,7 @@ case class Aabb2PolyF(child: Expression) extends GeomArrayExpr {
 
 case class RectToPolyF(child: Expression) extends GeomArrayExpr {
   override protected def kernel: String = "rect2poly"
+  override protected def run(a: ArrayData): ArrayData = GeomKernels.rect2poly(a)
   override def prettyName: String = "graft_rect2poly"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -136,6 +135,7 @@ case class RectToPolyF(child: Expression) extends GeomArrayExpr {
 
 case class RbbFromSegF(child: Expression) extends GeomArrayExpr {
   override protected def kernel: String = "rbbFromSeg"
+  override protected def run(a: ArrayData): ArrayData = GeomKernels.rbbFromSeg(a)
   override def prettyName: String = "graft_rbb_from_seg"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -143,6 +143,7 @@ case class RbbFromSegF(child: Expression) extends GeomArrayExpr {
 
 case class CocoFromSegF(child: Expression) extends GeomArrayExpr {
   override protected def kernel: String = "cocoFromSeg"
+  override protected def run(a: ArrayData): ArrayData = GeomKernels.cocoFromSeg(a)
   override def prettyName: String = "graft_coco_from_seg"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -151,6 +152,7 @@ case class CocoFromSegF(child: Expression) extends GeomArrayExpr {
 /** Shared shape for the YOLO normalizers: (width, height, seg). */
 abstract class YoloExpr extends TernaryExpression {
   protected def kernel: String
+  protected def run(w: Double, h: Double, s: ArrayData): ArrayData
   def first: Expression; def second: Expression; def third: Expression
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -164,14 +166,8 @@ abstract class YoloExpr extends TernaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(w: Any, h: Any, s: Any): Any = kernel match {
-    case "yoloBbox" =>
-      GeomKernels.yoloBbox(w.asInstanceOf[Double], h.asInstanceOf[Double],
-        s.asInstanceOf[ArrayData])
-    case "yoloSeg" =>
-      GeomKernels.yoloSeg(w.asInstanceOf[Double], h.asInstanceOf[Double],
-        s.asInstanceOf[ArrayData])
-  }
+  override protected def nullSafeEval(w: Any, h: Any, s: Any): Any =
+    run(w.asInstanceOf[Double], h.asInstanceOf[Double], s.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (w, h, s) => {
@@ -185,6 +181,8 @@ abstract class YoloExpr extends TernaryExpression {
 case class YoloBboxF(first: Expression, second: Expression, third: Expression)
     extends YoloExpr {
   override protected def kernel: String = "yoloBbox"
+  override protected def run(w: Double, h: Double, s: ArrayData): ArrayData =
+    GeomKernels.yoloBbox(w, h, s)
   override def prettyName: String = "graft_yolo_bbox"
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
@@ -194,6 +192,8 @@ case class YoloBboxF(first: Expression, second: Expression, third: Expression)
 case class YoloSegF(first: Expression, second: Expression, third: Expression)
     extends YoloExpr {
   override protected def kernel: String = "yoloSeg"
+  override protected def run(w: Double, h: Double, s: ArrayData): ArrayData =
+    GeomKernels.yoloSeg(w, h, s)
   override def prettyName: String = "graft_yolo_seg"
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
