@@ -60,9 +60,13 @@ object GeomKernels {
     out(Geometry.rbbCocoFromSeg(seg.toDoubleArray()).map(_._2).orNull)
   }
 
-  /** F-G8 make_bbox; null on empty seg or non-positive canvas. */
+  /** F-G8 make_bbox; null below one (x,y) pair or on a non-positive
+    * canvas. (The former UDF guarded only isEmpty — a malformed
+    * 1-element seg crashed the kernel's empty-min; found by
+    * GeomExprPropSpec's sweep.)
+    */
   def yoloBbox(width: Double, height: Double, seg: ArrayData): ArrayData = {
-    if (seg.numElements() == 0 || width <= 0 || height <= 0) return null
+    if (seg.numElements() < 2 || width <= 0 || height <= 0) return null
     out(Geometry.yoloBbox(width, height, seg.toDoubleArray()))
   }
 
