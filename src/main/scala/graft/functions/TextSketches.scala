@@ -1,14 +1,16 @@
 package graft.functions
 
-import org.apache.spark.sql.expressions.UserDefinedFunction
-import org.apache.spark.sql.functions.udf
 import java.security.MessageDigest
 
 /** Text sketching kernels that are not SQL-expressible: 64-bit SimHash
-  * over a token list (md5-derived token hashes, so the signature is
-  * deterministic and engine/cluster-independent) and Hamming distance.
+  * over a token list and md5 MinHash signatures (md5-derived hashes,
+  * so the sketches are deterministic and engine/cluster-independent).
+  * Pure functions — the Spark surface is the native expressions in
+  * plans/TextExpressions.scala (TextFunctions Column API), which call
+  * these kernels from generated code; the former `udf()` wrappers are
+  * gone with them.
   */
-object TextUdfs {
+object TextSketches {
 
   /** First 8 md5 bytes of the UTF-8 token as a big-endian long. */
   def tokenHash64(tok: String): Long = {
@@ -36,10 +38,8 @@ object TextUdfs {
     sig
   }
 
-  val simhash64: UserDefinedFunction =
-    udf((tokens: Seq[String]) => if (tokens == null) 0L else simhash(tokens))
-  // per-pair hamming distance needs no UDF: bit_count(a ^ b) is a
-  // codegen'd built-in (used directly by d_simhash)
+  // per-pair hamming distance needs no kernel at all: bit_count(a ^ b)
+  // is a codegen'd built-in (used directly by d_simhash)
 
   private val HEX = "0123456789abcdef".toCharArray
 
@@ -69,9 +69,4 @@ object TextUdfs {
     }
     mins.toSeq
   }
-
-  def minhashSigUdf(k: Int): UserDefinedFunction =
-    udf((shingles: Seq[String]) =>
-      if (shingles == null || shingles.isEmpty) null
-      else minhashSignature(shingles, k))
 }

@@ -54,7 +54,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => YoloBboxF(args(0), args(1), args(2))),
     (FunctionIdentifier("graft_yolo_seg"),
       new ExpressionInfo(classOf[YoloSegF].getName, "graft_yolo_seg"),
-      (args: Seq[Expression]) => YoloSegF(args(0), args(1), args(2)))
+      (args: Seq[Expression]) => YoloSegF(args(0), args(1), args(2))),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesF].getName, "graft_shingles"),
+      (args: Seq[Expression]) => ShinglesF(args(0))),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashF].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimhashF(args(0)))
   )
 
   /** Idempotent per-session registration. */

@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.Tables.t
-import graft.functions.TextUdfs
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -70,32 +69,16 @@ object DedupQueries extends QueryPack {
       math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
 
   /** Distinct word 3-gram shingles per doc; empty for <3 tokens.
-    * Compiled UDF rather than transform/element_at: Catalyst inlines the
+    * A compiled kernel (now the native ShinglesF expression — formerly
+    * a UDF) rather than transform/element_at: Catalyst inlines the
     * `split(text)` subexpression into every lambda reference, so the
     * declarative form re-tokenizes the document O(shingles) times — the
-    * UDF tokenizes once. Output matches
+    * kernel tokenizes once, and the expression stays inside whole-stage
+    * codegen with no Row↔Scala bridge. Output matches
     * `array_distinct(transform(...concat_ws(' ', t[i..i+2])...))`.
     */
-  private val shingleUdf = udf((text: String) => {
-    if (text == null) Seq.empty[String]
-    else {
-      val toks = text.split(" ", -1)
-      if (toks.length < 3) Seq.empty[String]
-      else {
-        val seen = new java.util.LinkedHashSet[String]()
-        var i = 0
-        while (i + 2 < toks.length) {
-          seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-          i += 1
-        }
-        import scala.jdk.CollectionConverters._
-        seen.asScala.toSeq
-      }
-    }
-  })
-
   private def shingled(df: DataFrame): DataFrame =
-    df.withColumn("shingles", shingleUdf(col("text")))
+    df.withColumn("shingles", graft.functions.TextFunctions.shingles(col("text")))
 
   private val shingleCtes =
     """sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
@@ -114,7 +97,7 @@ object DedupQueries extends QueryPack {
     graft.plans.GraftFunctions.register(s)
     val sigArr = shingled(t(s, d, "documents"))
       .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), TextUdfs.minhashSigUdf(8)(col("shingles")).as("sig"))
+      .select(col("doc_id"), graft.functions.TextFunctions.minhashSig(col("shingles"), 8).as("sig"))
     val sig = sigArr.select(
       col("doc_id") +: (0 until 8).map(j => col("sig")(j).as(s"s$j")): _*)
     val bands = sig.select(col("doc_id"), explode(array(
@@ -299,7 +282,7 @@ object DedupQueries extends QueryPack {
       // explosion AND both sides of the candidate join — three full
       // document scans unpinned. Released by the consumer's releaseAll.
       val sigs = graft.operators.SeqIds.pin(t(s, d, "documents")
-        .select(col("doc_id"), TextUdfs.simhash64(split(col("text"), " ")).as("sig")))
+        .select(col("doc_id"), graft.functions.TextFunctions.simhash(split(col("text"), " ")).as("sig")))
       val bands = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until 2).map(b =>
           struct(lit(b).as("band"), shiftright(col("sig"), b * 32).bitwiseAND(lit(0xFFFFFFFFL)).as("k"))): _*)).as("bk"))
@@ -424,7 +407,7 @@ object DedupQueries extends QueryPack {
             SELECT node FROM reach GROUP BY node
             HAVING LEAST(node, MIN(peer)) <> node)
           ORDER BY doc_id""",
-    // Full SQL replication of the SimHash kernel (TextUdfs.simhash):
+    // Full SQL replication of the SimHash kernel (TextSketches.simhash):
     // token hash = first 8 md5 bytes (two 32-bit hex parses combined in
     // HUGEINT — pure arithmetic, no signed-shift semantics questions),
     // per-bit votes over range(64), sign → signature, 2×32-bit bands

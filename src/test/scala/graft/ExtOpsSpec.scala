@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.TextUdfs
+import graft.functions.TextSketches
 import graft.queries.{DedupQueries, SimQueries}
 
 /** Scale-shape guards for the LLM-pipeline ops: the dedup/ANN plans must
@@ -66,17 +66,17 @@ class ExtOpsSpec extends SparkSpec {
   }
 
   test("simhash: identical token lists → distance 0; disjoint → large") {
-    val a = TextUdfs.simhash(Seq("spark", "scan", "shuffle", "agg"))
-    val b = TextUdfs.simhash(Seq("spark", "scan", "shuffle", "agg"))
+    val a = TextSketches.simhash(Seq("spark", "scan", "shuffle", "agg"))
+    val b = TextSketches.simhash(Seq("spark", "scan", "shuffle", "agg"))
     assert(java.lang.Long.bitCount(a ^ b) == 0)
-    val c = TextUdfs.simhash(Seq("completely", "different", "words", "here"))
+    val c = TextSketches.simhash(Seq("completely", "different", "words", "here"))
     assert(java.lang.Long.bitCount(a ^ c) > 10)
   }
 
   test("simhash: near-identical docs land within a small hamming ball") {
     val base = (1 to 50).map(i => s"tok$i")
-    val a = TextUdfs.simhash(base)
-    val b = TextUdfs.simhash(base.updated(10, "changed"))
+    val a = TextSketches.simhash(base)
+    val b = TextSketches.simhash(base.updated(10, "changed"))
     assert(java.lang.Long.bitCount(a ^ b) <= 12,
       s"one-token change moved ${java.lang.Long.bitCount(a ^ b)} bits")
   }

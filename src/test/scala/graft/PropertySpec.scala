@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Geometry, TextUdfs}
+import graft.functions.{Geometry, TextSketches}
 import graft.operators.TrackInterpolation
 import graft.operators.TrackInterpolation.TrackShape
 import org.scalacheck.{Gen, Prop, Test => SCTest}
@@ -75,8 +75,8 @@ class PropertySpec extends AnyFunSuite {
     val tokGen = Gen.listOfN(60, Gen.identifier.suchThat(_.nonEmpty))
     check("simhash-locality", Prop.forAllNoShrink(tokGen) { toks =>
       toks.size != 60 || {
-        val base = TextUdfs.simhash(toks)
-        val d1 = java.lang.Long.bitCount(base ^ TextUdfs.simhash(toks.updated(0, "swapped-a")))
+        val base = TextSketches.simhash(toks)
+        val d1 = java.lang.Long.bitCount(base ^ TextSketches.simhash(toks.updated(0, "swapped-a")))
         d1 <= 20
       }
     }, min = 50)
