@@ -95,9 +95,16 @@ object DedupQueries extends QueryPack {
     */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    val sigArr = shingled(t(s, d, "documents"))
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), graft.functions.TextFunctions.minhashSig(col("shingles"), 8).as("sig"))
+    // The emptiness filter is deliberately the CHEAP equivalent
+    // (shingles empty ⇔ under 3 tokens, and null text splits to null →
+    // size -1): a filter on size(shingles) itself gets pushed below the
+    // projection with graft_shingles re-inlined into the predicate, so
+    // every document would be shingled twice — once for the filter,
+    // once for the signature.
+    val sigArr = t(s, d, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), graft.functions.TextFunctions.minhashSig(
+        graft.functions.TextFunctions.shingles(col("text")), 8).as("sig"))
     val sig = sigArr.select(
       col("doc_id") +: (0 until 8).map(j => col("sig")(j).as(s"s$j")): _*)
     val bands = sig.select(col("doc_id"), explode(array(
