@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{Aabb2PolyF, CocoFromSegF, RbbFromSegF, RectToPolyF, Seg2BboxF, YoloBboxF, YoloSegF}
+import graft.plans.{Aabb2PolyF, CocoFromSegF, RbbCocoF, RbbFromSegF, RectToPolyF, Seg2BboxF, YoloBboxF, YoloSegF}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
@@ -37,6 +37,12 @@ object GeomFunctions {
 
   /** F-G1 coco [xmin,ymin,w,h] or null on degenerate input. */
   def cocoFromSeg(seg: Column): Column = column(CocoFromSegF(arr(seg)))
+
+  /** F-G1 struct(rcoco, coco) from ONE calipers run — use this when a
+    * projection needs both outputs; the separate functions each run
+    * the full kernel.
+    */
+  def rbbCoco(seg: Column): Column = column(RbbCocoF(arr(seg)))
 
   /** F-G8 YOLO center-format bbox normalized to the canvas. */
   def yoloBbox(width: Column, height: Column, seg: Column): Column =

@@ -33,9 +33,13 @@ object CvatTables {
         when(col("shape_type") === "rectangle", GeomFunctions.rectToPolygon(col("points")))
           .otherwise(col("points")))
       .filter(size(col("polygon")) >= 5) // too-few-points guard (ref :360-362)
-      .withColumn("rcoco", GeomFunctions.rbbFromSeg(col("polygon")))
-      .withColumn("coco", GeomFunctions.cocoFromSeg(col("polygon")))
-      .filter(col("rcoco").isNotNull) // degenerate-polygon guard (ref :363-369)
+      // one calipers run for both box forms; the struct keeps the
+      // kernel in its own projection (CollapseProject cost guard)
+      .withColumn("rc", GeomFunctions.rbbCoco(col("polygon")))
+      .filter(col("rc").isNotNull) // degenerate-polygon guard (ref :363-369)
+      .withColumn("rcoco", col("rc.rcoco"))
+      .withColumn("coco", col("rc.coco"))
+      .drop("rc")
 
     val named = poly
       .join(broadcast(labels), Seq("label_id"))

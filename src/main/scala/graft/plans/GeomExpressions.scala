@@ -54,6 +54,21 @@ object GeomKernels {
     out(Geometry.rbbCocoFromSeg(seg.toDoubleArray()).map(_._1).orNull)
   }
 
+  /** F-G1 both outputs from ONE kernel run: struct(rcoco, coco), null
+    * on short or degenerate input (the kernel defines them together —
+    * rcoco and coco are never null independently). Callers needing
+    * both must use this instead of rbbFromSeg + cocoFromSeg, which
+    * each run the full hull+calipers and discard half the result.
+    */
+  def rbbCoco(seg: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    if (seg.numElements() < 5) return null
+    Geometry.rbbCocoFromSeg(seg.toDoubleArray()) match {
+      case Some((rcoco, coco)) =>
+        org.apache.spark.sql.catalyst.InternalRow(out(rcoco), out(coco))
+      case None => null
+    }
+  }
+
   /** F-G1 coco [xmin,ymin,w,h]; null on short or degenerate input. */
   def cocoFromSeg(seg: ArrayData): ArrayData = {
     if (seg.numElements() < 5) return null
@@ -149,6 +164,41 @@ case class CocoFromSegF(child: Expression) extends GeomArrayExpr {
   override protected def kernel: String = "cocoFromSeg"
   override protected def run(a: ArrayData): ArrayData = GeomKernels.cocoFromSeg(a)
   override def prettyName: String = "graft_coco_from_seg"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** F-G1 both outputs as struct(rcoco, coco) from one kernel run — the
+  * form for call sites needing both (exporter/ingestion projections):
+  * two field extracts over one non-cheap expression, which
+  * CollapseProject's cost guard keeps in its own projection instead of
+  * re-inlining the calipers into every reference.
+  */
+case class RbbCocoF(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_rbb_coco expects array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("rcoco", ArrayType(DoubleType, containsNull = false)),
+    StructField("coco", ArrayType(DoubleType, containsNull = false))))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_rbb_coco"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GeomKernels.rbbCoco(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (InternalRow) graft.plans.GeomKernels.rbbCoco($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

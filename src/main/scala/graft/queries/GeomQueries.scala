@@ -112,14 +112,15 @@ object GeomQueries extends QueryPack {
         .withColumn("seg", when(col("p_partkey") % 10 === 0,
           array(col("x0"), col("y0"), col("x1"), col("y0"), col("x1") + 1, col("y0"))
         ).otherwise(col("seg")))
-        .withColumn("rcoco", GeomFunctions.rbbFromSeg(col("seg")))
-        .withColumn("coco", GeomFunctions.cocoFromSeg(col("seg")))
-        .filter(col("rcoco").isNotNull) // P9: degenerate guard
+        // one calipers run for both box forms (struct; the filter's
+        // pushed-down copy is the one remaining re-evaluation)
+        .withColumn("rc", GeomFunctions.rbbCoco(col("seg")))
+        .filter(col("rc").isNotNull) // P9: degenerate guard
         // arrays serialized to JSON strings so the driver's comparator can
         // hash the rows (same canonicalization as f_g6_aabb2poly)
         .select(col("p_partkey"),
-                to_json(col("rcoco")).as("rcoco_json"),
-                to_json(col("coco")).as("coco_json"))
+                to_json(col("rc.rcoco")).as("rcoco_json"),
+                to_json(col("rc.coco")).as("coco_json"))
         .orderBy("p_partkey")),
 
     // F-G2→G4 rectangle subclass, HASH-CHECKED (COCOUtils.py:17-80): an
@@ -153,12 +154,11 @@ object GeomQueries extends QueryPack {
         .withColumn("seg", when(col("p_partkey") % 10 === 0,
           array(col("x0"), col("y0"), col("x1"), col("y0"), col("x1") + 1, col("y0"))
         ).otherwise(col("seg")))
-        .withColumn("rcoco", GeomFunctions.rbbFromSeg(col("seg")))
-        .withColumn("coco", GeomFunctions.cocoFromSeg(col("seg")))
-        .filter(col("rcoco").isNotNull) // P9: degenerate guard
+        .withColumn("rc", GeomFunctions.rbbCoco(col("seg")))
+        .filter(col("rc").isNotNull) // P9: degenerate guard
         .select(col("p_partkey"),
-                col("coco")(0).as("xmin"), col("coco")(1).as("ymin"),
-                col("coco")(2).as("w"), col("coco")(3).as("h"))
+                col("rc.coco")(0).as("xmin"), col("rc.coco")(1).as("ymin"),
+                col("rc.coco")(2).as("w"), col("rc.coco")(3).as("h"))
         .orderBy("p_partkey")),
 
     // F-G1/G2 GENERAL-path contract, hash-checked on oblique input:

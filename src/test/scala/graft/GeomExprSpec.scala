@@ -93,16 +93,21 @@ class GeomExprSpec extends SparkSpec {
           GeomFunctions.segmentation2bbox(col("seg")).as("bbox"),
           GeomFunctions.rbbFromSeg(col("seg")).as("rcoco"),
           GeomFunctions.cocoFromSeg(col("seg")).as("coco"),
+          GeomFunctions.rbbCoco(col("seg")).as("rc"),
           GeomFunctions.aabb2poly(col("seg")).as("poly"),
           GeomFunctions.rectToPolygon(col("seg")).as("rp"),
           GeomFunctions.yoloBbox(lit(640.0), lit(480.0), col("seg")).as("yb"),
           GeomFunctions.yoloSegmentation(lit(640.0), lit(480.0), col("seg")).as("ys"))
       assert(out.filter(col("rcoco").isNotNull).count() > 0)
+      // the struct form must agree with the separate expressions
+      assert(out.filter((col("rc").isNull =!= col("rcoco").isNull) ||
+        (col("rc.rcoco") =!= col("rcoco")) || (col("rc.coco") =!= col("coco")))
+        .count() == 0, "rbbCoco struct diverges from rbbFromSeg/cocoFromSeg")
       val plan = out.queryExecution.executedPlan.toString
       assert(!plan.contains("UDF(") && !plan.contains("ScalaUDF"), plan.take(2000))
       for (name <- Seq("graft_seg2bbox", "graft_rbb_from_seg", "graft_coco_from_seg",
-                       "graft_aabb2poly", "graft_rect2poly", "graft_yolo_bbox",
-                       "graft_yolo_seg"))
+                       "graft_rbb_coco", "graft_aabb2poly", "graft_rect2poly",
+                       "graft_yolo_bbox", "graft_yolo_seg"))
         assert(plan.contains(name), s"$name missing from plan")
       // SQL-registered forms resolve too
       assert(spark.sql(
