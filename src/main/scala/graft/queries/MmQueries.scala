@@ -40,9 +40,13 @@ object MmQueries extends QueryPack {
         g.fillRect(0, 0, w, h); g.dispose()
         ImageOps.encodeJpeg(img).orNull
       })
+      // asNondeterministic: keeps the dims filter ABOVE this projection —
+      // a pushed-down predicate re-inlines the whole decode/redact chain
+      // and processes every image twice (PLANS.md, round 11)
       val redactAndDims = udf((b: Array[Byte]) =>
         ImageOps.redact(b, Seq(Array(0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0)))
           .flatMap(ImageOps.dims).map { case (w, h) => Seq(w, h) }.orNull)
+        .asNondeterministic()
       t(s, d, "part").filter(col("p_partkey") <= 200)
         .withColumn("w", (col("p_partkey") % 16 + 8).cast("int"))
         .withColumn("h", (col("p_partkey") % 12 + 8).cast("int"))
@@ -69,9 +73,11 @@ object MmQueries extends QueryPack {
         g.fillRect(0, 0, w, h); g.dispose()
         ImageOps.encodeJpeg(img).orNull
       })
+      // asNondeterministic: same pushdown guard as redactAndDims above
       val resizedDims = udf((b: Array[Byte], tw: Int, th: Int) =>
         ImageOps.resize(b, tw, th).flatMap(ImageOps.dims)
           .map { case (w, h) => Seq(w, h) }.orNull)
+        .asNondeterministic()
       t(s, d, "part").filter(col("p_partkey") <= 200)
         .withColumn("w", (col("p_partkey") % 16 + 8).cast("int"))
         .withColumn("h", (col("p_partkey") % 12 + 8).cast("int"))
