@@ -224,6 +224,38 @@ object InterpQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // Formerly rows-only. The synthesized tracks are SQUARES, whose
+    // arc-length offsets are {0, ¼, ½, ¾, 1} for ANY size — so the
+    // nearest-pair matching is the identity at every keyframe pair,
+    // per-point emission keeps all 4 corners, and n_coords is the
+    // constant 8 on every output row. That makes the full per-row
+    // output (the row set interp_counts checks in aggregate, plus the
+    // coordinate arity) DuckDB-predictable: keyframes always emit,
+    // non-outside keyframes with a successor emit gap-1 interpolated
+    // frames, the non-outside trailing keyframe propagates 2.
+    "interp_tracks" ->
+      """WITH kf AS (
+           SELECT track_id, CAST((seq - 1) * 3 AS INT) AS frame, outside FROM (
+             SELECT o_orderkey % 300 AS track_id,
+                    row_number() OVER (PARTITION BY o_orderkey % 300 ORDER BY o_orderkey) AS seq,
+                    (o_orderkey % 17 = 0) AS outside
+             FROM orders) WHERE seq <= 8),
+         seg AS (
+           SELECT track_id, frame, outside,
+                  lead(frame) OVER (PARTITION BY track_id ORDER BY frame) AS nf
+           FROM kf)
+         SELECT track_id, CAST(frame AS INT) AS frame, keyframe,
+                CAST(8 AS INT) AS n_coords FROM (
+           SELECT track_id, frame, TRUE AS keyframe FROM kf
+           UNION ALL
+           SELECT track_id, frame + g, FALSE
+           FROM (SELECT *, UNNEST(generate_series(1, nf - frame - 1)) AS g
+                 FROM seg WHERE NOT outside AND nf IS NOT NULL AND nf - frame > 1)
+           UNION ALL
+           SELECT track_id, frame + g, FALSE
+           FROM (SELECT *, UNNEST([1, 2]) AS g
+                 FROM seg WHERE NOT outside AND nf IS NULL)
+         ) ORDER BY track_id, frame""",
     // Pure frame-gap arithmetic over the same synthesized keyframes:
     // every keyframe emits itself (kept by the clip even when outside);
     // a non-outside keyframe with a successor emits gap-1 interpolated
