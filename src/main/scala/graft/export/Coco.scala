@@ -232,9 +232,20 @@ object Coco {
       }
     }
     import scala.jdk.CollectionConverters._
+    // Global order via repartitionByRange(8) + sortWithinPartitions
+    // instead of orderBy: identical output sequence (range partitions
+    // are ordered, ids are unique), but toLocalIterator then runs one
+    // fetch job per PARTITION — 8 instead of spark.sql.shuffle
+    // .partitions (ExportExecCountSpec pins the job count). The
+    // driver-side memory bound tightens with fewer, larger partitions
+    // only in the constant factor (one partition is held at a time
+    // either way); 8 keeps partitions comfortably sized while cutting
+    // per-job scheduling overhead 4x at the default 32.
     streamSection(
-      imageDim(images).orderBy("image_id")
+      imageDim(images)
         .select("image_name", "height", "width", "image_id")
+        .repartitionByRange(8, col("image_id"))
+        .sortWithinPartitions("image_id")
         .toLocalIterator().asScala) { r =>
       s"""{"license": 1, "file_name": ${jstr(r.getString(0) + ".jpeg")}, "height": ${r.get(1)}, "width": ${r.get(2)}, "id": ${r.getInt(3)}}"""
     }
@@ -251,9 +262,10 @@ object Coco {
     streamSection(
       annotationRecords(annos, images, annoKeyCol, odtk)
         .withColumn("seg_json", segCol)
-        .orderBy("id")
         .select(col("image_id"), col("id"), col("category_id"),
                 to_json(col("bbox")).as("bbox_json"), col("area"), col("seg_json"))
+        .repartitionByRange(8, col("id"))
+        .sortWithinPartitions("id")
         .toLocalIterator().asScala) { r =>
       val seg = Option(r.getString(5)).map(s => s""", "segmentation": $s""").getOrElse("")
       s"""{"iscrowd": 0, "image_id": ${r.getInt(0)}, "bbox": ${r.getString(3)}, "category_id": ${r.getInt(2)}, "area": ${r.get(4)}, "id": ${r.getInt(1)}$seg}"""
@@ -284,19 +296,54 @@ object Coco {
     * FileSystem API, matching the [[FileSink]] contract of the other
     * exporters. The document write is driver-side either way (single
     * file), so only the driver needs reachability.
+    *
+    * The stream goes to `outputJson + ".tmp"` and is renamed into
+    * place only after a successful close: a mid-stream Spark/driver
+    * failure neither destroys an existing good export nor leaves a
+    * truncated, unparseable file that looks complete — the temp file
+    * is deleted on failure and the prior artifact (if any) survives.
     */
   def writeCocoDataset(annos: DataFrame, images: DataFrame, annoKeyCol: String,
                        outputJson: String, train: Boolean = false, odtk: Boolean = true): Unit = {
-    val w: java.io.Writer =
-      if (FileSink.hasScheme(outputJson)) {
-        val p = new org.apache.hadoop.fs.Path(outputJson)
-        val fs = p.getFileSystem(annos.sparkSession.sparkContext.hadoopConfiguration)
-        fs.setWriteChecksum(false)
-        new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-          fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
-      } else java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(outputJson))
-    try writeCocoTo(w, annos, images, annoKeyCol, train, odtk)
-    finally w.close()
+    val tmpJson = outputJson + ".tmp"
+    if (FileSink.hasScheme(outputJson)) {
+      val dst = new org.apache.hadoop.fs.Path(outputJson)
+      val tmp = new org.apache.hadoop.fs.Path(tmpJson)
+      // private no-crc handle — never mutate the shared FileSystem cache
+      val fs = FileSink.noCrcFileSystem(
+        dst, annos.sparkSession.sparkContext.hadoopConfiguration)
+      var ok = false
+      try {
+        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+        try writeCocoTo(w, annos, images, annoKeyCol, train, odtk)
+        finally w.close()
+        ok = true
+      } finally {
+        if (ok) {
+          // Hadoop rename does not overwrite; drop the old artifact at
+          // the last moment (the new document is already fully written)
+          fs.delete(dst, false)
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"rename $tmp -> $dst failed")
+        } else fs.delete(tmp, false)
+      }
+    } else {
+      val dst = java.nio.file.Paths.get(outputJson)
+      val tmp = java.nio.file.Paths.get(tmpJson)
+      var ok = false
+      try {
+        val w = java.nio.file.Files.newBufferedWriter(tmp)
+        try writeCocoTo(w, annos, images, annoKeyCol, train, odtk)
+        finally w.close()
+        ok = true
+      } finally {
+        if (ok)
+          java.nio.file.Files.move(tmp, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else java.nio.file.Files.deleteIfExists(tmp)
+      }
+    }
   }
 
   private def jstr(s: String): String =

@@ -41,6 +41,30 @@ object FileSink {
     if (hasScheme(dir))
       new HadoopSink(dir, new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     else new NioSink(dir)
+
+  /** PRIVATE FileSystem handles for the export sinks, one per
+    * scheme+authority per JVM, created via FileSystem.newInstance with
+    * checksum writing disabled on OUR handle only. `FileSystem.get`
+    * returns the JVM-shared cached instance, and calling
+    * `setWriteChecksum(false)` on that silently strips `.crc` writing
+    * for every other user of the same filesystem in the process.
+    * Handles live for the JVM's lifetime (like the shared cache's own
+    * instances) — a bounded set, one per distinct export target
+    * filesystem.
+    */
+  private val privateFsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
+  private[export] def noCrcFileSystem(p: Path, conf: Configuration): FileSystem = {
+    val uri = p.toUri
+    val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}"
+    privateFsCache.computeIfAbsent(key, _ => {
+      val f = FileSystem.newInstance(uri, conf)
+      // ChecksumFileSystem wrappers (file:) would write .crc siblings
+      // into the export tree; HDFS/object stores checksum internally
+      f.setWriteChecksum(false)
+      f
+    })
+  }
 }
 
 /** The default tier: plain java.nio writes (local paths and shared
@@ -56,20 +80,17 @@ private[export] final class NioSink(dir: String) extends FileSink {
   }
 }
 
-/** Scheme-qualified tier: one Hadoop FileSystem handle per executor
-  * JVM (FileSystem.get caches internally), created from the driver's
-  * serialized configuration.
+/** Scheme-qualified tier: one PRIVATE Hadoop FileSystem handle per
+  * scheme+authority per executor JVM ([[FileSink.noCrcFileSystem]] —
+  * never the shared `FileSystem.get` cache, whose checksum flag other
+  * code in the process observes), created from the driver's serialized
+  * configuration.
   */
 private[export] final class HadoopSink(dir: String, conf: SerializableHadoopConf)
     extends FileSink {
   @transient private lazy val root = new Path(dir)
-  @transient private lazy val fs: FileSystem = {
-    val f = root.getFileSystem(conf.value)
-    // ChecksumFileSystem wrappers (file:) would write .crc siblings
-    // into the export tree; HDFS/object stores checksum internally
-    f.setWriteChecksum(false)
-    f
-  }
+  @transient private lazy val fs: FileSystem =
+    FileSink.noCrcFileSystem(root, conf.value)
   override def prepare(): Unit = fs.mkdirs(root)
   override def write(relPath: String, bytes: Array[Byte]): Unit = {
     val out = fs.create(new Path(root, relPath), true)

@@ -110,7 +110,10 @@ object Ivf {
   def lloyd(spark: SparkSession, embeddings: DataFrame, init: DataFrame,
             iters: Int): DataFrame = {
     if (iters <= 0) return init
-    embeddings.persist()
+    // pin only if the caller hasn't — unpersisting a caller-owned cache
+    // on return would silently drop it for the caller's later actions
+    val ownPin = embeddings.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (ownPin) embeddings.persist()
     try {
       var cents = init
       var prevBc: Option[Broadcast[graft.plans.NearestCellModel]] = None
@@ -132,7 +135,7 @@ object Ivf {
         java.util.Arrays.asList(cents.collect(): _*), cents.schema)
       prevBc.foreach(_.destroy())
       local
-    } finally embeddings.unpersist(blocking = false)
+    } finally if (ownPin) embeddings.unpersist(blocking = false)
   }
 
   /** Top-k cosine neighbors per query, searching only each query's

@@ -23,34 +23,54 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * stays inside whole-stage codegen; only the kernel call itself is a
   * (non-virtual, JIT-friendly) method call. Degenerate inputs yield
   * SQL NULL exactly as the UDFs did (P9 guard semantics,
-  * CvatApi.py:360-369).
+  * CvatApi.py:360-369), and so do arrays carrying NULL ELEMENTS —
+  * containsNull inputs are reachable from both the SQL registry and
+  * the Column API, and toDoubleArray would otherwise coerce the NULLs
+  * to 0.0 vertices (silently wrong geometry).
   */
 object GeomKernels {
 
   private def out(a: Array[Double]): ArrayData =
     if (a == null) null else UnsafeArrayData.fromPrimitiveArray(a)
 
+  /** True when the array carries a NULL element. The expressions accept
+    * ArrayType(double, containsNull=true) (the Column API and the SQL
+    * registry both produce containsNull arrays), but
+    * ArrayData.toDoubleArray coerces NULL elements to 0.0 — a
+    * NULL-bearing coordinate list must yield SQL NULL, not a silently
+    * zeroed vertex. O(n) bit test, negligible next to the kernels.
+    */
+  private def hasNullElem(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** F-G5: null below 1 point, matching the former UDF guard. */
   def seg2bbox(seg: ArrayData): ArrayData = {
-    if (seg.numElements() < 2) return null
+    if (seg.numElements() < 2 || hasNullElem(seg)) return null
     out(Geometry.segmentation2bbox(seg.toDoubleArray()))
   }
 
   /** F-G6: [x,y,w,h] → open 8-coord rectangle; null below 4 coords. */
   def aabb2poly(aabb: ArrayData): ArrayData = {
-    if (aabb.numElements() < 4) return null
+    if (aabb.numElements() < 4 || hasNullElem(aabb)) return null
     out(Geometry.aabb2poly(aabb.toDoubleArray()))
   }
 
   /** F-G7: CVAT [l,t,r,b] → closed polygon; null below 4 coords. */
   def rect2poly(pts: ArrayData): ArrayData = {
-    if (pts.numElements() < 4) return null
+    if (pts.numElements() < 4 || hasNullElem(pts)) return null
     out(Geometry.rectToPolygon(pts.toDoubleArray()))
   }
 
   /** F-G1 rcoco [x,y,w,h,theta]; null on short or degenerate input. */
   def rbbFromSeg(seg: ArrayData): ArrayData = {
-    if (seg.numElements() < 5) return null
+    if (seg.numElements() < 5 || hasNullElem(seg)) return null
     out(Geometry.rbbCocoFromSeg(seg.toDoubleArray()).map(_._1).orNull)
   }
 
@@ -61,7 +81,7 @@ object GeomKernels {
     * each run the full hull+calipers and discard half the result.
     */
   def rbbCoco(seg: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
-    if (seg.numElements() < 5) return null
+    if (seg.numElements() < 5 || hasNullElem(seg)) return null
     Geometry.rbbCocoFromSeg(seg.toDoubleArray()) match {
       case Some((rcoco, coco)) =>
         org.apache.spark.sql.catalyst.InternalRow(out(rcoco), out(coco))
@@ -71,7 +91,7 @@ object GeomKernels {
 
   /** F-G1 coco [xmin,ymin,w,h]; null on short or degenerate input. */
   def cocoFromSeg(seg: ArrayData): ArrayData = {
-    if (seg.numElements() < 5) return null
+    if (seg.numElements() < 5 || hasNullElem(seg)) return null
     out(Geometry.rbbCocoFromSeg(seg.toDoubleArray()).map(_._2).orNull)
   }
 
@@ -81,7 +101,8 @@ object GeomKernels {
     * GeomExprPropSpec's sweep.)
     */
   def yoloBbox(width: Double, height: Double, seg: ArrayData): ArrayData = {
-    if (seg.numElements() < 2 || width <= 0 || height <= 0) return null
+    if (seg.numElements() < 2 || width <= 0 || height <= 0 || hasNullElem(seg))
+      return null
     out(Geometry.yoloBbox(width, height, seg.toDoubleArray()))
   }
 
@@ -89,7 +110,7 @@ object GeomKernels {
     * normalizes to an empty list, matching the former UDF).
     */
   def yoloSeg(width: Double, height: Double, seg: ArrayData): ArrayData = {
-    if (width <= 0 || height <= 0) return null
+    if (width <= 0 || height <= 0 || hasNullElem(seg)) return null
     out(Geometry.yoloSegmentation(width, height, seg.toDoubleArray()))
   }
 }

@@ -275,8 +275,10 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // SimHash near-dup candidates: 64-bit signature, 2×32-bit bands
-    // (UDF — rows-only check; SimhashSpec covers the kernel). 32-bit
+    // SimHash near-dup candidates: 64-bit signature via the native
+    // SimhashF expression, 2×32-bit bands — HASH-CHECKED end to end
+    // (the oracle replicates the full 64-bit kernel in HUGEINT
+    // arithmetic; SimhashSpec additionally covers the kernel). 32-bit
     // bands (vs the earlier 16-bit) require a 32-bit half-signature
     // match for candidacy — on a common-vocab corpus that cuts the
     // quadratic per-band collision growth by orders of magnitude while

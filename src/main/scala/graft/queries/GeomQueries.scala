@@ -10,9 +10,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * coordinates, so UDF outputs are exact and the DuckDB oracle can
   * reproduce them arithmetically where the math is SQL-expressible).
   *
-  * The rotated-rect pipeline (F-G1/G2/G3/G4) is not SQL-expressible —
-  * those queries get the driver's rows-only check and are golden/property
-  * tested in GeometrySpec instead.
+  * The rotated-rect pipeline (F-G1/G2/G3/G4) is not SQL-expressible;
+  * f_g1_rbb_pipeline is instead hash-checked against a golden parquet
+  * minted by EXECUTING the reference's own geometry code
+  * (tools/mint_rbb_golden.py, the interp_golden pattern), with the
+  * rectangle/contract companions (f_g1_rect_rcoco, f_g1_aa_coco,
+  * f_g1_rbb_area_law) staying pure-SQL oracles.
   *
   * Scale notes: all queries are scan → project → scalar UDF, a pure map
   * with no shuffle; the UDF island is one projection wide.
@@ -40,6 +43,27 @@ object GeomQueries extends QueryPack {
       .withColumn("ry1", col("ry0") + 3 + (col("p_partkey") % 7).cast("double"))
       .withColumn("rseg", array(col("rx0"), col("ry0"), col("rx1"), col("ry0"),
                                 col("rx1"), col("ry1"), col("rx0"), col("ry1")))
+
+  /** Deterministic parallelogram per part row for f_g1_rbb_pipeline:
+    * P, P+u, P+u+v, P+v with u=(a,1), v=(2,b), a ∈ [5,20], b ∈ [5,15]
+    * (integer coords; convex since cross(u,v)=ab−2>0; unique min-rect
+    * alignment — see the query comment). Every 10th row is collinear
+    * (degenerate: no min rect exists → kernel nulls it).
+    */
+  private def withParallelogram(df: DataFrame): DataFrame =
+    df.withColumn("px0", (col("p_partkey") % 41).cast("double"))
+      .withColumn("py0", (col("p_partkey") % 29).cast("double"))
+      .withColumn("pa", (col("p_size") % 16 + 5).cast("double"))
+      .withColumn("pb", (col("p_partkey") % 11 + 5).cast("double"))
+      .withColumn("pseg", when(col("p_partkey") % 10 === 0,
+        array(col("px0"), col("py0"),
+              col("px0") + col("pa"), col("py0"),
+              col("px0") + col("pa") * 2, col("py0")))
+        .otherwise(array(
+          col("px0"), col("py0"),
+          col("px0") + col("pa"), col("py0") + 1,
+          col("px0") + col("pa") + 2, col("py0") + 1 + col("pb"),
+          col("px0") + 2, col("py0") + col("pb"))))
 
   private val triangleSqlCtes =
     """WITH tri AS (
@@ -103,24 +127,33 @@ object GeomQueries extends QueryPack {
         .orderBy("p_partkey")),
 
     // F-G1..G4 + P9: full rotated-bbox pipeline with degenerate-input
-    // guard. Every 10th part gets a collinear "polygon" whose min rect
-    // does not exist; the guard nulls it and the filter drops it
-    // (CvatApi.py:360-369 skip semantics). Rows-only check (atan2-based
-    // math is not portably SQL-expressible).
+    // guard, HASH-CHECKED against a golden parquet minted by EXECUTING
+    // the reference's own geometry code (tools/mint_rbb_golden.py; the
+    // atan2/cos rcoco values are not SQL-expressible, so the oracle
+    // reads the minted fixture keyed by the part-table row count).
+    // Inputs are integer PARALLELOGRAMS u=(a,1), v=(2,b) — for a
+    // triangle every side alignment of the min rect ties at area 2A,
+    // so the calipers winner would be rounding-order-dependent and
+    // un-goldenable; the parallelogram's two alignment classes differ
+    // by ≥0.2% (equal only at a²=b²+3, impossible for a,b ≥ 5), and
+    // the clamp thresholds are idle by ≥4.5×, so no cross-engine ulp
+    // can flip a branch. Every 10th part gets a collinear "polygon"
+    // whose min rect does not exist; the guard nulls it and the filter
+    // drops it (CvatApi.py:360-369 skip semantics). Numeric columns
+    // (not JSON strings) so the driver's %.9g float canonicalization
+    // absorbs ulp noise between the JVM and reference-Python kernels.
     "f_g1_rbb_pipeline" -> ((s, d) =>
-      withTriangle(t(s, d, "part"))
-        .withColumn("seg", when(col("p_partkey") % 10 === 0,
-          array(col("x0"), col("y0"), col("x1"), col("y0"), col("x1") + 1, col("y0"))
-        ).otherwise(col("seg")))
+      withParallelogram(t(s, d, "part"))
         // one calipers run for both box forms (struct; the filter's
         // pushed-down copy is the one remaining re-evaluation)
-        .withColumn("rc", GeomFunctions.rbbCoco(col("seg")))
+        .withColumn("rc", GeomFunctions.rbbCoco(col("pseg")))
         .filter(col("rc").isNotNull) // P9: degenerate guard
-        // arrays serialized to JSON strings so the driver's comparator can
-        // hash the rows (same canonicalization as f_g6_aabb2poly)
         .select(col("p_partkey"),
-                to_json(col("rc.rcoco")).as("rcoco_json"),
-                to_json(col("rc.coco")).as("coco_json"))
+                col("rc.rcoco")(0).as("rx"), col("rc.rcoco")(1).as("ry"),
+                col("rc.rcoco")(2).as("rw"), col("rc.rcoco")(3).as("rh"),
+                col("rc.rcoco")(4).as("rtheta"),
+                col("rc.coco")(0).as("cxmin"), col("rc.coco")(1).as("cymin"),
+                col("rc.coco")(2).as("cw"), col("rc.coco")(3).as("ch"))
         .orderBy("p_partkey")),
 
     // F-G2→G4 rectangle subclass, HASH-CHECKED (COCOUtils.py:17-80): an
@@ -148,7 +181,7 @@ object GeomQueries extends QueryPack {
     // data, degenerate ⇔ p_partkey % 10 = 0 — a guard that wrongly
     // passes collinear input or drops a real triangle diverges the row
     // count) and the aa-bbox arithmetic. The atan2-based rcoco VALUES
-    // stay rows-only+golden in f_g1_rbb_pipeline.
+    // are golden-parquet-checked in f_g1_rbb_pipeline.
     "f_g1_aa_coco" -> ((s, d) =>
       withTriangle(t(s, d, "part"))
         .withColumn("seg", when(col("p_partkey") % 10 === 0,
@@ -197,6 +230,16 @@ object GeomQueries extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // The calipers/rotation VALUES are not SQL-expressible; the oracle
+    // reads a golden parquet minted ONCE by executing the reference's
+    // own geometry code (tools/mint_rbb_golden.py → COCOUtils.py via
+    // exec), keyed by the part-table row count so the same SQL holds
+    // at every SF the driver runs.
+    "f_g1_rbb_pipeline" ->
+      """SELECT p_partkey, rx, ry, rw, rh, rtheta, cxmin, cymin, cw, ch
+         FROM read_parquet('/root/repo/src/test/resources/rbb_golden.parquet')
+         WHERE npart = (SELECT count(*) FROM part)
+         ORDER BY p_partkey""",
     "f_g5_seg2bbox" ->
       s"""$triangleSqlCtes
           SELECT p_partkey,

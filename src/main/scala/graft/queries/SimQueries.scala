@@ -52,6 +52,11 @@ object SimQueries extends QueryPack {
 
   val defs: Map[String, QueryFn] = Map(
     // Brute-force cosine top-5 per query vector (bounded query set).
+    // This is the deliberate EXACT BASELINE the ann_ivf_* gates are
+    // judged against — the crossJoin(broadcast(q)) is bounded by the
+    // capped query set, but it scans corpus×queries and must NEVER be
+    // the production path: at scale use the ann_ivf_* family (cell
+    // assignment + nProbe probing), which reads only probed cells.
     "ann_topk_brute" -> ((s, d) => {
       graft.plans.GraftFunctions.register(s)
       val e = withNorm(t(s, d, "embeddings"))
