@@ -52,4 +52,39 @@ class ExportExecCountSpec extends SparkSpec {
     assert(acc.value == 120L,
       s"anno source evaluated ${acc.value} row-executions for 120 rows")
   }
+
+  test("cocoDocument job count is bounded independent of shuffle partitions") {
+    // The streamed sections fetch ONE job per partition (toLocalIterator);
+    // writeCocoTo routes them through repartitionByRange(8), so the job
+    // count must not scale with spark.sql.shuffle.partitions — at the
+    // production default (hundreds of partitions) an orderBy-shaped
+    // section would pay hundreds of fetch jobs per export.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (_, annos, images) = spiedFrames("annoExecJobs")
+      val doc = Coco.cocoDocument(annos, images, "anno_key", train = true)
+      SeqIds.releaseAll()
+      assert(doc.contains("\"annotations\""))
+      // listener bus is async — wait until the count settles
+      var last = -1
+      while (jobs.get != last) { last = jobs.get; Thread.sleep(200) }
+      // measured 41 at 64 partitions (8+8 section fetches + dim/SeqIds/
+      // range-sampling actions); the orderBy-shaped sections paid 64 per
+      // section — anything near 128 means the bound regressed
+      assert(jobs.get <= 48,
+        s"cocoDocument ran ${jobs.get} jobs at 64 shuffle partitions — " +
+          "a streamed section is fetching one job per shuffle partition")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
 }

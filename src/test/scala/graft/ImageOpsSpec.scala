@@ -82,6 +82,77 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(ImageOps.redact("junk".getBytes, Seq(Array(0.0, 0.0, 1.0, 0.0, 1.0, 1.0))).isEmpty)
   }
 
+  // --- EXIF group-action property (SURVEY §5, F-B1) ---------------------
+  // The orientation tags act on the image as the rotation group
+  // {1, 3, 6, 8} ≅ Z4: normalizeOrientation must invert each action.
+  // ScalaCheck sweeps sizes × quadrant-color permutations × tags; pixel
+  // agreement is checked at quadrant centers with a JPEG-loss tolerance
+  // (quadrants are ≥8 px so 4:2:0 chroma subsampling can't bleed there).
+
+  private val palette = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFF00)
+
+  /** Four solid color quadrants (TL, TR, BL, BR). */
+  private def quadImage(w: Int, h: Int, cols: Seq[Int]): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) {
+      val q = (if (y < h / 2) 0 else 2) + (if (x < w / 2) 0 else 1)
+      img.setRGB(x, y, cols(q))
+    }
+    img
+  }
+
+  /** Source pixel that must land at output (x, y) after the tag-k
+    * correction (3 → 180°, 6 → 90° CW, 8 → 270° CW; CvatApi.py:228-237).
+    */
+  private def srcPixel(k: Int, w: Int, h: Int, x: Int, y: Int): (Int, Int) = k match {
+    case 3 => (w - 1 - x, h - 1 - y)
+    case 6 => (y, h - 1 - x)
+    case 8 => (w - 1 - y, x)
+    case _ => (x, y)
+  }
+
+  private def channelClose(a: Int, b: Int, tol: Int): Boolean =
+    Seq(16, 8, 0).forall(s => math.abs(((a >> s) & 0xff) - ((b >> s) & 0xff)) <= tol)
+
+  /** Quadrant-center agreement between a decoded image and the expected
+    * source-quadrant colors under the tag-k mapping.
+    */
+  private def quadrantsMatch(out: BufferedImage, k: Int, w: Int, h: Int,
+                             cols: Seq[Int]): Boolean = {
+    val (ow, oh) = (out.getWidth, out.getHeight)
+    (for (cx <- Seq(ow / 4, 3 * ow / 4); cy <- Seq(oh / 4, 3 * oh / 4)) yield {
+      val (sx, sy) = srcPixel(k, w, h, cx, cy)
+      val q = (if (sy < h / 2) 0 else 2) + (if (sx < w / 2) 0 else 1)
+      channelClose(out.getRGB(cx, cy), cols(q), 60)
+    }).forall(identity)
+  }
+
+  test("normalizeOrientation inverts every EXIF group action (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      w <- Gen.oneOf(16, 24, 32)
+      h <- Gen.oneOf(16, 24, 32)
+      cols <- Gen.oneOf(palette.permutations.toSeq)
+      k <- Gen.oneOf(1, 3, 6, 8)
+    } yield (w, h, cols, k)
+    val prop = Prop.forAll(gen) { case (w, h, cols, k) =>
+      val src = jpegBytes(quadImage(w, h, cols))
+      val normalized = ImageOps.normalizeOrientation(withExifOrientation(src, k)).get
+      val out = ImageOps.decode(normalized).get
+      val dimsOk =
+        if (k == 6 || k == 8) (out.getWidth, out.getHeight) == (h, w)
+        else (out.getWidth, out.getHeight) == (w, h)
+      // the normalized image must carry no orientation left to apply,
+      // so a second normalize is (up to JPEG re-quantization) a no-op
+      val again = ImageOps.decode(ImageOps.normalizeOrientation(normalized).get).get
+      val idempotent = (again.getWidth, again.getHeight) ==
+        (out.getWidth, out.getHeight) && quadrantsMatch(again, k, w, h, cols)
+      dimsOk && quadrantsMatch(out, k, w, h, cols) && idempotent
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(150), prop)
+    assert(res.passed, s"EXIF group action: ${res.status}")
+  }
+
   test("resize produces exact target dims and preserves gross content") {
     val src = jpegBytes(testImage(16, 8))
     val out = ImageOps.resize(src, 8, 4)

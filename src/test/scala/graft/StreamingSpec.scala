@@ -105,6 +105,79 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  /** Latest reported state-store row count for a running query (the
+    * last progress entry that carries state operators — no-data
+    * batches still report them).
+    */
+  private def stateRows(query: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    query.recentProgress.reverseIterator
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators(0).numRowsTotal)
+      .getOrElse(fail("no progress with state operators"))
+
+  /** Peak state-store row count across the query's progress history —
+    * processAllAvailable runs a trailing no-data batch in which the
+    * just-advanced watermark already evicts, so "state grew" is only
+    * observable as the max over history, not the latest value.
+    */
+  private def peakStateRows(query: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    query.recentProgress
+      .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+      .max
+
+  test("windowedCounts state is EVICTED as the watermark advances (memory bounded)") {
+    // The scale contract of the watermark: a long-running stream's
+    // window state must not grow past the watermark horizon. 24 open
+    // hourly windows go in; once the watermark passes them all, the
+    // state store must shrink to just the still-open tail — if eviction
+    // regressed (watermark dropped from the plan, wrong column), state
+    // would stay >= 24 forever and a production stream would OOM.
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark, 4)
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = EventStreams.windowedCounts(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wc_evict").outputMode("append").start()
+    try {
+      // 24 events in 24 distinct hourly windows
+      input.addData((0 until 24).map(h => nsRow(h.toLong, h * 60L + 5, "a")): _*)
+      query.processAllAvailable()
+      val grown = peakStateRows(query)
+      assert(grown >= 24, s"expected >=24 open windows in state, got $grown")
+      // advance the watermark far past every open window...
+      input.addData(nsRow(100, 10000, "a"))
+      query.processAllAvailable()
+      // ...eviction lands in the batch that RUNS with the new watermark
+      input.addData(nsRow(101, 10001, "a"))
+      query.processAllAvailable()
+      val evicted = stateRows(query)
+      assert(evicted <= 2,
+        s"state store still holds $evicted rows after the watermark " +
+          s"passed all windows (was $grown) — eviction is not happening")
+    } finally query.stop()
+  }
+
+  test("dedupEvents state is EVICTED as the watermark advances (replay horizon)") {
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark, 5)
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = EventStreams.dedupEvents(events)
+      .select("event_id")
+      .writeStream.format("memory").queryName("dedup_evict").outputMode("append").start()
+    try {
+      input.addData((0 until 50).map(i => nsRow(i.toLong, 10 + i, "a")): _*)
+      query.processAllAvailable()
+      val grown = peakStateRows(query)
+      assert(grown >= 50, s"expected >=50 remembered ids in state, got $grown")
+      input.addData(nsRow(1000, 10000, "a"))
+      query.processAllAvailable()
+      input.addData(nsRow(1001, 10001, "a"))
+      query.processAllAvailable()
+      val evicted = stateRows(query)
+      assert(evicted <= 3,
+        s"dedup state still holds $evicted ids after the watermark " +
+          s"passed them (was $grown) — with no eviction a long-running " +
+          "stream remembers every id forever and OOMs")
+    } finally query.stop()
+  }
+
   test("the same windowedCounts program runs in batch mode (unified API)") {
     val batch = Seq(nsRow(1, 10, "a"), nsRow(2, 20, "a"), nsRow(3, 70, "b"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
