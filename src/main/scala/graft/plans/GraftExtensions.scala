@@ -61,7 +61,30 @@ object GraftFunctions {
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashF].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimhashF(args(0)))
-  )
+  ) ++ bloomDescriptors
+
+  /** Spark ships bloom-filter build/probe expressions for its runtime
+    * shuffle-join filters but does not register them as SQL functions;
+    * these descriptors expose them so a pipeline can build an explicit
+    * semi-join prefilter (build on the dim keys, probe fact-side before
+    * the shuffle). Probe side requires a foldable value or scalar
+    * subquery — exactly how the queries use it.
+    */
+  private def bloomDescriptors: Seq[Descriptor] = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    Seq(
+      (FunctionIdentifier("graft_bloom_agg"),
+        new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+        (args: Seq[Expression]) => args.size match {
+          case 1 => new BloomFilterAggregate(args(0))
+          case 2 => new BloomFilterAggregate(args(0), args(1))
+          case _ => new BloomFilterAggregate(args(0), args(1), args(2))
+        }),
+      (FunctionIdentifier("graft_might_contain"),
+        new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+        (args: Seq[Expression]) => BloomFilterMightContain(args(0), args(1))))
+  }
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =

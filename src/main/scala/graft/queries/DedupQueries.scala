@@ -323,32 +323,52 @@ object DedupQueries extends QueryPack {
     // formula is replicated in the oracle's LIMIT subquery. Norms are
     // computed once per vector BEFORE the pair join (the pair side then
     // costs one compiled dot product, not three array folds).
-    "d_embed_neardup" -> ((s, d) => {
-      graft.plans.GraftFunctions.register(s)
-      val emb = t(s, d, "embeddings")
-      val k = embedCellCount(emb.count())
-      val centroids = graft.ext.Ivf.seedCentroids(emb, k)
-      // pinned: the assignment (scan + argmax + norm) feeds THREE
-      // consumers — the cell-count probe, the a-side and the b-side of
-      // the pair join; without the pin each is a full corpus pass.
-      // Released by the consumer's releaseAll, like every pinned frame.
-      val e = graft.operators.SeqIds.pin(
-        graft.ext.Ivf.assign(s, emb, centroids)
-          .withColumn("norm", expr("graft_norm(embedding)")))
-      // EmbedMaxCell skew guard: drop pair generation for cells a
-      // pathological cluster has overfilled (≤ k rows, broadcast;
-      // filtering the a-side suffices — b shares a.cell by the join key)
-      val okCells = e.groupBy("cell").count()
-        .filter(col("count") <= EmbedMaxCell).select("cell")
-      e.join(broadcast(okCells), Seq("cell"), "left_semi").as("a")
-        .join(e.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos",
-          expr("graft_dot(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm")))
-        .filter(col("cos") >= 0.35)
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("a.cell").as("cell"))
-        .orderBy("va", "vb")
-    })
+    "d_embed_neardup" -> ((s, d) => embedPairs(s, d).orderBy("va", "vb")),
+
+    // Semantic dedup apply (SemDeDup shape, Abbas et al. 2023): within
+    // each coarse-quantizer cell, greedily keep the LOWEST vec_id of
+    // every near-dup pair — a vector is dropped iff it has a semantic
+    // near-duplicate with a smaller id. Deterministic (no clustering
+    // RNG), one anti join over the pair set, which is orders of
+    // magnitude smaller than the corpus; composes with the same
+    // EmbedMaxCell-capped pair generation as d_embed_neardup, so the
+    // 100 TB story is the pair stage's, already proven.
+    "d_semantic_apply" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .join(embedPairs(s, d).select(col("vb").as("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id"))
   )
+
+  /** Embedding near-dup candidate pairs `(va, vb, cell)` — the shared
+    * kernel of d_embed_neardup (which emits the pairs) and
+    * d_semantic_apply (which anti-joins the corpus against them).
+    */
+  private def embedPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.plans.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings")
+    val k = embedCellCount(emb.count())
+    val centroids = graft.ext.Ivf.seedCentroids(emb, k)
+    // pinned: the assignment (scan + argmax + norm) feeds THREE
+    // consumers — the cell-count probe, the a-side and the b-side of
+    // the pair join; without the pin each is a full corpus pass.
+    // Released by the consumer's releaseAll, like every pinned frame.
+    val e = graft.operators.SeqIds.pin(
+      graft.ext.Ivf.assign(s, emb, centroids)
+        .withColumn("norm", expr("graft_norm(embedding)")))
+    // EmbedMaxCell skew guard: drop pair generation for cells a
+    // pathological cluster has overfilled (≤ k rows, broadcast;
+    // filtering the a-side suffices — b shares a.cell by the join key)
+    val okCells = e.groupBy("cell").count()
+      .filter(col("count") <= EmbedMaxCell).select("cell")
+    e.join(broadcast(okCells), Seq("cell"), "left_semi").as("a")
+      .join(e.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        expr("graft_dot(a.embedding, b.embedding)") / (col("a.norm") * col("b.norm")))
+      .filter(col("cos") >= 0.35)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("a.cell").as("cell"))
+  }
 
   /** SQL mirror of [[minhashPairs]], ending in a `mpairs(da, db)` CTE. */
   private def minhashCtes = s"""$shingleCtes,
@@ -460,7 +480,20 @@ object DedupQueries extends QueryPack {
          FROM cand c JOIN sigs sa ON sa.doc_id = c.da JOIN sigs sb ON sb.doc_id = c.db
          ORDER BY da, db""",
     "d_embed_neardup" ->
-      s"""WITH cent AS (
+      s"""WITH $embedPairCtes
+         SELECT va, vb, cell FROM epairs ORDER BY va, vb""",
+    "d_semantic_apply" ->
+      s"""WITH $embedPairCtes
+         SELECT vec_id, label FROM embeddings
+         WHERE vec_id NOT IN (SELECT vb FROM epairs)
+         ORDER BY vec_id"""
+  )
+
+  /** SQL mirror of [[embedPairs]], ending in an `epairs(va, vb, cell)`
+    * CTE — shared by the d_embed_neardup and d_semantic_apply oracles so
+    * the pair kernel and its SQL twin can never drift independently.
+    */
+  private def embedPairCtes = s"""cent AS (
            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
                   embedding AS centroid
            FROM (SELECT * FROM embeddings ORDER BY vec_id
@@ -479,14 +512,13 @@ object DedupQueries extends QueryPack {
              FROM embeddings e, cent c) WHERE rn = 1),
          okcell AS (
            SELECT cell FROM assigned GROUP BY cell
-           HAVING count(*) <= $EmbedMaxCell)
-         SELECT a.vec_id AS va, b.vec_id AS vb, a.cell AS cell
-         FROM assigned a JOIN okcell o ON a.cell = o.cell
-         JOIN assigned b
-           ON a.cell = b.cell AND a.vec_id < b.vec_id
-         WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35
-         ORDER BY va, vb"""
-  )
+           HAVING count(*) <= $EmbedMaxCell),
+         epairs AS (
+           SELECT a.vec_id AS va, b.vec_id AS vb, a.cell AS cell
+           FROM assigned a JOIN okcell o ON a.cell = o.cell
+           JOIN assigned b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.35)"""
 }

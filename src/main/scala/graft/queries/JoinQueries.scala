@@ -124,6 +124,34 @@ object JoinQueries extends QueryPack {
         .filter(col("tb") > col("ta") && col("tb") - col("ta") <= win)
         .select("user_id", "ea", "eb")
         .orderBy("user_id", "ea", "eb")
+    }),
+
+    // J10: bloom-prefiltered semi join — the explicit form of Spark's
+    // runtime shuffle-join filter, as a user-facing operator. Build a
+    // bloom filter over the dim keys (scalar-subquery side job, the
+    // sketch is KBs regardless of corpus size), probe it fact-side
+    // BEFORE the shuffle so non-matching rows never enter the exchange,
+    // then the exact semi join removes the bloom's false positives.
+    // At 100 TB this is the difference between shuffling the whole
+    // fact table and shuffling ~the matching slice; the oracle is the
+    // plain IN-subquery, proving the prefilter is result-transparent.
+    "j10_bloom_semi" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      val dim = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000.0)
+        .select("o_orderkey")
+      dim.createOrReplaceTempView("graft_bloom_dim")
+      t(s, d, "lineitem")
+        .filter(expr(
+          """graft_might_contain(
+               (SELECT graft_bloom_agg(o_orderkey, 100000L, 800000L)
+                FROM graft_bloom_dim),
+               l_orderkey)"""))
+        .join(dim.withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey"), "left_semi")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+        .orderBy("l_orderkey")
     })
   )
 
@@ -159,6 +187,15 @@ object JoinQueries extends QueryPack {
            ON a.user_id = b.user_id
           AND epoch_ns(b.ts) > epoch_ns(a.ts)
           AND epoch_ns(b.ts) - epoch_ns(a.ts) <= 300000000000
-         ORDER BY a.user_id, ea, eb"""
+         ORDER BY a.user_id, ea, eb""",
+    // The bloom prefilter must be invisible in the result: the oracle
+    // is the plain IN-subquery semi join.
+    "j10_bloom_semi" ->
+      """SELECT l_orderkey, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT'
+                                AND o_totalprice > 200000.0)
+         GROUP BY l_orderkey ORDER BY l_orderkey"""
   )
 }

@@ -120,8 +120,80 @@ object TextQueries extends QueryPack {
         .filter(col("rn") <= 5)
         .select("lang", "rn", "bigram", "n")
         .orderBy("lang", "rn")
-    })
+    }),
+
+    // Repetition signals (Gopher-style quality filters, Rae et al. 2021
+    // §A1.1): duplicate-token and duplicate-bigram counts plus the most
+    // frequent bigram's multiplicity, all exact integers. Everything is
+    // a scan-side map over per-document arrays — per-row cost is
+    // bounded by document length (quadratic in DISTINCT bigrams only
+    // for the top-count, fine for bounded-length training docs), zero
+    // shuffle, so the shape is identical at 100 TB. The keep rule drops
+    // documents whose duplicate-bigram fraction exceeds 1/5.
+    "t_repetition" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .withColumn("bg", expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          (size(col("toks")) - size(array_distinct(col("toks")))).as("n_dup_tokens"),
+          size(col("bg")).as("n_bigrams"),
+          (size(col("bg")) - size(array_distinct(col("bg")))).as("n_dup_bigrams"),
+          array_max(expr(
+            "transform(array_distinct(bg), x -> size(filter(bg, y -> y = x)))"))
+            .as("top_bigram_n"),
+          ((size(col("bg")) - size(array_distinct(col("bg")))) * 5 < size(col("bg")))
+            .as("keep"))
+        .orderBy("doc_id")),
+
+    // PII scrub: regex redaction of emails and US-style phone numbers,
+    // with per-document match counts. The test corpus carries no PII,
+    // so both engines deterministically inject it first (same doc_id
+    // arithmetic on both sides) — the gate then proves the scrub
+    // kernel: counts AND the full redacted text (via md5). Patterns are
+    // written in the Java-regex ∩ RE2 common dialect so Spark and
+    // DuckDB agree; scan-side map, no shuffle, no UDF.
+    "t_pii_scrub" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("aug", concat(col("text"),
+          when(col("doc_id") % 3 =!= 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+              lit("-"),
+              lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+        .select(col("doc_id"),
+          // patterns go through lit(), NOT a SQL literal — Spark's SQL
+          // parser would eat the \b/\. escapes inside expr("'...'")
+          size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0))).as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>").cast("binary")).as("scrub_hash"))
+        .orderBy("doc_id"))
   )
+
+  /** Redaction patterns, constrained to the dialect Java regex and RE2
+    * share (no backrefs, no lookaround) so the DuckDB oracle runs them
+    * verbatim. Single-quote-free so they embed in SQL literals.
+    */
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+
+  private val augSql =
+    """text
+       || CASE WHEN doc_id % 3 <> 0
+               THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END
+       || CASE WHEN doc_id % 2 = 0
+               THEN ' call 555-' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END"""
 
   val oracle: Map[String, String] = Map(
     "t_token_count" ->
@@ -177,6 +249,33 @@ object TextQueries extends QueryPack {
          cnt AS (SELECT lang, bigram, count(*) AS n FROM bi GROUP BY 1, 2)
          SELECT lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INT) AS rn,
                 bigram, n
-         FROM cnt QUALIFY rn <= 5 ORDER BY lang, rn"""
+         FROM cnt QUALIFY rn <= 5 ORDER BY lang, rn""",
+    "t_repetition" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (
+           SELECT doc_id, toks,
+                  list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1]) AS bg
+           FROM tk)
+         SELECT doc_id,
+                len(toks) AS n_tokens,
+                len(toks) - len(list_distinct(toks)) AS n_dup_tokens,
+                len(bg) AS n_bigrams,
+                len(bg) - len(list_distinct(bg)) AS n_dup_bigrams,
+                list_max(list_transform(list_distinct(bg),
+                  x -> len(list_filter(bg, y -> y = x)))) AS top_bigram_n,
+                (len(bg) - len(list_distinct(bg))) * 5 < len(bg) AS keep
+         FROM bg ORDER BY doc_id""",
+    "t_pii_scrub" ->
+      s"""WITH a AS (SELECT doc_id, $augSql AS aug FROM documents)
+          SELECT doc_id,
+                 len(regexp_extract_all(aug, '$EmailRe')) AS n_emails,
+                 len(regexp_extract_all(aug, '$PhoneRe')) AS n_phones,
+                 md5(regexp_replace(
+                       regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g'),
+                       '$PhoneRe', '<PHONE>', 'g')) AS scrub_hash
+          FROM a ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-12 pipeline operators on crafted inputs:
+  * repetition signals, PII scrub, int8 quantization, bloom-semi join.
+  * (The driver gate hash-checks them against DuckDB on the real corpus;
+  * these specs pin the kernel math on inputs where the expected values
+  * are derivable by hand.)
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def craftedDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = Files.createTempDirectory("graft-craft").toString
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("t_repetition counts duplicate tokens/bigrams and the top bigram") {
+    val dir = craftedDir(Seq(
+      (1L, "a a a a", "en", "t", 7L),        // bigrams: 3x "a a"
+      (2L, "w x y z", "en", "t", 7L),        // no repetition
+      (3L, "p q p q p", "en", "t", 9L)))     // bigrams: p q, q p, p q, q p
+    val out = queries.TextQueries.defs("t_repetition")(spark, dir)
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Int]("n_tokens") == 4 && r1.getAs[Int]("n_bigrams") == 3)
+    assert(r1.getAs[Int]("n_dup_tokens") == 3 && r1.getAs[Int]("n_dup_bigrams") == 2)
+    assert(r1.getAs[Int]("top_bigram_n") == 3 && !r1.getAs[Boolean]("keep"))
+    val r2 = out(1)
+    assert(r2.getAs[Int]("n_dup_bigrams") == 0 && r2.getAs[Int]("top_bigram_n") == 1)
+    assert(r2.getAs[Boolean]("keep"))
+    val r3 = out(2)
+    assert(r3.getAs[Int]("n_bigrams") == 4 && r3.getAs[Int]("n_dup_bigrams") == 2)
+    assert(r3.getAs[Int]("top_bigram_n") == 2 && !r3.getAs[Boolean]("keep"))
+  }
+
+  test("t_pii_scrub redacts emails and phones present in the source text") {
+    // doc_id = 3: % 3 == 0 and % 2 == 1, so NEITHER synthetic injection
+    // fires — everything measured comes from the text itself.
+    val dir = craftedDir(Seq(
+      (3L, "mail bob.smith@corp.example.org or dial 123-456-7890 now", "en", "t", 56L)))
+    val out = queries.TextQueries.defs("t_pii_scrub")(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Int]("n_emails") == 1)
+    assert(out(0).getAs[Int]("n_phones") == 1)
+    val expected = "mail <EMAIL> or dial <PHONE> now"
+    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getAs[String]("scrub_hash") == expectedMd5)
+  }
+
+  test("t_pii_scrub leaves clean text untouched (hash of original)") {
+    val clean = "no personal data here just words"
+    val dir = craftedDir(Seq((3L, clean, "en", "t", clean.length.toLong)))
+    val out = queries.TextQueries.defs("t_pii_scrub")(spark, dir).collect()
+    assert(out(0).getAs[Int]("n_emails") == 0 && out(0).getAs[Int]("n_phones") == 0)
+    val cleanMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getAs[String]("scrub_hash") == cleanMd5)
+  }
+
+  test("v_quantize_int8 produces exact codes and handles the zero vector") {
+    val dir = Files.createTempDirectory("graft-craft").toString
+    val s = spark
+    import s.implicits._
+    Seq((1L, Seq(1.0f, -0.5f, 0.0f), 0),
+        (2L, Seq(0.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = queries.SimQueries.defs("v_quantize_int8")(spark, dir)
+      .orderBy("vec_id").collect()
+    // mx = 1.0, scale = 1/127; -0.5/scale = -63.5 → floor(-63.5+0.5) = -63
+    assert(out(0).getSeq[Int](out(0).fieldIndex("q8")).toList == List(127, -63, 0))
+    assert(math.abs(out(0).getAs[Double]("scale") - 1.0 / 127.0) < 1e-15)
+    // zero vector: scale 0, all-zero codes — no division by zero
+    assert(out(1).getSeq[Int](out(1).fieldIndex("q8")).toList == List(0, 0, 0))
+    assert(out(1).getAs[Double]("scale") == 0.0)
+  }
+
+  test("j10_bloom_semi equals the plain semi join and actually probes a bloom") {
+    val df = queries.JoinQueries.defs("j10_bloom_semi")(spark, sf())
+    // the prefilter must be result-transparent
+    val dim = Tables.t(spark, sf(), "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000.0)
+      .select(col("o_orderkey").as("l_orderkey"))
+    val plain = Tables.t(spark, sf(), "lineitem")
+      .join(dim, Seq("l_orderkey"), "left_semi")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+      .orderBy("l_orderkey")
+    val got = df.collect().map(_.toSeq)
+    val exp = plain.collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq == exp.toSeq)
+    // and the bloom probe is really in the executed plan
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("might_contain"), s"no bloom probe in plan:\n$planStr")
+  }
+}
