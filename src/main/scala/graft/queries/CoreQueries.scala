@@ -128,6 +128,15 @@ object CoreQueries extends QueryPack {
           t(s, d, "lineitem").filter(col("l_linestatus") === "F").select("l_orderkey"))
         .orderBy("l_orderkey")),
 
+    // U4: EXCEPT ALL — multiplicity-preserving set difference (U2/j3 is
+    // the key-level anti join; this keeps duplicate counts, which Spark
+    // plans as a count-diff aggregate + generate, one shuffle each side).
+    "u4_except_all" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R").select("l_orderkey")
+        .exceptAll(
+          t(s, d, "lineitem").filter(col("l_linestatus") === "F").select("l_orderkey"))
+        .orderBy("l_orderkey")),
+
     // SQL API entry: the same engine surface via spark.sql over temp
     // views (everything else uses the DataFrame API).
     "sql_api_join_agg" -> ((s, d) => {
@@ -192,6 +201,11 @@ object CoreQueries extends QueryPack {
     "u3_intersect" ->
       """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
          INTERSECT
+         SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+         ORDER BY l_orderkey""",
+    "u4_except_all" ->
+      """SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+         EXCEPT ALL
          SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
          ORDER BY l_orderkey""",
     "sql_api_join_agg" ->

@@ -59,7 +59,39 @@ object StringQueries extends QueryPack {
         .select(col("l_orderkey"), col("l_linenumber"),
           concat_ws(" ", col("l_returnflag"), col("l_orderkey").cast("string"),
             col("l_linenumber").cast("string")).as("line"))
-        .orderBy("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // F-S5: URL normalization — the key-prep step of URL-level corpus
+    // dedup (crawl pipelines dedupe on the normalized URL before any
+    // content pass). Both engines synthesize the same messy URL from
+    // doc columns, then normalize with an identical regex chain:
+    // strip fragment → strip utm_* params → tidy dangling ?/& →
+    // lowercase scheme+host → drop default port → collapse /? →
+    // drop trailing slash. Pure map, no shuffle; the chain is
+    // codegen'd regexp_replace/regexp_extract built-ins.
+    "f_s5_url_norm" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("url", concat(
+          lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"), lit(".COM"),
+          when(col("doc_id") % 2 === 0, ":443").otherwise(""),
+          lit("/Docs/"), col("source"), lit("/"), (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 3 === 0, "/").otherwise(""),
+          when(col("doc_id") % 4 =!= 0,
+            concat(lit("?utm_source=feed&utm_campaign=x&page="),
+              (col("doc_id") % 5).cast("string"))).otherwise(""),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("#sec"), col("doc_id").cast("string"))).otherwise("")))
+        .withColumn("u1", regexp_replace(col("url"), "#.*$", ""))
+        .withColumn("u2", regexp_replace(col("u1"), "utm_[a-z]+=[^&#]*&?", ""))
+        .withColumn("u3", regexp_replace(col("u2"), "[?&]+$", ""))
+        .withColumn("pfx", regexp_extract(col("u3"), "^[^/]+//[^/]+", 0))
+        .withColumn("pfxn", regexp_replace(lower(col("pfx")), ":(443|80)$", ""))
+        .withColumn("rest", expr("substring(u3, length(pfx) + 1)"))
+        .withColumn("restn",
+          regexp_replace(regexp_replace(col("rest"), "/+\\?", "?"), "/+$", ""))
+        .select(col("doc_id"), col("url"),
+          concat(col("pfxn"), col("restn")).as("norm_url"))
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -89,6 +121,30 @@ object StringQueries extends QueryPack {
       """SELECT l_orderkey, l_linenumber,
          l_returnflag || ' ' || CAST(l_orderkey AS VARCHAR) || ' ' ||
          CAST(l_linenumber AS VARCHAR) AS line
-         FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    // Same regex chain with DuckDB's 'g' flag (Spark's regexp_replace
+    // is global by default).
+    "f_s5_url_norm" ->
+      """WITH u0 AS (SELECT doc_id,
+           'HTTPS://WWW.Example' || (doc_id % 7) || '.COM'
+           || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
+           || '/Docs/' || source || '/' || (doc_id % 50)
+           || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+           || CASE WHEN doc_id % 4 <> 0
+                   THEN '?utm_source=feed&utm_campaign=x&page=' || (doc_id % 5)
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN '#sec' || doc_id ELSE '' END AS url
+           FROM documents),
+         u AS (SELECT doc_id, url,
+           regexp_replace(regexp_replace(regexp_replace(url,
+             '#.*$', '', 'g'), 'utm_[a-z]+=[^&#]*&?', '', 'g'),
+             '[?&]+$', '', 'g') AS u3 FROM u0),
+         p AS (SELECT doc_id, url, u3,
+           regexp_extract(u3, '^[^/]+//[^/]+') AS pfx FROM u)
+         SELECT doc_id, url,
+           regexp_replace(lower(pfx), ':(443|80)$', '', 'g')
+           || regexp_replace(regexp_replace(substring(u3, length(pfx) + 1),
+                '/+\?', '?', 'g'), '/+$', '', 'g') AS norm_url
+         FROM p ORDER BY doc_id"""
   )
 }

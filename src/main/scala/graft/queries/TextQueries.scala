@@ -148,6 +148,28 @@ object TextQueries extends QueryPack {
             .as("keep"))
         .orderBy("doc_id")),
 
+    // Corpus-relative token rarity — the two-pass quality signal the
+    // per-doc ratios above can't see (a doc full of tokens that appear
+    // nowhere else in the corpus is OCR noise / boilerplate-stripping
+    // residue; one full of ubiquitous tokens is template spam). Pass 1
+    // computes document frequency per token (map-side-combined groupBy
+    // over DISTINCT per-doc tokens — shuffle volume is vocabulary-
+    // bounded, not corpus-bounded); pass 2 joins df back to the token
+    // stream (vocabulary-sized build side, AQE picks broadcast when it
+    // fits) and re-aggregates per doc. All-integer outputs.
+    "t_rarity_score" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct_tokens"),
+          sum(when(col("df") === 1, 1).otherwise(0)).as("n_hapax"),
+          sum("df").as("sum_df"))
+        .orderBy("doc_id")
+    }),
+
     // PII scrub: regex redaction of emails and US-style phone numbers,
     // with per-document match counts. The test corpus carries no PII,
     // so both engines deterministically inject it first (same doc_id
@@ -268,6 +290,16 @@ object TextQueries extends QueryPack {
                   x -> len(list_filter(bg, y -> y = x)))) AS top_bigram_n,
                 (len(bg) - len(list_distinct(bg))) * 5 < len(bg) AS keep
          FROM bg ORDER BY doc_id""",
+    "t_rarity_score" ->
+      """WITH tk AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+         dfreq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok)
+         SELECT t.doc_id, count(*) AS n_distinct_tokens,
+                sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS n_hapax,
+                sum(f.df) AS sum_df
+         FROM tk t JOIN dfreq f ON t.tok = f.tok
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     "t_pii_scrub" ->
       s"""WITH a AS (SELECT doc_id, $augSql AS aug FROM documents)
           SELECT doc_id,

@@ -82,6 +82,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(1).getAs[Double]("scale") == 0.0)
   }
 
+  test("f_s5_url_norm lowercases the authority, strips port/utm/fragment/slash") {
+    val dir = craftedDir(Seq(
+      (0L, "t", "en", "s", 1L),    // port + trailing slash + fragment, no query
+      (3L, "t", "en", "s", 1L),    // no port, trailing slash, query with utm
+      (30L, "t", "en", "s", 1L)))  // everything at once
+    val out = queries.StringQueries.defs("f_s5_url_norm")(spark, dir)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("norm_url") == "https://www.example0.com/Docs/s/0")
+    assert(out(1).getAs[String]("norm_url") == "https://www.example3.com/Docs/s/3?page=3")
+    assert(out(2).getAs[String]("norm_url") == "https://www.example2.com/Docs/s/30?page=0")
+  }
+
+  test("t_rarity_score computes df-based hapax and sum-df per doc") {
+    val dir = craftedDir(Seq(
+      (1L, "a b c", "en", "s", 5L),
+      (2L, "a b x", "en", "s", 5L),
+      (3L, "a z z", "en", "s", 5L)))
+    val out = queries.TextQueries.defs("t_rarity_score")(spark, dir)
+      .orderBy("doc_id").collect()
+    // df: a=3, b=2, c=1, x=1, z=1 (distinct per doc)
+    assert(out(0).getAs[Long]("n_distinct_tokens") == 3 &&
+      out(0).getAs[Long]("n_hapax") == 1 && out(0).getAs[Long]("sum_df") == 6)
+    assert(out(1).getAs[Long]("n_hapax") == 1 && out(1).getAs[Long]("sum_df") == 6)
+    assert(out(2).getAs[Long]("n_distinct_tokens") == 2 &&
+      out(2).getAs[Long]("n_hapax") == 1 && out(2).getAs[Long]("sum_df") == 4)
+  }
+
   test("j10_bloom_semi equals the plain semi join and actually probes a bloom") {
     val df = queries.JoinQueries.defs("j10_bloom_semi")(spark, sf())
     // the prefilter must be result-transparent
