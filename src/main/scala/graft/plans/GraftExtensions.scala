@@ -60,7 +60,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => ShinglesF(args(0))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashF].getName, "graft_simhash"),
-      (args: Seq[Expression]) => SimhashF(args(0)))
+      (args: Seq[Expression]) => SimhashF(args(0))),
+    (FunctionIdentifier("graft_repetition"),
+      new ExpressionInfo(classOf[RepetitionStatsF].getName, "graft_repetition"),
+      (args: Seq[Expression]) => RepetitionStatsF(args(0)))
   ) ++ bloomDescriptors
 
   /** Spark ships bloom-filter build/probe expressions for its runtime

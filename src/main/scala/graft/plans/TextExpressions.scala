@@ -60,6 +60,37 @@ object TextKernels {
     new GenericArrayData(mins.map(s => UTF8String.fromString(s)).toArray[Any])
   }
 
+  /** One-pass repetition statistics (t_repetition's kernel): tokenize
+    * once, count distinct tokens and bigram multiplicities in hash
+    * maps — O(d) per document where the declarative
+    * array_max(transform(array_distinct(bg), count-filter)) chain is
+    * O(d²). Field values replicate the HOF chain bit-for-bit (the
+    * hash-checked oracle is unchanged): tokens are the full regex-split
+    * including empties, bigrams are space-joined adjacent pairs.
+    * Null on fewer than 2 tokens (the query filters those rows out
+    * with a cheap scan-side predicate before this runs).
+    */
+  def repetitionStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val n = toks.length
+    if (n < 2) return null
+    val distinctToks = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n) { distinctToks.add(toks(i)); i += 1 }
+    val bigramCounts = new java.util.HashMap[String, Int]()
+    var top = 0
+    i = 0
+    while (i + 1 < n) {
+      val bg = toks(i) + " " + toks(i + 1)
+      val c = bigramCounts.merge(bg, 1, Integer.sum)
+      if (c > top) top = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, n - distinctToks.size, n - 1,
+        n - 1 - bigramCounts.size, top))
+  }
+
   /** 64-bit SimHash of a token list (0 for empty — same as the former
     * UDF's null → 0L once ShinglesF/split semantics are accounted).
     */
@@ -179,6 +210,45 @@ case class SimhashF(child: Expression) extends UnaryExpression {
         graft.plans.TextKernels.simhash(${c.value});
     """, isNull = FalseLiteral)
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** text → one-pass repetition statistics struct (t_repetition's
+  * kernel); null on null text or fewer than 2 tokens. Registered as
+  * graft_repetition. The struct return (non-cheap expression) is the
+  * collapse guard: Catalyst will not duplicate it into per-field
+  * copies when several fields are extracted in the next projection
+  * (SCALE.md §audit 6).
+  */
+case class RepetitionStatsF(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_repetition expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_dup_tokens", IntegerType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("n_dup_bigrams", IntegerType, nullable = false),
+    StructField("top_bigram_n", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_repetition"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.repetitionStats(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.plans.TextKernels.repetitionStats($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -124,29 +124,30 @@ object TextQueries extends QueryPack {
 
     // Repetition signals (Gopher-style quality filters, Rae et al. 2021
     // §A1.1): duplicate-token and duplicate-bigram counts plus the most
-    // frequent bigram's multiplicity, all exact integers. Everything is
-    // a scan-side map over per-document arrays — per-row cost is
-    // bounded by document length (quadratic in DISTINCT bigrams only
-    // for the top-count, fine for bounded-length training docs), zero
-    // shuffle, so the shape is identical at 100 TB. The keep rule drops
-    // documents whose duplicate-bigram fraction exceeds 1/5.
-    "t_repetition" -> ((s, d) =>
+    // frequent bigram's multiplicity, all exact integers, via the
+    // native one-pass graft_repetition kernel (O(d) per document; the
+    // declarative HOF chain this replaced recomputed distinct-bigram
+    // counts quadratically). Scan-side map, zero shuffle — identical
+    // shape at 100 TB. The size filter stays the CHEAP split-size
+    // predicate so pushdown never re-inlines the kernel (SCALE.md
+    // audit 6); the struct fields are extracted from ONE kernel call
+    // (non-cheap expression — Catalyst does not duplicate it;
+    // PLANS.md). The keep rule drops documents whose duplicate-bigram
+    // fraction exceeds 1/5.
+    "t_repetition" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
       t(s, d, "documents")
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 2)
-        .withColumn("bg", expr(
-          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .filter(size(split(col("text"), " ")) >= 2)
+        .withColumn("rep", expr("graft_repetition(text)"))
         .select(col("doc_id"),
-          size(col("toks")).as("n_tokens"),
-          (size(col("toks")) - size(array_distinct(col("toks")))).as("n_dup_tokens"),
-          size(col("bg")).as("n_bigrams"),
-          (size(col("bg")) - size(array_distinct(col("bg")))).as("n_dup_bigrams"),
-          array_max(expr(
-            "transform(array_distinct(bg), x -> size(filter(bg, y -> y = x)))"))
-            .as("top_bigram_n"),
-          ((size(col("bg")) - size(array_distinct(col("bg")))) * 5 < size(col("bg")))
-            .as("keep"))
-        .orderBy("doc_id")),
+          col("rep.n_tokens").as("n_tokens"),
+          col("rep.n_dup_tokens").as("n_dup_tokens"),
+          col("rep.n_bigrams").as("n_bigrams"),
+          col("rep.n_dup_bigrams").as("n_dup_bigrams"),
+          col("rep.top_bigram_n").as("top_bigram_n"),
+          (col("rep.n_dup_bigrams") * 5 < col("rep.n_bigrams")).as("keep"))
+        .orderBy("doc_id")
+    }),
 
     // Corpus-relative token rarity — the two-pass quality signal the
     // per-doc ratios above can't see (a doc full of tokens that appear

@@ -69,6 +69,17 @@ class TextExprSpec extends SparkSpec {
       assert(spark.sql(
         "SELECT graft_simhash(array('a','b')) AS s, size(graft_shingles('a b c d')) AS n")
         .head().getInt(1) == 2)
+      // repetition kernel: codegen-compiled under fallback=false, and
+      // the struct math on a known case ("a a a a": 3 bigrams all "a a")
+      val rep = d.select(expr("graft_repetition(text)").as("r"))
+        .filter(col("r").isNotNull)
+      assert(rep.count() > 0)
+      assert(rep.queryExecution.executedPlan.toString.contains("graft_repetition"))
+      val r = spark.sql("SELECT graft_repetition('a a a a') AS r").select("r.*").head()
+      assert(r.getInt(0) == 4 && r.getInt(1) == 3 && r.getInt(2) == 3 &&
+        r.getInt(3) == 2 && r.getInt(4) == 3)
+      // null contract: under 2 tokens → NULL, not a degenerate row
+      assert(spark.sql("SELECT graft_repetition('solo') IS NULL AS z").head().getBoolean(0))
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 }
