@@ -55,6 +55,29 @@ object WindowQueries extends QueryPack {
           sum(when(col("l_linestatus") === "O", 1).otherwise(0)).as("n_o"))
         .orderBy("l_returnflag")),
 
+    // A12: arbitrary GROUPING SETS (disjoint sets — not expressible as
+    // rollup/cube prefixes). One Expand + one aggregate exchange; the
+    // Expand multiplies rows by the set count BEFORE the map-side
+    // partial agg, so shuffle volume stays (groups × sets)-bounded.
+    "a12_grouping_sets" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first, col("gid"))),
+
+    // O4: global top-k — must plan as TakeOrderedAndProject (per-
+    // partition heaps + driver merge of k rows), NEVER a global sort:
+    // at 100 TB a full ordered exchange for 20 rows is the classic
+    // accidental-bottleneck. PipelineOpsSpec pins the plan shape.
+    "o4_global_topk" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)),
+
     // Approximate distinct (HLL). The sketch VALUE is engine-specific,
     // so it cannot appear in the hashed output — but its accuracy
     // CONTRACT can: the gate emits the exact count plus a boolean
@@ -170,6 +193,17 @@ object WindowQueries extends QueryPack {
          CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
          CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a12_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, gid""",
+    "o4_global_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+         FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         LIMIT 20""",
     "a10_percentiles" ->
       """SELECT l_returnflag,
          quantile_cont(l_quantity, 0.25) AS p25,

@@ -109,6 +109,14 @@ class PipelineOpsSpec extends SparkSpec {
       out(2).getAs[Long]("n_hapax") == 1 && out(2).getAs[Long]("sum_df") == 4)
   }
 
+  test("o4_global_topk plans TakeOrderedAndProject, not a global sort") {
+    val df = queries.WindowQueries.defs("o4_global_topk")(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(800))
+    assert(df.collect().length == 20)
+  }
+
   test("j10_bloom_semi equals the plain semi join and actually probes a bloom") {
     val df = queries.JoinQueries.defs("j10_bloom_semi")(spark, sf())
     // the prefilter must be result-transparent
