@@ -126,6 +126,53 @@ object ImageOps {
       encodeJpeg(dst)
     }
 
+  /** Perceptual difference-hash (dHash) for image near-dup: decode,
+    * average-pool the luma into a 9×8 grid (integer block partition —
+    * block c covers x ∈ [c·w/9, (c+1)·w/9)), then 64 bits where bit
+    * (r·8+c) is set iff mean(r,c) < mean(r,c+1). Robust to re-encoding
+    * noise when adjacent content blocks differ by more than the codec's
+    * error — the property image near-dup detection relies on.
+    */
+  def dhash(bytes: Array[Byte]): Option[Long] =
+    decode(bytes).map { img =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val means = Array.ofDim[Double](8, 9)
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 9) {
+          val (x0, x1) = (c * w / 9, (c + 1) * w / 9)
+          val (y0, y1) = (r * h / 8, (r + 1) * h / 8)
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          val n = (x1 - x0).toLong * (y1 - y0) * 3
+          means(r)(c) = if (n == 0) 0.0 else sum.toDouble / n
+          c += 1
+        }
+        r += 1
+      }
+      var hash = 0L
+      r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (means(r)(c) < means(r)(c + 1)) hash |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+
   /** F-B3: decode at the consumer edge. */
   def decode(bytes: Array[Byte]): Option[BufferedImage] =
     if (bytes == null) None

@@ -96,6 +96,38 @@ object MmQueries extends QueryPack {
     // the final frame — the standard keyframe-ish sampling shape. The
     // explode is executor-side (no driver loop) and the downstream
     // decode would run only on sampled frames.
+    // Perceptual dHash for image near-dup — real codec path end to end
+    // (executor-side JPEG encode → decode → 9×8 luma pooling → 64-bit
+    // comparison hash, functions.ImageOps.dhash). The generated block
+    // pattern keys each row's phase off a p_partkey bit with adjacent
+    // blocks ALWAYS at 0/255 contrast, so every dHash bit is derivable
+    // from key arithmetic alone — the DuckDB oracle predicts the full
+    // 64-bit hash (as hex) without decoding anything, hash-checking the
+    // decode+pool+compare kernel despite JPEG lossiness. At scale this
+    // is the image analogue of d_exact_dedup: one scan-side map, then
+    // groupBy(dhash) for near-dup clusters.
+    "mm_dhash" -> ((s, d) => {
+      val genPattern = udf((key: Long) => {
+        val img = new java.awt.image.BufferedImage(144, 128,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        for (r <- 0 until 8; c <- 0 until 9) {
+          val phase = ((key >> r) & 1L).toInt
+          val v = if ((c + phase) % 2 == 0) 0 else 255
+          g.setColor(new java.awt.Color(v, v, v))
+          g.fillRect(c * 16, r * 16, 16, 16)
+        }
+        g.dispose()
+        ImageOps.encodeJpeg(img).orNull
+      })
+      val dhashHex = udf((b: Array[Byte]) =>
+        ImageOps.dhash(b).map(h => f"$h%016x").orNull)
+      t(s, d, "part").filter(col("p_partkey") <= 200)
+        .withColumn("jpeg", genPattern(col("p_partkey")))
+        .select(col("p_partkey"), dhashHex(col("jpeg")).as("dhash_hex"))
+        .orderBy("p_partkey")
+    }),
+
     "mm_frame_sample" -> ((s, d) =>
       t(s, d, "documents")
         .withColumn("n_frames",
@@ -120,7 +152,19 @@ object MmQueries extends QueryPack {
         .orderBy("doc_id"))
   )
 
+  /** Row byte of the predicted dHash for bit r of the key: phase 0 →
+    * bits at even columns (0x55), phase 1 → odd columns (0xAA).
+    */
+  private def dhashRowSql(r: Int) =
+    s"CASE WHEN ((p_partkey >> $r) & 1) = 0 THEN '55' ELSE 'aa' END"
+
   val oracle: Map[String, String] = Map(
+    // Full 64-bit hash predicted from key arithmetic: row r occupies
+    // bits [8r, 8r+8), so row 7 is the leading hex byte pair.
+    "mm_dhash" ->
+      s"""SELECT p_partkey,
+          ${(7 to 0 by -1).map(dhashRowSql).mkString(" || ")} AS dhash_hex
+          FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""",
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
          md5(text) AS digest, ascii(substr(text, 1, 1)) AS head_byte

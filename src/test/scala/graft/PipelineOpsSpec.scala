@@ -109,6 +109,45 @@ class PipelineOpsSpec extends SparkSpec {
       out(2).getAs[Long]("n_hapax") == 1 && out(2).getAs[Long]("sum_df") == 4)
   }
 
+  test("mm_dhash is invariant under re-encode and 2x downscale (the near-dup property)") {
+    val img = new java.awt.image.BufferedImage(144, 128,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    for (r <- 0 until 8; c <- 0 until 9) {
+      val phase = ((0xB7L >> r) & 1L).toInt
+      val v = if ((c + phase) % 2 == 0) 0 else 255
+      g.setColor(new java.awt.Color(v, v, v))
+      g.fillRect(c * 16, r * 16, 16, 16)
+    }
+    g.dispose()
+    val jpeg = functions.ImageOps.encodeJpeg(img).get
+    val h = functions.ImageOps.dhash(jpeg).get
+    // predicted from the phase bits: row byte 0x55 (phase 0) / 0xAA (1)
+    val expected = (0 until 8).map { r =>
+      val byte = if (((0xB7L >> r) & 1L) == 0L) 0x55L else 0xAAL
+      byte << (r * 8)
+    }.reduce(_ | _)
+    assert(h == expected, f"got $h%016x expected $expected%016x")
+    // a near-duplicate (downscaled re-encode) hashes identically...
+    val small = functions.ImageOps.resize(jpeg, 72, 64).get
+    assert(functions.ImageOps.dhash(small).get == h)
+    // ...and a different pattern does not
+    val other = functions.ImageOps.dhash({
+      val i2 = new java.awt.image.BufferedImage(144, 128,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = i2.createGraphics()
+      for (r <- 0 until 8; c <- 0 until 9) {
+        val phase = ((0x48L >> r) & 1L).toInt
+        val v = if ((c + phase) % 2 == 0) 0 else 255
+        g2.setColor(new java.awt.Color(v, v, v))
+        g2.fillRect(c * 16, r * 16, 16, 16)
+      }
+      g2.dispose()
+      functions.ImageOps.encodeJpeg(i2).get
+    }).get
+    assert(other != h)
+  }
+
   test("o4_global_topk plans TakeOrderedAndProject, not a global sort") {
     val df = queries.WindowQueries.defs("o4_global_topk")(spark, sf())
     val plan = df.queryExecution.executedPlan.toString
