@@ -252,6 +252,33 @@ object DedupQueries extends QueryPack {
     "d_minhash_lsh" -> ((s, d) =>
       minhashPairs(s, d).orderBy("da", "db")),
 
+    // The exact-verify stage of two-stage LSH dedup: MinHash banding is
+    // the RECALL stage (cheap, probabilistic); this joins the candidate
+    // pairs back to both documents' shingle sets and computes the exact
+    // Jaccard as integers (|∩|, |∪|, threshold ≥ 1/2). Precision
+    // becomes exact; cost is per-CANDIDATE, and the candidate set is
+    // already bucket-capped — at 100 TB the verify stage joins a
+    // pair-sized frame against the corpus twice, never pairs × corpus.
+    "d_lsh_jaccard_verify" -> ((s, d) => {
+      // pinned: the shingle sets feed both sides of the pair join —
+      // without the pin each side re-scans and re-shingles the corpus.
+      val sh = graft.operators.SeqIds.pin(
+        shingled(t(s, d, "documents")
+          .filter(size(split(col("text"), " ")) >= 3))
+          .select(col("doc_id"), col("shingles")))
+      minhashPairs(s, d)
+        .join(sh.select(col("doc_id").as("da"), col("shingles").as("sha")), Seq("da"))
+        .join(sh.select(col("doc_id").as("db"), col("shingles").as("shb")), Seq("db"))
+        .select(col("da"), col("db"),
+          size(array_intersect(col("sha"), col("shb"))).as("n_inter"),
+          (size(col("sha")) + size(col("shb"))
+            - size(array_intersect(col("sha"), col("shb")))).as("n_union"),
+          (size(array_intersect(col("sha"), col("shb"))) * 2
+            >= size(col("sha")) + size(col("shb"))
+              - size(array_intersect(col("sha"), col("shb")))).as("verified"))
+        .orderBy("da", "db")
+    }),
+
     // Duplicate-cluster resolution: connected components over the
     // MinHash-LSH candidate pairs — the canonical post-LSH step (every
     // near-dup group collapses to its lowest doc_id as the canonical
@@ -409,6 +436,27 @@ object DedupQueries extends QueryPack {
     "d_minhash_lsh" ->
       s"""WITH $minhashCtes
           SELECT da, db FROM mpairs ORDER BY da, db""",
+    // Exact Jaccard over the candidate pairs; LEFT JOIN via inter0 so a
+    // band-collision pair with zero shared shingles still appears with
+    // n_inter = 0 (as Spark's array_intersect produces).
+    "d_lsh_jaccard_verify" ->
+      s"""WITH $minhashCtes,
+          inter0 AS (
+            SELECT p.da, p.db, count(*) AS n_inter
+            FROM mpairs p
+            JOIN ex ea ON ea.doc_id = p.da
+            JOIN ex eb ON eb.doc_id = p.db AND eb.s = ea.s
+            GROUP BY p.da, p.db)
+          SELECT p.da, p.db,
+                 COALESCE(i.n_inter, 0) AS n_inter,
+                 ca.n + cb.n - COALESCE(i.n_inter, 0) AS n_union,
+                 COALESCE(i.n_inter, 0) * 2
+                   >= ca.n + cb.n - COALESCE(i.n_inter, 0) AS verified
+          FROM mpairs p
+          LEFT JOIN inter0 i ON i.da = p.da AND i.db = p.db
+          JOIN cnt ca ON ca.doc_id = p.da
+          JOIN cnt cb ON cb.doc_id = p.db
+          ORDER BY p.da, p.db""",
     // Transitive closure of the LSH pairs via a recursive CTE; cluster
     // id = min doc_id reachable in the component — the same fixpoint the
     // Spark label propagation converges to.
