@@ -23,7 +23,12 @@ object LayoutBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", s"$workDir/warehouse")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE off: the layout comparison is about the STATIC plan each
+      // layout produces (does the join need an Exchange at all), and
+      // with AQE on the hasExchange probe would read a pre-execution
+      // AdaptiveSparkPlan that can differ from what the timed run
+      // actually executed
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

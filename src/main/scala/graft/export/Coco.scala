@@ -321,12 +321,17 @@ object Coco {
         ok = true
       } finally {
         if (ok) {
-          // Hadoop rename does not overwrite; drop the old artifact at
-          // the last moment (the new document is already fully written)
-          fs.delete(dst, false)
-          if (!fs.rename(tmp, dst))
-            throw new java.io.IOException(s"rename $tmp -> $dst failed")
-        } else fs.delete(tmp, false)
+          // overwrite rename via FileContext (atomic where the FS
+          // supports it) — no delete-then-rename window, so a rename
+          // failure leaves the PRIOR artifact intact instead of
+          // destroying it first
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            dst.toUri, annos.sparkSession.sparkContext.hadoopConfiguration)
+          fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } else
+          // best-effort cleanup must not mask the original exception
+          try fs.delete(tmp, false)
+          catch { case scala.util.control.NonFatal(_) => () }
       }
     } else {
       val dst = java.nio.file.Paths.get(outputJson)
@@ -341,7 +346,9 @@ object Coco {
         if (ok)
           java.nio.file.Files.move(tmp, dst,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        else java.nio.file.Files.deleteIfExists(tmp)
+        else
+          try java.nio.file.Files.deleteIfExists(tmp)
+          catch { case scala.util.control.NonFatal(_) => () }
       }
     }
   }

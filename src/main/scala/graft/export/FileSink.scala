@@ -51,6 +51,13 @@ object FileSink {
     * Handles live for the JVM's lifetime (like the shared cache's own
     * instances) — a bounded set, one per distinct export target
     * filesystem.
+    *
+    * ACCEPTED LIMITATION: the key ignores the Hadoop Configuration, so
+    * the first caller's conf (credentials, fs tuning) is frozen in for
+    * that scheme+authority for the JVM's lifetime — the same trade the
+    * shared FileSystem.get cache makes. A deployment that re-targets
+    * one bucket with rotating per-job credentials should construct its
+    * own handle instead of relying on this cache.
     */
   private val privateFsCache =
     new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()

@@ -134,7 +134,11 @@ object ImageOps {
     * error — the property image near-dup detection relies on.
     */
   def dhash(bytes: Array[Byte]): Option[Long] =
-    decode(bytes).map { img =>
+    decode(bytes).filter(i => i.getWidth >= 9 && i.getHeight >= 8).map { img =>
+      // below 9×8 the integer block partition degenerates to empty
+      // blocks whose 0.0-sentinel means make the hash content-
+      // independent (all tiny images would collide into one near-dup
+      // cluster) — no hash is better than a meaningless one
       val (w, h) = (img.getWidth, img.getHeight)
       val means = Array.ofDim[Double](8, 9)
       var r = 0

@@ -82,7 +82,9 @@ object GraftFunctions {
         (args: Seq[Expression]) => args.size match {
           case 1 => new BloomFilterAggregate(args(0))
           case 2 => new BloomFilterAggregate(args(0), args(1))
-          case _ => new BloomFilterAggregate(args(0), args(1), args(2))
+          case 3 => new BloomFilterAggregate(args(0), args(1), args(2))
+          case n => throw new IllegalArgumentException(
+            s"graft_bloom_agg expects 1 to 3 arguments (child[, estimatedNumItems[, numBits]]), got $n")
         }),
       (FunctionIdentifier("graft_might_contain"),
         new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),

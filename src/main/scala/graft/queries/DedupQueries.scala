@@ -93,18 +93,30 @@ object DedupQueries extends QueryPack {
     * compiled map pass, 4 bands of 2, band-bucket groupBy capped at
     * MaxBucket.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsFrom(shingledDocs(s, d))
+
+  /** The corpus' (doc_id, shingles) frame behind every minhash
+    * consumer. The emptiness filter is deliberately the CHEAP
+    * equivalent (shingles empty ⇔ under 3 tokens, and null text splits
+    * to null → size -1): a filter on size(shingles) itself gets pushed
+    * below the projection with graft_shingles re-inlined into the
+    * predicate, so every document would be shingled twice.
+    */
+  private def shingledDocs(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    // The emptiness filter is deliberately the CHEAP equivalent
-    // (shingles empty ⇔ under 3 tokens, and null text splits to null →
-    // size -1): a filter on size(shingles) itself gets pushed below the
-    // projection with graft_shingles re-inlined into the predicate, so
-    // every document would be shingled twice — once for the filter,
-    // once for the signature.
-    val sigArr = t(s, d, "documents")
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), graft.functions.TextFunctions.minhashSig(
-        graft.functions.TextFunctions.shingles(col("text")), 8).as("sig"))
+    shingled(t(s, d, "documents").filter(size(split(col("text"), " ")) >= 3))
+      .select(col("doc_id"), col("shingles"))
+  }
+
+  /** Pair generation from an existing shingle frame — callers that
+    * consume the shingles AGAIN (d_lsh_jaccard_verify) pass their
+    * pinned frame so the signature pass reads the cache instead of
+    * re-shingling the corpus.
+    */
+  private def minhashPairsFrom(sh: DataFrame): DataFrame = {
+    val sigArr = sh.select(col("doc_id"),
+      graft.functions.TextFunctions.minhashSig(col("shingles"), 8).as("sig"))
     val sig = sigArr.select(
       col("doc_id") +: (0 until 8).map(j => col("sig")(j).as(s"s$j")): _*)
     val bands = sig.select(col("doc_id"), explode(array(
@@ -260,13 +272,11 @@ object DedupQueries extends QueryPack {
     // already bucket-capped — at 100 TB the verify stage joins a
     // pair-sized frame against the corpus twice, never pairs × corpus.
     "d_lsh_jaccard_verify" -> ((s, d) => {
-      // pinned: the shingle sets feed both sides of the pair join —
-      // without the pin each side re-scans and re-shingles the corpus.
-      val sh = graft.operators.SeqIds.pin(
-        shingled(t(s, d, "documents")
-          .filter(size(split(col("text"), " ")) >= 3))
-          .select(col("doc_id"), col("shingles")))
-      minhashPairs(s, d)
+      // pinned: the shingle sets feed the signature pass AND both
+      // sides of the pair join — without the pin each consumer
+      // re-scans and re-shingles the corpus.
+      val sh = graft.operators.SeqIds.pin(shingledDocs(s, d))
+      minhashPairsFrom(sh)
         .join(sh.select(col("doc_id").as("da"), col("shingles").as("sha")), Seq("da"))
         .join(sh.select(col("doc_id").as("db"), col("shingles").as("shb")), Seq("db"))
         .select(col("da"), col("db"),

@@ -234,7 +234,12 @@ object GeomQueries extends QueryPack {
     // reads a golden parquet minted ONCE by executing the reference's
     // own geometry code (tools/mint_rbb_golden.py → COCOUtils.py via
     // exec), keyed by the part-table row count so the same SQL holds
-    // at every SF the driver runs.
+    // at every SF the driver runs. The fixture path is deliberately
+    // ABSOLUTE (the only one in any oracle): the driver executes this
+    // SQL in DuckDB from an unspecified working directory, so a
+    // relative path would break the gate; the repo root is fixed by
+    // the build environment. Re-rooting the checkout means re-pointing
+    // this one literal.
     "f_g1_rbb_pipeline" ->
       """SELECT p_partkey, rx, ry, rw, rh, rtheta, cxmin, cymin, cw, ch
          FROM read_parquet('/root/repo/src/test/resources/rbb_golden.parquet')

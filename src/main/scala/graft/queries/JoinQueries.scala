@@ -140,12 +140,16 @@ object JoinQueries extends QueryPack {
       val dim = t(s, d, "orders")
         .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000.0)
         .select("o_orderkey")
-      dim.createOrReplaceTempView("graft_bloom_dim")
+      // view name keyed on the data dir: two builders on one session
+      // with different dirs can't race each other's scalar subquery
+      // into the wrong dim (same dir ⇒ same content ⇒ benign replace)
+      val view = "graft_bloom_dim_" + Integer.toHexString(d.hashCode)
+      dim.createOrReplaceTempView(view)
       t(s, d, "lineitem")
         .filter(expr(
-          """graft_might_contain(
+          s"""graft_might_contain(
                (SELECT graft_bloom_agg(o_orderkey, 100000L, 800000L)
-                FROM graft_bloom_dim),
+                FROM $view),
                l_orderkey)"""))
         .join(dim.withColumnRenamed("o_orderkey", "l_orderkey"),
           Seq("l_orderkey"), "left_semi")

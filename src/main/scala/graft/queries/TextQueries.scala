@@ -159,9 +159,14 @@ object TextQueries extends QueryPack {
     // stream (vocabulary-sized build side, AQE picks broadcast when it
     // fits) and re-aggregates per doc. All-integer outputs.
     "t_rarity_score" -> ((s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      // pinned: the distinct-token stream feeds the df aggregate AND
+      // the probe side of the join — without the pin each consumer
+      // re-scans and re-tokenizes the corpus (house convention, see
+      // DedupQueries.embedPairs / d_lsh_jaccard_verify).
+      val docToks = graft.operators.SeqIds.pin(
+        t(s, d, "documents")
+          .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tks")))
+      val toks = docToks.select(col("doc_id"), explode(col("tks")).as("tok"))
       val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
       toks.join(dfreq, "tok")
         .groupBy("doc_id")

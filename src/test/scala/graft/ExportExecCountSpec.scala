@@ -73,9 +73,15 @@ class ExportExecCountSpec extends SparkSpec {
       val doc = Coco.cocoDocument(annos, images, "anno_key", train = true)
       SeqIds.releaseAll()
       assert(doc.contains("\"annotations\""))
-      // listener bus is async — wait until the count settles
+      // listener bus is async — require the count stable across THREE
+      // consecutive polls so a single >250 ms bus stall (GC, loaded CI
+      // box) can't end the wait early and under-count
       var last = -1
-      while (jobs.get != last) { last = jobs.get; Thread.sleep(200) }
+      var stable = 0
+      while (stable < 3) {
+        if (jobs.get == last) stable += 1 else { stable = 0; last = jobs.get }
+        Thread.sleep(250)
+      }
       // measured 41 at 64 partitions (8+8 section fetches + dim/SeqIds/
       // range-sampling actions); the orderBy-shaped sections paid 64 per
       // section — anything near 128 means the bound regressed

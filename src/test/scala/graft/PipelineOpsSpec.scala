@@ -131,6 +131,9 @@ class PipelineOpsSpec extends SparkSpec {
     // a near-duplicate (downscaled re-encode) hashes identically...
     val small = functions.ImageOps.resize(jpeg, 72, 64).get
     assert(functions.ImageOps.dhash(small).get == h)
+    // degenerate sizes produce NO hash rather than a content-
+    // independent one (all tiny images would otherwise collide)
+    assert(functions.ImageOps.dhash(functions.ImageOps.resize(jpeg, 8, 7).get).isEmpty)
     // ...and a different pattern does not
     val other = functions.ImageOps.dhash({
       val i2 = new java.awt.image.BufferedImage(144, 128,
