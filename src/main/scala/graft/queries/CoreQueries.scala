@@ -128,6 +128,24 @@ object CoreQueries extends QueryPack {
           t(s, d, "lineitem").filter(col("l_linestatus") === "F").select("l_orderkey"))
         .orderBy("l_orderkey")),
 
+    // F-D1: the date scalar surface (§2.8) — part extraction, month
+    // truncation, day arithmetic, day difference — on a casted DATE so
+    // both engines agree on types (Spark date_trunc returns timestamp,
+    // DuckDB returns date; trunc-on-date sidesteps it). Dates emit as
+    // strings for the hash. Pure scan-side map.
+    "f_d1_date_parts" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("od", col("o_orderdate").cast("date"))
+        .select(col("o_orderkey"),
+          year(col("od")).as("y"),
+          month(col("od")).as("m"),
+          dayofmonth(col("od")).as("dom"),
+          quarter(col("od")).as("q"),
+          trunc(col("od"), "month").cast("string").as("month_start"),
+          date_add(col("od"), 30).cast("string").as("due_date"),
+          datediff(col("od"), to_date(lit("1995-01-01"))).as("days_since_95"))
+        .orderBy("o_orderkey")),
+
     // U4: EXCEPT ALL — multiplicity-preserving set difference (U2/j3 is
     // the key-level anti join; this keeps duplicate counts, which Spark
     // plans as a count-diff aggregate + generate, one shuffle each side).
@@ -208,6 +226,16 @@ object CoreQueries extends QueryPack {
          EXCEPT ALL
          SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
          ORDER BY l_orderkey""",
+    "f_d1_date_parts" ->
+      """SELECT o_orderkey,
+         year(CAST(o_orderdate AS DATE)) AS y,
+         month(CAST(o_orderdate AS DATE)) AS m,
+         day(CAST(o_orderdate AS DATE)) AS dom,
+         quarter(CAST(o_orderdate AS DATE)) AS q,
+         CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_start,
+         CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95
+         FROM orders ORDER BY o_orderkey""",
     "sql_api_join_agg" ->
       """SELECT c.c_mktsegment, count(*) AS n_orders,
          CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
