@@ -68,6 +68,33 @@ object WindowQueries extends QueryPack {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first, col("gid"))),
 
+    // O5: the ranking/navigation window surface — rank (gap ties),
+    // dense_rank, ntile, lag. rank/dense_rank order by the TIED
+    // quantity column (tie semantics are the point); lag/ntile need a
+    // TOTAL order, so their spec extends it with the key columns — and
+    // the input is first deduplicated on the projected columns because
+    // the testdata carries fully duplicated lineitem rows, under which
+    // no column ordering is total and lag's default lands on an
+    // engine-dependent twin.
+    "o5_window_funcs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tied = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity"))
+      val total = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+        .distinct()
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          rank().over(tied).as("rnk"),
+          dense_rank().over(tied).as("drnk"),
+          ntile(4).over(total).as("quartile"),
+          lag(col("l_quantity"), 1, -1.0).over(total).as("prev_qty"))
+        .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+    }),
+
     // O4: global top-k — must plan as TakeOrderedAndProject (per-
     // partition heaps + driver merge of k rows), NEVER a global sort:
     // at 100 TB a full ordered exchange for 20 rows is the classic
@@ -204,6 +231,19 @@ object WindowQueries extends QueryPack {
          FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
          LIMIT 20""",
+    "o5_window_funcs" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+         CAST(rank() OVER w1 AS INT) AS rnk,
+         CAST(dense_rank() OVER w1 AS INT) AS drnk,
+         CAST(ntile(4) OVER w2 AS INT) AS quartile,
+         lag(l_quantity, 1, -1.0) OVER w2 AS prev_qty
+         FROM (SELECT DISTINCT l_returnflag, l_orderkey, l_linenumber, l_quantity
+               FROM lineitem WHERE l_orderkey % 50 = 0)
+         WINDOW
+           w1 AS (PARTITION BY l_returnflag ORDER BY l_quantity),
+           w2 AS (PARTITION BY l_returnflag
+                  ORDER BY l_quantity, l_orderkey, l_linenumber)
+         ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""",
     "a10_percentiles" ->
       """SELECT l_returnflag,
          quantile_cont(l_quantity, 0.25) AS p25,
