@@ -226,6 +226,47 @@ object DedupQueries extends QueryPack {
         .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
         .orderBy("content_hash")),
 
+    // Sub-document exact dedup at fixed 16-token-chunk grain — the
+    // within/across-document boilerplate collapse doc-level d_exact
+    // cannot see (the chunked analogue of paragraph dedup; the corpus
+    // has no paragraph breaks, so the chunker is a fixed token window).
+    // Keep-first-globally = the chunk's minimal (doc_id, chunk_idx)
+    // occurrence, computed as a groupBy min(struct) — NOT a row_number
+    // window: min(struct) partial-aggregates map-side, so a corpus-wide
+    // boilerplate chunk (the pathological hot key) arrives at the
+    // reducer as one partial per map task instead of every occurrence
+    // landing in one window partition. Join back on the chunk (reuses
+    // the groupBy's hash partitioning — AQE plans no extra exchange on
+    // the aggregate side), then per-doc regroup reconstructs the kept
+    // text in chunk order; gate compares its md5 plus kept/total counts.
+    "d_chunk_dedup" -> ((s, d) => {
+      // pinned: the chunk stream feeds the keep-first aggregate AND the
+      // probe side of the join-back — unpinned, each consumer re-scans
+      // and re-chunks the corpus (house convention, see t_rarity_score).
+      val chunks = graft.operators.SeqIds.pin(t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (size(toks)-1) div 16)," +
+            " c -> array_join(slice(toks, c*16+1, 16), ' '))")))
+        .withColumnRenamed("pos", "ci").withColumnRenamed("col", "chunk"))
+      val firsts = chunks.groupBy("chunk")
+        .agg(min(struct(col("doc_id"), col("ci"))).as("first"))
+      chunks.join(firsts, "chunk")
+        .withColumn("kept",
+          col("first.doc_id") === col("doc_id") && col("first.ci") === col("ci"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_chunks"),
+          sum(when(col("kept"), 1).otherwise(0)).cast("int").as("n_kept"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(when(col("kept"),
+                struct(col("ci"), col("chunk"))))),
+              x => x.getField("chunk")),
+            " ").cast("binary")).as("recon_md5"))
+        .orderBy("doc_id")
+    }),
+
     // n-gram Jaccard near-dup: exact integer threshold
     // 10*shared >= 8*union (J >= 0.8). Candidate pairs come from
     // per-shingle doc buckets (groupBy + pair explosion) — ONE pass over
@@ -429,6 +470,24 @@ object DedupQueries extends QueryPack {
             JOIN okb o ON o.band = a.band AND o.k = a.k)"""
 
   val oracle: Map[String, String] = Map(
+    // row_number here is safe in the single-engine oracle (no skew
+    // concern) and is the clearest statement of keep-first semantics.
+    "d_chunk_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks
+                      FROM documents WHERE text IS NOT NULL),
+         chunks AS (SELECT doc_id, unnest(list_transform(range(0, ((len(toks)-1)//16)+1),
+                      c -> {'ci': c, 'chunk': array_to_string(toks[c*16+1:c*16+16], ' ')})) AS ch
+                    FROM tok),
+         flat AS (SELECT doc_id, ch.ci AS ci, ch.chunk AS chunk FROM chunks),
+         ranked AS (SELECT doc_id, ci, chunk,
+                      row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn
+                    FROM flat)
+         SELECT doc_id,
+                CAST(count(*) AS INT) AS n_chunks,
+                CAST(sum(CAST(rn = 1 AS INT)) AS INT) AS n_kept,
+                md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY ci), ''))
+                  AS recon_md5
+         FROM ranked GROUP BY doc_id ORDER BY doc_id""",
     "d_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY content_hash""",

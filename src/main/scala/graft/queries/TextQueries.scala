@@ -176,6 +176,33 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination (GPT-3 §C / PaLM-style): flag training
+    // documents sharing word-5-grams with a held-out benchmark set
+    // (here the doc_id%20==0 slice stands in for the eval suite; in
+    // production it is a separate small table). Scale shape: the
+    // benchmark side is eval-suite-sized (MBs) by construction, so its
+    // distinct-5-gram set is BROADCAST and the corpus-sized training
+    // side is probed map-side — the only shuffle is the per-doc count
+    // over rows that actually hit, i.e. the (tiny) contaminated slice.
+    // 5-grams, not the 3-gram shingle kernel: over a small vocabulary
+    // 3-grams collide by chance while 5-gram overlap isolates true
+    // near-copies of benchmark docs (real pipelines use 8-13).
+    "t_decontaminate" -> ((s, d) => {
+      val grams5 = array_distinct(expr(
+        "transform(sequence(1, size(split(text,' ')) - 4)," +
+          " i -> array_join(slice(split(text,' '), i, 5), ' '))"))
+      val ex = t(s, d, "documents")
+        .filter(size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id"), explode(grams5).as("s"))
+      val bench = ex.filter(col("doc_id") % 20 === 0).select("s").distinct()
+      ex.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(bench), Seq("s"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .select(col("doc_id"), col("n_hits"),
+          (col("n_hits") >= 3).cast("int").as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // PII scrub: regex redaction of emails and US-style phone numbers,
     // with per-document match counts. The test corpus carries no PII,
     // so both engines deterministically inject it first (same doc_id
@@ -224,6 +251,18 @@ object TextQueries extends QueryPack {
                ELSE '' END"""
 
   val oracle: Map[String, String] = Map(
+    "t_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+                      WHERE len(string_split(text,' ')) >= 5),
+         ex5 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-3),
+                   i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]))) AS s
+                 FROM tok),
+         bench AS (SELECT DISTINCT s FROM ex5 WHERE doc_id % 20 = 0),
+         hits AS (SELECT doc_id, count(*) AS n_hits
+                  FROM ex5 WHERE doc_id % 20 <> 0 AND s IN (SELECT s FROM bench)
+                  GROUP BY doc_id)
+         SELECT doc_id, n_hits, CAST(n_hits >= 3 AS INT) AS contaminated
+         FROM hits ORDER BY doc_id""",
     "t_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
          len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS n_bpe_ish

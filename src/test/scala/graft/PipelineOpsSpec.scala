@@ -159,6 +159,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(df.collect().length == 20)
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("d_chunk_dedup keeps first global occurrence of each 16-token chunk") {
+    def chunk(prefix: String) = (1 to 16).map(i => s"$prefix$i").mkString(" ")
+    val (a, b, c, dd) = (chunk("a"), chunk("b"), chunk("c"), chunk("d"))
+    val dir = craftedDir(Seq(
+      (1L, s"$a $b", "en", "t", 0L),   // both chunks first → kept 2/2
+      (2L, s"$a $c", "en", "t", 0L),   // A dup of doc1 → only C kept
+      (3L, b, "en", "t", 0L),          // whole doc dup of doc1's chunk B
+      (4L, s"$dd $dd", "en", "t", 0L)))// within-doc dup: 2nd D dropped
+    val out = queries.DedupQueries.defs("d_chunk_dedup")(spark, dir)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_chunks"),
+      r.getAs[Int]("n_kept"))).toSeq ==
+      Seq((1L, 2, 2), (2L, 2, 1), (3L, 1, 0), (4L, 2, 1)))
+    assert(out(0).getAs[String]("recon_md5") == md5Hex(s"$a $b"))
+    assert(out(1).getAs[String]("recon_md5") == md5Hex(c))
+    assert(out(2).getAs[String]("recon_md5") == md5Hex(""))
+    assert(out(3).getAs[String]("recon_md5") == md5Hex(dd))
+  }
+
+  test("t_decontaminate counts benchmark-shared 5-grams; threshold at 3") {
+    val dir = craftedDir(Seq(
+      (20L, "b1 b2 b3 b4 b5 b6 b7", "en", "t", 0L),    // benchmark: 3 grams
+      (40L, "q1 q2 q3 q4 q5", "en", "t", 0L),          // benchmark: 1 gram
+      (21L, "x1 x2 b1 b2 b3 b4 b5", "en", "t", 0L),    // shares 1 → clean
+      (22L, "b1 b2 b3 b4 b5 b6 b7 x9", "en", "t", 0L), // shares 3 → contaminated
+      (23L, "z1 z2 z3 z4 z5 z6", "en", "t", 0L),       // shares 0 → absent
+      (41L, "q1 q2 q3 q4 q5", "en", "t", 0L),          // exact bench copy, 1 gram
+      (24L, "t1 t2 t3", "en", "t", 0L)))               // under 5 tokens → excluded
+    val out = queries.TextQueries.defs("t_decontaminate")(spark, dir)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"),
+      r.getAs[Int]("contaminated"))).toSeq ==
+      Seq((21L, 1L, 0), (22L, 3L, 1), (41L, 1L, 0)))
+  }
+
   test("j10_bloom_semi equals the plain semi join and actually probes a bloom") {
     val df = queries.JoinQueries.defs("j10_bloom_semi")(spark, sf())
     // the prefilter must be result-transparent
