@@ -155,6 +155,21 @@ object CoreQueries extends QueryPack {
           t(s, d, "lineitem").filter(col("l_linestatus") === "F").select("l_orderkey"))
         .orderBy("l_orderkey")),
 
+    // U5: union-by-name with missing-column fill — the schema-evolution
+    // append (two exports whose column sets drifted, unioned into one
+    // frame; matching is BY NAME, not position, and the absent column
+    // null-fills). Nulls-first ordering is pinned explicitly in both
+    // engines (Spark defaults nulls first, DuckDB nulls last).
+    "u5_union_by_name" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_quantity")
+        .unionByName(
+          t(s, d, "lineitem").filter(col("l_returnflag") === "A")
+            .select("l_quantity", "l_orderkey", "l_linenumber"),
+          allowMissingColumns = true)
+        .orderBy(col("l_orderkey"), col("l_linenumber").asc_nulls_first,
+          col("l_quantity"))),
+
     // SQL API entry: the same engine surface via spark.sql over temp
     // views (everything else uses the DataFrame API).
     "sql_api_join_agg" -> ((s, d) => {
@@ -226,6 +241,12 @@ object CoreQueries extends QueryPack {
          EXCEPT ALL
          SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
          ORDER BY l_orderkey""",
+    "u5_union_by_name" ->
+      """SELECT l_orderkey, l_quantity, l_linenumber FROM (
+           SELECT l_orderkey, l_quantity FROM lineitem WHERE l_returnflag = 'R'
+           UNION ALL BY NAME
+           SELECT l_quantity, l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'A')
+         ORDER BY l_orderkey, l_linenumber NULLS FIRST, l_quantity""",
     "f_d1_date_parts" ->
       """SELECT o_orderkey,
          year(CAST(o_orderdate AS DATE)) AS y,

@@ -126,6 +126,25 @@ object JoinQueries extends QueryPack {
         .orderBy("user_id", "ea", "eb")
     }),
 
+    // J11: null-safe equi-join (`<=>`) — NULL keys match each other
+    // instead of vanishing (the semantics a plain equi-join silently
+    // drops). EqualNullSafe is a legal HASH join key in Spark, so this
+    // plans as a broadcast/sort-merge equi-join, NOT a nested loop —
+    // the null-key groups are just one more hash bucket. Both sides
+    // are aggregated first (dimension-sized), and the null keys are
+    // minted deterministically via nullif so the match is exercised.
+    "j11_null_safe_join" -> ((s, d) => {
+      val a = t(s, d, "customer")
+        .groupBy(expr("nullif(c_nationkey % 5, 0)").as("k"))
+        .agg(count(lit(1)).as("n_cust"))
+      val b = t(s, d, "supplier")
+        .groupBy(expr("nullif(s_nationkey % 5, 0)").as("k"))
+        .agg(count(lit(1)).as("n_supp"))
+      a.join(b, a("k") <=> b("k"))
+        .select(a("k").as("k"), col("n_cust"), col("n_supp"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
     // J10: bloom-prefiltered semi join — the explicit form of Spark's
     // runtime shuffle-join filter, as a user-facing operator. Build a
     // bloom filter over the dim keys (scalar-subquery side job, the
@@ -192,6 +211,14 @@ object JoinQueries extends QueryPack {
           AND epoch_ns(b.ts) > epoch_ns(a.ts)
           AND epoch_ns(b.ts) - epoch_ns(a.ts) <= 300000000000
          ORDER BY a.user_id, ea, eb""",
+    "j11_null_safe_join" ->
+      """WITH a AS (SELECT nullif(c_nationkey % 5, 0) AS k, count(*) AS n_cust
+                    FROM customer GROUP BY 1),
+         b AS (SELECT nullif(s_nationkey % 5, 0) AS k, count(*) AS n_supp
+               FROM supplier GROUP BY 1)
+         SELECT a.k, n_cust, n_supp
+         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+         ORDER BY a.k NULLS FIRST""",
     // The bloom prefilter must be invisible in the result: the oracle
     // is the plain IN-subquery semi join.
     "j10_bloom_semi" ->

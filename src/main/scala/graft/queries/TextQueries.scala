@@ -203,6 +203,50 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing (GPT-style training-batch shaping): concatenate
+    // the corpus in doc_id order and split it into fixed 128-token
+    // sequences; a document spanning a boundary is split across the two
+    // sequences. Output: one row per (sequence, contributing doc) with
+    // the token count it contributes — every non-final sequence sums to
+    // exactly 128. The global token offset per doc is a distributed
+    // exclusive prefix sum with NO single-partition fact stage and NO
+    // driver collect: (1) per-bucket token sums (bucket = doc_id div 64;
+    // map-side-combined groupBy, bucket-count-sized result), (2)
+    // exclusive prefix over the bucket sums via a single-partition
+    // window — legitimate because the frame is dimension-sized, the
+    // same justification as SeqIds.withSeqIdDim (tune the bucket grain
+    // so bucket count stays ~10⁵-10⁶ at 100 TB), (3) broadcast the
+    // bucket offsets back and window-cumsum WITHIN each bucket —
+    // parallel across buckets, one narrow (doc_id, n) shuffle. The
+    // boundary explode emits ceil(n/128)+1-bounded rows per doc.
+    "t_seq_pack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (bTok, g) = (128L, 64L)
+      // pinned: the narrow (doc_id, n, bucket) frame feeds the bucket
+      // sums AND the probe side — three longs per doc in cache beats
+      // re-reading and re-tokenizing the text column (house convention)
+      val tok = graft.operators.SeqIds.pin(
+        t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n"))
+          .withColumn("bucket", expr(s"doc_id div $g")))
+      val wb = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val boffs = tok.groupBy("bucket").agg(sum("n").as("bn"))
+        .withColumn("boff", coalesce(sum(col("bn")).over(wb), lit(0L)))
+        .select("bucket", "boff")
+      val wl = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      tok.join(broadcast(boffs), "bucket")
+        .withColumn("st", col("boff") + coalesce(sum(col("n")).over(wl), lit(0L)))
+        .select(col("doc_id"), col("n"), col("st"),
+          explode(expr(s"sequence(st div $bTok, (st + n - 1) div $bTok)")).as("seq_id"))
+        .select(col("seq_id"), col("doc_id"),
+          (least(col("st") + col("n"), (col("seq_id") + 1) * bTok) -
+            greatest(col("st"), col("seq_id") * bTok)).as("n_tok"))
+        .orderBy("seq_id", "doc_id")
+    }),
+
     // PII scrub: regex redaction of emails and US-style phone numbers,
     // with per-document match counts. The test corpus carries no PII,
     // so both engines deterministically inject it first (same doc_id
@@ -251,6 +295,22 @@ object TextQueries extends QueryPack {
                ELSE '' END"""
 
   val oracle: Map[String, String] = Map(
+    // the oracle states packing semantics with ONE global window —
+    // correct single-node, which is the point of an oracle; the Spark
+    // side distributes the same prefix sum over buckets
+    "t_seq_pack" ->
+      """WITH tok AS (SELECT doc_id, len(string_split(text,' ')) AS n
+                      FROM documents WHERE text IS NOT NULL),
+         cum AS (SELECT doc_id, n,
+                   CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+                 FROM tok),
+         spans AS (SELECT doc_id, n, st,
+                     unnest(range(st//128, ((st+n-1)//128)+1)) AS seq_id
+                   FROM cum)
+         SELECT seq_id, doc_id,
+                least(st+n, (seq_id+1)*128) - greatest(st, seq_id*128) AS n_tok
+         FROM spans ORDER BY seq_id, doc_id""",
     "t_decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
                       WHERE len(string_split(text,' ')) >= 5),

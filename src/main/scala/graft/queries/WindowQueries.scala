@@ -105,6 +105,28 @@ object WindowQueries extends QueryPack {
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(20)),
 
+    // A13: mean/variance from EXACT decimal sums — the distributed-safe
+    // way to hash-check second moments across engines. Naive double
+    // accumulation is partition-order-dependent and Welford's online
+    // form differs between engines, so neither can be hash-gated;
+    // sum(x) and sum(x²) in DECIMAL are exact and order-independent
+    // (one map-side-combined groupBy), and the closed-form
+    // mean/variance then applies IDENTICAL scalar IEEE double ops in
+    // both engines. l_quantity is integral-valued, so the decimal
+    // squares are exact at scale 4.
+    "a13_exact_moments" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(20,2)")).as("sq"),
+          sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,4)")).as("sqq"))
+        .select(col("l_returnflag"), col("n"),
+          (col("sq").cast("double") / col("n").cast("double")).as("mean_qty"),
+          ((col("sqq").cast("double")
+            - col("sq").cast("double") * col("sq").cast("double") / col("n").cast("double"))
+            / (col("n").cast("double") - 1.0)).as("var_qty"))
+        .orderBy("l_returnflag")),
+
     // Approximate distinct (HLL). The sketch VALUE is engine-specific,
     // so it cannot appear in the hashed output — but its accuracy
     // CONTRACT can: the gate emits the exact count plus a boolean
@@ -244,6 +266,17 @@ object WindowQueries extends QueryPack {
            w2 AS (PARTITION BY l_returnflag
                   ORDER BY l_quantity, l_orderkey, l_linenumber)
          ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""",
+    "a13_exact_moments" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+           sum(CAST(l_quantity AS DECIMAL(20,2))) AS sq,
+           sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS sqq
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+           CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+           (CAST(sqq AS DOUBLE)
+             - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0) AS var_qty
+         FROM s ORDER BY l_returnflag""",
     "a10_percentiles" ->
       """SELECT l_returnflag,
          quantile_cont(l_quantity, 0.25) AS p25,

@@ -198,6 +198,22 @@ class PipelineOpsSpec extends SparkSpec {
       Seq((21L, 1L, 0), (22L, 3L, 1), (41L, 1L, 0)))
   }
 
+  test("t_seq_pack splits docs across 128-token sequence boundaries exactly") {
+    def doc(k: Int) = Seq.fill(k)("w").mkString(" ")
+    // token spans: d1 [0,100) d2 [100,150) d3 [150,270) d4 [270,280)
+    val dir = craftedDir(Seq(
+      (1L, doc(100), "en", "t", 0L), (2L, doc(50), "en", "t", 0L),
+      (3L, doc(120), "en", "t", 0L), (4L, doc(10), "en", "t", 0L)))
+    val out = queries.TextQueries.defs("t_seq_pack")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tok"))).toSeq
+    assert(out == Seq((0L, 1L, 100L), (0L, 2L, 28L), (1L, 2L, 22L),
+      (1L, 3L, 106L), (2L, 3L, 14L), (2L, 4L, 10L)))
+    // packing invariant: every non-final sequence carries exactly 128
+    val bySeq = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySeq(0L) == 128L && bySeq(1L) == 128L && bySeq(2L) == 24L)
+  }
+
   test("j10_bloom_semi equals the plain semi join and actually probes a bloom") {
     val df = queries.JoinQueries.defs("j10_bloom_semi")(spark, sf())
     // the prefilter must be result-transparent
