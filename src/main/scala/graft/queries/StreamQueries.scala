@@ -39,6 +39,18 @@ object StreamQueries extends QueryPack {
         .orderBy("user_id", "session_id")
     }),
 
+    // NATIVE session_window (vs st_sessionize_batch's manual lag form):
+    // session bounds surface as epoch-micros longs; the oracle
+    // replicates the built-in's exact merge rule (break at gap >= 30
+    // min, end = last event + gap) via gaps-and-islands.
+    "st_session_native" -> ((s, d) =>
+      EventStreams.sessionWindows(t(s, d, "events"))
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start_us")),
+
     // Moving frame aggregate: exact DECIMAL sum over the last 4 events
     // per user (rows frame — deterministic content, engine-exact).
     "st_moving_sum" -> ((s, d) => {
@@ -112,6 +124,33 @@ object StreamQueries extends QueryPack {
          SELECT user_id, session_id, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    // ns → us truncation first (matching Spark's timestamp_micros(ts
+    // div 1000)); brk uses STRICT > — the native operator still merges
+    // an event landing exactly at the session end (StreamingSpec pins
+    // this boundary on crafted input; real ns-resolution data never
+    // exercises it). Ties in tus carry brk = 0, so the running sum is
+    // order-independent within a tie group.
+    "st_session_native" ->
+      """WITH g AS (
+           SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS tus,
+                  lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                    ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
+           FROM events),
+         b AS (
+           SELECT user_id, event_id, value, tus,
+                  CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS brk
+           FROM g),
+         sess AS (
+           SELECT user_id, value, tus,
+                  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           FROM b)
+         SELECT user_id, min(tus) AS session_start_us,
+                max(tus) + 1800000000 AS session_end_us,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start_us""",
     "st_moving_sum" ->
       """SELECT event_id, user_id,
          CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id

@@ -203,6 +203,24 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Deterministic global corpus shuffle — the training-order
+    // randomization step before batching: order by a seeded
+    // content-independent hash key and assign the global ordinal with
+    // the scale-safe SeqIds two-pass (range partition + per-partition
+    // counts; never a single-partition row_number). Changing the seed
+    // string ("shuf1|") re-shuffles for the next epoch; identical seed
+    // ⇒ identical order on any cluster size (no RNG state).
+    "t_doc_shuffle" -> ((s, d) => {
+      val keyed = t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("shuf1|"), col("doc_id").cast("string")).cast("binary"))
+            .as("skey"))
+      graft.operators.SeqIds
+        .withSeqId(keyed, Seq(col("skey"), col("doc_id")), "shuffle_pos")
+        .select("doc_id", "shuffle_pos")
+        .orderBy("shuffle_pos")
+    }),
+
     // Sequence packing (GPT-style training-batch shaping): concatenate
     // the corpus in doc_id order and split it into fixed 128-token
     // sequences; a document spanning a boundary is split across the two
@@ -295,6 +313,11 @@ object TextQueries extends QueryPack {
                ELSE '' END"""
 
   val oracle: Map[String, String] = Map(
+    "t_doc_shuffle" ->
+      """SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY md5('shuf1|' || doc_id), doc_id) - 1 AS BIGINT)
+           AS shuffle_pos
+         FROM documents ORDER BY shuffle_pos""",
     // the oracle states packing semantics with ONE global window —
     // correct single-node, which is the point of an oracle; the Spark
     // side distributes the same prefix sum over buckets

@@ -40,6 +40,29 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** NATIVE session-window aggregation (`session_window`) — the
+    * built-in counterpart of the hand-rolled [[sessionize]] /
+    * st_sessionize_batch shapes. Merge rule (pinned by StreamingSpec's
+    * boundary test): an event whose time is <= the session end (last
+    * event + gap) still MERGES — a session breaks only when the gap is
+    * STRICTLY exceeded, the same rule as the lag-based manual form.
+    * Session end is last event + gap ([start, end) half-open). Runs
+    * identically over batch or readStream; under streaming the
+    * watermark both admits late data and drives state eviction of
+    * closed sessions (StreamingSpec).
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Portable.moneySum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup: drop replayed events by (id, event time),
     * with a watermark bounding the dedup state. The event-time column
     * MUST be part of the dedup subset: streaming deduplication only

@@ -178,6 +178,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionWindows merges, closes at the exact gap boundary, and evicts state") {
+    def row(id: Long, minutes: Long, user: Long): (Long, Long, Long, String, Double, String) =
+      (id, minutes * 60L * 1000 * 1000 * 1000, user, "a", 1.0, "{}")
+    val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark, 6)
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val query = EventStreams.sessionWindows(events, "30 minutes", "10 minutes")
+      .select(col("user_id"), unix_timestamp(col("session_start")).as("start_s"),
+        unix_timestamp(col("session_end")).as("end_s"), col("n_events"))
+      .writeStream.format("memory").queryName("swin").outputMode("append").start()
+    try {
+      // user 1: 50, 60, 65 chain into ONE session [50, 95) (end = 65+30).
+      // user 3: 100 then 130 — exactly the 30-min gap apart — still
+      // MERGES (the native operator breaks only on a STRICTLY exceeded
+      // gap): one session [100, 160). user 4: 100 then 131 — gap
+      // exceeded by a minute — breaks into two sessions.
+      input.addData(row(1, 50, 1), row(2, 60, 1), row(3, 65, 1),
+        row(6, 100, 3), row(7, 130, 3), row(8, 100, 4), row(9, 131, 4))
+      query.processAllAvailable()
+      // user 2 far in the future closes everything and advances eviction
+      input.addData(row(4, 600, 2))
+      query.processAllAvailable()
+      input.addData(row(5, 1200, 2))
+      query.processAllAvailable()
+      val out = spark.table("swin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.filter(_._1 == 1L).toSeq == Seq((1L, 50 * 60L, 95 * 60L, 3L)),
+        s"user-1 sessions: ${out.toSeq}")
+      assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 100 * 60L, 160 * 60L, 2L)),
+        s"user-3 exact-gap event must merge: ${out.toSeq}")
+      assert(out.filter(_._1 == 4L).sortBy(_._2).toSeq ==
+        Seq((4L, 100 * 60L, 130 * 60L, 1L), (4L, 131 * 60L, 161 * 60L, 1L)),
+        s"user-4 exceeded gap must break: ${out.toSeq}")
+      // closed sessions must leave the state store (only user 2's open
+      // tail may remain) — otherwise session state grows forever
+      val evicted = stateRows(query)
+      assert(evicted <= 2,
+        s"session state still holds $evicted rows after closing — not evicting")
+    } finally query.stop()
+  }
+
   test("the same windowedCounts program runs in batch mode (unified API)") {
     val batch = Seq(nsRow(1, 10, "a"), nsRow(2, 20, "a"), nsRow(3, 70, "b"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
