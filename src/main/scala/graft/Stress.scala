@@ -62,8 +62,22 @@ object Stress {
         .collect()(0)
     }
 
+    // Hot-chunk diagnostic for d_chunk_dedup: the exact-copy floods make
+    // one document's chunks appear ~nDocs/10 times — the key-skew case
+    // the partial-aggregatable min(struct) shape absorbs map-side.
+    val chunkStats = spark.read.parquet(s"$workDir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, (size(split(text, ' '))-1) div 16)," +
+          " c -> array_join(slice(split(text, ' '), c*16+1, 16), ' '))")).as("chunk"))
+      .groupBy("chunk").agg(count(lit(1)).as("n"))
+      .agg(max("n").as("mx"), count(lit(1)).as("n_chunks"))
+      .collect()(0)
+
     val names = Seq("d_exact_dedup", "d_minhash_lsh", "d_simhash",
-      "d_ngram_jaccard", "d_embed_neardup", "d_dup_clusters", "d_dedup_apply")
+      "d_ngram_jaccard", "d_embed_neardup", "d_dup_clusters", "d_dedup_apply",
+      "d_chunk_dedup", "t_decontaminate", "t_seq_pack", "t_doc_shuffle")
     val timings = names.map { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, workDir).count()
@@ -77,6 +91,7 @@ object Stress {
       s"""{"metric":"dedup_stress","n_docs":$nDocs,"n_vecs":$nVecs,"replication":$rep,""" +
         s""""max_shingle_df":${shingleStats.get(0)},"shingle_buckets_dropped":${shingleStats.get(1)},""" +
         s""""max_cell":${cellStats.get(0)},"cells_dropped":${cellStats.get(1)},"n_cells":${cellStats.get(2)},""" +
+        s""""max_chunk_df":${chunkStats.get(0)},"n_distinct_chunks":${chunkStats.get(1)},""" +
         s""""queries":$qs}""")
     spark.stop()
   }
