@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
 object ExportQueries extends QueryPack {
 
   val defs: Map[String, QueryFn] = Map(
+    // S13: JSONL corpus export core — the rendered lines (the file
+    // sink itself is covered by JsonlSpec). to_json is codegen'd;
+    // DuckDB's to_json renders the identical field order/escaping, so
+    // the full line text is hash-checked.
+    "s13_jsonl_lines" -> ((s, d) =>
+      graft.export.Jsonl.jsonLines(graft.Tables.t(s, d, "documents"))
+        .orderBy("doc_id")),
+
     // S10 core: annotation records with dense category ids (A5/J5),
     // image ids by name order (J4), sequential anno ids (O3), integer
     // bbox JSON (F-J2 canonicalized).
@@ -152,6 +160,11 @@ object ExportQueries extends QueryPack {
          FROM sannos a JOIN imgs i USING (image_name) JOIN cats c USING (category))"""
 
   val oracle: Map[String, String] = Map(
+    "s13_jsonl_lines" ->
+      """SELECT doc_id,
+         to_json(struct_pack(doc_id := doc_id, text := text,
+                             lang := lang, source := source)) AS line
+         FROM documents ORDER BY doc_id""",
     "s9_write_images" ->
       s"""$ctes,
           red AS (

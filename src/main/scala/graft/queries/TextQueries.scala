@@ -203,6 +203,28 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Model-based quality filtering (the fastText/DCLM-classifier
+    // shape): a fixed-weight logistic scorer over the heuristic
+    // features — stopword ratio, mean token length, log document
+    // length. The weights stand in for a trained model; the operator
+    // shape (featurize → dot → sigmoid → threshold, pure scan-side
+    // map) is exactly what a real classifier deploys as. exp/ln differ
+    // across engines only at ulp level, far inside the gate's 9-
+    // significant-digit float canon.
+    "t_quality_model" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")).cast("double"))
+        .withColumn("stop_ratio", stopCount(enStops).cast("double") / col("n"))
+        .withColumn("mean_len",
+          expr("aggregate(toks, 0, (acc, x) -> acc + length(x))").cast("double") / col("n"))
+        .withColumn("score",
+          lit(1.0) / (lit(1.0) + exp(-(lit(-2.0) + lit(8.0) * col("stop_ratio")
+            + lit(0.5) * col("mean_len") + lit(0.25) * log(col("n"))))))
+        .select(col("doc_id"), col("score"),
+          (col("score") > 0.5).cast("int").as("keep"))
+        .orderBy("doc_id")),
+
     // Deterministic global corpus shuffle — the training-order
     // randomization step before batching: order by a seeded
     // content-independent hash key and assign the global ordinal with
@@ -313,6 +335,18 @@ object TextQueries extends QueryPack {
                ELSE '' END"""
 
   val oracle: Map[String, String] = Map(
+    "t_quality_model" ->
+      s"""WITH f AS (SELECT doc_id,
+            CAST(len(string_split(text,' ')) AS DOUBLE) AS n,
+            CAST(${stopCountSql(enStops)} AS DOUBLE) AS n_stop,
+            CAST(list_sum(list_transform(string_split(text,' '), x -> len(x))) AS DOUBLE) AS sum_len
+          FROM documents),
+          sc AS (SELECT doc_id,
+            1.0 / (1.0 + exp(-(-2.0 + 8.0 * (n_stop / n)
+              + 0.5 * (sum_len / n) + 0.25 * ln(n)))) AS score
+          FROM f)
+          SELECT doc_id, score, CAST(score > 0.5 AS INT) AS keep
+          FROM sc ORDER BY doc_id""",
     "t_doc_shuffle" ->
       """SELECT doc_id,
          CAST(row_number() OVER (ORDER BY md5('shuf1|' || doc_id), doc_id) - 1 AS BIGINT)
