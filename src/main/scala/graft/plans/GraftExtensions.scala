@@ -63,7 +63,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => SimhashF(args(0))),
     (FunctionIdentifier("graft_repetition"),
       new ExpressionInfo(classOf[RepetitionStatsF].getName, "graft_repetition"),
-      (args: Seq[Expression]) => RepetitionStatsF(args(0)))
+      (args: Seq[Expression]) => RepetitionStatsF(args(0))),
+    (FunctionIdentifier("graft_zorder2"),
+      new ExpressionInfo(classOf[ZOrder2F].getName, "graft_zorder2"),
+      (args: Seq[Expression]) => ZOrder2F(args(0), args(1)))
   ) ++ bloomDescriptors
 
   /** Spark ships bloom-filter build/probe expressions for its runtime

@@ -155,6 +155,20 @@ object CoreQueries extends QueryPack {
           t(s, d, "lineitem").filter(col("l_linestatus") === "F").select("l_orderkey"))
         .orderBy("l_orderkey")),
 
+    // S14: z-order (Morton) clustering key — the kernel behind
+    // lake.ZOrder.writeZOrdered (multi-dimensional file skipping;
+    // ZOrderSpec measures the written-tree skip rates). The gate
+    // hash-checks the native bit-interleave expression against a
+    // DuckDB bit-arithmetic reconstruction.
+    "s14_zorder_key" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 3600000000000").as("bucket"))
+        .withColumn("z", expr("graft_zorder2(user_id, bucket)"))
+        .orderBy("event_id")
+    }),
+
     // U5: union-by-name with missing-column fill — the schema-evolution
     // append (two exports whose column sets drifted, unioned into one
     // frame; matching is BY NAME, not position, and the absent column
@@ -241,6 +255,16 @@ object CoreQueries extends QueryPack {
          EXCEPT ALL
          SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
          ORDER BY l_orderkey""",
+    // 31 bits per dimension (DuckDB's << raises on 1<<63); the gate's
+    // values are far below 2^31, where this equals the 32-bit kernel.
+    "s14_zorder_key" ->
+      """SELECT event_id, user_id,
+         epoch_ns(ts) // 3600000000000 AS bucket,
+         CAST(list_sum(list_transform(range(0, 31),
+           i -> ((user_id >> i) & 1) * (1::BIGINT << (2*i))
+              + (((epoch_ns(ts) // 3600000000000) >> i) & 1) * (1::BIGINT << (2*i+1))
+         )) AS BIGINT) AS z
+         FROM events ORDER BY event_id""",
     "u5_union_by_name" ->
       """SELECT l_orderkey, l_quantity, l_linenumber FROM (
            SELECT l_orderkey, l_quantity FROM lineitem WHERE l_returnflag = 'R'
