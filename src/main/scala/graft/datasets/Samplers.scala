@@ -60,4 +60,32 @@ object Samplers {
   def iidSampler(df: DataFrame, idCol: String, buckets4096: Int): DataFrame =
     df.select(idCol).distinct()
       .filter(Portable.md5Sample(col(idCol), buckets4096))
+
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement: keep the
+    * k rows with the largest u^(1/w) — equivalently the largest
+    * ln(u)/w — where u is a per-row uniform. Here u is minted from the
+    * 48-bit md5(key) prefix instead of RNG state, so the draw is
+    * reproducible across reruns, engines, and cluster sizes (same policy
+    * as the md5 split samplers above).
+    *
+    * Scale shape: one scan-side map plus a distributed top-k
+    * (TakeOrderedAndProject: per-partition heaps of k, then a k-sized
+    * merge at the driver) — no shuffle, no global sort. At 100 TB the
+    * only movement is k rows per partition.
+    *
+    * Float note: ln() is correct to 1 ulp in each engine but not
+    * guaranteed bit-identical between them; with md5-uniform scores the
+    * closest adjacent score pair at realistic n is ~1e-9 relative apart,
+    * far above ulp scale, so selection and rank are engine-stable.
+    * Output keeps `es_score` as a column for downstream tie-breaks but
+    * oracle-checked queries should project it away (raw-double hash).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val u48 = conv(substring(Portable.md5Key(col(keyCol)), 1, 12), 16, 10).cast("long")
+    val u = (u48.cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
+    df.withColumn("es_score", log(u) / col(weightCol).cast("double"))
+      .orderBy(desc("es_score"), col(keyCol))
+      .limit(k)
+  }
 }

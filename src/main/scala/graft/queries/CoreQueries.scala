@@ -169,6 +169,27 @@ object CoreQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // S15: keyed merge (upsert) — lake.Merge.upsert folds a change batch
+    // into the customer base: matched keys take the update row (segment
+    // rewritten, balance bumped), new keys insert, untouched keys carry
+    // over. The oracle is the FULL OUTER JOIN + CASE expansion of the
+    // same MERGE, so the operator's routing is hash-checked end to end.
+    "s15_merge_upsert" -> ((s, d) => {
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal").cast("double").as("c_acctbal"))
+      val updates = t(s, d, "customer").filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          lit("UPDATED").as("c_mktsegment"),
+          (col("c_acctbal").cast("double") + 100.0).as("c_acctbal"))
+        .unionAll(t(s, d, "customer").filter(col("c_custkey") % 17 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            concat(lit("NEW#"), col("c_custkey").cast("string")).as("c_name"),
+            lit("INSERTED").as("c_mktsegment"), lit(0.0).as("c_acctbal")))
+      graft.lake.Merge.upsert(base, updates, "c_custkey")
+        .orderBy("c_custkey")
+    }),
+
     // U5: union-by-name with missing-column fill — the schema-evolution
     // append (two exports whose column sets drifted, unioned into one
     // frame; matching is BY NAME, not position, and the absent column
@@ -216,6 +237,23 @@ object CoreQueries extends QueryPack {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "s5_partition_manifest" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY o_orderstatus, o_orderpriority",
+    // the FULL OUTER JOIN + CASE expansion of MERGE INTO; update rows
+    // win on matched keys, base rows survive otherwise
+    "s15_merge_upsert" ->
+      """WITH upd AS (
+           SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment,
+                  CAST(c_acctbal AS DOUBLE) + 100.0 AS c_acctbal
+           FROM customer WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'NEW#' || CAST(c_custkey AS VARCHAR),
+                  'INSERTED', 0.0
+           FROM customer WHERE c_custkey % 17 = 0)
+         SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+                CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE b.c_name END AS c_name,
+                CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
+                CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE CAST(b.c_acctbal AS DOUBLE) END AS c_acctbal
+         FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+         ORDER BY c_custkey""",
     "p1_project_cast" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation ORDER BY n_nationkey",
     "p3_eq_filter" ->

@@ -133,6 +133,25 @@ object JoinQueries extends QueryPack {
     // the null-key groups are just one more hash bucket. Both sides
     // are aggregated first (dimension-sized), and the null keys are
     // minted deterministically via nullif so the match is exercised.
+    // J12: skew-salted shuffle join (operators.Salt). The salt spreads
+    // each supplier key's lineitem rows across 8 reducers instead of
+    // one — the manual fix for a hot key that would straggle a 100 TB
+    // shuffle join. The oracle is the PLAIN join + group-by, proving
+    // salting is result-transparent; the salt seed is a deterministic
+    // hash of the line's unique id so reruns shuffle identically.
+    "j12_salted_join" -> ((s, d) => {
+      val fact = t(s, d, "lineitem")
+        .select("l_suppkey", "l_quantity", "l_orderkey", "l_linenumber")
+      val dim = t(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.operators.Salt
+        .saltedJoin(fact, dim, "l_suppkey", 8,
+          xxhash64(col("l_orderkey"), col("l_linenumber")))
+        .groupBy("l_suppkey", "s_name")
+        .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+        .orderBy("l_suppkey")
+    }),
+
     "j11_null_safe_join" -> ((s, d) => {
       val a = t(s, d, "customer")
         .groupBy(expr("nullif(c_nationkey % 5, 0)").as("k"))
@@ -211,6 +230,13 @@ object JoinQueries extends QueryPack {
           AND epoch_ns(b.ts) > epoch_ns(a.ts)
           AND epoch_ns(b.ts) - epoch_ns(a.ts) <= 300000000000
          ORDER BY a.user_id, ea, eb""",
+    // The salt must be invisible in the result: the oracle is the plain
+    // unsalted join + aggregate.
+    "j12_salted_join" ->
+      """SELECT l.l_suppkey, s.s_name, count(*) AS n_lines,
+                sum(l.l_quantity) AS sum_qty
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY 1, 2 ORDER BY l.l_suppkey""",
     "j11_null_safe_join" ->
       """WITH a AS (SELECT nullif(c_nationkey % 5, 0) AS k, count(*) AS n_cust
                     FROM customer GROUP BY 1),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables.t
-import graft.functions.ImageOps
+import graft.functions.{AudioOps, ImageOps}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (builder brief): image/audio/video as
@@ -91,6 +91,44 @@ object MmQueries extends QueryPack {
         .orderBy("p_partkey")
     }),
 
+    // Audio leg of the multimodal surface: a per-row WAV header is
+    // synthesized IN SQL (hex assembly → unhex, no driver bytes), then
+    // parsed back by the real RIFF chunk-walker (AudioOps.wavMeta) on
+    // executors. The oracle predicts every field arithmetically from the
+    // generating formulas, so the parser is hash-checked end to end —
+    // same trick as mm_dhash: deterministic synth makes a binary kernel
+    // oracle-able.
+    "mm_audio_meta" -> ((s, d) => {
+      def le(c: org.apache.spark.sql.Column, nBytes: Int) = {
+        val h = lpad(hex(c.cast("long")), nBytes * 2, "0")
+        concat((0 until nBytes).map(i => substring(h, (nBytes - 1 - i) * 2 + 1, 2)): _*)
+      }
+      val parse = udf((b: Array[Byte]) => AudioOps.wavMeta(b))
+      val ch = (col("doc_id") % 2 + 1).cast("int")
+      val rate = element_at(
+        array(lit(8000), lit(16000), lit(44100)), (col("doc_id") % 3).cast("int") + 1)
+      val bits = when(col("doc_id") % 5 < 2, lit(8)).otherwise(lit(16))
+      val dataB = octet_length(col("text").cast("binary")).cast("long") * 37 % 99991 + 100
+      val byteRate = (rate * ch * (bits.cast("double") / 8)).cast("long")
+      val blockAlign = (ch * (bits.cast("double") / 8)).cast("long")
+      val wav = unhex(concat(
+        lit("52494646"), le(dataB + 36, 4), lit("57415645"),
+        lit("666D7420"), le(lit(16), 4), le(lit(1), 2), le(ch, 2),
+        le(rate, 4), le(byteRate, 4), le(blockAlign, 2), le(bits, 2),
+        lit("64617461"), le(dataB, 4)))
+      t(s, d, "documents")
+        .withColumn("meta", parse(wav))
+        .select(col("doc_id"),
+          col("meta.channels").as("channels"),
+          col("meta.sampleRate").as("sample_rate"),
+          col("meta.bitsPerSample").as("bits"),
+          col("meta.dataBytes").as("data_bytes"),
+          (col("meta.dataBytes").cast("double") /
+            (col("meta.sampleRate") * col("meta.channels") *
+              (col("meta.bitsPerSample") / 8))).as("duration_sec"))
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling over a multimodal "video" column: per-video frame
     // ids exploded from typed metadata, keeping every 5th frame plus
     // the final frame — the standard keyframe-ish sampling shape. The
@@ -168,6 +206,19 @@ object MmQueries extends QueryPack {
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
          md5(text) AS digest, ascii(substr(text, 1, 1)) AS head_byte
+         FROM documents ORDER BY doc_id""",
+    // every field re-derived from the WAV synth formulas — the parser
+    // must reproduce them from the bytes alone
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+         CAST(doc_id % 2 + 1 AS INT) AS channels,
+         CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate,
+         CAST(CASE WHEN doc_id % 5 < 2 THEN 8 ELSE 16 END AS INT) AS bits,
+         CAST((octet_length(CAST(text AS BLOB)) * 37) % 99991 + 100 AS BIGINT) AS data_bytes,
+         CAST((octet_length(CAST(text AS BLOB)) * 37) % 99991 + 100 AS DOUBLE)
+           / ((CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END)
+              * (doc_id % 2 + 1)
+              * ((CASE WHEN doc_id % 5 < 2 THEN 8 ELSE 16 END) / 8)) AS duration_sec
          FROM documents ORDER BY doc_id""",
     "mm_decode_stub" ->
       """SELECT doc_id,

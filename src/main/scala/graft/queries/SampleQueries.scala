@@ -79,6 +79,24 @@ object SampleQueries extends QueryPack {
     // a broadcast join against the labeled key set (replaces the
     // reference's O(images × annos) loop, TrainDatasets.py:265-276),
     // then per-split counts.
+    // SP6: Efraimidis–Spirakis weighted sampling without replacement —
+    // 64 orders drawn proportionally to o_totalprice, deterministic via
+    // md5-minted uniforms (Samplers.weightedSample). `pick` pins the full
+    // rank order, not just the membership set. The window runs over the
+    // already-top-k'd 64 rows, not the table.
+    "sp6_weighted_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val picked = graft.datasets.Samplers.weightedSample(
+        t(s, d, "orders").select("o_orderkey", "o_totalprice"),
+        "o_orderkey", "o_totalprice", 64)
+      picked
+        .withColumn("pick", row_number()
+          .over(Window.orderBy(desc("es_score"), col("o_orderkey"))).cast("int"))
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("weight"), col("pick"))
+        .orderBy("o_orderkey")
+    }),
+
     "p7_split_route" -> ((s, d) => {
       val keys = t(s, d, "orders")
         .select("o_custkey").distinct()
@@ -118,6 +136,20 @@ object SampleQueries extends QueryPack {
           SELECT k.split, count(*) AS n_annos
           FROM sannos a JOIN keys k USING (image_name)
           GROUP BY k.split ORDER BY k.split""",
+    // ln((u48+0.5)/2^48)/w replayed exactly; see Samplers.weightedSample
+    // for the (documented, negligible) cross-engine ln() ulp caveat.
+    "sp6_weighted_sample" ->
+      """WITH scored AS (
+           SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS w,
+                  ln((('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,12))::BIGINT + 0.5)
+                     / 281474976710656.0) / CAST(o_totalprice AS DOUBLE) AS score
+           FROM orders),
+         picked AS (
+           SELECT o_orderkey, w,
+                  row_number() OVER (ORDER BY score DESC, o_orderkey) AS pick
+           FROM scored ORDER BY score DESC, o_orderkey LIMIT 64)
+         SELECT o_orderkey, w AS weight, CAST(pick AS INT) AS pick
+         FROM picked ORDER BY o_orderkey""",
     "p7_split_route" ->
       s"""SELECT k.split, count(*) AS n_orders, count(DISTINCT o.o_custkey) AS n_keys
           FROM orders o

@@ -86,6 +86,18 @@ object StreamQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), Portable.moneySum(col("value")).as("sum_value"))
         .orderBy("c_mktsegment", "event_type")),
 
+    // Stream-stream interval join, batch twin: view→click attribution
+    // within 4 hours per user (EventStreams.intervalJoin). StreamingSpec
+    // runs the same program over two MemoryStreams and pins state
+    // eviction; here the unified API runs it as an equi+range join.
+    "st_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      EventStreams.intervalJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"))
+        .orderBy("user_id", "view_id", "click_id")
+    }),
+
     // Streaming replay dedup, batch twin: the input is the event stream
     // REPLAYED twice (union — an at-least-once delivery), pushed through
     // dedupEvents (watermarked dropDuplicates by event_id). Integer
@@ -166,6 +178,16 @@ object StreamQueries extends QueryPack {
          CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""",
+    // micros arithmetic (ts ns // 1000) mirrors withEventTime's
+    // timestamp_micros; 240 min = 14.4e9 micros
+    "st_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+         FROM events v JOIN events c
+           ON v.user_id = c.user_id
+          AND v.event_type = 'view' AND c.event_type = 'click'
+          AND (epoch_ns(c.ts) // 1000) > (epoch_ns(v.ts) // 1000)
+          AND (epoch_ns(c.ts) // 1000) <= (epoch_ns(v.ts) // 1000) + 14400000000
+         ORDER BY v.user_id, view_id, click_id""",
     // the replayed union deduped by id is just the original stream
     "st_dedup_replay" ->
       """SELECT event_type, count(*) AS n,

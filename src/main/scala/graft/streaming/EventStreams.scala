@@ -78,6 +78,32 @@ object EventStreams {
       .withWatermark("event_time", watermark)
       .dropDuplicates("event_id", "event_time")
 
+  /** Stream-stream interval join — view→click attribution: a click
+    * joins the same user's views from the preceding `windowMin`
+    * minutes. In streaming BOTH sides are watermarked and the interval
+    * bound is what lets Spark evict buffered rows once no future match
+    * is possible — an unbounded-condition stream-stream join would hold
+    * state forever (StreamingSpec pins the eviction). In batch the same
+    * program is an ordinary equi+range join, which the st_interval_join
+    * gate hash-checks against DuckDB.
+    */
+  def intervalJoin(views: DataFrame, clicks: DataFrame,
+                   watermark: String = "10 minutes",
+                   windowMin: Int = 240): DataFrame = {
+    val v = withEventTime(views)
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("event_time").as("view_time"))
+      .withWatermark("view_time", watermark)
+    val c = withEventTime(clicks)
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", watermark)
+    v.join(c, col("user_id") === col("c_user_id") &&
+        col("click_time") > col("view_time") &&
+        col("click_time") <= col("view_time") + expr(s"INTERVAL $windowMin MINUTES"))
+      .select("user_id", "view_id", "click_id")
+  }
+
   /** Stream-static enrichment join: events against a broadcast
     * dimension. In a streaming query Spark re-plans the static side per
     * micro-batch, so a slowly-refreshing dim table is picked up without

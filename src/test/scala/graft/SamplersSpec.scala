@@ -33,6 +33,37 @@ class SamplersSpec extends SparkSpec {
     assert(va.toDouble / kept > 0.03 && va.toDouble / kept < 0.25)
   }
 
+  test("weightedSample draws k, deterministically, skewed to heavy weights, via top-k not global sort") {
+    val df = (1 to 2000).map(i => (i.toLong, if (i <= 200) 100.0 else 1.0))
+      .toDF("id", "w")
+    val k = 100
+    val picked = Samplers.weightedSample(df, "id", "w", k)
+    val ids = picked.select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.length == k)
+    assert(ids.distinct.length == k) // without replacement
+    // deterministic across calls
+    val ids2 = Samplers.weightedSample(df, "id", "w", k)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids == ids2)
+    // heavy ids are 10% of rows but carry ~91% of total weight; with
+    // E-S they must dominate the draw (uniform sampling would give ~10).
+    val heavy = ids.count(_ <= 200)
+    assert(heavy > 50, s"expected heavy-weight dominance, got $heavy/$k heavy")
+    // matches a driver-side brute-force of the same formula
+    val brute = df.collect().map { r =>
+      val id = r.getLong(0); val w = r.getDouble(1)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 281474976710656.0
+      (id, math.log(u) / w)
+    }.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSeq
+    assert(ids.sorted == brute.sorted)
+    // scale shape: distributed top-k, no global sort exchange
+    val plan = picked.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
   test("iidSampler keeps a deterministic ~25% of distinct ids") {
     val df = (1 to 1000).map(i => i.toLong % 200).toDF("item_id")
     val a = Samplers.iidSampler(df, "item_id", 1024).collect().map(_.getLong(0)).toSet

@@ -218,6 +218,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("intervalJoin (stream-stream) matches in-window, drops out-of-window, evicts state") {
+    def row(id: Long, user: Long, minutes: Long, typ: String) =
+      (id, minutes * 60L * 1000 * 1000 * 1000, user, typ, 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val views = MemoryStream[(Long, Long, Long, String, Double, String)](spark, 11)
+    val clicks = MemoryStream[(Long, Long, Long, String, Double, String)](spark, 12)
+    val joined = EventStreams.intervalJoin(
+      views.toDF().toDF(cols: _*), clicks.toDF().toDF(cols: _*),
+      watermark = "10 minutes", windowMin = 30)
+    val query = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      views.addData(row(1, 7, 10, "view"))
+      clicks.addData(
+        row(2, 7, 25, "click"),  // 15 min after the view → match
+        row(3, 7, 50, "click"),  // 40 min after → outside the window
+        row(4, 8, 12, "click"))  // other user → no match
+      query.processAllAvailable()
+      val grown = stateRows(query)
+      assert(grown >= 4, s"expected 4 buffered join rows, got $grown")
+      // advance BOTH watermarks far ahead (disjoint users: no new match);
+      // eviction lands in the batch that runs with the new watermark
+      views.addData(row(100, 9, 1000, "view"))
+      clicks.addData(row(101, 10, 1000, "click"))
+      query.processAllAvailable()
+      views.addData(row(102, 9, 1001, "view"))
+      query.processAllAvailable()
+      val out = spark.table("ivj")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set((7L, 1L, 2L)), s"unexpected matches: $out")
+      // only the 3 unexpired sentinel rows may remain; the phase-1 rows
+      // (all older than the watermark + interval bound) must be gone
+      val evicted = stateRows(query)
+      assert(evicted < grown && evicted <= 3,
+        s"join state still holds $evicted rows (was $grown) — watermark " +
+          "eviction of buffered stream-stream state is not happening")
+    } finally query.stop()
+  }
+
   test("the same windowedCounts program runs in batch mode (unified API)") {
     val batch = Seq(nsRow(1, 10, "a"), nsRow(2, 20, "a"), nsRow(3, 70, "b"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
