@@ -84,7 +84,11 @@ object Samplers {
     require(k > 0, s"sample size must be positive: $k")
     val u48 = conv(substring(Portable.md5Key(col(keyCol)), 1, 12), 16, 10).cast("long")
     val u = (u48.cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
-    df.withColumn("es_score", log(u) / col(weightCol).cast("double"))
+    // E-S is defined for positive weights only: w=0 gives -Inf (never
+    // picked — fine), but a NEGATIVE w flips ln(u)/w positive and would
+    // rank the row AHEAD of every valid one. Treat w<=0 as p=0.
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("es_score", log(u) / col(weightCol).cast("double"))
       .orderBy(desc("es_score"), col(keyCol))
       .limit(k)
   }

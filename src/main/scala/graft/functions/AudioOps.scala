@@ -36,7 +36,9 @@ object AudioOps {
       val p = pos.toInt
       val id = tag(p)
       val size = u32(p + 4)
-      if (id == "fmt " && p + 8 + 16 <= bytes.length)
+      // size >= 16: a malformed fmt chunk declaring fewer bytes would
+      // otherwise read channels/rate/bits from the NEXT chunk's bytes.
+      if (id == "fmt " && size >= 16 && p + 8 + 16 <= bytes.length)
         fmt = Some((u16(p + 10), u32(p + 12).toInt, u16(p + 22)))
       if (id == "data") data = Some(size)
       pos += 8 + size + (size & 1) // word-aligned; may run past a

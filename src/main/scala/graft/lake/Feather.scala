@@ -26,7 +26,22 @@ import scala.jdk.CollectionConverters._
   */
 object Feather {
 
+  /** Hard cap on the file size `read` will materialize on the driver.
+    * This reader intentionally matches the reference's driver-local
+    * cache profile; pointing it at lake-scale data would OOM the driver
+    * long after the mistake was made — fail fast instead and point the
+    * caller at the parquet path (S1-S3).
+    */
+  def maxDriverBytes: Long =
+    sys.props.get("graft.feather.maxBytes").map(_.toLong).getOrElse(512L << 20)
+
   def read(spark: SparkSession, path: String): DataFrame = {
+    val fileBytes = java.nio.file.Files.size(Paths.get(path))
+    val cap = maxDriverBytes
+    require(fileBytes <= cap,
+      s"feather file $path is $fileBytes bytes > driver cap $cap; " +
+        "Feather.read materializes on the driver — store lake-scale data as " +
+        "partitioned parquet (Lake.scan) or raise -Dgraft.feather.maxBytes")
     val allocator = new RootAllocator()
     val ch = FileChannel.open(Paths.get(path))
     try {

@@ -26,12 +26,26 @@ object Merge {
     * key matched (update), from whichever side has the row otherwise
     * (insert / carry-over). Columns are the union of both sides' (a side
     * missing a column contributes NULLs, mirroring by-name evolution).
+    *
+    * Caller contract: `updates` must be key-unique. Where Delta/Iceberg
+    * MERGE raises a multiple-source-match error at runtime, this plain
+    * full-outer join would silently fan out the matched base row once
+    * per duplicate — validating would cost an extra aggregate over the
+    * batch, so dedup the batch first (e.g. `o2_last_per_key`) when the
+    * source may carry multiple versions of a key.
     */
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val baseCols = base.columns.toSeq
     val updCols = updates.columns.toSeq
     require(baseCols.contains(key) && updCols.contains(key),
       s"merge key '$key' must exist on both sides")
+    // the b_/u_ rename is only injective when no input already carries a
+    // prefixed twin (a base with both 'x' and 'b_x' would end with two
+    // 'b_x' columns and an ambiguous-column failure downstream)
+    require(!baseCols.exists(c => baseCols.contains(s"b_$c")),
+      "base must not contain a column colliding with the internal b_ prefix")
+    require(!updCols.exists(c => updCols.contains(s"u_$c")),
+      "updates must not contain a column colliding with the internal u_ prefix")
     val outCols = (baseCols ++ updCols.filterNot(baseCols.contains)).filterNot(_ == key)
     val b = baseCols.foldLeft(base)((df, c) => df.withColumnRenamed(c, s"b_$c"))
     val u = updCols.foldLeft(updates)((df, c) => df.withColumnRenamed(c, s"u_$c"))

@@ -35,6 +35,10 @@ object Salt {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
                  factSaltSeed: Column): DataFrame = {
     require(salts > 0, s"salts must be positive: $salts")
+    // the internal salt column must not clobber (and later drop) a real
+    // user column of the same name on either input
+    require(!fact.columns.contains("graft_salt") && !dim.columns.contains("graft_salt"),
+      "inputs must not already carry a 'graft_salt' column")
     val saltedFact = fact.withColumn("graft_salt",
       pmod(factSaltSeed, lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("graft_salt",

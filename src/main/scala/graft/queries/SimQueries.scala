@@ -127,17 +127,21 @@ object SimQueries extends QueryPack {
     // floor(x/scale + 0.5) clamped to ±127. Pure scan-side map, no
     // shuffle. All arithmetic is float→double widening (exact) then
     // IEEE double ops in an identical order to the oracle, so the
-    // int codes AND the double scale hash-match bitwise.
+    // int codes AND the double scale hash-match bitwise. The code
+    // array is to_json-serialized per house oracle-canon convention
+    // (see GeomQueries poly_json / tools/check_oracle.py): the
+    // driver's compare harness sorts columns and cannot hash a raw
+    // array column.
     "v_quantize_int8" -> ((s, d) =>
       t(s, d, "embeddings")
         .withColumn("mx", expr(
           "array_max(transform(embedding, x -> abs(cast(x as double))))"))
         .select(col("vec_id"),
           (col("mx") / 127.0).as("scale"),
-          expr("""CASE WHEN mx = 0.0d THEN transform(embedding, x -> 0)
+          to_json(expr("""CASE WHEN mx = 0.0d THEN transform(embedding, x -> 0)
                   ELSE transform(embedding, x -> cast(greatest(-127.0d,
                     least(127.0d, floor(cast(x as double) / (mx / 127.0d) + 0.5d))) as int))
-                  END""").as("q8"))
+                  END""")).as("q8_json"))
         .orderBy("vec_id"))
   )
 
@@ -251,10 +255,10 @@ object SimQueries extends QueryPack {
                     x -> abs(CAST(x AS DOUBLE)))) AS mx
            FROM embeddings)
          SELECT vec_id, mx / 127.0 AS scale,
-                CASE WHEN mx = 0.0 THEN list_transform(embedding, x -> 0)
+                to_json(CASE WHEN mx = 0.0 THEN list_transform(embedding, x -> 0)
                      ELSE list_transform(embedding, x -> CAST(greatest(-127.0,
                        least(127.0, floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5))) AS INT))
-                END AS q8
+                END) AS q8_json
          FROM m ORDER BY vec_id"""
   )
 }

@@ -458,8 +458,8 @@ object TextQueries extends QueryPack {
            FROM documents),
          dfreq AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok)
          SELECT t.doc_id, count(*) AS n_distinct_tokens,
-                sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS n_hapax,
-                sum(f.df) AS sum_df
+                CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                CAST(sum(f.df) AS BIGINT) AS sum_df
          FROM tk t JOIN dfreq f ON t.tok = f.tok
          GROUP BY t.doc_id ORDER BY t.doc_id""",
     "t_pii_scrub" ->

@@ -64,6 +64,18 @@ class AudioOpsSpec extends AnyFunSuite {
     assert(AudioOps.wavMeta(good.dropRight(8)).isEmpty)
   }
 
+  test("fmt chunk declaring size < 16 is rejected, not read past") {
+    // fmt declares 4 payload bytes: accepting it would read channels /
+    // rate / bits from the NEXT chunk's bytes (here the data header)
+    val out = new ByteArrayOutputStream()
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    tag("RIFF"); out.write(le(20, 4)); tag("WAVE")
+    tag("fmt "); out.write(le(4, 4)); out.write(le(1, 2)); out.write(le(2, 2))
+    tag("data"); out.write(le(100, 4))
+    out.write(Array.fill[Byte](100)(0))
+    assert(AudioOps.wavMeta(out.toByteArray).isEmpty)
+  }
+
   test("header-only read: data size field beyond the byte range still parses") {
     // 10 MB of audio declared, only the 44-byte header materialized
     val m = AudioOps.wavMeta(wav(2, 8000, 16, 10L * 1024 * 1024)).get

@@ -29,4 +29,19 @@ class FeatherSpec extends SparkSpec {
     assert(ts.getTime == 1700000001123L, "millisecond part")
     assert(ts.getNanos == 123456000, "microsecond part survives into nanos")
   }
+
+  test("driver-size guard fails fast past graft.feather.maxBytes") {
+    val prev = System.getProperty("graft.feather.maxBytes")
+    // the cap is read once per call via sys.props, so a tiny cap makes
+    // even the 3-row fixture oversized
+    System.setProperty("graft.feather.maxBytes", "16")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Feather.read(spark, "src/test/resources/fixture.feather"))
+      assert(e.getMessage.contains("parquet"), "error must route users to the lake path")
+    } finally {
+      if (prev == null) System.clearProperty("graft.feather.maxBytes")
+      else System.setProperty("graft.feather.maxBytes", prev)
+    }
+  }
 }

@@ -44,4 +44,15 @@ class MergeSpec extends SparkSpec {
     assert(out.orderBy("k").collect().toSeq ==
       base.orderBy("k").collect().toSeq)
   }
+
+  test("b_/u_ prefix collisions are rejected up front") {
+    // base carrying both 'x' and 'b_x' would alias to two 'b_x' columns
+    val base = Seq((1L, "v", "w")).toDF("k", "x", "b_x")
+    val upd = Seq((1L, "v2")).toDF("k", "x")
+    val e = intercept[IllegalArgumentException](Merge.upsert(base, upd, "k"))
+    assert(e.getMessage.contains("b_ prefix"))
+    val base2 = Seq((1L, "v")).toDF("k", "x")
+    val upd2 = Seq((1L, "v", "w")).toDF("k", "x", "u_x")
+    intercept[IllegalArgumentException](Merge.upsert(base2, upd2, "k"))
+  }
 }

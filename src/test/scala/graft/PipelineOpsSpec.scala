@@ -75,10 +75,10 @@ class PipelineOpsSpec extends SparkSpec {
     val out = queries.SimQueries.defs("v_quantize_int8")(spark, dir)
       .orderBy("vec_id").collect()
     // mx = 1.0, scale = 1/127; -0.5/scale = -63.5 → floor(-63.5+0.5) = -63
-    assert(out(0).getSeq[Int](out(0).fieldIndex("q8")).toList == List(127, -63, 0))
+    assert(out(0).getAs[String]("q8_json") == "[127,-63,0]")
     assert(math.abs(out(0).getAs[Double]("scale") - 1.0 / 127.0) < 1e-15)
     // zero vector: scale 0, all-zero codes — no division by zero
-    assert(out(1).getSeq[Int](out(1).fieldIndex("q8")).toList == List(0, 0, 0))
+    assert(out(1).getAs[String]("q8_json") == "[0,0,0]")
     assert(out(1).getAs[Double]("scale") == 0.0)
   }
 

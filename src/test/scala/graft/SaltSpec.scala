@@ -49,4 +49,14 @@ class SaltSpec extends SparkSpec {
       .select("k", "row_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(run() == run())
   }
+
+  test("a pre-existing graft_salt column is rejected, not clobbered") {
+    val poisoned = fact.withColumn("graft_salt", col("row_id"))
+    val e = intercept[IllegalArgumentException](
+      Salt.saltedJoin(poisoned, dim, "k", 4, xxhash64(col("row_id"))))
+    assert(e.getMessage.contains("graft_salt"))
+    intercept[IllegalArgumentException](
+      Salt.saltedJoin(fact, dim.withColumn("graft_salt", col("k")), "k", 4,
+        xxhash64(col("row_id"))))
+  }
 }

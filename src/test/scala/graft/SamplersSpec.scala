@@ -64,6 +64,16 @@ class SamplersSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
 
+  test("weightedSample treats non-positive weights as probability zero") {
+    // a negative weight flips ln(u)/w positive — naive E-S would rank it
+    // ahead of EVERY valid row; zero divides to -Inf (never picked)
+    val df = Seq((1L, 5.0), (2L, 5.0), (3L, -1.0), (4L, 0.0))
+      .toDF("id", "w")
+    val ids = Samplers.weightedSample(df, "id", "w", 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L), s"non-positive-weight rows must never be drawn: $ids")
+  }
+
   test("iidSampler keeps a deterministic ~25% of distinct ids") {
     val df = (1 to 1000).map(i => i.toLong % 200).toDF("item_id")
     val a = Samplers.iidSampler(df, "item_id", 1024).collect().map(_.getLong(0)).toSet
