@@ -138,6 +138,94 @@ object Ivf {
     } finally if (ownPin) embeddings.unpersist(blocking = false)
   }
 
+  /** Int8 residual codes for every corpus vector — the storage side of
+    * the IVF-PQ-lite path ([[searchPq]]). res = embedding − centroid(cell)
+    * element-wise in double (float→double widening is exact, one double
+    * subtraction per element), then the same symmetric int8 quantization
+    * as `v_quantize_int8` applied to the RESIDUAL: per-vector scale
+    * max|res|/127, codes floor(res/scale + 0.5) clamped to ±127.
+    *
+    * Quantizing residuals instead of raw vectors is what makes int8
+    * usable for search: the coarse term dot(q, centroid) is recovered
+    * EXACTLY at query time (centroids are full precision), so only the
+    * within-cell residual — much smaller in magnitude — pays quantization
+    * error. The returned frame is slim (vec_id, cell, rscale, rq8): at
+    * 100 TB this is the ~4× smaller hot copy that search scans, while
+    * the float32 originals are touched only for the shortlist re-rank.
+    * Plan: broadcast centroid join + scan-side map — no shuffle.
+    */
+  def residualCodes(corpusWithCells: DataFrame, centroids: DataFrame): DataFrame =
+    corpusWithCells.join(broadcast(centroids), Seq("cell"))
+      .withColumn("res", expr(
+        "zip_with(embedding, centroid, (x, c) -> cast(x as double) - cast(c as double))"))
+      .withColumn("rmx", expr("array_max(transform(res, x -> abs(x)))"))
+      .select(col("vec_id"), col("cell"),
+        (col("rmx") / 127.0).as("rscale"),
+        expr("""CASE WHEN rmx = 0.0d THEN transform(res, x -> 0)
+                ELSE transform(res, x -> cast(greatest(-127.0d, least(127.0d,
+                  floor(x / (rmx / 127.0d) + 0.5d))) as int)) END""").as("rq8"))
+
+  /** IVF-PQ-lite search: probe nProbe cells, score candidates with int8
+    * dot products over [[residualCodes]], exactly re-rank a bounded
+    * shortlist — the standard two-stage ANN shape for 100 TB.
+    *
+    * Scoring: dot(q, x) = dot(q, c) + dot(q, res_x) is approximated as
+    * qc_dot + qscale·rscale·intdot(qq8, rq8), where the query is itself
+    * int8-quantized once (qq8/qscale) and qc_dot = dot(q, centroid) is
+    * computed ONCE per (query, probed cell) — 2 probes per query — not
+    * per candidate. intdot sums 64 products each ≤ 127², an integer
+    * below 2^53, so the double accumulation is EXACT in any order and
+    * the DuckDB oracle matches bitwise; the shortlist is therefore
+    * deterministic (ties by vec_id), and the exact re-rank on top makes
+    * the final top-k hash-stable.
+    *
+    * Plan shape vs [[search]]: same zero-shuffle probe (queries ×
+    * centroids broadcast) and same single window shuffle per qid — but
+    * the rows entering that shuffle are slim (qid, vec_id, approx)
+    * instead of carrying two float vectors. The shortlist
+    * (queries × shortlistK rows) then fetches true embeddings via
+    * broadcast joins against the corpus scan — map-side, no new
+    * fact-sized shuffle — and the re-rank window runs over
+    * dimension-sized data.
+    */
+  def searchPq(spark: SparkSession, coded: DataFrame, corpus: DataFrame,
+               queries: DataFrame, centroids: DataFrame,
+               topK: Int, nProbe: Int, shortlistK: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val q = queries
+      .withColumn("qmx", expr("array_max(transform(qemb, x -> abs(cast(x as double))))"))
+      .withColumn("qscale", col("qmx") / 127.0)
+      .withColumn("qq8", expr("""CASE WHEN qmx = 0.0d THEN transform(qemb, x -> 0)
+          ELSE transform(qemb, x -> cast(greatest(-127.0d, least(127.0d,
+            floor(cast(x as double) / (qmx / 127.0d) + 0.5d))) as int)) END"""))
+      .select("qid", "qemb", "qscale", "qq8")
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cscore", expr("graft_dot(qemb, centroid)")
+        / (expr("graft_norm(qemb)") * expr("graft_norm(centroid)")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cscore").desc, col("cell"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qscale"), col("qq8"), col("cell"),
+        expr("graft_dot(qemb, centroid)").as("qc_dot"))
+    val shortlist = coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("intdot", expr(
+        "aggregate(zip_with(qq8, rq8, (x, y) -> cast(x as double) * y), 0.0d, (a, v) -> a + v)"))
+      .withColumn("approx", col("qc_dot") + col("qscale") * col("rscale") * col("intdot"))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("approx").desc, col("vec_id"))))
+      .filter(col("arank") <= shortlistK)
+      .select("qid", "vec_id")
+    corpus.select("vec_id", "embedding").join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queries.select("qid", "qemb")), Seq("qid"))
+      .withColumn("cos", expr("graft_dot(qemb, embedding)")
+        / (expr("graft_norm(qemb)") * expr("graft_norm(embedding)")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select("qid", "rank", "vec_id", "cos")
+  }
+
   /** Top-k cosine neighbors per query, searching only each query's
     * nProbe nearest cells.
     */

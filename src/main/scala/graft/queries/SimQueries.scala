@@ -120,6 +120,28 @@ object SimQueries extends QueryPack {
         .orderBy("qid", "rank")
     }),
 
+    // IVF-PQ-lite: the composition of ann_ivf_real's coarse quantizer
+    // with v_quantize_int8's code scheme, applied to per-cell RESIDUALS
+    // (ext.Ivf.residualCodes/searchPq). Candidates in the probed cells
+    // are scored approximately as dot(q,c) + qscale·rscale·int8dot,
+    // a bounded shortlist (8) is re-ranked EXACTLY, top-3 emitted —
+    // the deterministic two-stage shape that makes the gate hash-green
+    // (int8 dots are exact in double; ties break by vec_id). This is
+    // the 100 TB ANN path: search scans the 4× smaller code table, the
+    // float originals are touched only for shortlistK rows per query.
+    "ann_ivf_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val centroids = graft.ext.Ivf.seedCentroids(emb, 8)
+      val coded = graft.ext.Ivf.residualCodes(
+        graft.ext.Ivf.assign(s, emb, centroids), centroids)
+      val q = querySet(emb)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      graft.ext.Ivf.searchPq(s, coded, emb, q, centroids,
+          topK = 3, nProbe = 2, shortlistK = 8)
+        .select("qid", "rank", "vec_id")
+        .orderBy("qid", "rank")
+    }),
+
     // Symmetric int8 vector quantization — the storage/bandwidth lever
     // for ANN at 100 TB (4× smaller vectors, SIMD-friendly int dot
     // products; compose with the ann_ivf_* family by quantizing each
@@ -245,6 +267,75 @@ object SimQueries extends QueryPack {
                    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank
             FROM scored)
           SELECT qid, rank, vec_id FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+    // Full IVF-PQ-lite replication: seed cells + assignment shared with
+    // ann_ivf_real's oracle; residual int8 codes via 1-indexed
+    // range(64) element arithmetic (dim = 64 per TESTDATA.md); the
+    // approx score qc_dot + qscale*rscale*intdot written with the same
+    // association order as the Spark plan (int8 dots are exact in
+    // double, so accumulation order is immaterial there); exact re-rank
+    // of the arank<=8 shortlist.
+    "ann_ivf_pq" ->
+      s"""WITH cent AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                   embedding AS centroid
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+          assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+              SELECT e.vec_id, e.embedding, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY $centCosSql DESC, c.cell) AS rn
+              FROM embeddings e, cent c) WHERE rn = 1),
+          res AS (
+            SELECT a.vec_id, a.cell,
+                   list_transform(range(64), i ->
+                     CAST(a.embedding[i + 1] AS DOUBLE) - CAST(c.centroid[i + 1] AS DOUBLE)) AS r
+            FROM assigned a JOIN cent c ON a.cell = c.cell),
+          coded AS (
+            SELECT vec_id, cell, rmx / 127.0 AS rscale,
+                   CASE WHEN rmx = 0.0 THEN list_transform(r, x -> 0)
+                        ELSE list_transform(r, x -> CAST(greatest(-127.0,
+                          least(127.0, floor(x / (rmx / 127.0) + 0.5))) AS INT)) END AS rq8
+            FROM (SELECT vec_id, cell, r,
+                         list_max(list_transform(r, x -> abs(x))) AS rmx
+                  FROM res)),
+          q AS (
+            SELECT qid, qemb, qmx / 127.0 AS qscale,
+                   CASE WHEN qmx = 0.0 THEN list_transform(qemb, x -> 0)
+                        ELSE list_transform(qemb, x -> CAST(greatest(-127.0,
+                          least(127.0, floor(CAST(x AS DOUBLE) / (qmx / 127.0) + 0.5))) AS INT)) END AS qq8
+            FROM (SELECT vec_id AS qid, embedding AS qemb,
+                         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS qmx
+                  FROM ($querySetSql))),
+          probes AS (
+            SELECT qid, qscale, qq8, cell, qc_dot FROM (
+              SELECT q.qid, q.qscale, q.qq8, c.cell,
+                     list_dot_product(CAST(q.qemb AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])) AS qc_dot,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY list_dot_product(CAST(q.qemb AS DOUBLE[]), CAST(c.centroid AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(q.qemb AS DOUBLE[]), CAST(q.qemb AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(c.centroid AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])))) DESC,
+                         c.cell) AS rn
+              FROM q, cent c) WHERE rn <= 2),
+          short AS (
+            SELECT qid, vec_id FROM (
+              SELECT p.qid, d.vec_id,
+                     row_number() OVER (PARTITION BY p.qid ORDER BY
+                       p.qc_dot + p.qscale * d.rscale *
+                         list_dot_product(CAST(p.qq8 AS DOUBLE[]), CAST(d.rq8 AS DOUBLE[])) DESC,
+                       d.vec_id) AS arank
+              FROM coded d JOIN probes p ON d.cell = p.cell AND d.vec_id <> p.qid)
+            WHERE arank <= 8),
+          reranked AS (
+            SELECT s.qid, e.vec_id,
+                   CAST(row_number() OVER (PARTITION BY s.qid ORDER BY
+                     list_dot_product(CAST(qq.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(qq.embedding AS DOUBLE[]), CAST(qq.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) DESC,
+                     e.vec_id) AS INT) AS rank
+            FROM short s
+            JOIN embeddings e ON e.vec_id = s.vec_id
+            JOIN embeddings qq ON qq.vec_id = s.qid)
+          SELECT qid, rank, vec_id FROM reranked WHERE rank <= 3 ORDER BY qid, rank""",
     // Same float→double widening and op order as the Spark plan so the
     // codes and the scale match bitwise; DuckDB lists are 1-indexed but
     // only element VALUES are used, so indexing never enters the math.

@@ -158,6 +158,50 @@ class IvfSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("residualCodes quantizes residuals deterministically (zero residual → zero codes)") {
+    import spark.implicits._
+    val cents = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("cell", "centroid")
+    val vecs = Seq(
+      (10L, Seq(1f, 0f)),     // equals its centroid → residual exactly 0
+      (11L, Seq(0.8f, 0.1f)), // cell 0; residual (≈-0.2, 0.1) → rmx at idx 0
+      (12L, Seq(0f, 2f))      // cell 1; residual (0, 1)
+    ).toDF("vec_id", "embedding")
+    val coded = Ivf.residualCodes(Ivf.assign(spark, vecs, cents), cents)
+      .collect().map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        (r.getDouble(r.fieldIndex("rscale")), r.getSeq[Int](r.fieldIndex("rq8")).toList))
+      .toMap
+    assert(coded(10L) == (0.0, List(0, 0)), s"zero residual: ${coded(10L)}")
+    // |res_0| = rmx → code -127 exactly; res_1/(rmx/127) = 63.5000…→ 64
+    assert(coded(11L)._2 == List(-127, 64), s"codes: ${coded(11L)}")
+    assert(coded(12L)._2 == List(0, 127), s"codes: ${coded(12L)}")
+    assert(coded.values.forall(_._2.forall(c => c >= -127 && c <= 127)))
+  }
+
+  test("searchPq with an exhaustive shortlist reproduces exact IVF search") {
+    // With every probed candidate surviving to the exact re-rank stage,
+    // the int8 approximation only orders the shortlist, never prunes —
+    // the final top-k (including rank) must be IDENTICAL to Ivf.search
+    // over the same probes.
+    val coded = Ivf.residualCodes(corpus, centroids)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = rows(Ivf.search(spark, corpus, queries, centroids, 3, 2))
+    val pq = rows(Ivf.searchPq(spark, coded, emb, queries, centroids, 3, 2, Int.MaxValue))
+    assert(pq == exact, s"diff: ${(pq -- exact).take(5)} / ${(exact -- pq).take(5)}")
+  }
+
+  test("int8 residual shortlist keeps high recall vs exact IVF top-3") {
+    val coded = Ivf.residualCodes(corpus, centroids)
+    val exact = Ivf.search(spark, corpus, queries, centroids, 3, 2)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Ivf.searchPq(spark, coded, emb, queries, centroids, 3, 2, 8)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.85,
+      s"int8 shortlist recall $recall — residual quantization is losing neighbors")
+  }
+
   test("recall is monotone in nProbe and hits 100% at nProbe = k") {
     val truth = bruteTop(5)
     val r1 = ivfTop(5, 1).intersect(truth).size.toDouble / truth.size
