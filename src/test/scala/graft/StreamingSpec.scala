@@ -257,6 +257,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("intervalJoin streaming replay of real events EQUALS the batch twin (st_interval_join)") {
+    // Closes the loop the st_interval_join gate leaves open: the gate
+    // hash-checks the batch twin against DuckDB; this replays the SAME
+    // sf0.001 events through MemoryStreams and asserts the streaming
+    // result is identical. Chunks are fed in event-time order so the
+    // advancing watermark never drops a row the batch run would keep
+    // (inner-join matches emit immediately; the watermark only bounds
+    // state, which the eviction test above pins).
+    val ev = Tables.t(spark, sf(), "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getString(5)))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val views = MemoryStream[(Long, Long, Long, String, Double, String)](spark, 13)
+    val clicks = MemoryStream[(Long, Long, Long, String, Double, String)](spark, 14)
+    val joined = EventStreams.intervalJoin(
+      views.toDF().toDF(cols: _*), clicks.toDF().toDF(cols: _*))
+    val query = joined.writeStream.format("memory").queryName("ivj_replay")
+      .outputMode("append").start()
+    try {
+      ev.grouped(math.max(1, ev.length / 4)).foreach { chunk =>
+        views.addData(chunk.filter(_._4 == "view"))
+        clicks.addData(chunk.filter(_._4 == "click"))
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("ivj_replay")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batchDf = Tables.t(spark, sf(), "events")
+      val batch = EventStreams.intervalJoin(
+          batchDf.filter(col("event_type") === "view"),
+          batchDf.filter(col("event_type") === "click"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty, "batch twin produced no matches — test data changed?")
+      assert(streamed == batch,
+        s"stream/batch divergence: only-stream=${(streamed -- batch).take(5)} " +
+          s"only-batch=${(batch -- streamed).take(5)}")
+    } finally query.stop()
+  }
+
   test("the same windowedCounts program runs in batch mode (unified API)") {
     val batch = Seq(nsRow(1, 10, "a"), nsRow(2, 20, "a"), nsRow(3, 70, "b"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
