@@ -188,8 +188,49 @@ object Bench {
           .mkString(""""warm":{""", ",", "}")
       else ""
     val mode = if (warmupOn) "steady" else "cold"
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$warmField,"n_ok":${timings.size},"n_err":${errors.size},"warmup":"$mode","sf":"${esc(sfDir)}"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$warmField,"n_ok":${timings.size},"n_err":${errors.size},"warmup":"$mode","sf":"${esc(sfDir)}"}"""
+    println(fullLine)
+
+    // The driver's bench artifact keeps only a ~2000-char TAIL of this
+    // process' stdout and parses a JSON line out of it; the full line
+    // above outgrew that window once the suite passed ~100 queries
+    // (BENCH_r11..r13 all record "parsed": null, tail cut mid-line).
+    // Recover the machine-readable channel two ways: (1) persist the
+    // full line to a repo file for history/commit, (2) print a compact
+    // summary LAST — per-family totals always, plus as many of the
+    // slowest per-query timings as fit a conservative tail budget —
+    // so the driver's tail parse always sees one complete JSON line.
+    try {
+      val detail = sys.env.getOrElse("SPARK_GRAFT_DETAIL",
+        "/root/repo/BENCH_DETAIL.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(detail),
+        fullLine + "\n")
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+    val famTotals = timings.toSeq
+      .groupBy { case (k, _) =>
+        // family = first segment, numeric suffix dropped (a13→a, j12→j,
+        // interp→interp), so the map stays ~17 entries at any suite size
+        val seg = k.takeWhile(_ != '_')
+        val f = seg.reverse.dropWhile(_.isDigit).reverse
+        if (f.isEmpty) seg else f
+      }
+      .map { case (f, kvs) => f -> kvs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    val fams = famTotals.map { case (k, v) => f""""${esc(k)}":$v%.2f""" }
+      .mkString("{", ",", "}")
+    val slowest = timings.toSeq.sortBy(-_._2)
+    def compactLine(topN: Int): String = {
+      val top = slowest.take(topN).sortBy(_._1)
+        .map { case (k, v) => f""""${esc(k)}":$v%.2f""" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","families":$fams,"queries":$top,"queries_shown":${math.min(topN, slowest.size)},"n_ok":${timings.size},"n_err":${errors.size},"warmup":"$mode","sf":"${esc(sfDir)}","detail":"BENCH_DETAIL.json"}"""
+    }
+    // sbt appends "[success] Total time: ..." (~75 chars) after us;
+    // keep the whole compact line within ~1800 of the 2000-char tail.
+    val line = (slowest.size to 0 by -1).view.map(compactLine)
+      .find(_.length <= 1800).getOrElse(compactLine(0))
+    println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(0) // errors reported in-band, not via rc
   }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.BigStar
+
+/** Connected-components scale measurement (SCALE.md §big-star): on a
+  * D-hop chain — the adversarial high-diameter component — min-label
+  * propagation needs exactly D rounds while the big-star alternation
+  * needs O(log D). Each round is a full edge join + aggregate, so at
+  * corpus scale the round count IS the cost model; this main pins both
+  * counts and wall times on the same box.
+  *
+  * The propagation loop measured here is the lineage-truncated twin of
+  * the path `clustersOf` carried before big-star replaced it. The
+  * as-shipped version (per-round persist, no checkpoint) cannot even be
+  * measured at this diameter: its logical plan grows multiplicatively
+  * per round and the driver OOMs building plan strings near round
+  * ~1,000 on a 4.6 GB heap — that observation, reproduced twice, is
+  * what motivated the replacement.
+  *
+  * Usage: graft.CcBench [maxChain=4096] — prints one JSON line.
+  */
+object CcBench {
+  def main(args: Array[String]): Unit = {
+    val maxChain = args.headOption.map(_.toInt).getOrElse(4096)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def chain(n: Int) =
+      (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("da", "db")
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    /** Min-label propagation, lineage-truncated per round; returns the
+      * round count (== component diameter on a chain). */
+    def propagate(pairs: DataFrame): Int = {
+      val edges = pairs.select(col("da"), col("db"))
+        .union(pairs.select(col("db").as("da"), col("da").as("db")))
+        .persist()
+      var labels = edges.select(col("da").as("node")).distinct()
+        .withColumn("cluster", col("node")).localCheckpoint(true)
+      var rounds = 0
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges.join(labels, edges("db") === labels("node"))
+          .groupBy(edges("da").as("node2")).agg(min("cluster").as("nb"))
+        val next = labels.join(prop, labels("node") === prop("node2"), "left")
+          .select(col("node"),
+            least(col("cluster"), coalesce(col("nb"), col("cluster"))).as("cluster"),
+            (col("nb").isNotNull && col("nb") < col("cluster")).as("chg"))
+          .localCheckpoint(true)
+        changed = Option(next.agg(sum(col("chg").cast("long"))).collect()(0).get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        labels = next.drop("chg")
+        rounds += 1
+      }
+      edges.unpersist(blocking = false)
+      rounds
+    }
+
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var n = 256
+    while (n <= maxChain) {
+      val (starRounds, starSec) = time(BigStar.roundsToConverge(chain(n)))
+      // propagation rounds = diameter; run it only while affordable
+      // (the point of the comparison is that it STOPS being affordable)
+      val (propRounds, propSec) =
+        if (n <= 1024) { val (r, s) = time(propagate(chain(n))); (s"$r", f"$s%.1f") }
+        else ("null", "null")
+      parts += s""""chain_$n":{"diameter":${n - 1},"star_rounds":$starRounds,""" +
+        f""""star_sec":$starSec%.1f,"prop_rounds":$propRounds,"prop_sec":$propSec}"""
+      n *= 4
+    }
+    println(parts.mkString("""{"metric":"cc_bigstar","cpus":""" + cpus + ",", ",", "}"))
+    spark.stop()
+  }
+}

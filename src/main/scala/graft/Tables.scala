@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Testdata table access (TESTDATA.md): one parquet file per table under
   * a scale-factor directory. At 100 TB these would be directory trees of
@@ -13,12 +15,22 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries timestamp[ns], which Spark's reader rejects
-    // unless surfaced as long. Our mains set this at build time; set it
-    // defensively here too so the queries run under any caller session.
+    // events.ts canon: every consumer (queries, oracles via epoch_ns,
+    // streaming event-time derivation) treats `ts` as an epoch-NANOSECOND
+    // long. The driver's generator has shipped the column both as
+    // timestamp[ns] (surfaced as long via nanosAsLong) and as
+    // timestamp[us] (surfaced as TIMESTAMP_NTZ) across rounds — so the
+    // scan normalizes BY TYPE, not by expectation: a timestamp of either
+    // unit becomes epoch-ns (unix_micros under the UTC session * 1000;
+    // micros-resolution data has exact ns equivalents, no precision
+    // loss), a long passes through. One narrow projection at the scan,
+    // free at any scale.
     if (name == "events")
       try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Exception => () } // non-settable → caller configured it
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType != LongType)
+      df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    else df
   }
 }

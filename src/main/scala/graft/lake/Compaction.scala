@@ -1,0 +1,51 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction — the lake-maintenance primitive behind
+  * OPTIMIZE/rewrite_data_files in the table formats. Streaming ingest
+  * and per-task writers leave a table as thousands of KB-scale files;
+  * at 100 TB the scan cost of that layout is dominated by file-open +
+  * footer-decode + scheduler overhead per file, not by row bytes, and
+  * the driver's file index grows with file COUNT. Compaction rewrites
+  * the data into ~targetBytes files so scans return to being
+  * bandwidth-bound.
+  *
+  * Two modes, per the classic tradeoff:
+  *  - `even = false` (default): `coalesce` — NO shuffle; each output
+  *    task concatenates whole input partitions. The cheapest rewrite,
+  *    but output sizes inherit input unevenness (adjacent-merge).
+  *  - `even = true`: round-robin `repartition` — one full shuffle,
+  *    near-identical output sizes. Worth it when the table is also
+  *    size-skewed, or downstream consumers assume uniform splits.
+  *
+  * Byte accounting is ONE driver metadata call (`getContentSummary`),
+  * not a per-file status RPC — at lake scale the file count is exactly
+  * what is pathological, so the stats path must not be O(files) on the
+  * driver. Partitioned trees compact per partition directory (apply
+  * this to each leaf dir); hive-partition columns would otherwise be
+  * lost by the flat rewrite.
+  */
+object Compaction {
+
+  /** before/after layout facts, for monitoring and for specs. */
+  final case class Stats(filesBefore: Int, bytesBefore: Long, filesAfter: Int)
+
+  /** Rewrite the parquet table at `inPath` into `outPath` with file
+    * sizes targeting `targetBytes` (pre-compression on-disk bytes of
+    * the INPUT as the sizing basis). Returns layout stats.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 128L << 20, even: Boolean = false): Stats = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val fs = new Path(inPath).getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(new Path(inPath)).getLength
+    val df = spark.read.parquet(inPath)
+    val nBefore = df.inputFiles.length
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val rewritten = if (even) df.repartition(nOut) else df.coalesce(nOut)
+    rewritten.write.mode("overwrite").parquet(outPath)
+    Stats(nBefore, bytes, spark.read.parquet(outPath).inputFiles.length)
+  }
+}

@@ -190,6 +190,24 @@ object CoreQueries extends QueryPack {
         .orderBy("c_custkey")
     }),
 
+    // S16: small-file compaction — fragment orders into 64 shards, then
+    // lake.Compaction rewrites them at a 1 MB target (shuffle-free
+    // coalesce). The gate hash-checks CONTENT preservation against the
+    // original table (layout is environment-shaped; CompactionSpec pins
+    // the file-count law ceil(bytes/target) and the even-mode variant).
+    "s16_compaction" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-compact-q").toString
+      val frag = s"$base/frag"
+      val out = s"$base/compact"
+      t(s, d, "orders").repartition(64).write.parquet(frag)
+      graft.lake.Compaction.compact(s, frag, out, targetBytes = 1L << 20)
+      s.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+             Portable.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // U5: union-by-name with missing-column fill — the schema-evolution
     // append (two exports whose column sets drifted, unioned into one
     // frame; matching is BY NAME, not position, and the absent column
@@ -237,6 +255,12 @@ object CoreQueries extends QueryPack {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "s5_partition_manifest" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY o_orderstatus, o_orderpriority",
+    // compaction must be a pure layout rewrite: content equals the
+    // source table, so the oracle reads the source directly
+    "s16_compaction" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // the FULL OUTER JOIN + CASE expansion of MERGE INTO; update rows
     // win on matched keys, base rows survive otherwise
     "s15_merge_upsert" ->

@@ -139,11 +139,14 @@ object DedupQueries extends QueryPack {
     * below `driverMax` pairs a driver-side union-find (path compression
     * + min-root union) resolves components in one collect — no
     * iteration, no per-round plan compile. Above the threshold the
-    * distributed min-label-propagation loop takes over: one edge join +
-    * min-aggregate per round (the round count is the component
-    * diameter; each round is ONE action whose `next` frame carries its
-    * own convergence flag), per-round persist with the previous round
-    * dropped so lineage stays flat.
+    * big-star alternation ([[graft.operators.BigStar]]) takes over:
+    * O(log n) rounds regardless of component diameter. (The previous
+    * distributed path here was min-label propagation, whose round count
+    * is the component DIAMETER — CcBench measured it OOMing the driver
+    * on a 1,024-hop chain from per-round plan growth alone, and a
+    * lineage-truncated variant still needs diameter-many shuffle rounds.
+    * SCALE.md §big-star has the numbers; BigStarSpec pins label equality
+    * across all three implementations.)
     */
   def clustersOf(pairsIn: DataFrame, driverMax: Long = 1000000L): DataFrame = {
     val s = pairsIn.sparkSession
@@ -179,42 +182,9 @@ object DedupQueries extends QueryPack {
         val roots = labels.map(_._2).distinct.map(r => (r, r))
         s.createDataFrame((labels ++ roots).distinct).toDF("doc_id", "cluster")
       } else {
-        val pairs = pairsPlan.persist()
-        val edges = pairs.select(col("da"), col("db"))
-          .union(pairs.select(col("db").as("da"), col("da").as("db")))
-          .persist()
-        // `cached` tracks the frame that actually holds each round's
-        // persist — unpersist must target IT, not a projection over it
-        // (unpersisting `next.drop("chg")` is a silent no-op: the
-        // projected plan is not sameResult with the cached one, so
-        // every round would leak its InMemoryRelation)
-        var cached = edges.select(col("da").as("node")).distinct()
-          .withColumn("cluster", col("node")).persist()
-        var labels = cached
-        var changed = 1L
-        while (changed > 0) {
-          val prop = edges.join(labels, edges("db") === labels("node"))
-            .groupBy(edges("da").as("node2")).agg(min("cluster").as("nb"))
-          val next = labels.join(prop, labels("node") === prop("node2"), "left")
-            .select(col("node"),
-              least(col("cluster"), coalesce(col("nb"), col("cluster"))).as("cluster"),
-              (col("nb").isNotNull && col("nb") < col("cluster")).as("chg"))
-            .persist()
-          changed = Option(next.agg(sum(col("chg").cast("long"))).collect()(0).get(0))
-            .map(_.asInstanceOf[Long]).getOrElse(0L)
-          cached.unpersist(blocking = false)
-          cached = next
-          labels = next.drop("chg")
-        }
-        edges.unpersist(blocking = false)
-        pairs.unpersist(blocking = false)
-        // the final round's cache must outlive downstream consumption of
-        // the returned frame (its lineage reaches back through every
-        // round) — register the PERSISTED frame for the consumer's
-        // releaseAll instead of leaking it. pin()'s re-persist is a
-        // no-op, and post-release re-execution recomputes correctly.
-        graft.operators.SeqIds.pin(cached)
-        labels.select(col("node").as("doc_id"), col("cluster"))
+        // the limit(capped+1) probe truncated, so the pair graph is
+        // genuinely large — run the log-round distributed algorithm
+        graft.operators.BigStar.clusters(pairsPlan)
       }
   }
 
@@ -337,6 +307,16 @@ object DedupQueries extends QueryPack {
     // (singletons are not "clusters").
     "d_dup_clusters" -> ((s, d) =>
       clustersOf(minhashPairs(s, d)).orderBy("doc_id")),
+
+    // Same component contract, computed with the O(log n)-round
+    // large-star/small-star alternation (operators.BigStar) instead of
+    // the diameter-bounded propagation loop inside clustersOf — the
+    // scale path for CHAINED dup components whose diameter grows with
+    // the corpus. Shares the d_dup_clusters oracle (identical output);
+    // BigStarSpec additionally pins equality with clustersOf and the
+    // rounds-vs-diameter law.
+    "d_cc_bigstar" -> ((s, d) =>
+      graft.operators.BigStar.clusters(minhashPairs(s, d)).orderBy("doc_id")),
 
     // Dedup APPLIED — the user-facing "give me the deduped corpus"
     // operation composed from the pieces: LSH candidate pairs →
@@ -530,6 +510,20 @@ object DedupQueries extends QueryPack {
     // id = min doc_id reachable in the component — the same fixpoint the
     // Spark label propagation converges to.
     "d_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          edges AS (SELECT da AS a, db AS b FROM mpairs
+                    UNION SELECT db, da FROM mpairs),
+          reach AS (
+            SELECT a AS node, b AS peer FROM edges
+            UNION
+            SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a)
+          SELECT node AS doc_id, LEAST(node, MIN(peer)) AS cluster
+          FROM reach GROUP BY node ORDER BY doc_id""",
+    // Identical closure to d_dup_clusters: the big-star alternation
+    // converges to the same min-label fixpoint, so the oracle is shared
+    // verbatim (any divergence between the two Spark paths shows up as
+    // exactly one of the twin gates going red).
+    "d_cc_bigstar" ->
       s"""WITH RECURSIVE $minhashCtes,
           edges AS (SELECT da AS a, db AS b FROM mpairs
                     UNION SELECT db, da FROM mpairs),

@@ -97,6 +97,25 @@ object SampleQueries extends QueryPack {
         .orderBy("o_orderkey")
     }),
 
+    // SP7: deterministic k-fold assignment (k=5) for cross-validation —
+    // fold = md5(key) 48-bit prefix mod k, a pure scan-side map (no
+    // shuffle, no RNG state; same content-keyed policy as every sampler
+    // here). Hash-mod is the scale-correct choice over an exact
+    // per-stratum row_number balance: the latter needs a corpus-sized
+    // sort per stratum while hash-mod balances each stratum to
+    // 1/k ± O(1/√n) for free — the gate emits the per-(segment, fold)
+    // count matrix so that balance is itself hash-checked.
+    "sp7_kfold" -> ((s, d) => {
+      val fold = pmod(
+        conv(substring(Portable.md5Key(col("c_custkey")), 1, 12), 16, 10)
+          .cast("long"), lit(5L)).cast("int")
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), fold.as("fold"))
+        .groupBy("c_mktsegment", "fold")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment", "fold")
+    }),
+
     "p7_split_route" -> ((s, d) => {
       val keys = t(s, d, "orders")
         .select("o_custkey").distinct()
@@ -136,6 +155,11 @@ object SampleQueries extends QueryPack {
           SELECT k.split, count(*) AS n_annos
           FROM sannos a JOIN keys k USING (image_name)
           GROUP BY k.split ORDER BY k.split""",
+    "sp7_kfold" ->
+      """SELECT c_mktsegment,
+                CAST(('0x'||substr(md5(CAST(c_custkey AS VARCHAR)),1,12))::BIGINT % 5 AS INT) AS fold,
+                count(*) AS n
+         FROM customer GROUP BY 1, 2 ORDER BY c_mktsegment, fold""",
     // ln((u48+0.5)/2^48)/w replayed exactly; see Samplers.weightedSample
     // for the (documented, negligible) cross-engine ln() ulp caveat.
     "sp6_weighted_sample" ->

@@ -176,6 +176,40 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // BM25 scored retrieval (Robertson–Spärck Jones; k1=1.2, b=0.75) —
+    // the lexical ranking half of a retrieval/RAG data pipeline. One
+    // corpus scan builds per-doc lengths; the term-frequency stream is
+    // filtered to the QUERY's terms before any shuffle, so the grouped
+    // tf frame is |hits|-sized, the per-term df aggregate is
+    // vocabulary-of-query-sized (3 rows), and corpus stats (N, avgdl)
+    // are a 1-row broadcast — nothing corpus-sized moves. Final top-k
+    // is orderBy+limit → TakeOrderedAndProject (per-partition heaps, k
+    // rows to the driver), the same no-global-sort shape as
+    // o4_global_topk. Scores are rounded to 1e-6 BEFORE ranking so
+    // cross-engine float ulp differences can neither reorder the top-k
+    // nor flake the hash.
+    "t_bm25_topk" -> ((s, d) => {
+      val qTerms = Seq("dup", "spark", "merge")
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+      val stats = docs.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+      val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(qTerms: _*))
+        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(round(sum(
+          log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            col("tf") * lit(1.2 + 1.0) /
+            (col("tf") + lit(1.2) * (lit(1.0 - 0.75) + lit(0.75) * col("dl") / col("avgdl")))), 6)
+          .as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id"))
+        .limit(25)
+    }),
+
     // Benchmark decontamination (GPT-3 §C / PaLM-style): flag training
     // documents sharing word-5-grams with a held-out benchmark set
     // (here the doc_id%20==0 slice stands in for the eval suite; in
@@ -462,6 +496,29 @@ object TextQueries extends QueryPack {
                 CAST(sum(f.df) AS BIGINT) AS sum_df
          FROM tk t JOIN dfreq f ON t.tok = f.tok
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+    // Same kernel, same 1e-6 pre-rank rounding; sums are 3 doubles max
+    // per doc so accumulation-order divergence sits far below the
+    // rounding grain.
+    "t_bm25_topk" ->
+      """WITH dl AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS DOUBLE) AS dl
+                     FROM documents WHERE text IS NOT NULL),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                FROM documents WHERE text IS NOT NULL),
+         tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tk
+                WHERE tok IN ('dup','spark','merge') GROUP BY 1, 2),
+         dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+         SELECT t.doc_id,
+                round(sum(ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                          * t.tf * (1.2 + 1.0)
+                          / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))), 6)
+                  AS bm25
+         FROM tf t
+         JOIN dfreq f ON f.tok = t.tok
+         JOIN dl l ON l.doc_id = t.doc_id
+         CROSS JOIN stats s
+         GROUP BY t.doc_id
+         ORDER BY bm25 DESC, t.doc_id LIMIT 25""",
     "t_pii_scrub" ->
       s"""WITH a AS (SELECT doc_id, $augSql AS aug FROM documents)
           SELECT doc_id,

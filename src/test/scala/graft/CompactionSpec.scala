@@ -1,0 +1,55 @@
+package graft
+
+import graft.lake.Compaction
+
+/** lake.Compaction: the file-count law (ceil(bytes/target)), content
+  * preservation in both modes, and that even-mode actually evens sizes
+  * on a skewed input where coalesce cannot.
+  */
+class CompactionSpec extends SparkSpec {
+
+  private def fragmented(nShards: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("compact-in").toString
+    spark.read.parquet(s"${sf()}/orders.parquet")
+      .repartition(nShards).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def out(): String =
+    java.nio.file.Files.createTempDirectory("compact-out").toString
+
+  test("coalesce mode: ceil(bytes/target) files, content preserved") {
+    val in = fragmented(32)
+    val o = out()
+    val stats = Compaction.compact(spark, in, o, targetBytes = 64L << 10)
+    assert(stats.filesBefore == 32)
+    val wantFiles = math.ceil(stats.bytesBefore.toDouble / (64L << 10)).toInt
+    assert(stats.filesAfter == wantFiles,
+      s"expected $wantFiles files for ${stats.bytesBefore} bytes, got ${stats.filesAfter}")
+    assert(stats.filesAfter < stats.filesBefore, "compaction must reduce file count")
+    val a = spark.read.parquet(in).orderBy("o_orderkey").collect().toSeq
+    val b = spark.read.parquet(o).orderBy("o_orderkey").collect().toSeq
+    assert(a == b, "compaction must be a pure layout rewrite")
+  }
+
+  test("even mode: same content, sizes spread within 2x of each other") {
+    val in = fragmented(32)
+    val o = out()
+    val stats = Compaction.compact(spark, in, o, targetBytes = 64L << 10, even = true)
+    assert(stats.filesAfter >= 2, "need >=2 outputs to check evenness")
+    val fs = new org.apache.hadoop.fs.Path(o)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sizes = fs.listStatus(new org.apache.hadoop.fs.Path(o))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen)
+    assert(sizes.max <= 2 * sizes.min,
+      s"round-robin outputs should be near-even: ${sizes.mkString(",")}")
+    assert(spark.read.parquet(o).count() == spark.read.parquet(in).count())
+  }
+
+  test("already-compact input is a no-op-sized rewrite (1 file)") {
+    val in = fragmented(1)
+    val stats = Compaction.compact(spark, in, out(), targetBytes = 1L << 30)
+    assert(stats.filesAfter == 1)
+  }
+}
