@@ -196,6 +196,28 @@ object DedupQueries extends QueryPack {
         .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
         .orderBy("content_hash")),
 
+    // Incremental (continual-ingest) exact dedup: dedup TODAY'S BATCH
+    // against the standing corpus without re-deduping the corpus — the
+    // production shape for a crawl pipeline that lands data daily
+    // (doc_id%7==3 stands in for the batch slice). In-batch keep-first
+    // is a batch-sized groupBy-min; the corpus probe is a left-anti
+    // join on content hash where the corpus side is projected to the
+    // HASH ALONE before the exchange — at 100 TB the standing side
+    // ships 16 bytes/doc, and in steady state it lives pre-bucketed by
+    // hash (lake.Bucketing) so only the day's batch shuffles at all
+    // (the j10 bloom-semi pre-probe composes here for the same
+    // purpose when the index isn't bucketed).
+    "d_incr_dedup" -> ((s, d) => {
+      val hashed = t(s, d, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
+      val batch = hashed.filter(col("doc_id") % 7 === 3)
+      val corpus = hashed.filter(col("doc_id") % 7 =!= 3).select("content_hash")
+      batch.groupBy("content_hash").agg(min("doc_id").as("doc_id"))
+        .join(corpus, Seq("content_hash"), "left_anti")
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Sub-document exact dedup at fixed 16-token-chunk grain — the
     // within/across-document boilerplate collapse doc-level d_exact
     // cannot see (the chunked analogue of paragraph dedup; the corpus
@@ -471,6 +493,14 @@ object DedupQueries extends QueryPack {
     "d_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "d_incr_dedup" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
+         SELECT min(doc_id) AS doc_id, content_hash
+         FROM h WHERE doc_id % 7 = 3
+         GROUP BY content_hash
+         HAVING content_hash NOT IN
+           (SELECT content_hash FROM h WHERE doc_id % 7 <> 3)
+         ORDER BY doc_id""",
     "d_ngram_jaccard" ->
       s"""WITH $shingleCtes,
           oks AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $MaxBucket),

@@ -190,13 +190,19 @@ object TextQueries extends QueryPack {
     // nor flake the hash.
     "t_bm25_topk" -> ((s, d) => {
       val qTerms = Seq("dup", "spark", "merge")
-      val docs = t(s, d, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .withColumn("dl", size(col("toks")).cast("double"))
+      // pinned: the tokenized frame feeds tf, df AND corpus stats —
+      // unpinned, the df and stats branches each re-scan and re-split
+      // the corpus (house convention; released by the consumer's
+      // releaseAll)
+      val docs = graft.operators.SeqIds.pin(
+        t(s, d, "documents").filter(col("text").isNotNull)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("dl", size(col("toks")).cast("double")))
       val stats = docs.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
-      val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-        .filter(col("tok").isin(qTerms: _*))
-        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).cast("double").as("tf"))
+      val tf = graft.operators.SeqIds.pin(
+        docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+          .filter(col("tok").isin(qTerms: _*))
+          .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).cast("double").as("tf")))
       val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
       tf.join(broadcast(dfreq), "tok")
         .crossJoin(broadcast(stats))
