@@ -48,4 +48,29 @@ object Compaction {
     rewritten.write.mode("overwrite").parquet(outPath)
     Stats(nBefore, bytes, spark.read.parquet(outPath).inputFiles.length)
   }
+
+  /** Compact a hive-partitioned tree: each LEAF partition directory is
+    * rewritten independently into `outPath` under the same relative
+    * partition path, so partition columns (which live in the directory
+    * names) survive and per-partition file counts return to
+    * ceil(bytes/target). The tree walk is a driver-side recursion over
+    * partition METADATA — the thing that is small even at 100 TB; the
+    * data rewrite inside each leaf is `compact` (distributed). Returns
+    * (relative partition path → stats) for monitoring.
+    */
+  def compactTree(spark: SparkSession, inPath: String, outPath: String,
+                  targetBytes: Long = 128L << 20, even: Boolean = false): Seq[(String, Stats)] = {
+    val root = new Path(inPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def leaves(p: Path): Seq[Path] = {
+      val st = fs.listStatus(p)
+      if (st.exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))) Seq(p)
+      else st.filter(_.isDirectory).toSeq.flatMap(d => leaves(d.getPath))
+    }
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    leaves(root).map { leaf =>
+      val rel = leaf.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      rel -> compact(spark, leaf.toString, s"$outPath/$rel", targetBytes, even)
+    }
+  }
 }

@@ -73,12 +73,15 @@ object BigStar {
     * projection over the final checkpointed star forest). */
   private def fixpoint(pairsIn: DataFrame, maxRounds: Int): (DataFrame, Int) = {
     // canonical child>parent orientation; one row per undirected edge
+    // checkpoints are LAZY: the checksum aggregate below is the action
+    // that materializes each round's edge set into checkpoint storage,
+    // so a round costs ONE job, not a materialize-then-checksum pair
     var edges = pairsIn
       .filter(col("da") =!= col("db"))
       .select(greatest(col("da"), col("db")).as("c"),
               least(col("da"), col("db")).as("p"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // convergence = edge set unchanged. (count, order-independent hash
     // XOR) is an exact-enough checksum computed in the same action that
     // materializes each round's persist (bit_xor cannot overflow under
@@ -113,7 +116,7 @@ object BigStar {
         .union(pmins.select(col("c"), col("m").as("p")))
         .filter(col("c") =!= col("p"))
         .distinct()
-        .localCheckpoint(true) // materializes + truncates lineage
+        .localCheckpoint(false) // truncates lineage; checksum materializes
       val nextSig = checksum(afterSmall)
       edges = afterSmall
       converged = nextSig == sig

@@ -52,4 +52,23 @@ class CompactionSpec extends SparkSpec {
     val stats = Compaction.compact(spark, in, out(), targetBytes = 1L << 30)
     assert(stats.filesAfter == 1)
   }
+
+  test("partitioned tree: leaves compact in place, partition columns survive") {
+    val in = java.nio.file.Files.createTempDirectory("compact-tree-in").toString
+    spark.read.parquet(s"${sf()}/orders.parquet")
+      .repartition(8).write.mode("overwrite").partitionBy("o_orderstatus").parquet(in)
+    val o = out()
+    val perLeaf = Compaction.compactTree(spark, in, o, targetBytes = 1L << 30)
+    assert(perLeaf.nonEmpty && perLeaf.forall(_._2.filesAfter == 1),
+      s"each leaf should compact to 1 file at a 1 GB target: $perLeaf")
+    assert(perLeaf.map(_._1).forall(_.startsWith("o_orderstatus=")),
+      s"relative paths must be partition dirs: ${perLeaf.map(_._1)}")
+    val a = spark.read.option("basePath", in).parquet(in)
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = spark.read.option("basePath", o).parquet(o)
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "per-partition contents must survive the rewrite")
+  }
 }

@@ -114,4 +114,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
     graft.operators.SeqIds.releaseAll()
   }
+
+  test("t_bm25_topk: heap-based top-k, cached corpus scan, no global sort") {
+    val plan = graft.queries.TextQueries.defs("t_bm25_topk")(spark, sf())
+      .queryExecution.executedPlan.toString
+    graft.operators.SeqIds.releaseAll()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as per-partition heaps:\n${plan.take(800)}")
+    assert(!plan.contains("rangepartitioning"),
+      "a range exchange means a global sort snuck in")
+    // df/stats branches must read the pinned cache, not re-scan parquet
+    assert(plan.contains("InMemoryTableScan"), "pinned corpus cache not used")
+  }
+
+  test("d_incr_dedup: anti join on hash, no cartesian") {
+    val plan = graft.queries.DedupQueries.defs("d_incr_dedup")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
 }
