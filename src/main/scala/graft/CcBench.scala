@@ -82,6 +82,27 @@ object CcBench {
         f""""star_sec":$starSec%.1f,"prop_rounds":$propRounds,"prop_sec":$propSec}"""
       n *= 4
     }
+
+    // hub: one center, 2^20 spokes — the hot-KEY shape (the center's
+    // neighborhood min is a single groupBy key holding a million rows;
+    // partial aggregation must absorb it map-side)
+    val nSpokes = 1 << 20
+    val hub = spark.range(1, nSpokes + 1)
+      .select(lit(0L).as("da"), col("id").as("db"))
+    val (hubRounds, hubSec) = time(BigStar.roundsToConverge(hub))
+    parts += f""""hub_${nSpokes}":{"star_rounds":$hubRounds,"star_sec":$hubSec%.1f}"""
+
+    // bulk: 4M random edges over 2M nodes (supercritical — one giant
+    // low-diameter component plus fringe): absolute throughput with
+    // corpus-shaped data volumes per round, not adversarial topology
+    val nNodes = 1L << 21
+    val nEdges = 1 << 22
+    val bulk = spark.range(nEdges).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("da"),
+      pmod(xxhash64(col("id"), lit(2)), lit(nNodes)).as("db"))
+    val (bulkRounds, bulkSec) = time(BigStar.roundsToConverge(bulk))
+    parts += f""""bulk_${nEdges}e":{"nodes":$nNodes,"star_rounds":$bulkRounds,"star_sec":$bulkSec%.1f}"""
+
     println(parts.mkString("""{"metric":"cc_bigstar","cpus":""" + cpus + ",", ",", "}"))
     spark.stop()
   }

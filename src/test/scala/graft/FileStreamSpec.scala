@@ -1,0 +1,85 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The production file-source streaming shape: checkpointed
+  * readStream(dir) → transform → parquet sink under AvailableNow, and
+  * the foreachBatch CDC-apply. What the MemoryStream specs cannot
+  * cover: exactly-once across RESTARTS of the same checkpoint, and the
+  * atomic table swap under the streaming upsert.
+  */
+class FileStreamSpec extends SparkSpec {
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def eventsDf: DataFrame =
+    spark.read.parquet(s"${sf()}/events.parquet")
+
+  private val eventsSchema: StructType = eventsDf.schema
+
+  private def enrich(df: DataFrame): DataFrame =
+    // stateless stream-static shape → append emits every row exactly
+    // once; the dim covers every type present so the inner join is total
+    EventStreams.enrichWithDim(
+      df.select("event_id", "user_id", "event_type"),
+      eventsDf.select("event_type").distinct()
+        .withColumn("weight", length(col("event_type")).cast("double")),
+      "event_type")
+
+  test("file source → parquet sink equals the batch twin (AvailableNow)") {
+    val src = tmp("fs-src"); val sink = tmp("fs-sink"); val ckp = tmp("fs-ckp")
+    eventsDf.limit(2000).write.mode("overwrite").parquet(src)
+    EventStreams.runFileToParquet(spark, src, eventsSchema, enrich, sink, ckp)
+    val streamed = spark.read.parquet(sink).orderBy("event_id").collect().toSeq
+    val batch = enrich(spark.read.parquet(src)).orderBy("event_id").collect().toSeq
+    assert(streamed == batch, "streamed result must equal the batch twin")
+  }
+
+  test("restart on the same checkpoint processes new files exactly once") {
+    val src = tmp("fs2-src"); val sink = tmp("fs2-sink"); val ckp = tmp("fs2-ckp")
+    val all = eventsDf.limit(3000).cache()
+    all.filter(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    EventStreams.runFileToParquet(spark, src, eventsSchema, enrich, sink, ckp)
+    val afterFirst = spark.read.parquet(sink).count()
+    // land MORE files, then re-run the same checkpoint: only the new
+    // files may be processed — no re-emission of the first batch
+    all.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    EventStreams.runFileToParquet(spark, src, eventsSchema, enrich, sink, ckp)
+    val ids = spark.read.parquet(sink).select("event_id").collect().map(_.getLong(0))
+    assert(ids.length > afterFirst, "second run must process the new files")
+    assert(ids.length == ids.distinct.length,
+      "restart must not re-emit checkpointed files (exactly-once)")
+    assert(ids.sorted.toSeq ==
+      all.select("event_id").collect().map(_.getLong(0)).sorted.toSeq)
+    all.unpersist()
+  }
+
+  test("streaming upsert folds update batches into the table (CDC apply)") {
+    val src = tmp("up-src"); val table = tmp("up-table") + "/t"; val ckp = tmp("up-ckp")
+    // two landed update files; several versions of some keys across them
+    val v1 = spark.range(0, 100)
+      .select(col("id").as("k"), lit(1L).as("version"), (col("id") * 10).as("v"))
+    val v2 = spark.range(50, 150)
+      .select(col("id").as("k"), lit(2L).as("version"), (col("id") * 100).as("v"))
+    v1.write.mode("append").parquet(src)
+    v2.write.mode("append").parquet(src)
+    val updates = spark.readStream.schema(v1.schema)
+      .option("maxFilesPerTrigger", 1) // force multiple micro-batches
+      .parquet(src)
+    EventStreams.streamingUpsert(spark, updates, "k", "version", table, ckp)
+    val got = spark.read.parquet(table)
+      .select("k", "version", "v").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // batch twin: last version per key over the union
+    val want = v1.unionAll(v2)
+      .withColumn("rn", expr("row_number() OVER (PARTITION BY k ORDER BY version DESC)"))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, "final table must equal last-version-per-key of all updates")
+  }
+}
