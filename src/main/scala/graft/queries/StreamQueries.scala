@@ -110,6 +110,45 @@ object StreamQueries extends QueryPack {
         .agg(count(lit(1)).as("n"),
           min("event_id").as("min_id"), max("event_id").as("max_id"))
         .orderBy("event_type")
+    }),
+
+    // The ACTUAL streaming runtime under the gate (not a batch twin):
+    // events land as files, a checkpointed AvailableNow query pushes
+    // them through a stateless filter+projection into a parquet sink,
+    // and the gate hash-checks the SINK — covering source offsets, the
+    // sink commit log and exactly-once file processing. Restart and
+    // out-of-order cases are FileStreamSpec's.
+    "st_file_sink" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
+      val src = s"$base/src"; val sink = s"$base/sink"; val ckp = s"$base/ckp"
+      t(s, d, "events").write.parquet(src)
+      EventStreams.runFileToParquet(s, src, s.read.parquet(src).schema,
+        df => df.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "value"),
+        sink, ckp)
+      s.read.parquet(sink)
+        .select(col("event_id"), col("user_id"),
+          col("value").cast("double").as("value"))
+        .orderBy("event_id")
+    }),
+
+    // Streaming CDC-apply under the gate: events replayed as a keyed
+    // update stream (key = user_id, version = event_id), folded through
+    // streamingUpsert's per-batch SEQUENCE BY resolve + atomic swap;
+    // the final table must equal the batch last-version-per-key.
+    "st_upsert_sink" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-upsert-q").toString
+      val src = s"$base/src"; val table = s"$base/table"; val ckp = s"$base/ckp"
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id").as("version"),
+          col("event_type"), col("value"))
+        .write.parquet(src)
+      val updates = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+      EventStreams.streamingUpsert(s, updates, "user_id", "version", table, ckp)
+      s.read.parquet(table)
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .orderBy("user_id")
     })
   )
 
@@ -192,6 +231,18 @@ object StreamQueries extends QueryPack {
     "st_dedup_replay" ->
       """SELECT event_type, count(*) AS n,
          min(event_id) AS min_id, max(event_id) AS max_id
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // the streaming run is exactly-once, so the sink is the filter
+    "st_file_sink" ->
+      """SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+         FROM events WHERE event_type = 'click' ORDER BY event_id""",
+    // SEQUENCE BY resolve over the whole stream = last version per key
+    "st_upsert_sink" ->
+      """SELECT user_id, version, event_type, CAST(value AS DOUBLE) AS value
+         FROM (SELECT user_id, event_id AS version, event_type, value,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id"""
   )
 }

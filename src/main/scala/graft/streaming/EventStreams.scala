@@ -147,22 +147,26 @@ object EventStreams {
     q.awaitTermination()
   }
 
-  /** Streaming CDC-apply: fold a stream of keyed updates into a parquet
-    * table via `foreachBatch` + [[graft.lake.Merge.upsert]]. Per
-    * micro-batch: dedup the batch to its LAST version per key (a batch
-    * may carry several versions; MERGE requires key-unique sources),
-    * merge into the current table, write the result BESIDE the table
-    * and atomically swap — a reader never observes a half-written
-    * state, and the overwrite-what-you-read hazard is avoided. The
-    * batch id rides the swap directory name for debuggability.
-    * Exactly-once comes from the sink being idempotent per batch id
-    * (re-merging an already-applied batch is a no-op upsert) plus the
-    * checkpointed source offsets.
+  /** Streaming CDC-apply with SEQUENCE BY semantics: fold a stream of
+    * keyed, versioned updates into a parquet table via `foreachBatch`.
+    * Per micro-batch the current table and the batch are unioned and
+    * the HIGHEST version per key wins — not a blind MERGE where "the
+    * update always overwrites": the file source orders batches by file
+    * modification time, so an out-of-order landing (an older version
+    * file arriving after a newer one) would otherwise regress rows.
+    * Version-resolve is what Delta's APPLY CHANGES … SEQUENCE BY does
+    * for exactly this reason; FileStreamSpec pins the out-of-order
+    * case. Replays are idempotent (re-applying a row loses the tie to
+    * its identical self), which with the checkpointed source offsets
+    * gives exactly-once table state.
     *
-    * At 100 TB the full-table rewrite per batch is the plain-parquet
-    * cost of this shape — table formats (Delta/Iceberg) reduce it to
-    * touched-file rewrites; with the base bucketed by the key
-    * (lake.Bucketing) only the update batch shuffles (Merge scaladoc).
+    * The result is written BESIDE the table and atomically swapped —
+    * a reader never observes a half-written state, and the
+    * overwrite-what-you-read hazard is avoided. At 100 TB the
+    * full-table rewrite per batch is the plain-parquet cost of this
+    * shape — table formats reduce it to touched-file rewrites; with
+    * the base bucketed by the key (lake.Bucketing) the union's
+    * table-side shuffle co-locates for free.
     */
   def streamingUpsert(spark: SparkSession, updates: DataFrame, key: String,
                       versionCol: String, tableDir: String,
@@ -171,18 +175,18 @@ object EventStreams {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val q = updates.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val lastPerKey = batch
+        val cur = new org.apache.hadoop.fs.Path(tableDir)
+        val all =
+          if (fs.exists(cur))
+            spark.read.parquet(tableDir).unionByName(batch, allowMissingColumns = true)
+          else batch
+        val resolved = all
           .withColumn("graft_rn", org.apache.spark.sql.functions.row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy(key)
               .orderBy(org.apache.spark.sql.functions.desc(versionCol))))
           .filter(col("graft_rn") === 1).drop("graft_rn")
-        val cur = new org.apache.hadoop.fs.Path(tableDir)
-        val merged =
-          if (fs.exists(cur)) graft.lake.Merge.upsert(
-            spark.read.parquet(tableDir), lastPerKey, key)
-          else lastPerKey
         val staged = s"$tableDir.b$batchId"
-        merged.write.mode("overwrite").parquet(staged)
+        resolved.write.mode("overwrite").parquet(staged)
         fs.delete(cur, true)
         fs.rename(new org.apache.hadoop.fs.Path(staged), cur)
         ()

@@ -82,4 +82,23 @@ class FileStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == want, "final table must equal last-version-per-key of all updates")
   }
+
+  test("out-of-order update files cannot regress rows (SEQUENCE BY)") {
+    val src = tmp("oo-src"); val table = tmp("oo-table") + "/t"; val ckp = tmp("oo-ckp")
+    val v2 = spark.range(0, 50)
+      .select(col("id").as("k"), lit(2L).as("version"), lit(200L).as("v"))
+    val v1 = spark.range(0, 50)
+      .select(col("id").as("k"), lit(1L).as("version"), lit(100L).as("v"))
+    // the NEWER version lands FIRST: a blind merge would let the late
+    // old file overwrite it
+    v2.write.mode("append").parquet(src)
+    Thread.sleep(1100) // distinct mod times → deterministic batch order
+    v1.write.mode("append").parquet(src)
+    val updates = spark.readStream.schema(v2.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    EventStreams.streamingUpsert(spark, updates, "k", "version", table, ckp)
+    val versions = spark.read.parquet(table)
+      .select("version").distinct().collect().map(_.getLong(0)).toSeq
+    assert(versions == Seq(2L), s"stale version resurfaced: $versions")
+  }
 }
