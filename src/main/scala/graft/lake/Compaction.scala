@@ -35,6 +35,12 @@ object Compaction {
   /** Rewrite the parquet table at `inPath` into `outPath` with file
     * sizes targeting `targetBytes` (pre-compression on-disk bytes of
     * the INPUT as the sizing basis). Returns layout stats.
+    *
+    * The ceil(bytes/target) output count holds when compacting
+    * (nOut <= input files); if the target asks for MORE files than the
+    * input has partitions, `coalesce` leaves partitioning unchanged —
+    * use `even = true` (repartition) to split a too-coarse table
+    * upward.
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetBytes: Long = 128L << 20, even: Boolean = false): Stats = {

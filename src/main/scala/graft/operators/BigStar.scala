@@ -62,11 +62,8 @@ object BigStar {
 
   /** Rounds taken to converge — measurement hook for the SCALE.md
     * diameter-vs-rounds comparison. */
-  def roundsToConverge(pairsIn: DataFrame, maxRounds: Int = 64): Int = {
-    val (labels, rounds) = fixpoint(pairsIn, maxRounds)
-    labels.unpersist(blocking = false)
-    rounds
-  }
+  def roundsToConverge(pairsIn: DataFrame, maxRounds: Int = 64): Int =
+    fixpoint(pairsIn, maxRounds)._2
 
   /** Runs the alternation to its fixpoint; returns (labels, rounds).
     * The labels frame is handed back persisted-free (it is a cheap

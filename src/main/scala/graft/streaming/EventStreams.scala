@@ -160,9 +160,12 @@ object EventStreams {
     * its identical self), which with the checkpointed source offsets
     * gives exactly-once table state.
     *
-    * The result is written BESIDE the table and atomically swapped —
-    * a reader never observes a half-written state, and the
-    * overwrite-what-you-read hazard is avoided. At 100 TB the
+    * The result is written BESIDE the table and swapped in via
+    * delete+rename — a reader never observes a HALF-WRITTEN table
+    * (the overwrite-what-you-read hazard is gone), though it can hit
+    * the brief delete→rename gap and see no table; a production
+    * deployment closes that with a version-pointer indirection or a
+    * table format's commit log. At 100 TB the
     * full-table rewrite per batch is the plain-parquet cost of this
     * shape — table formats reduce it to touched-file rewrites; with
     * the base bucketed by the key (lake.Bucketing) the union's
