@@ -1,0 +1,76 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pointer-published table snapshots — the minimal commit protocol a
+  * repeatedly-rewritten plain-parquet table needs. A delete+rename
+  * swap leaves a window where a reader resolves NO table (and a reader
+  * that listed files mid-rename can see a torn state on stores without
+  * atomic dir rename). Here every rewrite lands as a NEW immutable
+  * snapshot directory `v<tag>/` and readers resolve through a
+  * single-file pointer `_current` — a one-file create+rename, which is
+  * the atomic primitive on posix/HDFS (and the same
+  * pointer-indirection idea a table format's commit log scales up).
+  *
+  * Concurrency contract: ONE writer (streaming sinks are
+  * single-writer per checkpoint); any number of readers. A reader that
+  * resolved a snapshot keeps a valid path until GC — `keep` snapshots
+  * are retained (default 2) so in-flight readers of the previous
+  * snapshot survive a publish; size the retention to reader runtime at
+  * scale.
+  */
+object Snapshot {
+
+  private val Pointer = "_current"
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The currently-published snapshot directory, or None before the
+    * first publish. */
+  def resolve(spark: SparkSession, root: String): Option[String] = {
+    val f = fs(spark, root)
+    val ptr = new Path(s"$root/$Pointer")
+    if (!f.exists(ptr)) None
+    else {
+      val in = f.open(ptr)
+      try {
+        val name = new String(
+          in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+        Some(s"$root/$name")
+      } finally in.close()
+    }
+  }
+
+  /** Read the published snapshot (throws if none is published). */
+  def read(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(resolve(spark, root).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $root")))
+
+  /** Publish `df` as snapshot `v<tag>`: write the new directory, swap
+    * the pointer via single-file rename, then GC all but the newest
+    * `keep` snapshots. Tags must be monotonically increasing per root
+    * (a streaming batchId is). */
+  def publish(df: DataFrame, root: String, tag: Long, keep: Int = 2): Unit = {
+    require(keep >= 1, s"keep must be >= 1: $keep")
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val snapName = s"v$tag"
+    df.write.mode("overwrite").parquet(s"$root/$snapName")
+    // single-file atomic pointer swap: write-temp, rename-over
+    val tmp = new Path(s"$root/$Pointer.tmp")
+    val out = f.create(tmp, true)
+    try out.write(snapName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val ptr = new Path(s"$root/$Pointer")
+    if (f.exists(ptr)) f.delete(ptr, false)
+    f.rename(tmp, ptr)
+    // GC: retain the newest `keep` snapshot dirs
+    val snaps = f.listStatus(new Path(root))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
+      .sortBy(-_._1)
+    snaps.drop(keep).foreach { case (_, p) => f.delete(p, true) }
+  }
+}

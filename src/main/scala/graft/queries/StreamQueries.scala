@@ -145,7 +145,7 @@ object StreamQueries extends QueryPack {
         .write.parquet(src)
       val updates = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
       EventStreams.streamingUpsert(s, updates, "user_id", "version", table, ckp)
-      s.read.parquet(table)
+      graft.lake.Snapshot.read(s, table)
         .select(col("user_id"), col("version"), col("event_type"),
           col("value").cast("double").as("value"))
         .orderBy("user_id")

@@ -160,38 +160,33 @@ object EventStreams {
     * its identical self), which with the checkpointed source offsets
     * gives exactly-once table state.
     *
-    * The result is written BESIDE the table and swapped in via
-    * delete+rename — a reader never observes a HALF-WRITTEN table
-    * (the overwrite-what-you-read hazard is gone), though it can hit
-    * the brief delete→rename gap and see no table; a production
-    * deployment closes that with a version-pointer indirection or a
-    * table format's commit log. At 100 TB the
-    * full-table rewrite per batch is the plain-parquet cost of this
-    * shape — table formats reduce it to touched-file rewrites; with
-    * the base bucketed by the key (lake.Bucketing) the union's
-    * table-side shuffle co-locates for free.
+    * Each batch's result is PUBLISHED through [[graft.lake.Snapshot]]:
+    * a new immutable snapshot directory plus a single-file pointer
+    * rename (the atomic primitive), so a reader always resolves a
+    * complete table — no delete→rename no-table window, and in-flight
+    * readers of the previous snapshot survive the publish (retention
+    * keeps it). Read the table with `Snapshot.read(spark, tableRoot)`.
+    * At 100 TB the full-table rewrite per batch is the plain-parquet
+    * cost of this shape — table formats reduce it to touched-file
+    * rewrites; with the base bucketed by the key (lake.Bucketing) the
+    * union's table-side shuffle co-locates for free.
     */
   def streamingUpsert(spark: SparkSession, updates: DataFrame, key: String,
-                      versionCol: String, tableDir: String,
+                      versionCol: String, tableRoot: String,
                       checkpointDir: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(tableDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
     val q = updates.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cur = new org.apache.hadoop.fs.Path(tableDir)
-        val all =
-          if (fs.exists(cur))
-            spark.read.parquet(tableDir).unionByName(batch, allowMissingColumns = true)
-          else batch
+        val all = graft.lake.Snapshot.resolve(spark, tableRoot) match {
+          case Some(cur) => spark.read.parquet(cur)
+            .unionByName(batch, allowMissingColumns = true)
+          case None => batch
+        }
         val resolved = all
           .withColumn("graft_rn", org.apache.spark.sql.functions.row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy(key)
               .orderBy(org.apache.spark.sql.functions.desc(versionCol))))
           .filter(col("graft_rn") === 1).drop("graft_rn")
-        val staged = s"$tableDir.b$batchId"
-        resolved.write.mode("overwrite").parquet(staged)
-        fs.delete(cur, true)
-        fs.rename(new org.apache.hadoop.fs.Path(staged), cur)
+        graft.lake.Snapshot.publish(resolved, tableRoot, batchId)
         ()
       }
       .option("checkpointLocation", checkpointDir)

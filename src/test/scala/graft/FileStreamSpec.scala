@@ -71,7 +71,7 @@ class FileStreamSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1) // force multiple micro-batches
       .parquet(src)
     EventStreams.streamingUpsert(spark, updates, "k", "version", table, ckp)
-    val got = spark.read.parquet(table)
+    val got = graft.lake.Snapshot.read(spark, table)
       .select("k", "version", "v").orderBy("k").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // batch twin: last version per key over the union
@@ -97,8 +97,30 @@ class FileStreamSpec extends SparkSpec {
     val updates = spark.readStream.schema(v2.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
     EventStreams.streamingUpsert(spark, updates, "k", "version", table, ckp)
-    val versions = spark.read.parquet(table)
+    val versions = graft.lake.Snapshot.read(spark, table)
       .select("version").distinct().collect().map(_.getLong(0)).toSeq
     assert(versions == Seq(2L), s"stale version resurfaced: $versions")
+  }
+
+  test("snapshot publish: pointer always resolves, retention keeps a reader alive") {
+    val root = tmp("snap") + "/t"
+    val d1 = spark.range(10).toDF("x")
+    val d2 = spark.range(20).toDF("x")
+    val d3 = spark.range(30).toDF("x")
+    graft.lake.Snapshot.publish(d1, root, 0)
+    val firstPath = graft.lake.Snapshot.resolve(spark, root).get
+    graft.lake.Snapshot.publish(d2, root, 1)
+    // a reader that resolved v0 BEFORE the publish still reads it
+    // (retention keep=2), while new readers resolve v1
+    assert(spark.read.parquet(firstPath).count() == 10)
+    assert(graft.lake.Snapshot.read(spark, root).count() == 20)
+    graft.lake.Snapshot.publish(d3, root, 2)
+    assert(graft.lake.Snapshot.read(spark, root).count() == 30)
+    // GC: v0 is gone, v1+v2 retained
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val snaps = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+    assert(snaps == Seq("v1", "v2"), s"retention should keep newest 2: $snaps")
   }
 }
