@@ -126,6 +126,29 @@ object JoinQueries extends QueryPack {
         .orderBy("user_id", "ea", "eb")
     }),
 
+    // J13: GENERALIZED interval-point join (operators.RangeJoin) —
+    // intervals of VARYING lengths (1..97 s here), which j9's
+    // fixed-width bucketing cannot express: each interval replicates
+    // into every bucket it overlaps (sequence explode), each point
+    // maps to one bucket, and the equi-join + residual filter yields
+    // each qualifying pair exactly once. W = 60 s ≈ the median
+    // interval, so replication stays ~2x; the maxReplicas guard
+    // fail-fasts on pathological spans. Per-interval match counts are
+    // the gate surface.
+    "j13_interval_general" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val intervals = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("iv_id"), col("ts").as("s0"),
+          (col("ts") + (col("event_id") % 97 + lit(1L)) * lit(1000000000L)).as("e0"))
+      val points = ev.filter(col("event_type") === "view")
+        .select(col("ts").as("p0"))
+      graft.operators.RangeJoin
+        .intervalPointJoin(intervals, points, "s0", "e0", "p0",
+          bucketWidth = 60000000000L)
+        .groupBy("iv_id").agg(count(lit(1)).as("n_pts"))
+        .orderBy("iv_id")
+    }),
+
     // J11: null-safe equi-join (`<=>`) — NULL keys match each other
     // instead of vanishing (the semantics a plain equi-join silently
     // drops). EqualNullSafe is a legal HASH join key in Spark, so this
@@ -230,6 +253,16 @@ object JoinQueries extends QueryPack {
           AND epoch_ns(b.ts) > epoch_ns(a.ts)
           AND epoch_ns(b.ts) - epoch_ns(a.ts) <= 300000000000
          ORDER BY a.user_id, ea, eb""",
+    // the bucketing must be invisible: the oracle is the raw BETWEEN join
+    "j13_interval_general" ->
+      """WITH iv AS (SELECT event_id AS iv_id, epoch_ns(ts) AS s0,
+                            epoch_ns(ts) + (event_id % 97 + 1) * 1000000000 AS e0
+                     FROM events WHERE event_type = 'click'),
+              pt AS (SELECT epoch_ns(ts) AS p0 FROM events
+                     WHERE event_type = 'view')
+         SELECT iv_id, count(*) AS n_pts
+         FROM iv JOIN pt ON p0 >= s0 AND p0 <= e0
+         GROUP BY iv_id ORDER BY iv_id""",
     // The salt must be invisible in the result: the oracle is the plain
     // unsalted join + aggregate.
     "j12_salted_join" ->
