@@ -19,11 +19,13 @@ import graft.operators.BigStar
   * ~1,000 on a 4.6 GB heap — that observation, reproduced twice, is
   * what motivated the replacement.
   *
-  * Usage: graft.CcBench [maxChain=4096] — prints one JSON line.
+  * Usage: graft.CcBench [maxChain=4096] [bulkEdges=4194304] — prints
+  * one JSON line.
   */
 object CcBench {
   def main(args: Array[String]): Unit = {
     val maxChain = args.headOption.map(_.toInt).getOrElse(4096)
+    val bulkEdges = args.lift(1).map(_.toInt).getOrElse(1 << 22)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -95,8 +97,8 @@ object CcBench {
     // bulk: 4M random edges over 2M nodes (supercritical — one giant
     // low-diameter component plus fringe): absolute throughput with
     // corpus-shaped data volumes per round, not adversarial topology
-    val nNodes = 1L << 21
-    val nEdges = 1 << 22
+    val nNodes = bulkEdges.toLong / 2
+    val nEdges = bulkEdges
     val bulk = spark.range(nEdges).select(
       pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("da"),
       pmod(xxhash64(col("id"), lit(2)), lit(nNodes)).as("db"))

@@ -26,8 +26,13 @@ object Tables {
     // loss), a long passes through. One narrow projection at the scan,
     // free at any scale.
     if (name == "events")
-      try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      catch { case _: Exception => () } // non-settable → caller configured it
+      try {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // the timestamp[us] branch below interprets NTZ wall time in the
+        // SESSION timezone — a non-UTC caller would shift every epoch-ns
+        // value, so pin UTC here with the same defensive policy
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+      } catch { case _: Exception => () } // non-settable → caller configured it
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType != LongType)
       df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))

@@ -29,17 +29,24 @@ object Snapshot {
 
   /** The currently-published snapshot directory, or None before the
     * first publish. */
-  def resolve(spark: SparkSession, root: String): Option[String] = {
+  def resolve(spark: SparkSession, root: String): Option[String] =
+    currentName(spark, root).map(name => s"$root/$name")
+
+  /** The published snapshot's tag, or None before the first publish —
+    * the idempotence hook for replayed streaming batches (a batch
+    * whose id is <= the published tag has already been applied). */
+  def currentTag(spark: SparkSession, root: String): Option[Long] =
+    currentName(spark, root).flatMap(_.drop(1).toLongOption)
+
+  private def currentName(spark: SparkSession, root: String): Option[String] = {
     val f = fs(spark, root)
     val ptr = new Path(s"$root/$Pointer")
     if (!f.exists(ptr)) None
     else {
       val in = f.open(ptr)
-      try {
-        val name = new String(
-          in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
-        Some(s"$root/$name")
-      } finally in.close()
+      try Some(new String(
+        in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
     }
   }
 
@@ -49,12 +56,26 @@ object Snapshot {
       throw new IllegalStateException(s"no published snapshot under $root")))
 
   /** Publish `df` as snapshot `v<tag>`: write the new directory, swap
-    * the pointer via single-file rename, then GC all but the newest
-    * `keep` snapshots. Tags must be monotonically increasing per root
-    * (a streaming batchId is). */
+    * the pointer via an ATOMIC rename-with-overwrite (FileContext —
+    * plain FileSystem.rename cannot replace, and delete-then-rename
+    * would reopen the no-table window this module exists to close),
+    * then GC all but the newest `keep` snapshots.
+    *
+    * Tags must be strictly increasing per root (a streaming batchId
+    * is) — ENFORCED, because a tag at or below the published one
+    * would be ordered after it by the GC's newest-by-tag sort and
+    * immediately collected, leaving the pointer dangling. An ops
+    * mistake (e.g. wiping a checkpoint so batch ids restart at 0
+    * against a surviving table) fails fast here instead of corrupting
+    * the table.
+    */
   def publish(df: DataFrame, root: String, tag: Long, keep: Int = 2): Unit = {
     require(keep >= 1, s"keep must be >= 1: $keep")
     val spark = df.sparkSession
+    currentTag(spark, root).foreach(cur => require(tag > cur,
+      s"snapshot tag $tag is not above the published v$cur under $root — " +
+        "restarting tags against an existing table corrupts it; " +
+        "clear the table root or resume from the matching checkpoint"))
     val f = fs(spark, root)
     val snapName = s"v$tag"
     df.write.mode("overwrite").parquet(s"$root/$snapName")
@@ -63,9 +84,10 @@ object Snapshot {
     val out = f.create(tmp, true)
     try out.write(snapName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val ptr = new Path(s"$root/$Pointer")
-    if (f.exists(ptr)) f.delete(ptr, false)
-    f.rename(tmp, ptr)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(root).toUri, spark.sessionState.newHadoopConf())
+    fc.rename(tmp, new Path(s"$root/$Pointer"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // GC: retain the newest `keep` snapshot dirs
     val snaps = f.listStatus(new Path(root))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))

@@ -145,8 +145,8 @@ object DedupQueries extends QueryPack {
     * is the component DIAMETER — CcBench measured it OOMing the driver
     * on a 1,024-hop chain from per-round plan growth alone, and a
     * lineage-truncated variant still needs diameter-many shuffle rounds.
-    * SCALE.md §big-star has the numbers; BigStarSpec pins label equality
-    * across all three implementations.)
+    * SCALE.md §big-star has the numbers; BigStarSpec + CcFuzz pin label
+    * equality against union-find references and the DuckDB oracle.)
     */
   def clustersOf(pairsIn: DataFrame, driverMax: Long = 1000000L): DataFrame = {
     val s = pairsIn.sparkSession
@@ -493,13 +493,18 @@ object DedupQueries extends QueryPack {
     "d_exact_dedup" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY content_hash""",
+    // NOT EXISTS, not NOT IN: a NULL text (legal per schema) would
+    // make NOT IN return UNKNOWN for EVERY batch row and empty the
+    // oracle, while Spark's left_anti (null keys never match) keeps
+    // the batch — NOT EXISTS mirrors the anti-join null semantics.
     "d_incr_dedup" ->
-      """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
-         SELECT min(doc_id) AS doc_id, content_hash
-         FROM h WHERE doc_id % 7 = 3
-         GROUP BY content_hash
-         HAVING content_hash NOT IN
-           (SELECT content_hash FROM h WHERE doc_id % 7 <> 3)
+      """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+           b AS (SELECT min(doc_id) AS doc_id, content_hash
+                 FROM h WHERE doc_id % 7 = 3 GROUP BY content_hash)
+         SELECT doc_id, content_hash FROM b
+         WHERE NOT EXISTS (SELECT 1 FROM h
+                           WHERE h.doc_id % 7 <> 3
+                             AND h.content_hash = b.content_hash)
          ORDER BY doc_id""",
     "d_ngram_jaccard" ->
       s"""WITH $shingleCtes,

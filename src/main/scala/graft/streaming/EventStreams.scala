@@ -176,17 +176,26 @@ object EventStreams {
                       checkpointDir: String): Unit = {
     val q = updates.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val all = graft.lake.Snapshot.resolve(spark, tableRoot) match {
-          case Some(cur) => spark.read.parquet(cur)
-            .unionByName(batch, allowMissingColumns = true)
-          case None => batch
+        // Crash-replay idempotence: a batch whose snapshot is already
+        // PUBLISHED (crash landed between pointer swap and checkpoint
+        // commit) must be skipped — re-running it would both re-apply
+        // the data and make publish read v<batchId> through the
+        // pointer while overwriting the same directory, which Spark
+        // rejects and which would wedge every subsequent restart on
+        // the same replay.
+        if (!graft.lake.Snapshot.currentTag(spark, tableRoot).exists(_ >= batchId)) {
+          val all = graft.lake.Snapshot.resolve(spark, tableRoot) match {
+            case Some(cur) => spark.read.parquet(cur)
+              .unionByName(batch, allowMissingColumns = true)
+            case None => batch
+          }
+          val resolved = all
+            .withColumn("graft_rn", org.apache.spark.sql.functions.row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy(key)
+                .orderBy(org.apache.spark.sql.functions.desc(versionCol))))
+            .filter(col("graft_rn") === 1).drop("graft_rn")
+          graft.lake.Snapshot.publish(resolved, tableRoot, batchId)
         }
-        val resolved = all
-          .withColumn("graft_rn", org.apache.spark.sql.functions.row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(key)
-              .orderBy(org.apache.spark.sql.functions.desc(versionCol))))
-          .filter(col("graft_rn") === 1).drop("graft_rn")
-        graft.lake.Snapshot.publish(resolved, tableRoot, batchId)
         ()
       }
       .option("checkpointLocation", checkpointDir)

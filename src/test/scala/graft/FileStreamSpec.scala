@@ -102,6 +102,49 @@ class FileStreamSpec extends SparkSpec {
     assert(versions == Seq(2L), s"stale version resurfaced: $versions")
   }
 
+  test("a replayed batch whose snapshot is already published is skipped") {
+    // crash model: batch 0's pointer swap landed but the checkpoint
+    // commit did not — on restart the source replays batch 0, which
+    // must be a no-op (re-applying would double-fold and wedge publish
+    // on reading v0 while overwriting it)
+    val src = tmp("rp-src"); val table = tmp("rp-table") + "/t"; val ckp = tmp("rp-ckp")
+    val f1 = spark.range(0, 40)
+      .select(col("id").as("k"), lit(1L).as("version"), (col("id") * 10).as("v"))
+    val f2 = spark.range(20, 60)
+      .select(col("id").as("k"), lit(2L).as("version"), (col("id") * 100).as("v"))
+    // one file per landing so batch boundaries are exactly f1 then f2
+    f1.coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100)
+    f2.coalesce(1).write.mode("append").parquet(src)
+    // simulate the already-published batch 0 (exactly what the sink
+    // would have written for f1)
+    graft.lake.Snapshot.publish(f1, table, 0)
+    val updates = spark.readStream.schema(f1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    EventStreams.streamingUpsert(spark, updates, "k", "version", table, ckp)
+    assert(graft.lake.Snapshot.currentTag(spark, table).contains(1L),
+      "batch 0 must be skipped, batch 1 published")
+    val got = graft.lake.Snapshot.read(spark, table)
+      .select("k", "version", "v").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = f1.unionAll(f2)
+      .withColumn("rn", expr("row_number() OVER (PARTITION BY k ORDER BY version DESC)"))
+      .filter(col("rn") === 1).drop("rn").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, "replay must not double-apply")
+  }
+
+  test("publish rejects a non-increasing tag instead of corrupting the table") {
+    val root = tmp("mono") + "/t"
+    graft.lake.Snapshot.publish(spark.range(5).toDF("x"), root, 5)
+    val ex = intercept[IllegalArgumentException] {
+      graft.lake.Snapshot.publish(spark.range(9).toDF("x"), root, 3)
+    }
+    assert(ex.getMessage.contains("not above"), ex.getMessage)
+    assert(graft.lake.Snapshot.read(spark, root).count() == 5,
+      "the published table must be untouched after the rejected publish")
+  }
+
   test("snapshot publish: pointer always resolves, retention keeps a reader alive") {
     val root = tmp("snap") + "/t"
     val d1 = spark.range(10).toDF("x")
