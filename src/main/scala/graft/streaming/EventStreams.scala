@@ -160,6 +160,13 @@ object EventStreams {
     * its identical self), which with the checkpointed source offsets
     * gives exactly-once table state.
     *
+    * Batch ids and snapshot tags are one ledger: a batch whose id is
+    * at or below the published tag is treated as ALREADY APPLIED and
+    * skipped (crash-replay idempotence). Corollary: pointing a FRESH
+    * checkpoint (ids restart at 0) at a table published to a higher
+    * tag is a silent no-op — clear the table root when starting a new
+    * pipeline, or resume the matching checkpoint.
+    *
     * Each batch's result is PUBLISHED through [[graft.lake.Snapshot]]:
     * a new immutable snapshot directory plus a single-file pointer
     * rename (the atomic primitive), so a reader always resolves a
