@@ -25,14 +25,19 @@ object Tables {
     // micros-resolution data has exact ns equivalents, no precision
     // loss), a long passes through. One narrow projection at the scan,
     // free at any scale.
-    if (name == "events")
-      try {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        // the timestamp[us] branch below interprets NTZ wall time in the
-        // SESSION timezone — a non-UTC caller would shift every epoch-ns
-        // value, so pin UTC here with the same defensive policy
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-      } catch { case _: Exception => () } // non-settable → caller configured it
+    // independent try blocks: the two confs have independent
+    // settability, and a failure on the first (the documented
+    // non-settable case) must not skip the second
+    if (name == "events") {
+      try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () } // non-settable → caller configured it
+      // the timestamp[us] branch below interprets NTZ wall time in the
+      // SESSION timezone — a non-UTC caller would shift every epoch-ns
+      // value, so pin UTC with the same defensive policy (both mains
+      // and the specs already run UTC; this guards ad-hoc sessions)
+      try spark.conf.set("spark.sql.session.timeZone", "UTC")
+      catch { case _: Exception => () }
+    }
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType != LongType)
       df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))

@@ -67,8 +67,25 @@ object BigStar {
 
   /** Runs the alternation to its fixpoint; returns (labels, rounds).
     * The labels frame is handed back persisted-free (it is a cheap
-    * projection over the final checkpointed star forest). */
+    * projection over the final checkpointed star forest).
+    *
+    * Checkpoint-storage lifecycle: localCheckpoint persists each
+    * round's RDD, and the ContextCleaner only frees those blocks
+    * after driver GC notices the dropped references — across a long
+    * query suite that lag accumulates O(rounds) edge-set copies (the
+    * old propagation path released its caches through the
+    * SeqIds.pin/releaseAll contract; checkpoints are not caches and
+    * have no such hook). So intermediate rounds' checkpointed RDDs
+    * are unpersisted EXPLICITLY on exit, identified as the
+    * this-invocation additions to `getPersistentRDDs` minus the
+    * newest (the final edge set the returned labels read). Safe under
+    * the localCheckpoint contract (truncated lineage is already
+    * non-recomputable); assumes no CONCURRENT persists in the same
+    * session, which holds for the sequential Bench/Verify/spec
+    * drivers. */
   private def fixpoint(pairsIn: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    val sc = pairsIn.sparkSession.sparkContext
+    val persistedBefore = sc.getPersistentRDDs.keySet
     // canonical child>parent orientation; one row per undirected edge
     // checkpoints are LAZY: the checksum aggregate below is the action
     // that materializes each round's edge set into checkpoint storage,
@@ -121,6 +138,14 @@ object BigStar {
       rounds += 1
     }
     require(converged, s"big-star CC did not converge in $maxRounds rounds")
+    // free the intermediate rounds' checkpoint blocks now (see scaladoc);
+    // the newest persistent RDD is the final edge set and stays
+    val added = sc.getPersistentRDDs.keySet -- persistedBefore
+    if (added.nonEmpty) {
+      val keep = added.max
+      added.filter(_ != keep).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    }
     // star forest → labels; roots (every parent) label themselves
     val labels = edges.select(col("c").as("doc_id"), col("p").as("cluster"))
       .union(edges.select(col("p").as("doc_id"), col("p").as("cluster")))

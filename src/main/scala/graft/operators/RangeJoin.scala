@@ -42,7 +42,12 @@ object RangeJoin {
     require(maxReplicas > 0, s"maxReplicas must be positive: $maxReplicas")
     val w = lit(bucketWidth)
     def bucketOf(c: Column) = floor(c / w).cast("long")
+    // inverted intervals (end < start) contain no points under BETWEEN
+    // semantics — drop them BEFORE replication: their negative replica
+    // count would otherwise slip past the cap check while sequence()
+    // (step -1 when start > stop) explodes a span-long descending list
     val iv = intervals
+      .filter(col(endCol) >= col(startCol))
       .withColumn("graft_reps",
         (bucketOf(col(endCol)) - bucketOf(col(startCol)) + lit(1L)).cast("long"))
     // fail fast on the skew pathology instead of flooding the shuffle

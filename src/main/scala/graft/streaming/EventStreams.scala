@@ -160,12 +160,15 @@ object EventStreams {
     * its identical self), which with the checkpointed source offsets
     * gives exactly-once table state.
     *
-    * Batch ids and snapshot tags are one ledger: a batch whose id is
-    * at or below the published tag is treated as ALREADY APPLIED and
-    * skipped (crash-replay idempotence). Corollary: pointing a FRESH
-    * checkpoint (ids restart at 0) at a table published to a higher
-    * tag is a silent no-op — clear the table root when starting a new
-    * pipeline, or resume the matching checkpoint.
+    * Batch ids and snapshot tags are one ledger. A genuine
+    * crash-replay re-delivers exactly ONE batch — the last
+    * uncommitted one, whose id EQUALS the published tag — and that
+    * batch is skipped (idempotence). A batch id BELOW the published
+    * tag can only mean a rewound/fresh checkpoint pointed at an
+    * existing table (ids restart at 0), where skipping would silently
+    * discard every update until ids catch up — that case THROWS:
+    * clear the table root when starting a new pipeline, or resume the
+    * matching checkpoint.
     *
     * Each batch's result is PUBLISHED through [[graft.lake.Snapshot]]:
     * a new immutable snapshot directory plus a single-file pointer
@@ -183,14 +186,20 @@ object EventStreams {
                       checkpointDir: String): Unit = {
     val q = updates.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Crash-replay idempotence: a batch whose snapshot is already
-        // PUBLISHED (crash landed between pointer swap and checkpoint
-        // commit) must be skipped — re-running it would both re-apply
-        // the data and make publish read v<batchId> through the
-        // pointer while overwriting the same directory, which Spark
-        // rejects and which would wedge every subsequent restart on
-        // the same replay.
-        if (!graft.lake.Snapshot.currentTag(spark, tableRoot).exists(_ >= batchId)) {
+        // Crash-replay idempotence: the one batch a restart can
+        // legitimately re-deliver is the last uncommitted one
+        // (tag == batchId) — skipped, because re-running it would both
+        // re-apply the data and make publish read v<batchId> through
+        // the pointer while overwriting the same directory. A batchId
+        // BELOW the tag is a rewound checkpoint — fail fast (see
+        // scaladoc) rather than silently discarding updates.
+        val published = graft.lake.Snapshot.currentTag(spark, tableRoot)
+        published.filter(_ > batchId).foreach(cur =>
+          throw new IllegalStateException(
+            s"batch $batchId arrived below the published snapshot v$cur of " +
+              s"$tableRoot — the checkpoint was rewound or replaced; clear the " +
+              "table root for a new pipeline or resume the matching checkpoint"))
+        if (!published.contains(batchId)) {
           val all = graft.lake.Snapshot.resolve(spark, tableRoot) match {
             case Some(cur) => spark.read.parquet(cur)
               .unionByName(batch, allowMissingColumns = true)

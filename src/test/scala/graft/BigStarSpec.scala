@@ -58,6 +58,16 @@ class BigStarSpec extends SparkSpec {
       "chain must collapse to a single component rooted at 0")
   }
 
+  test("intermediate checkpoint blocks are freed on exit") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val chain = (0L until 255L).map(i => (i, i + 1))
+    BigStar.clusters(pairsDf(chain)).collect()
+    val added = sc.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1,
+      s"only the final round's checkpoint may remain, found ${added.size}")
+  }
+
   test("self-loops are ignored; isolated loops produce no labels") {
     val got = labelsOf(BigStar.clusters(pairsDf(Seq((7L, 7L), (1L, 2L)))))
     assert(got == Map(1L -> 1L, 2L -> 1L))

@@ -134,6 +134,24 @@ class FileStreamSpec extends SparkSpec {
     assert(got == want, "replay must not double-apply")
   }
 
+  test("a rewound checkpoint below the published tag fails fast, not silently") {
+    val src = tmp("rw-src"); val table = tmp("rw-table") + "/t"; val ckp = tmp("rw-ckp")
+    val f1 = spark.range(0, 10)
+      .select(col("id").as("k"), lit(1L).as("version"), col("id").as("v"))
+    f1.coalesce(1).write.mode("append").parquet(src)
+    // table already published far ahead — a fresh checkpoint's batch 0
+    // is NOT a crash replay (that would be batch 5) and must throw
+    graft.lake.Snapshot.publish(f1, table, 5)
+    val updates = spark.readStream.schema(f1.schema).parquet(src)
+    val ex = intercept[Exception] {
+      EventStreams.streamingUpsert(spark, updates, "k", "version", table, ckp)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("rewound")),
+      s"expected the rewind error, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("publish rejects a non-increasing tag instead of corrupting the table") {
     val root = tmp("mono") + "/t"
     graft.lake.Snapshot.publish(spark.range(5).toDF("x"), root, 5)

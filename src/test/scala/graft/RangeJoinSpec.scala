@@ -45,6 +45,15 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == want, s"sizes got=${got.size} want=${want.size}")
   }
 
+  test("inverted intervals match nothing and cannot explode the sequence") {
+    // (1e12, 0) reversed: a naive replica count is negative (passes a
+    // bare <= cap) and sequence() would explode span-many descending
+    // buckets — the row must simply be dropped, like BETWEEN
+    val got = run(Seq((1L, 1000000000000L, 0L), (2L, 10L, 20L)), Seq(5L, 15L), 10L)
+      .select("iv_id", "p0").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((2L, 15L)), s"got $got")
+  }
+
   test("maxReplicas guard fail-fasts on a pathological span") {
     val ex = intercept[Exception] {
       run(Seq((1L, 0L, 1000000L)), Seq(5L), 10L).collect()
