@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON (BENCH_r{N}.json). Two pieces of sbt decoration have broken that
+// parse since r11: the logger's "[info] " prefix on forked-process output,
+// and the "[success] Total time…" trailer printed after it. Pass the
+// forked JVM's stdout through verbatim and drop the success banner so the
+// bench's compact JSON line is the true final line of the process.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -114,6 +114,13 @@ object Bench {
     // Optional comma-separated query-name filter for targeted profiling.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on a typo'd name (would otherwise silently bench nothing)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not registered in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(","))
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 

@@ -33,14 +33,25 @@ object Tables {
       catch { case _: Exception => () } // non-settable → caller configured it
       // the timestamp[us] branch below interprets NTZ wall time in the
       // SESSION timezone — a non-UTC caller would shift every epoch-ns
-      // value, so pin UTC with the same defensive policy (both mains
-      // and the specs already run UTC; this guards ad-hoc sessions)
+      // value, so pin UTC for the duration of this method and RESTORE
+      // the caller's timezone after (a permanent re-pin would silently
+      // reconfigure every subsequent unrelated query in an ad-hoc
+      // session). Restoring is safe because DataFrame construction
+      // analyzes eagerly: ResolveTimeZone stamps the cast below with
+      // the session timezone in force HERE, and the stamped expression
+      // keeps it through later execution and composition.
+      val prevTz = spark.conf.get("spark.sql.session.timeZone")
       try spark.conf.set("spark.sql.session.timeZone", "UTC")
       catch { case _: Exception => () }
-    }
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType != LongType)
-      df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
-    else df
+      try {
+        val df = spark.read.parquet(s"$sfDir/$name.parquet")
+        if (df.schema("ts").dataType != LongType)
+          df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+        else df
+      } finally {
+        try spark.conf.set("spark.sql.session.timeZone", prevTz)
+        catch { case _: Exception => () }
+      }
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }

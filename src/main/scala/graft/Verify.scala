@@ -22,6 +22,15 @@ object Verify {
     // Bench); the driver sets nothing → full dump.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd name would silently match nothing and dump an empty
+    // oracle dir, which downstream diffing could read as "no queries to
+    // check" — fail fast instead.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not registered in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(","))
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

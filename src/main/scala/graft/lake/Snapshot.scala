@@ -72,7 +72,8 @@ object Snapshot {
   def publish(df: DataFrame, root: String, tag: Long, keep: Int = 2): Unit = {
     require(keep >= 1, s"keep must be >= 1: $keep")
     val spark = df.sparkSession
-    currentTag(spark, root).foreach(cur => require(tag > cur,
+    val prevTag = currentTag(spark, root)
+    prevTag.foreach(cur => require(tag > cur,
       s"snapshot tag $tag is not above the published v$cur under $root — " +
         "restarting tags against an existing table corrupts it; " +
         "clear the table root or resume from the matching checkpoint"))
@@ -88,11 +89,25 @@ object Snapshot {
       new Path(root).toUri, spark.sessionState.newHadoopConf())
     fc.rename(tmp, new Path(s"$root/$Pointer"),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // GC: retain the newest `keep` snapshot dirs
+    // GC: retain the newest `keep` snapshot dirs — but ORPHANS must not
+    // eat retention slots. A crash between the v<tag> directory write and
+    // the pointer swap leaves an unpublished dir; if its tag outranked
+    // published ones in this sort, `keep` would be consumed by garbage
+    // and the genuinely-previous snapshot (whose path in-flight readers
+    // still hold) could be deleted. Two guards: dirs tagged ABOVE the
+    // just-published tag are never considered (under the single-writer
+    // contract they can only be dead future-publish orphans — left for a
+    // replay to overwrite), and the previously-published dir is never
+    // deleted in the publish that supersedes it (a sub-tag orphan could
+    // otherwise push it past `keep`). A surviving orphan is collected by
+    // a later publish once `prevTag` has moved on.
     val snaps = f.listStatus(new Path(root))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
       .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
+      .filter(_._1 <= tag)
       .sortBy(-_._1)
-    snaps.drop(keep).foreach { case (_, p) => f.delete(p, true) }
+    snaps.drop(keep)
+      .filter { case (t, _) => !prevTag.contains(t) }
+      .foreach { case (_, p) => f.delete(p, true) }
   }
 }

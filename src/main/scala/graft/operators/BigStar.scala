@@ -138,13 +138,25 @@ object BigStar {
       rounds += 1
     }
     require(converged, s"big-star CC did not converge in $maxRounds rounds")
-    // free the intermediate rounds' checkpoint blocks now (see scaladoc);
-    // the newest persistent RDD is the final edge set and stays
+    // free the intermediate rounds' checkpoint blocks now (see scaladoc).
+    // The newest persistent RDD is the final edge set the returned labels
+    // read — it must outlive downstream consumption, so it is registered
+    // with the SeqIds release registry instead of leaked: Bench/Verify
+    // (and any caller following the same per-query contract) call
+    // SeqIds.releaseAll() after their action, which frees it
+    // deterministically rather than waiting on driver GC + the
+    // ContextCleaner across many CC invocations in one session. A
+    // post-release re-execution of the labels frame fails loudly
+    // (localCheckpoint lineage is truncated, so lost blocks are not
+    // recomputable) — the same invalidate-on-release contract as
+    // withSeqId's pinned frames.
     val added = sc.getPersistentRDDs.keySet -- persistedBefore
     if (added.nonEmpty) {
       val keep = added.max
       added.filter(_ != keep).foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      sc.getPersistentRDDs.get(keep).foreach(rdd =>
+        SeqIds.onRelease(() => rdd.unpersist(blocking = false)))
     }
     // star forest → labels; roots (every parent) label themselves
     val labels = edges.select(col("c").as("doc_id"), col("p").as("cluster"))

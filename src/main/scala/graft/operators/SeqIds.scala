@@ -64,6 +64,18 @@ object SeqIds {
     */
   private val tokens = scala.collection.mutable.ArrayBuffer[SeqIdReleaseToken]()
 
+  /** Release hooks for non-DataFrame resources pinned to the same
+    * per-query lifecycle — e.g. BigStar's final localCheckpoint RDD,
+    * which backs its returned labels frame and so cannot be freed by
+    * the operator itself. Each hook runs once at the next
+    * [[releaseAll]] and is dropped. */
+  private val hooks = scala.collection.mutable.ArrayBuffer[() => Unit]()
+
+  /** Run `hook` at the next [[releaseAll]] (once). The resource it
+    * frees follows the same contract as withSeqId's caches: any frame
+    * reading it must complete its actions before releaseAll. */
+  def onRelease(hook: () => Unit): Unit = caches.synchronized { hooks += hook }
+
   /** Unpersist every frame pinned by withSeqId since the last release.
     *
     * Release INVALIDATES every frame previously returned by
@@ -84,6 +96,8 @@ object SeqIds {
     caches.clear()
     tokens.foreach(_.invalidate())
     tokens.clear()
+    hooks.foreach(h => try h() catch { case scala.util.control.NonFatal(_) => () })
+    hooks.clear()
   }
 
   /** Pin an arbitrary frame in the same registry: persisted now,

@@ -23,10 +23,16 @@ class CompactionSpec extends SparkSpec {
     val o = out()
     val stats = Compaction.compact(spark, in, o, targetBytes = 64L << 10)
     assert(stats.filesBefore == 32)
-    val wantFiles = math.ceil(stats.bytesBefore.toDouble / (64L << 10)).toInt
+    // coalesce cannot SPLIT partitions, so the file-count law caps at the
+    // input shard count: a bigger generated orders file (larger test SF)
+    // pushes ceil(bytes/target) past 32 without changing filesAfter
+    val wantFiles =
+      math.min(math.ceil(stats.bytesBefore.toDouble / (64L << 10)).toInt,
+        stats.filesBefore)
     assert(stats.filesAfter == wantFiles,
       s"expected $wantFiles files for ${stats.bytesBefore} bytes, got ${stats.filesAfter}")
-    assert(stats.filesAfter < stats.filesBefore, "compaction must reduce file count")
+    if (wantFiles < stats.filesBefore)
+      assert(stats.filesAfter < stats.filesBefore, "compaction must reduce file count")
     val a = spark.read.parquet(in).orderBy("o_orderkey").collect().toSeq
     val b = spark.read.parquet(o).orderBy("o_orderkey").collect().toSeq
     assert(a == b, "compaction must be a pure layout rewrite")
