@@ -19,6 +19,10 @@ run / fork := true
 // bench's compact JSON line is the true final line of the process.
 outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not a task — exempt it
+// from the unused-key lint so every batch invocation isn't prefixed with
+// a spurious warning.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -188,6 +188,81 @@ object DedupQueries extends QueryPack {
       }
   }
 
+  /** Incremental near-dup cluster maintenance: fold ONE ingest batch's
+    * candidate pairs into a STANDING label table without re-running
+    * connected components over the whole corpus — the daily-crawl
+    * production shape at 100 TB, where the standing table is
+    * corpus-sized and the day's pairs are orders of magnitude smaller.
+    *
+    * `standing` is a prior `clustersOf` output `(doc_id, cluster)`;
+    * `batchPairs` is the day's undirected pair set `(da, db)` (batch ×
+    * batch and batch × corpus edges, e.g. fresh LSH signatures probed
+    * against the maintained band index). Returns the updated
+    * `(doc_id, cluster)` table, EQUAL to a full recompute over
+    * (standing's pair set ∪ batchPairs) — pinned by IncrClustersSpec's
+    * randomized two-epoch equality sweep and the `d_incr_clusters`
+    * gate's full-recompute oracle.
+    *
+    * Why contraction is lossless: a standing label is the MINIMUM
+    * doc_id of its component, and the representative is itself a
+    * member. Mapping each batch-pair endpoint to its standing
+    * representative (identity for unlabeled docs) therefore preserves
+    * both connectivity (every member reaches its rep) and the min
+    * (the rep IS its component's min), so min-label CC over the
+    * contracted graph — rep/new-doc nodes only — yields exactly the
+    * merged components' global minima. Untouched clusters cannot gain
+    * edges, so their labels pass through unchanged.
+    *
+    * Scale shape (the point of the operator): the corpus-sized
+    * `standing` table is never exchanged. It is scanned exactly twice,
+    * both times map-side — once semi-joined against the broadcast
+    * endpoint set to extract the touched slice (pair-set-sized, pinned),
+    * once left-joined against the broadcast relabel map to rewrite
+    * labels. CC itself runs on the contracted graph, whose node count
+    * is bounded by the batch-pair endpoints — `clustersOf` resolves it
+    * on the driver below its threshold and hands off to the log-round
+    * BigStar alternation above it. No corpus-sized shuffle, no
+    * corpus-wide iteration, no driver structure beyond the contracted
+    * union-find. (IncrClustersSpec asserts the no-exchange-over-standing
+    * claim on the executed plan.)
+    */
+  def mergeIncremental(standing: DataFrame, batchPairs: DataFrame): DataFrame = {
+    val pairs = batchPairs.filter(col("da") =!= col("db")).select("da", "db")
+    val endpoints = pairs.select(col("da").as("doc_id"))
+      .union(pairs.select(col("db").as("doc_id")))
+      .distinct()
+    // touched slice of the standing table: broadcast left-semi — ONE
+    // map-side pass over the corpus-sized side. Pinned: it feeds both
+    // endpoint-mapping joins plus the new-doc anti join (tiny result,
+    // but each unpinned use would re-scan the standing table).
+    val repOf = graft.operators.SeqIds.pin(
+      standing.join(broadcast(endpoints), Seq("doc_id"), "left_semi"))
+    // endpoints → standing representatives (identity when unlabeled);
+    // rep-internal pairs contract to self-loops and are dropped
+    val mapped = pairs
+      .join(broadcast(repOf.select(col("doc_id").as("da"), col("cluster").as("ra"))),
+        Seq("da"), "left")
+      .join(broadcast(repOf.select(col("doc_id").as("db"), col("cluster").as("rb"))),
+        Seq("db"), "left")
+      .select(coalesce(col("ra"), col("da")).as("da"),
+              coalesce(col("rb"), col("db")).as("db"))
+      .filter(col("da") =!= col("db"))
+    // CC over the contracted graph: node = standing rep or brand-new doc
+    val relabel = clustersOf(mapped)
+      .select(col("doc_id").as("node"), col("cluster").as("root"))
+    // corpus-side remap: one broadcast map-side pass, labels of merged
+    // clusters rewritten to the new global min, everything else intact
+    val updated = standing.join(broadcast(relabel),
+        col("cluster") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("cluster")).as("cluster"))
+    // docs seen for the first time in this batch's pairs label directly
+    val fresh = endpoints
+      .join(repOf.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(broadcast(relabel), col("doc_id") === col("node"))
+      .select(col("doc_id"), col("root").as("cluster"))
+    updated.union(fresh)
+  }
+
   val defs: Map[String, QueryFn] = Map(
     // Exact dedup: group on the content hash, keep the smallest id.
     "d_exact_dedup" -> ((s, d) =>
@@ -339,6 +414,27 @@ object DedupQueries extends QueryPack {
     // rounds-vs-diameter law.
     "d_cc_bigstar" -> ((s, d) =>
       graft.operators.BigStar.clusters(minhashPairs(s, d)).orderBy("doc_id")),
+
+    // Incremental cluster maintenance as a two-epoch replay: epoch 1 is
+    // the standing corpus (doc_id%7 ≠ 3 — the d_incr_dedup batch-slice
+    // convention), epoch 2 lands the batch docs' pairs (every pair with
+    // ≥1 batch endpoint). Standing labels = CC over the epoch-1-internal
+    // pairs; mergeIncremental folds the day's pairs in via
+    // representative contraction — the corpus-sized label table never
+    // shuffles, CC runs only on the contracted graph. The oracle is the
+    // FULL recompute over the complete pair set: the replay-equality
+    // that makes the incremental path trustworthy (st_dedup_replay
+    // pattern).
+    "d_incr_clusters" -> ((s, d) => {
+      // pinned: the LSH pair set feeds both epoch filters, and inside
+      // mergeIncremental the batch slice feeds endpoints + the mapping
+      // join — unpinned, each consumer re-runs the banded LSH plan
+      val pairs = graft.operators.SeqIds.pin(minhashPairs(s, d))
+      val batch = (c: Column) => c % 7 === 3
+      val standingPairs = pairs.filter(!batch(col("da")) && !batch(col("db")))
+      val batchPairs = pairs.filter(batch(col("da")) || batch(col("db")))
+      mergeIncremental(clustersOf(standingPairs), batchPairs).orderBy("doc_id")
+    }),
 
     // Dedup APPLIED — the user-facing "give me the deduped corpus"
     // operation composed from the pieces: LSH candidate pairs →
@@ -559,6 +655,20 @@ object DedupQueries extends QueryPack {
     // verbatim (any divergence between the two Spark paths shows up as
     // exactly one of the twin gates going red).
     "d_cc_bigstar" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          edges AS (SELECT da AS a, db AS b FROM mpairs
+                    UNION SELECT db, da FROM mpairs),
+          reach AS (
+            SELECT a AS node, b AS peer FROM edges
+            UNION
+            SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a)
+          SELECT node AS doc_id, LEAST(node, MIN(peer)) AS cluster
+          FROM reach GROUP BY node ORDER BY doc_id""",
+    // Full recompute over the complete pair set — deliberately identical
+    // to the d_dup_clusters closure: the incremental path's OUTPUT
+    // CONTRACT is "indistinguishable from recomputing from scratch", so
+    // its oracle is exactly that recompute.
+    "d_incr_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
           edges AS (SELECT da AS a, db AS b FROM mpairs
                     UNION SELECT db, da FROM mpairs),
