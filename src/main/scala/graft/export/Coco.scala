@@ -231,22 +231,22 @@ object Coco {
         out.write(fmt(a)); first = false
       }
     }
-    import scala.jdk.CollectionConverters._
-    // Global order via repartitionByRange(8) + sortWithinPartitions
-    // instead of orderBy: identical output sequence (range partitions
-    // are ordered, ids are unique), but toLocalIterator then runs one
-    // fetch job per PARTITION — 8 instead of spark.sql.shuffle
-    // .partitions (ExportExecCountSpec pins the job count). The
-    // driver-side memory bound tightens with fewer, larger partitions
-    // only in the constant factor (one partition is held at a time
-    // either way); 8 keeps partitions comfortably sized while cutting
-    // per-job scheduling overhead 4x at the default 32.
+    // Section streaming order comes FREE from the id-assignment pass:
+    // SeqIds.withSeqId leaves its output range-partitioned by the sort
+    // key with partition index = range order and ids ascending across
+    // partitions by construction, and the broadcast dim joins preserve
+    // both. The former repartitionByRange(8, id) + sortWithinPartitions
+    // re-sort here was therefore a full extra exchange (plus its range-
+    // sampling pass) that re-established an ordering the frame already
+    // had — at export scale, a second shuffle of the entire record set.
+    // groupedRows replaces it with a zero-exchange fetch: one job per
+    // CONTIGUOUS partition-index group (≤8 — ExportExecCountSpec pins
+    // the bound independent of spark.sql.shuffle.partitions), identical
+    // row sequence, and the same O(data/8) driver-memory bound the 8-way
+    // re-range gave (one partition GROUP held at a time).
     streamSection(
-      imageDim(images)
-        .select("image_name", "height", "width", "image_id")
-        .repartitionByRange(8, col("image_id"))
-        .sortWithinPartitions("image_id")
-        .toLocalIterator().asScala) { r =>
+      groupedRows(imageDim(images)
+        .select("image_name", "height", "width", "image_id"), 8)) { r =>
       s"""{"license": 1, "file_name": ${jstr(r.getString(0) + ".jpeg")}, "height": ${r.get(1)}, "width": ${r.get(2)}, "id": ${r.getInt(3)}}"""
     }
     out.write("""], "annotations": [""")
@@ -259,14 +259,19 @@ object Coco {
       if (!odtk) to_json(array(col("segmentation")))
       else if (train) lit(null).cast("string")
       else to_json(array(col("rbox")))
-    streamSection(
-      annotationRecords(annos, images, annoKeyCol, odtk)
-        .withColumn("seg_json", segCol)
-        .select(col("image_id"), col("id"), col("category_id"),
-                to_json(col("bbox")).as("bbox_json"), col("area"), col("seg_json"))
-        .repartitionByRange(8, col("id"))
-        .sortWithinPartitions("id")
-        .toLocalIterator().asScala) { r =>
+    val recs = annotationRecords(annos, images, annoKeyCol, odtk)
+      .withColumn("seg_json", segCol)
+      .select(col("image_id"), col("id"), col("category_id"),
+              to_json(col("bbox")).as("bbox_json"), col("area"), col("seg_json"))
+    // Broadcast tier: the dim joins preserved the SeqIds id order, so
+    // the section streams with zero exchange (see the images section).
+    // Distributed tier only (image dim attached via shuffle join, order
+    // destroyed): re-establish id order explicitly — the one case that
+    // genuinely needs the exchange.
+    val ordered =
+      if (lastImageDimWasLocal) recs
+      else recs.repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    streamSection(groupedRows(ordered, 8)) { r =>
       val seg = Option(r.getString(5)).map(s => s""", "segmentation": $s""").getOrElse("")
       s"""{"iscrowd": 0, "image_id": ${r.getInt(0)}, "bbox": ${r.getString(3)}, "category_id": ${r.getInt(2)}, "area": ${r.get(4)}, "id": ${r.getInt(1)}$seg}"""
     }
@@ -349,6 +354,30 @@ object Coco {
         else
           try java.nio.file.Files.deleteIfExists(tmp)
           catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+  }
+
+  /** Rows of `df` in partition-index order (= row order for frames whose
+    * partitioning already encodes the global order, e.g. SeqIds output),
+    * fetched in at most `groups` jobs: partitions are split into
+    * contiguous index ranges and each range is collected with ONE
+    * runJob. Exactly toLocalIterator's sequence and laziness-per-group,
+    * but the job count is bounded by `groups` instead of the partition
+    * count — without the extra exchange a bounded repartition would pay.
+    * Driver holds one group (≈ data/groups) at a time.
+    */
+  private def groupedRows(df: DataFrame, groups: Int): Iterator[org.apache.spark.sql.Row] = {
+    val rdd = df.rdd
+    val n = rdd.getNumPartitions
+    if (n == 0) Iterator.empty
+    else {
+      val sc = df.sparkSession.sparkContext
+      val per = math.max(1, math.ceil(n.toDouble / groups).toInt)
+      (0 until n by per).iterator.flatMap { start =>
+        val range = start until math.min(start + per, n)
+        sc.runJob(rdd, (it: Iterator[org.apache.spark.sql.Row]) => it.toArray, range)
+          .iterator.flatMap(_.iterator)
       }
     }
   }

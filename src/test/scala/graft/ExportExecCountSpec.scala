@@ -54,11 +54,11 @@ class ExportExecCountSpec extends SparkSpec {
   }
 
   test("cocoDocument job count is bounded independent of shuffle partitions") {
-    // The streamed sections fetch ONE job per partition (toLocalIterator);
-    // writeCocoTo routes them through repartitionByRange(8), so the job
+    // The streamed sections fetch contiguous partition-index GROUPS
+    // (Coco.groupedRows, ≤8 jobs per section, zero exchange), so the job
     // count must not scale with spark.sql.shuffle.partitions — at the
-    // production default (hundreds of partitions) an orderBy-shaped
-    // section would pay hundreds of fetch jobs per export.
+    // production default (hundreds of partitions) an orderBy-shaped or
+    // per-partition-fetch section would pay hundreds of jobs per export.
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
