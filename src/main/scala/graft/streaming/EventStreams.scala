@@ -183,7 +183,49 @@ object EventStreams {
     */
   def streamingUpsert(spark: SparkSession, updates: DataFrame, key: String,
                       versionCol: String, tableRoot: String,
-                      checkpointDir: String): Unit = {
+                      checkpointDir: String): Unit =
+    runLedgeredUpsert(spark, updates, tableRoot, checkpointDir) {
+      (batch, batchId) =>
+        val all = graft.lake.Snapshot.resolve(spark, tableRoot) match {
+          case Some(cur) => spark.read.parquet(cur)
+            .unionByName(batch, allowMissingColumns = true)
+          case None => batch
+        }
+        val resolved = all
+          .withColumn("graft_rn", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(key)
+              .orderBy(org.apache.spark.sql.functions.desc(versionCol))))
+          .filter(col("graft_rn") === 1).drop("graft_rn")
+        graft.lake.Snapshot.publish(resolved, tableRoot, batchId)
+    }
+
+  /** [[streamingUpsert]] over a BUCKETED base
+    * ([[graft.lake.BucketedUpsert]]): identical CDC semantics, ledger
+    * contract, and read atomicity, but each batch rewrites only the
+    * buckets its keys hash into instead of the whole table — the
+    * touched-file-rewrite cost profile a table format's commit log
+    * gives, here from the manifest-snapshot composition. Read the
+    * table with `BucketedUpsert.read(spark, tableRoot)`. `nBuckets`
+    * is fixed at table creation (enforced per batch).
+    */
+  def streamingUpsertBucketed(spark: SparkSession, updates: DataFrame,
+                              key: String, versionCol: String,
+                              tableRoot: String, checkpointDir: String,
+                              nBuckets: Int): Unit =
+    runLedgeredUpsert(spark, updates, tableRoot, checkpointDir) {
+      (batch, batchId) =>
+        graft.lake.BucketedUpsert.applyBatch(
+          batch, tableRoot, key, versionCol, nBuckets, batchId)
+    }
+
+  /** Shared foreachBatch skeleton of the two upsert sinks: the
+    * batch-id/snapshot-tag ledger (crash-replay skip at tag == id,
+    * rewound-checkpoint fail-fast below it — see [[streamingUpsert]]'s
+    * scaladoc for the full contract) around a per-batch apply.
+    */
+  private def runLedgeredUpsert(spark: SparkSession, updates: DataFrame,
+                                tableRoot: String, checkpointDir: String)
+                               (apply: (DataFrame, Long) => Unit): Unit = {
     val q = updates.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // Crash-replay idempotence: the one batch a restart can
@@ -199,19 +241,7 @@ object EventStreams {
             s"batch $batchId arrived below the published snapshot v$cur of " +
               s"$tableRoot — the checkpoint was rewound or replaced; clear the " +
               "table root for a new pipeline or resume the matching checkpoint"))
-        if (!published.contains(batchId)) {
-          val all = graft.lake.Snapshot.resolve(spark, tableRoot) match {
-            case Some(cur) => spark.read.parquet(cur)
-              .unionByName(batch, allowMissingColumns = true)
-            case None => batch
-          }
-          val resolved = all
-            .withColumn("graft_rn", org.apache.spark.sql.functions.row_number().over(
-              org.apache.spark.sql.expressions.Window.partitionBy(key)
-                .orderBy(org.apache.spark.sql.functions.desc(versionCol))))
-            .filter(col("graft_rn") === 1).drop("graft_rn")
-          graft.lake.Snapshot.publish(resolved, tableRoot, batchId)
-        }
+        if (!published.contains(batchId)) apply(batch, batchId)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -1,0 +1,137 @@
+package graft
+
+import graft.lake.{BucketedUpsert, Snapshot}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Bucketed streaming upsert: equality with the full-rewrite sink,
+  * touched-bucket-only rewrite (the point of the layout — measured in
+  * bytes), checkpointed exactly-once across restart, the fixed-bucket-
+  * count contract, and data GC bounded by manifest retention.
+  */
+class BucketedUpsertSpec extends SparkSpec {
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def dirBytes(dir: String): Long = {
+    val root = new java.io.File(dir)
+    if (!root.exists) 0L
+    else {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(root)
+    }
+  }
+
+  private def snap(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+    df.select("k", "version", "v").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("bucketed sink equals the full-rewrite sink on the same update stream") {
+    val src = tmp("bu-src")
+    val v1 = spark.range(0, 300)
+      .select(col("id").as("k"), lit(1L).as("version"), (col("id") * 10).as("v"))
+    val v2 = spark.range(100, 400)
+      .select(col("id").as("k"), lit(2L).as("version"), (col("id") * 100).as("v"))
+    v1.coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100) // distinct mod times → deterministic batch order
+    v2.coalesce(1).write.mode("append").parquet(src)
+    def stream() = spark.readStream.schema(v1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val flat = tmp("bu-flat") + "/t"
+    EventStreams.streamingUpsert(spark, stream(), "k", "version", flat, tmp("bu-ck1"))
+    val bucketed = tmp("bu-bkt") + "/t"
+    EventStreams.streamingUpsertBucketed(
+      spark, stream(), "k", "version", bucketed, tmp("bu-ck2"), nBuckets = 8)
+    assert(snap(BucketedUpsert.read(spark, bucketed)) ==
+      snap(Snapshot.read(spark, flat)),
+      "bucketed and full-rewrite sinks must converge to the same table")
+  }
+
+  test("a batch rewrites only its touched buckets; untouched entries keep old paths") {
+    val root = tmp("bu-touch") + "/t"
+    val base = spark.range(0, 800)
+      .select(col("id").as("k"), lit(1L).as("version"), col("id").as("v"))
+    BucketedUpsert.applyBatch(base, root, "k", "version", nBuckets = 8, tag = 0)
+    val manifest0 = Snapshot.read(spark, root)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(manifest0.size == 8, "800 keys over 8 buckets must fill every bucket")
+    val tableBytes = dirBytes(s"$root/data/v0")
+    // one hot key → exactly one touched bucket
+    val batch = spark.range(7, 8)
+      .select(col("id").as("k"), lit(2L).as("version"), lit(999L).as("v"))
+    BucketedUpsert.applyBatch(batch, root, "k", "version", nBuckets = 8, tag = 1)
+    val manifest1 = Snapshot.read(spark, root)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val changed = manifest1.filter { case (b, p) => manifest0(b) != p }
+    assert(changed.size == 1,
+      s"one-key batch must rewrite exactly one bucket, rewrote ${changed.keySet}")
+    assert(changed.values.forall(_.contains("/data/v1/")))
+    assert(manifest1.filterNot(e => changed.contains(e._1)) ==
+      manifest0.filterNot(e => changed.contains(e._1)),
+      "untouched buckets must keep their previous data paths verbatim")
+    val batchBytes = dirBytes(s"$root/data/v1")
+    assert(batchBytes * 4 < tableBytes,
+      s"touched-bucket rewrite ($batchBytes B) must be far below the " +
+        s"table ($tableBytes B)")
+    info(s"full table v0: $tableBytes B; one-bucket batch v1: $batchBytes B " +
+      f"(${batchBytes.toDouble / tableBytes * 100}%.1f%% of a full rewrite)")
+    // and the contents are the resolved union
+    val got = snap(BucketedUpsert.read(spark, root))
+    assert(got.count(_._2 == 2L) == 1 && got.size == 800)
+    assert(got.find(_._1 == 7L).get == ((7L, 2L, 999L)))
+  }
+
+  test("restart on the same checkpoint applies new files exactly once") {
+    val src = tmp("bu2-src"); val root = tmp("bu2-table") + "/t"; val ckp = tmp("bu2-ckp")
+    val f1 = spark.range(0, 50)
+      .select(col("id").as("k"), lit(1L).as("version"), col("id").as("v"))
+    f1.coalesce(1).write.mode("append").parquet(src)
+    def stream() = spark.readStream.schema(f1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    EventStreams.streamingUpsertBucketed(spark, stream(), "k", "version", root, ckp, 4)
+    assert(Snapshot.currentTag(spark, root).contains(0L))
+    val f2 = spark.range(20, 60)
+      .select(col("id").as("k"), lit(2L).as("version"), (col("id") * 7).as("v"))
+    Thread.sleep(1100)
+    f2.coalesce(1).write.mode("append").parquet(src)
+    EventStreams.streamingUpsertBucketed(spark, stream(), "k", "version", root, ckp, 4)
+    assert(Snapshot.currentTag(spark, root).contains(1L),
+      "restart must process exactly the new file as batch 1")
+    val got = snap(BucketedUpsert.read(spark, root))
+    assert(got.size == 60 && got.count(_._2 == 2L) == 40,
+      "second run must fold exactly the new file's updates")
+  }
+
+  test("a different bucket count against an existing table fails fast") {
+    val root = tmp("bu3-table") + "/t"
+    val base = spark.range(0, 20)
+      .select(col("id").as("k"), lit(1L).as("version"), col("id").as("v"))
+    BucketedUpsert.applyBatch(base, root, "k", "version", nBuckets = 4, tag = 0)
+    val ex = intercept[IllegalArgumentException] {
+      BucketedUpsert.applyBatch(base, root, "k", "version", nBuckets = 8, tag = 1)
+    }
+    assert(ex.getMessage.contains("bucket count"))
+  }
+
+  test("data versions fall out of GC once no retained manifest references them") {
+    val root = tmp("bu4-table") + "/t"
+    def batchAt(tag: Long) = {
+      // every batch touches ALL buckets so each publish supersedes every
+      // prior data dir; with keep=2 manifests, data older than two tags
+      // back is unreachable and must be collected
+      val b = spark.range(0, 100)
+        .select(col("id").as("k"), lit(tag).as("version"), col("id").as("v"))
+      BucketedUpsert.applyBatch(b, root, "k", "version", nBuckets = 4, tag = tag)
+    }
+    (0L to 3L).foreach(batchAt)
+    val dataDirs = new java.io.File(s"$root/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dataDirs == Set("v2", "v3"),
+      s"only the retained manifests' data may survive GC, found $dataDirs")
+    val got = snap(BucketedUpsert.read(spark, root))
+    assert(got.size == 100 && got.forall(_._2 == 3L))
+  }
+}
