@@ -1,0 +1,78 @@
+package graft
+
+import graft.lake.Snapshot
+import org.apache.spark.sql.functions._
+
+/** Snapshot crash-window behavior: a publish that died BETWEEN the
+  * v<tag> directory write and the pointer swap leaves an orphan dir and
+  * an unswapped pointer. The replay must overwrite the orphan and
+  * converge, and GC must never let an orphan consume a retention slot
+  * that protects the genuinely-previous published snapshot (whose path
+  * in-flight readers still hold).
+  */
+class SnapshotSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("snap-spec").toString + "/t"
+
+  private def dirs(root: String): Set[String] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSet
+
+  private def df(n: Long, tagVal: Long) =
+    spark.range(0, n).select(col("id"), lit(tagVal).as("t"))
+
+  test("replay after a crash between dir write and pointer swap converges") {
+    val root = tmp()
+    Snapshot.publish(df(10, 0), root, 0)
+    // crashed publish of tag 1: the snapshot dir landed (with DIFFERENT,
+    // possibly torn content), the pointer did not move
+    df(3, 99).write.mode("overwrite").parquet(s"$root/v1")
+    assert(Snapshot.currentTag(spark, root).contains(0L),
+      "pointer must still resolve the old snapshot after the crash")
+    // the batch replays: same tag, the intended content
+    Snapshot.publish(df(20, 1), root, 1)
+    assert(Snapshot.currentTag(spark, root).contains(1L))
+    val got = Snapshot.read(spark, root).select("id", "t").collect()
+    assert(got.length == 20 && got.forall(_.getLong(1) == 1L),
+      "replay must overwrite the orphan's content wholesale")
+  }
+
+  test("a future-tag orphan cannot evict the previous published snapshot") {
+    val root = tmp()
+    Snapshot.publish(df(1, 0), root, 0)
+    Snapshot.publish(df(2, 1), root, 1)
+    // crashed FUTURE publish left an orphan that sorts newest
+    df(3, 99).write.mode("overwrite").parquet(s"$root/v5")
+    Snapshot.publish(df(4, 2), root, 2) // keep=2
+    // without the tag<=published guard, GC would retain {v5, v2} and
+    // delete v1 — the snapshot in-flight readers of the pre-publish
+    // state still hold
+    assert(dirs(root) == Set("v1", "v2", "v5"),
+      s"v1 must survive, v0 must be collected, the orphan is left: ${dirs(root)}")
+    assert(Snapshot.currentTag(spark, root).contains(2L))
+    // a later publish that reuses the orphan tag overwrites it and the
+    // normal retention resumes
+    Snapshot.publish(df(6, 5), root, 5)
+    assert(dirs(root) == Set("v2", "v5"), s"got ${dirs(root)}")
+    assert(Snapshot.read(spark, root).count() == 6)
+  }
+
+  test("a sub-tag orphan cannot push the previous snapshot past retention") {
+    val root = tmp()
+    Snapshot.publish(df(1, 0), root, 0)
+    Snapshot.publish(df(2, 2), root, 2)
+    // crashed publish of tag 3 (above published 2), then the pipeline
+    // moves on to tag 4 without replaying 3: the orphan sits BETWEEN
+    // the new tag and the previous published one in the GC sort
+    df(3, 99).write.mode("overwrite").parquet(s"$root/v3")
+    Snapshot.publish(df(4, 4), root, 4) // keep=2 → newest two are v4, v3(orphan)
+    assert(dirs(root).contains("v2"),
+      s"the previously-published v2 must never be deleted by the publish " +
+        s"that supersedes it: ${dirs(root)}")
+    // the orphan is collected once the published tag has moved past it
+    Snapshot.publish(df(5, 5), root, 5)
+    assert(!dirs(root).contains("v3"), s"orphan must age out: ${dirs(root)}")
+    assert(Snapshot.read(spark, root).count() == 5)
+  }
+}
