@@ -94,16 +94,45 @@ object CcBench {
     val (hubRounds, hubSec) = time(BigStar.roundsToConverge(hub))
     parts += f""""hub_${nSpokes}":{"star_rounds":$hubRounds,"star_sec":$hubSec%.1f}"""
 
-    // bulk: 4M random edges over 2M nodes (supercritical — one giant
+    // bulk: random edges over edges/2 nodes (supercritical — one giant
     // low-diameter component plus fringe): absolute throughput with
-    // corpus-shaped data volumes per round, not adversarial topology
-    val nNodes = bulkEdges.toLong / 2
-    val nEdges = bulkEdges
-    val bulk = spark.range(nEdges).select(
-      pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("da"),
-      pmod(xxhash64(col("id"), lit(2)), lit(nNodes)).as("db"))
-    val (bulkRounds, bulkSec) = time(BigStar.roundsToConverge(bulk))
-    parts += f""""bulk_${nEdges}e":{"nodes":$nNodes,"star_rounds":$bulkRounds,"star_sec":$bulkSec%.1f}"""
+    // corpus-shaped data volumes per round, not adversarial topology.
+    // Two decades (default 2^22 and 2^24 edges) pin the edges/sec/round
+    // slope; the larger point aborts cleanly if the box lacks headroom
+    // and records the failure instead of dying.
+    for (nEdges <- Seq(bulkEdges, bulkEdges * 4)) {
+      val nNodes = nEdges.toLong / 2
+      val bulk = spark.range(nEdges.toLong).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("da"),
+        pmod(xxhash64(col("id"), lit(2)), lit(nNodes)).as("db"))
+      try {
+        val (bulkRounds, bulkSec) = time(BigStar.roundsToConverge(bulk))
+        parts += f""""bulk_${nEdges}e":{"nodes":$nNodes,"star_rounds":$bulkRounds,"star_sec":$bulkSec%.1f}"""
+      } catch {
+        case e: Throwable =>
+          parts += s""""bulk_${nEdges}e":{"error":"${e.getClass.getSimpleName}"}"""
+      }
+    }
+
+    // power-law mix: a 2^16-hop chain (high diameter) with 2^20 spokes
+    // spread over 64 hub nodes ON the chain (hot keys) — the two
+    // adversarial shapes at once, the closest synthetic to a real
+    // near-dup graph's degree distribution (few huge boilerplate
+    // clusters + long pairwise-overlap chains). Rounds must stay
+    // logarithmic in the chain length, unmoved by the hubs.
+    val plChain = 1 << 16
+    val plSpokes = 1 << 20
+    val powerlaw = chain(plChain).union(
+      spark.range(plSpokes.toLong).select(
+        (col("id") % 64 * 1000L).as("da"),
+        (col("id") + plChain + 1L).as("db")))
+    try {
+      val (plRounds, plSec) = time(BigStar.roundsToConverge(powerlaw))
+      parts += f""""powerlaw_${plChain}c_${plSpokes}s":{"diameter_floor":${plChain - 1},"star_rounds":$plRounds,"star_sec":$plSec%.1f}"""
+    } catch {
+      case e: Throwable =>
+        parts += s""""powerlaw_${plChain}c_${plSpokes}s":{"error":"${e.getClass.getSimpleName}"}"""
+    }
 
     println(parts.mkString("""{"metric":"cc_bigstar","cpus":""" + cpus + ",", ",", "}"))
     spark.stop()
