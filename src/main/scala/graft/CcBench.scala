@@ -75,6 +75,7 @@ object CcBench {
     var n = 256
     while (n <= maxChain) {
       val (starRounds, starSec) = time(BigStar.roundsToConverge(chain(n)))
+      graft.operators.SeqIds.releaseAll()
       // propagation rounds = diameter; run it only while affordable
       // (the point of the comparison is that it STOPS being affordable)
       val (propRounds, propSec) =
@@ -92,6 +93,7 @@ object CcBench {
     val hub = spark.range(1, nSpokes + 1)
       .select(lit(0L).as("da"), col("id").as("db"))
     val (hubRounds, hubSec) = time(BigStar.roundsToConverge(hub))
+    graft.operators.SeqIds.releaseAll()
     parts += f""""hub_${nSpokes}":{"star_rounds":$hubRounds,"star_sec":$hubSec%.1f}"""
 
     // bulk: random edges over edges/2 nodes (supercritical — one giant
@@ -100,13 +102,14 @@ object CcBench {
     // Two decades (default 2^22 and 2^24 edges) pin the edges/sec/round
     // slope; the larger point aborts cleanly if the box lacks headroom
     // and records the failure instead of dying.
-    for (nEdges <- Seq(bulkEdges, bulkEdges * 4)) {
-      val nNodes = nEdges.toLong / 2
-      val bulk = spark.range(nEdges.toLong).select(
+    for (nEdges <- Seq(bulkEdges.toLong, bulkEdges.toLong * 4)) {
+      val nNodes = nEdges / 2
+      val bulk = spark.range(nEdges).select(
         pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("da"),
         pmod(xxhash64(col("id"), lit(2)), lit(nNodes)).as("db"))
       try {
         val (bulkRounds, bulkSec) = time(BigStar.roundsToConverge(bulk))
+        graft.operators.SeqIds.releaseAll()
         parts += f""""bulk_${nEdges}e":{"nodes":$nNodes,"star_rounds":$bulkRounds,"star_sec":$bulkSec%.1f}"""
       } catch {
         case e: Throwable =>
@@ -128,6 +131,7 @@ object CcBench {
         (col("id") + plChain + 1L).as("db")))
     try {
       val (plRounds, plSec) = time(BigStar.roundsToConverge(powerlaw))
+      graft.operators.SeqIds.releaseAll()
       parts += f""""powerlaw_${plChain}c_${plSpokes}s":{"diameter_floor":${plChain - 1},"star_rounds":$plRounds,"star_sec":$plSec%.1f}"""
     } catch {
       case e: Throwable =>

@@ -2,7 +2,6 @@ package graft
 
 import graft.lake.{BucketedUpsert, Snapshot}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Bucketed- vs full-rewrite upsert cost (VERDICT r14 #4): builds a
@@ -53,15 +52,9 @@ object UpsertBench {
       val batch = rows(spark.range(0, b.toLong)
         .select((hash(col("id"), lit(tag)).cast("long").bitwiseAND(lit(Long.MaxValue)) % nRows).as("id")),
         tag + 1)
-      // full rewrite: union + SEQUENCE-BY window + publish (the
-      // streamingUpsert body)
+      // full rewrite: the SHIPPED streamingUpsert per-batch body
       val t0 = System.nanoTime()
-      val all = spark.read.parquet(Snapshot.resolve(spark, flat).get)
-        .unionByName(batch, allowMissingColumns = true)
-        .withColumn("graft_rn",
-          row_number().over(Window.partitionBy("k").orderBy(desc("version"))))
-        .filter(col("graft_rn") === 1).drop("graft_rn")
-      Snapshot.publish(all, flat, tag)
+      graft.streaming.EventStreams.upsertBatch(batch, "k", "version", flat, tag)
       val flatSec = (System.nanoTime() - t0) / 1e9
       val flatBytes = dirBytes(s"$flat/v$tag")
       // bucketed: touched buckets only

@@ -259,7 +259,13 @@ object Coco {
       if (!odtk) to_json(array(col("segmentation")))
       else if (train) lit(null).cast("string")
       else to_json(array(col("rbox")))
-    val recs = annotationRecords(annos, images, annoKeyCol, odtk)
+    val recsBase = annotationRecords(annos, images, annoKeyCol, odtk)
+    // capture the tier IMMEDIATELY after the call that sets it: the
+    // thread-local is per-call state, and any other export interleaved
+    // on this thread before the read would silently flip the ordering
+    // decision below
+    val dimWasLocal = lastImageDimWasLocal
+    val recs = recsBase
       .withColumn("seg_json", segCol)
       .select(col("image_id"), col("id"), col("category_id"),
               to_json(col("bbox")).as("bbox_json"), col("area"), col("seg_json"))
@@ -269,7 +275,7 @@ object Coco {
     // destroyed): re-establish id order explicitly — the one case that
     // genuinely needs the exchange.
     val ordered =
-      if (lastImageDimWasLocal) recs
+      if (dimWasLocal) recs
       else recs.repartitionByRange(8, col("id")).sortWithinPartitions("id")
     streamSection(groupedRows(ordered, 8)) { r =>
       val seg = Option(r.getString(5)).map(s => s""", "segmentation": $s""").getOrElse("")

@@ -155,8 +155,16 @@ object BigStar {
       val keep = added.max
       added.filter(_ != keep).foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      sc.getPersistentRDDs.get(keep).foreach(rdd =>
-        SeqIds.onRelease(() => rdd.unpersist(blocking = false)))
+      // weak reference: the hook must enable deterministic release for
+      // releaseAll-disciplined callers (Bench/Verify) WITHOUT turning
+      // the old eventually-GC'd reference into a permanent pin for
+      // callers that never release (CcBench/CcFuzz measure many CC runs
+      // in one process and rely on the ContextCleaner path)
+      sc.getPersistentRDDs.get(keep).foreach { rdd =>
+        val weak = new java.lang.ref.WeakReference(rdd)
+        SeqIds.onRelease(() =>
+          Option(weak.get()).foreach(_.unpersist(blocking = false)))
+      }
     }
     // star forest → labels; roots (every parent) label themselves
     val labels = edges.select(col("c").as("doc_id"), col("p").as("cluster"))

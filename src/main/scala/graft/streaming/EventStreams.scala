@@ -186,18 +186,31 @@ object EventStreams {
                       checkpointDir: String): Unit =
     runLedgeredUpsert(spark, updates, tableRoot, checkpointDir) {
       (batch, batchId) =>
-        val all = graft.lake.Snapshot.resolve(spark, tableRoot) match {
-          case Some(cur) => spark.read.parquet(cur)
-            .unionByName(batch, allowMissingColumns = true)
-          case None => batch
-        }
-        val resolved = all
-          .withColumn("graft_rn", org.apache.spark.sql.functions.row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(key)
-              .orderBy(org.apache.spark.sql.functions.desc(versionCol))))
-          .filter(col("graft_rn") === 1).drop("graft_rn")
-        graft.lake.Snapshot.publish(resolved, tableRoot, batchId)
+        upsertBatch(batch, key, versionCol, tableRoot, batchId)
     }
+
+  /** One full-rewrite upsert application — the per-batch body of
+    * [[streamingUpsert]], exposed so batch-mode callers and the upsert
+    * bench exercise the SHIPPED resolve semantics instead of a copy
+    * that could drift. No ledger checks here: the streaming driver
+    * guards tags via [[runLedgeredUpsert]]; direct callers own their
+    * tag discipline (Snapshot.publish still enforces monotonicity).
+    */
+  def upsertBatch(batch: DataFrame, key: String, versionCol: String,
+                  tableRoot: String, tag: Long): Unit = {
+    val spark = batch.sparkSession
+    val all = graft.lake.Snapshot.resolve(spark, tableRoot) match {
+      case Some(cur) => spark.read.parquet(cur)
+        .unionByName(batch, allowMissingColumns = true)
+      case None => batch
+    }
+    val resolved = all
+      .withColumn("graft_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(key)
+          .orderBy(org.apache.spark.sql.functions.desc(versionCol))))
+      .filter(col("graft_rn") === 1).drop("graft_rn")
+    graft.lake.Snapshot.publish(resolved, tableRoot, tag)
+  }
 
   /** [[streamingUpsert]] over a BUCKETED base
     * ([[graft.lake.BucketedUpsert]]): identical CDC semantics, ledger

@@ -31,6 +31,8 @@ object CcFuzz {
       if (pairs.nonEmpty) {
         val got = graft.operators.BigStar.clusters(pairs.toDF("da", "db"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // release the run's pinned final checkpoint (consumer contract)
+        graft.operators.SeqIds.releaseAll()
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x: Long): Long = {
           var r = x; while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r); r
