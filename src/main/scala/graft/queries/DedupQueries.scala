@@ -114,20 +114,28 @@ object DedupQueries extends QueryPack {
     * pinned frame so the signature pass reads the cache instead of
     * re-shingling the corpus.
     */
-  private def minhashPairsFrom(sh: DataFrame): DataFrame = {
-    val sigArr = sh.select(col("doc_id"),
-      graft.functions.TextFunctions.minhashSig(col("shingles"), 8).as("sig"))
-    val sig = sigArr.select(
-      col("doc_id") +: (0 until 8).map(j => col("sig")(j).as(s"s$j")): _*)
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 until 4).map(b =>
-        struct(lit(b).as("band"), concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("k"))): _*
-    )).as("bk")).select(col("doc_id"), col("bk.band"), col("bk.k"))
-    bands.groupBy("band", "k")
+  private def minhashPairsFrom(sh: DataFrame): DataFrame =
+    bandedSignatures(sh).groupBy("band", "k")
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= MaxBucket)
       .select(expr("graft_pairs(docs)"))
       .distinct()
+
+  /** The LSH band index rows `(doc_id, band, k)` for a shingle frame:
+    * 8 md5 min-hashes as one compiled map pass, 4 bands of 2. This IS
+    * the standing band-index table an incremental pipeline persists
+    * (bucketed by (band, k)); [[minhashPairsFrom]] is its one-shot
+    * batch consumer, d_incr_pairs its incremental probe.
+    */
+  private def bandedSignatures(sh: DataFrame): DataFrame = {
+    val sigArr = sh.select(col("doc_id"),
+      graft.functions.TextFunctions.minhashSig(col("shingles"), 8).as("sig"))
+    val sig = sigArr.select(
+      col("doc_id") +: (0 until 8).map(j => col("sig")(j).as(s"s$j")): _*)
+    sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(b =>
+        struct(lit(b).as("band"), concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("k"))): _*
+    )).as("bk")).select(col("doc_id"), col("bk.band"), col("bk.k"))
   }
 
   /** Connected components over an undirected pair graph `(da, db)`:
@@ -415,6 +423,56 @@ object DedupQueries extends QueryPack {
     "d_cc_bigstar" -> ((s, d) =>
       graft.operators.BigStar.clusters(minhashPairs(s, d)).orderBy("doc_id")),
 
+    // Incremental LSH pair generation — the probe stage that FEEDS
+    // d_incr_clusters, completing the end-to-end incremental dedup
+    // pipeline (index probe → day's pairs → cluster merge). The
+    // standing corpus' band index (doc_id, band, k) persists across
+    // runs (in production bucketed by (band, k) with maintained
+    // per-bucket counts — here both sides derive from one pinned
+    // signature pass, the gate modeling); the day's batch computes
+    // signatures for ITS docs only and probes: batch×standing pairs
+    // via a broadcast-batch join against the index (map-side over the
+    // corpus-sized side), batch×batch pairs via batch-internal
+    // bucketing. Bucket admission uses the COMBINED (standing+batch)
+    // size against MaxBucket — exactly the full recompute's rule, so
+    // the output equals the full-corpus LSH's pairs restricted to
+    // ≥1 batch endpoint, which is the oracle.
+    "d_incr_pairs" -> ((s, d) => {
+      val sh = graft.operators.SeqIds.pin(shingledDocs(s, d))
+      val bands = graft.operators.SeqIds.pin(bandedSignatures(sh))
+      val isBatch = col("doc_id") % 7 === 3
+      val standing = bands.filter(!isBatch) // the persisted index's rows
+      val batch = bands.filter(isBatch)     // the day's signatures
+      // admission: combined bucket size in (1, MaxBucket]; only buckets
+      // the batch touches can produce day pairs. The standing count is
+      // maintained index metadata in production — no corpus aggregate
+      // per run; computed here from the gate's modeled index.
+      val standingCnt = standing.groupBy("band", "k").agg(count(lit(1)).as("sn"))
+      val batchCnt = batch.groupBy("band", "k").agg(count(lit(1)).as("bn"))
+      val ok = batchCnt.join(standingCnt, Seq("band", "k"), "left")
+        .select(col("band"), col("k"),
+          (coalesce(col("sn"), lit(0L)) + col("bn")).as("n"))
+        .filter(col("n") > 1 && col("n") <= MaxBucket)
+        .select("band", "k")
+      val admittedBatch = batch.join(broadcast(ok), Seq("band", "k"), "left_semi")
+      // cross pairs: broadcast the (tiny) admitted batch bands; the
+      // corpus-sized index side stays map-side, never shuffled
+      val cross = standing
+        .join(broadcast(admittedBatch
+          .select(col("band"), col("k"), col("doc_id").as("bdoc"))),
+          Seq("band", "k"))
+        .select(least(col("doc_id"), col("bdoc")).as("da"),
+                greatest(col("doc_id"), col("bdoc")).as("db"))
+      // batch-internal pairs from the same admitted buckets
+      val within = admittedBatch.groupBy("band", "k")
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")) > 1)
+        .select(expr("graft_pairs(docs)"))
+      cross.union(within.select(col("da"), col("db")))
+        .distinct()
+        .orderBy("da", "db")
+    }),
+
     // Incremental cluster maintenance as a two-epoch replay: epoch 1 is
     // the standing corpus (doc_id%7 ≠ 3 — the d_incr_dedup batch-slice
     // convention), epoch 2 lands the batch docs' pairs (every pair with
@@ -664,6 +722,16 @@ object DedupQueries extends QueryPack {
             SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a)
           SELECT node AS doc_id, LEAST(node, MIN(peer)) AS cluster
           FROM reach GROUP BY node ORDER BY doc_id""",
+    // The full-corpus LSH's pair set restricted to pairs with at least
+    // one batch endpoint — what a correct standing-index probe must
+    // emit for the day's batch, including the combined-bucket
+    // MaxBucket admission (mpairs carries the cap; the restriction
+    // cannot resurrect a capped bucket).
+    "d_incr_pairs" ->
+      s"""WITH $minhashCtes
+          SELECT da, db FROM mpairs
+          WHERE da % 7 = 3 OR db % 7 = 3
+          ORDER BY da, db""",
     // Full recompute over the complete pair set — deliberately identical
     // to the d_dup_clusters closure: the incremental path's OUTPUT
     // CONTRACT is "indistinguishable from recomputing from scratch", so
