@@ -105,6 +105,22 @@ class BucketedUpsertSpec extends SparkSpec {
       "second run must fold exactly the new file's updates")
   }
 
+  test("out-of-order batches cannot regress rows (bucketed SEQUENCE BY)") {
+    // the bucketed path runs its own resolve window (not streamingUpsert's)
+    // — pin the same out-of-order guarantee on it directly: the NEWER
+    // version lands first, the late old batch must lose every key
+    val root = tmp("bu-oo") + "/t"
+    val v2 = spark.range(0, 60)
+      .select(col("id").as("k"), lit(2L).as("version"), lit(200L).as("v"))
+    val v1 = spark.range(0, 60)
+      .select(col("id").as("k"), lit(1L).as("version"), lit(100L).as("v"))
+    BucketedUpsert.applyBatch(v2, root, "k", "version", nBuckets = 4, tag = 0)
+    BucketedUpsert.applyBatch(v1, root, "k", "version", nBuckets = 4, tag = 1)
+    val versions = BucketedUpsert.read(spark, root)
+      .select("version").distinct().collect().map(_.getLong(0)).toSeq
+    assert(versions == Seq(2L), s"stale version resurfaced: $versions")
+  }
+
   test("a different bucket count against an existing table fails fast") {
     val root = tmp("bu3-table") + "/t"
     val base = spark.range(0, 20)
