@@ -57,6 +57,29 @@ object BucketedUpsert {
     spark.read.option("mergeSchema", "true").parquet(entries.map(_.path): _*)
   }
 
+  /** Bucket-level change feed: the rows of every bucket REWRITTEN after
+    * `sinceTag`, per the current manifest — the incremental-read hook a
+    * downstream consumer (index refresh, export, replication) uses to
+    * avoid rescanning the table. Exact at the file level (untouched
+    * buckets are never read, so the cost is the churn, not the table);
+    * at the row level it over-approximates by bucket granularity — a
+    * rewritten bucket returns ALL its rows, and callers wanting exact
+    * row deltas filter on their version column, which upsert rows carry
+    * by construction. Returns an empty frame (table schema) when
+    * nothing changed.
+    */
+  def changesSince(spark: SparkSession, root: String, sinceTag: Long): DataFrame = {
+    val entries = manifestEntries(spark, root)
+    require(entries.nonEmpty, s"no published bucketed table under $root")
+    def tagOf(path: String): Long =
+      new Path(path).getParent.getName.drop(1).toLong // data/v<tag>/graft_bucket=<i>
+    val changed = entries.filter(e => tagOf(e.path) > sinceTag)
+    if (changed.isEmpty)
+      spark.read.parquet(entries.head.path).limit(0)
+    else
+      spark.read.option("mergeSchema", "true").parquet(changed.map(_.path): _*)
+  }
+
   /** Fold one update batch into the table: SEQUENCE-BY resolve (highest
     * `versionCol` per `key` wins) over ONLY the touched buckets, then an
     * atomic manifest publish under `tag`. Tags follow the Snapshot

@@ -132,6 +132,29 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(ex.getMessage.contains("bucket count"))
   }
 
+  test("changesSince reads only the buckets rewritten after the tag") {
+    val root = tmp("bu-cf") + "/t"
+    val base = spark.range(0, 400)
+      .select(col("id").as("k"), lit(1L).as("version"), col("id").as("v"))
+    BucketedUpsert.applyBatch(base, root, "k", "version", nBuckets = 8, tag = 0)
+    val batch = spark.range(3, 4)
+      .select(col("id").as("k"), lit(2L).as("version"), lit(777L).as("v"))
+    BucketedUpsert.applyBatch(batch, root, "k", "version", nBuckets = 8, tag = 1)
+    val feed = BucketedUpsert.changesSince(spark, root, sinceTag = 0)
+    val feedRows = snap(feed)
+    // bucket-granularity over-approximation: the one rewritten bucket's
+    // rows, nothing from the other seven
+    assert(feedRows.exists(_ == ((3L, 2L, 777L))), "the updated row must appear")
+    assert(feedRows.size < 400 / 4,
+      s"feed must be bucket-sized, not table-sized: ${feedRows.size} rows")
+    // row-exact delta = the documented version filter on the feed
+    assert(snap(feed.filter(col("version") > 1)) == Seq((3L, 2L, 777L)))
+    // nothing changed since the latest tag → empty frame, table schema
+    val none = BucketedUpsert.changesSince(spark, root, sinceTag = 1)
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("k", "version", "v"))
+  }
+
   test("data versions fall out of GC once no retained manifest references them") {
     val root = tmp("bu4-table") + "/t"
     def batchAt(tag: Long) = {
