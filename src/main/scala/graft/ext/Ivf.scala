@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.lake.{BucketedUpsert, Snapshot}
 import graft.operators.SeqIds
 import graft.plans.GraftFunctions
 import org.apache.spark.broadcast.Broadcast
@@ -250,4 +251,63 @@ object Ivf {
       .filter(col("rank") <= topK)
       .select("qid", "rank", "vec_id", "cos")
   }
+
+  // ------------------------------------------------------------------
+  // Persisted index: build once, search many, append incrementally.
+  //
+  // Composes the lake pieces the repo already has: centroids publish
+  // as a Snapshot table (k rows, atomic swap), the assigned corpus
+  // lands as a BucketedUpsert table keyed by vec_id — so re-ingesting
+  // a key REPLACES its vector (upsert semantics), and an append batch
+  // assigns ONLY its own vectors against the FIXED stored centroids
+  // then rewrites only the buckets it touches. That is the production
+  // daily-ingest shape at 100 TB: index build is one corpus pass, a
+  // day's append costs O(batch + touched buckets), search reads the
+  // stored assignment instead of recomputing it per query batch.
+  //
+  // A re-train (new centroids) is a NEW index root by design:
+  // centroids define what a cell id means, so mixing quantizer
+  // generations inside one corpus table would silently corrupt probe
+  // results. The centroid snapshot's tag advances with every append
+  // batch purely as a freshness marker (same generation, re-published
+  // unchanged — the tag ledger then also guards replayed batches).
+  // ------------------------------------------------------------------
+
+  private def centRoot(root: String) = s"$root/centroids"
+  private def corpusRoot(root: String) = s"$root/corpus"
+
+  /** Build and persist the index from scratch: seed k centroids from
+    * `embeddings`, assign every vector, land both tables. */
+  def buildIndex(spark: SparkSession, root: String, embeddings: DataFrame,
+                 k: Int, nBuckets: Int = 16, tag: Long = 1L): Unit = {
+    val centroids = seedCentroids(embeddings, k)
+    Snapshot.publish(centroids.coalesce(1), centRoot(root), tag)
+    val assigned = assign(spark, embeddings, Snapshot.read(spark, centRoot(root)))
+    BucketedUpsert.applyBatch(
+      assigned.withColumn("graft_ver", lit(tag)),
+      corpusRoot(root), "vec_id", "graft_ver", nBuckets, tag)
+  }
+
+  /** Fold an append batch into the index: assign the batch against the
+    * stored centroids (no re-train), upsert by vec_id. Only the
+    * buckets the batch hashes into are rewritten. */
+  def appendToIndex(spark: SparkSession, root: String, batch: DataFrame,
+                    tag: Long): Unit = {
+    val centroids = Snapshot.read(spark, centRoot(root))
+    val assigned = assign(spark, batch, centroids)
+    BucketedUpsert.applyBatch(
+      assigned.withColumn("graft_ver", lit(tag)),
+      corpusRoot(root), "vec_id", "graft_ver",
+      BucketedUpsert.bucketCount(spark, corpusRoot(root)), tag)
+    Snapshot.publish(centroids.coalesce(1), centRoot(root), tag)
+  }
+
+  /** Search the persisted index as of its current published state. */
+  def searchIndex(spark: SparkSession, root: String, queries: DataFrame,
+                  topK: Int, nProbe: Int): DataFrame =
+    search(spark,
+      BucketedUpsert.read(spark, corpusRoot(root)),
+      queries,
+      Snapshot.read(spark, centRoot(root)),
+      topK, nProbe)
 }

@@ -39,15 +39,23 @@ object BucketedUpsert {
   def bucketOf(key: Column, nBuckets: Int): Column =
     pmod(hash(key), lit(nBuckets))
 
-  private case class Entry(bucket: Int, path: String, nBuckets: Int)
+  private[lake] case class Entry(bucket: Int, path: String, nBuckets: Int)
 
-  private def manifestEntries(spark: SparkSession, root: String): Seq[Entry] =
+  private[lake] def manifestEntries(spark: SparkSession, root: String): Seq[Entry] =
     Snapshot.resolve(spark, root) match {
       case None => Seq.empty
       case Some(dir) => spark.read.parquet(dir)
         .select("bucket", "path", "n_buckets").collect()
         .map(r => Entry(r.getInt(0), r.getString(1), r.getInt(2))).toSeq
     }
+
+  /** The table's fixed bucket count (throws before the first publish) —
+    * what an appender created elsewhere must pass to applyBatch. */
+  def bucketCount(spark: SparkSession, root: String): Int = {
+    val entries = manifestEntries(spark, root)
+    require(entries.nonEmpty, s"no published bucketed table under $root")
+    entries.head.nBuckets
+  }
 
   /** The current table contents (throws before the first publish). */
   def read(spark: SparkSession, root: String): DataFrame = {
@@ -68,12 +76,15 @@ object BucketedUpsert {
     * by construction. Returns an empty frame (table schema) when
     * nothing changed.
     */
+  /** The tag a manifest entry's data dir was written under
+    * (`data/v<tag>/graft_bucket=<i>`). */
+  private[lake] def entryTag(path: String): Long =
+    new Path(path).getParent.getName.drop(1).toLong
+
   def changesSince(spark: SparkSession, root: String, sinceTag: Long): DataFrame = {
     val entries = manifestEntries(spark, root)
     require(entries.nonEmpty, s"no published bucketed table under $root")
-    def tagOf(path: String): Long =
-      new Path(path).getParent.getName.drop(1).toLong // data/v<tag>/graft_bucket=<i>
-    val changed = entries.filter(e => tagOf(e.path) > sinceTag)
+    val changed = entries.filter(e => entryTag(e.path) > sinceTag)
     if (changed.isEmpty)
       spark.read.parquet(entries.head.path).limit(0)
     else

@@ -1,0 +1,93 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incremental materialized aggregate over a [[BucketedUpsert]] table —
+  * the downstream consumer the bucket-level change feed exists for.
+  *
+  * The MV is stored as BUCKET-LEVEL PARTIALS: one row per
+  * (bucket, group) holding a count and exact DECIMAL sums, published
+  * through the same [[Snapshot]] pointer protocol at the base table's
+  * tag. That representation is what makes maintenance bucket-granular:
+  * an upsert batch rewrites k of n buckets, [[refresh]] recomputes the
+  * partials of exactly those k buckets from [[BucketedUpsert.changesSince]]
+  * (a rewritten bucket returns all its current rows — precisely a full
+  * recompute of that bucket's partials) and carries every other
+  * bucket's partial row over untouched. No diff-vs-old-values logic is
+  * needed, because the bucket is the unit of both rewrite and
+  * recompute.
+  *
+  * At 100 TB with daily batches touching k of n buckets, refresh cost
+  * is O(k/n · table + batch) — the same ratio the bucketed write
+  * already pays — while a naive MV rebuild rescans the full table.
+  * [[read]] final-combines the partials, an (n_buckets × groups)-sized
+  * aggregation: metadata-scale next to the table. Sums accumulate in
+  * DECIMAL at both stages, so the result is exact and independent of
+  * combine order (double summation would drift between partial
+  * groupings).
+  */
+object IncrAgg {
+
+  private def cntCol = "graft_cnt"
+  private def sumName(c: String) = s"graft_sum_$c"
+
+  /** Bring the MV at `mvRoot` up to the base table's published tag,
+    * recomputing only buckets rewritten since the MV's own tag.
+    * Returns the number of buckets recomputed (0 when already fresh).
+    * `groupCols` are the aggregate's grouping columns; `sumCols` are
+    * summed exactly as DECIMAL(12,2) — the money-sum convention the
+    * query surface uses everywhere.
+    */
+  def refresh(spark: SparkSession, tableRoot: String, mvRoot: String,
+              key: String, groupCols: Seq[String], sumCols: Seq[String],
+              keep: Int = 2): Int = {
+    require(groupCols.nonEmpty, "at least one grouping column")
+    val tableTag = Snapshot.currentTag(spark, tableRoot).getOrElse(
+      throw new IllegalStateException(s"no published table under $tableRoot"))
+    val mvTag = Snapshot.currentTag(spark, mvRoot)
+    mvTag.foreach(mt => require(mt <= tableTag,
+      s"MV at $mvRoot is tagged $mt, ahead of the table's $tableTag — " +
+        "the MV must be maintained against one table root"))
+    if (mvTag.contains(tableTag)) return 0
+
+    val entries = BucketedUpsert.manifestEntries(spark, tableRoot)
+    val nBuckets = entries.head.nBuckets
+    val since = mvTag.getOrElse(Long.MinValue)
+    val changedBuckets = entries
+      .filter(e => BucketedUpsert.entryTag(e.path) > since)
+      .map(_.bucket).toSet
+
+    val aggs = count(lit(1)).as(cntCol) +:
+      sumCols.map(c => sum(col(c).cast(DecimalType(12, 2))).as(sumName(c)))
+    val changedPartials = BucketedUpsert.changesSince(spark, tableRoot, since)
+      .withColumn("graft_bucket",
+        BucketedUpsert.bucketOf(col(key), nBuckets))
+      .groupBy("graft_bucket", groupCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+    val mv = mvTag match {
+      case None => changedPartials
+      case Some(_) =>
+        Snapshot.read(spark, mvRoot)
+          .filter(!col("graft_bucket").isin(changedBuckets.toSeq: _*))
+          .unionByName(changedPartials)
+    }
+    // partials are (buckets × groups)-sized — metadata-scale; land small
+    Snapshot.publish(mv.coalesce(1), mvRoot, tableTag, keep)
+    changedBuckets.size
+  }
+
+  /** The aggregate the MV materializes: final-combine of the bucket
+    * partials — `n` plus one exact `sum_<c>` (DOUBLE out) per sum
+    * column. */
+  def read(spark: SparkSession, mvRoot: String,
+           groupCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val aggs = sum(col(cntCol)).as("n") +:
+      sumCols.map(c => sum(col(sumName(c))).cast(DoubleType).as(s"sum_$c"))
+    Snapshot.read(spark, mvRoot)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

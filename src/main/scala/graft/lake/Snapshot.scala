@@ -24,6 +24,11 @@ object Snapshot {
 
   private val Pointer = "_current"
 
+  /** Published-tag history entries carried in the pointer file (first
+    * line = current). Bounds the pointer at a few hundred bytes; older
+    * history is useless anyway once GC has deleted the dirs. */
+  private val HistoryCap = 64
+
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -38,17 +43,56 @@ object Snapshot {
   def currentTag(spark: SparkSession, root: String): Option[Long] =
     currentName(spark, root).flatMap(_.drop(1).toLongOption)
 
-  private def currentName(spark: SparkSession, root: String): Option[String] = {
+  private def currentName(spark: SparkSession, root: String): Option[String] =
+    pointerLines(spark, root).headOption
+
+  /** All nonblank pointer-file lines, newest-published first. */
+  private def pointerLines(spark: SparkSession, root: String): Seq[String] = {
     val f = fs(spark, root)
     val ptr = new Path(s"$root/$Pointer")
-    if (!f.exists(ptr)) None
+    if (!f.exists(ptr)) Seq.empty
     else {
       val in = f.open(ptr)
-      try Some(new String(
-        in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
       finally in.close()
     }
   }
+
+  /** Tags a time-travel read can target, ascending: every tag that was
+    * genuinely PUBLISHED (recorded in the pointer's history — a crashed
+    * publish's orphan dir was never the table's state and is never
+    * listed) whose snapshot directory GC still retains. Directory
+    * listing alone cannot make this distinction; the pointer history —
+    * rewritten in the same atomic pointer swap every publish already
+    * does — is what records which dirs were ever current.
+    */
+  def publishedTags(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    pointerLines(spark, root)
+      .flatMap(_.drop(1).toLongOption)
+      .filter(tag => f.exists(new Path(s"$root/v$tag")))
+      .sorted
+  }
+
+  /** The snapshot directory holding the table AS OF `asOf`: the newest
+    * published tag <= asOf whose dir is still retained. None when the
+    * table's state at that tag has aged past retention (raise `keep`)
+    * or predates the table. */
+  def resolveAt(spark: SparkSession, root: String, asOf: Long): Option[String] =
+    publishedTags(spark, root).filter(_ <= asOf)
+      .maxOption.map(tag => s"$root/v$tag")
+
+  /** Time-travel read: the table as of `asOf` (throws when unreachable —
+    * see [[resolveAt]]). The reproducibility hook: a training run records
+    * the tag it read, and any later job can re-read that exact state
+    * while it stays inside retention. */
+  def readAt(spark: SparkSession, root: String, asOf: Long): DataFrame =
+    spark.read.parquet(resolveAt(spark, root, asOf).getOrElse(throw
+      new IllegalStateException(
+        s"no retained snapshot at or below tag $asOf under $root — " +
+          "the state either predates the table or aged past retention " +
+          "(publish with a larger `keep` to widen the travel window)")))
 
   /** Read the published snapshot (throws if none is published). */
   def read(spark: SparkSession, root: String): DataFrame =
@@ -72,7 +116,8 @@ object Snapshot {
   def publish(df: DataFrame, root: String, tag: Long, keep: Int = 2): Unit = {
     require(keep >= 1, s"keep must be >= 1: $keep")
     val spark = df.sparkSession
-    val prevTag = currentTag(spark, root)
+    val prevLines = pointerLines(spark, root)
+    val prevTag = prevLines.headOption.flatMap(_.drop(1).toLongOption)
     prevTag.foreach(cur => require(tag > cur,
       s"snapshot tag $tag is not above the published v$cur under $root — " +
         "restarting tags against an existing table corrupts it; " +
@@ -80,10 +125,13 @@ object Snapshot {
     val f = fs(spark, root)
     val snapName = s"v$tag"
     df.write.mode("overwrite").parquet(s"$root/$snapName")
-    // single-file atomic pointer swap: write-temp, rename-over
+    // single-file atomic pointer swap: write-temp, rename-over. The file
+    // carries the published-tag HISTORY (current first) so time travel
+    // can tell once-published dirs from crashed-publish orphans.
     val tmp = new Path(s"$root/$Pointer.tmp")
     val out = f.create(tmp, true)
-    try out.write(snapName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write((snapName +: prevLines).distinct.take(HistoryCap)
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       new Path(root).toUri, spark.sessionState.newHadoopConf())

@@ -208,6 +208,83 @@ object CoreQueries extends QueryPack {
         .orderBy("o_orderstatus")
     }),
 
+    // S17: zone-map file skipping — z-order events by (user_id, hour),
+    // build the per-file min/max manifest with ONE distributed scan,
+    // then answer a user_id range query reading ONLY intersecting files
+    // (FileStatsSpec asserts most files are skipped; the predicate is
+    // re-applied, so pruning can never change results — which is
+    // exactly what this gate hash-checks against the unpruned oracle).
+    "s17_stats_prune" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-stats-q").toString
+      val ev = t(s, d, "events")
+        .withColumn("bucket", expr("ts div 3600000000000"))
+      graft.lake.ZOrder.writeZOrdered(ev, s"$base/data", 16, "user_id", "bucket")
+      graft.lake.FileStats.writeStats(s, s"$base/data", s"$base/stats", Seq("user_id"))
+      graft.lake.FileStats.prunedRead(s, s"$base/data", s"$base/stats",
+          "user_id", lit(100L), lit(120L))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    }),
+
+    // S18: incremental materialized aggregate — a bucketed-upsert table
+    // takes a base batch then an update batch (s15's update/insert mix),
+    // and the MV is REFRESHED INCREMENTALLY between them from the
+    // bucket change feed: batch-2 refresh recomputes only the touched
+    // buckets' partials (IncrAggSpec pins the only-touched count) and
+    // the read is the final combine. The oracle aggregates the MERGE
+    // expansion of the same two batches, so the maintained MV is
+    // hash-checked against the from-scratch aggregate.
+    "s18_incr_agg" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-mv-q").toString
+      val root = s"$base/table"; val mv = s"$base/mv"
+      val cust = t(s, d, "customer")
+      val batch1 = cust
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("double").as("c_acctbal"), lit(1L).as("ver"))
+      val batch2 = cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("UPDATED").as("c_mktsegment"),
+          (col("c_acctbal").cast("double") + 100.0).as("c_acctbal"), lit(2L).as("ver"))
+        .unionAll(cust.filter(col("c_custkey") % 17 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit("INSERTED").as("c_mktsegment"),
+            lit(0.0).as("c_acctbal"), lit(2L).as("ver")))
+      graft.lake.BucketedUpsert.applyBatch(batch1, root, "c_custkey", "ver",
+        nBuckets = 16, tag = 1)
+      graft.lake.IncrAgg.refresh(s, root, mv, "c_custkey",
+        Seq("c_mktsegment"), Seq("c_acctbal"))
+      graft.lake.BucketedUpsert.applyBatch(batch2, root, "c_custkey", "ver",
+        nBuckets = 16, tag = 2)
+      graft.lake.IncrAgg.refresh(s, root, mv, "c_custkey",
+        Seq("c_mktsegment"), Seq("c_acctbal"))
+      graft.lake.IncrAgg.read(s, mv, Seq("c_mktsegment"), Seq("c_acctbal"))
+        .withColumnRenamed("sum_c_acctbal", "sum_bal")
+        .orderBy("c_mktsegment")
+    }),
+
+    // S19: snapshot time travel — publish the customer base as v1, an
+    // updated state as v2, then read the table AS OF tag 1 through the
+    // pointer-history resolver. The oracle aggregates the base table
+    // directly, so the gate is green only if the as-of read really
+    // returns the SUPERSEDED state (reading v2 would shift every
+    // balance sum). This is the reproducibility primitive a training
+    // pipeline pins a run to.
+    "s19_time_travel" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-tt-q").toString + "/t"
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      graft.lake.Snapshot.publish(base, root, 1)
+      graft.lake.Snapshot.publish(
+        base.withColumn("c_acctbal", col("c_acctbal") + 100), root, 2)
+      graft.lake.Snapshot.readAt(s, root, 1)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+             Portable.moneySum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // U5: union-by-name with missing-column fill — the schema-evolution
     // append (two exports whose column sets drifted, unioned into one
     // frame; matching is BY NAME, not position, and the absent column
@@ -278,6 +355,36 @@ object CoreQueries extends QueryPack {
                 CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE CAST(b.c_acctbal AS DOUBLE) END AS c_acctbal
          FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
          ORDER BY c_custkey""",
+    // the MERGE expansion of the two batches (update rows win on
+    // matched keys, inserts add, base survives otherwise), aggregated
+    // from scratch — what the incrementally-maintained MV must equal
+    "s18_incr_agg" ->
+      """WITH upd AS (
+           SELECT c_custkey, 'UPDATED' AS c_mktsegment,
+                  CAST(c_acctbal AS DOUBLE) + 100.0 AS c_acctbal
+           FROM customer WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'INSERTED', 0.0
+           FROM customer WHERE c_custkey % 17 = 0),
+         merged AS (
+           SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+                  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
+                  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE CAST(b.c_acctbal AS DOUBLE) END AS c_acctbal
+           FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey)
+         SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+         FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // pruning must be invisible to results: the oracle is the plain
+    // unpruned range filter on the source table
+    "s17_stats_prune" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE user_id BETWEEN 100 AND 120 ORDER BY event_id""",
+    // the as-of read must return the v1 (unmodified) state, which is
+    // the source table itself; v2's +100 bump would shift every sum
+    "s19_time_travel" ->
+      """SELECT c_mktsegment, count(*) AS n,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "p1_project_cast" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation ORDER BY n_nationkey",
     "p3_eq_filter" ->

@@ -1,0 +1,70 @@
+package graft
+
+import graft.ext.Ivf
+import graft.lake.{BucketedUpsert, Snapshot}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index lifecycle: build → append → search-from-disk
+  * must equal the in-memory assignment of the full corpus against the
+  * base-seeded centroids; appends assign against the STORED quantizer
+  * (never re-train); re-ingesting a key replaces its vector.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("ivfidx-spec").toString + "/idx"
+
+  private def emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+
+  test("build + append + disk search equals the in-memory composition") {
+    val root = tmp()
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val extra = emb.filter(col("vec_id") % 4 === 0)
+    Ivf.buildIndex(spark, root, base, k = 4, nBuckets = 8, tag = 1)
+    Ivf.appendToIndex(spark, root, extra, tag = 2)
+
+    val q = emb.filter(col("vec_id") % 25 === 0).limit(8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val fromDisk = Ivf.searchIndex(spark, root, q, topK = 3, nProbe = 2)
+      .select("qid", "rank", "vec_id").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+
+    val cents = Ivf.seedCentroids(base, 4)
+    val inMem = Ivf.search(spark, Ivf.assign(spark, emb, cents), q, cents,
+        topK = 3, nProbe = 2)
+      .select("qid", "rank", "vec_id").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(fromDisk.sameElements(inMem))
+    assert(fromDisk.nonEmpty)
+    // the corpus table holds every vector exactly once
+    assert(BucketedUpsert.read(spark, s"$root/corpus").count() == emb.count())
+  }
+
+  test("re-ingesting a key replaces its vector (upsert, not append-only)") {
+    val root = tmp()
+    Ivf.buildIndex(spark, root, emb.limit(50), k = 2, nBuckets = 4, tag = 1)
+    val before = BucketedUpsert.read(spark, s"$root/corpus").count()
+    // re-ingest one existing key with a new embedding (first vector's id)
+    val vid = emb.orderBy("vec_id").select("vec_id").head.getLong(0)
+    val replacement = emb.orderBy("vec_id").limit(1)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> float(0.5))").as("embedding"),
+        col("label"))
+    Ivf.appendToIndex(spark, root, replacement, tag = 2)
+    val corpus = BucketedUpsert.read(spark, s"$root/corpus")
+    assert(corpus.count() == before, "replacement must not grow the table")
+    val got = corpus.filter(col("vec_id") === vid)
+      .select(expr("embedding[0]")).head.getFloat(0)
+    assert(got == 0.5f, "the re-ingested key must carry the NEW vector")
+  }
+
+  test("append before build fails fast; centroid tag tracks appends") {
+    val root = tmp()
+    intercept[IllegalStateException](
+      Ivf.appendToIndex(spark, root, emb.limit(5), tag = 1))
+    Ivf.buildIndex(spark, root, emb.limit(100), k = 2, nBuckets = 4, tag = 1)
+    Ivf.appendToIndex(spark, root, emb.limit(120).except(emb.limit(100)), tag = 2)
+    assert(Snapshot.currentTag(spark, s"$root/centroids").contains(2L))
+    assert(Snapshot.currentTag(spark, s"$root/corpus").contains(2L))
+  }
+}

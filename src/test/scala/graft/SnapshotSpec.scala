@@ -58,6 +58,45 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.read(spark, root).count() == 6)
   }
 
+  test("time travel resolves each retained published state, floor on gaps") {
+    val root = tmp()
+    Snapshot.publish(df(10, 1), root, 1, keep = 3)
+    Snapshot.publish(df(20, 4), root, 4, keep = 3)
+    Snapshot.publish(df(30, 9), root, 9, keep = 3)
+    assert(Snapshot.publishedTags(spark, root) == Seq(1L, 4L, 9L))
+    assert(Snapshot.readAt(spark, root, 1).count() == 10)
+    // asOf between published tags floors to the newest at-or-below state
+    assert(Snapshot.readAt(spark, root, 8).count() == 20)
+    assert(Snapshot.readAt(spark, root, 100).count() == 30)
+    // asOf before the table existed is unreachable
+    val e = intercept[IllegalStateException](Snapshot.readAt(spark, root, 0))
+    assert(e.getMessage.contains("no retained snapshot"))
+  }
+
+  test("time travel never resolves a crashed-publish orphan") {
+    val root = tmp()
+    Snapshot.publish(df(10, 1), root, 1, keep = 3)
+    // a completed-but-never-published dir (crash before pointer swap),
+    // then the pipeline moves on: the orphan sits inside the tag range
+    df(99, 99).write.mode("overwrite").parquet(s"$root/v2")
+    Snapshot.publish(df(30, 3), root, 3, keep = 3)
+    assert(Snapshot.publishedTags(spark, root) == Seq(1L, 3L),
+      "the orphan tag must not appear in the published history")
+    // asOf=2 floors PAST the orphan to the genuinely-published v1
+    assert(Snapshot.readAt(spark, root, 2).count() == 10)
+  }
+
+  test("time travel past retention fails with the keep hint") {
+    val root = tmp()
+    Snapshot.publish(df(10, 1), root, 1) // keep=2
+    Snapshot.publish(df(20, 2), root, 2)
+    Snapshot.publish(df(30, 3), root, 3) // v1 GC'd
+    assert(Snapshot.publishedTags(spark, root) == Seq(2L, 3L))
+    val e = intercept[IllegalStateException](Snapshot.readAt(spark, root, 1))
+    assert(e.getMessage.contains("keep"))
+    assert(Snapshot.readAt(spark, root, 2).count() == 20)
+  }
+
   test("a sub-tag orphan cannot push the previous snapshot past retention") {
     val root = tmp()
     Snapshot.publish(df(1, 0), root, 0)
