@@ -1,0 +1,99 @@
+package graft.ext
+
+import graft.lake.BucketedUpsert
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted inverted index for BM25 retrieval — the index-maintenance
+  * half of the `t_bm25_topk` ranking query. Without an index, every
+  * query batch re-tokenizes the corpus; at 100 TB that is the whole
+  * table per query. With it, ingest pays tokenization ONCE per
+  * document batch and a query touches only its own terms' postings.
+  *
+  * Layout (two [[BucketedUpsert]] tables under one root):
+  *  - `postings`: one row per (tok, doc_id) with tf and the doc length
+  *    denormalized in — keyed by `pk = tok || '#' || doc_id`. The dl
+  *    denormalization is deliberate: scoring needs (tf, dl) per
+  *    posting, and carrying dl here removes a doc-stats join from
+  *    every query at the cost of 8 bytes per posting.
+  *  - `docstats`: one row per doc_id with dl — the corpus-stats side
+  *    (N, avgdl) aggregates over this N-row, 2-column table, three
+  *    orders smaller than re-reading text.
+  *
+  * Contract: the corpus is APPEND-ONLY by doc_id (the crawl-ingest
+  * shape). Appending a NEW doc_id is exact; re-ingesting an existing
+  * doc_id would upsert matching (tok, doc) rows but leave postings for
+  * tokens the new text dropped — callers mutating docs must delete
+  * first. Tags follow the Snapshot ledger (strictly increasing).
+  *
+  * Scale: ingest is one tokenize pass over the batch + touched-bucket
+  * rewrites; query-side term filters push into the postings scan
+  * (tok IN (...) on a column the parquet reader sees), df is
+  * |query-vocabulary|-sized, corpus stats are a 1-row broadcast, and
+  * the final top-k is TakeOrderedAndProject — exactly the proven
+  * t_bm25_topk plan, minus the corpus re-tokenization.
+  */
+object Bm25Index {
+
+  private def postingsRoot(root: String) = s"$root/postings"
+  private def docstatsRoot(root: String) = s"$root/docstats"
+
+  private def tokenize(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+
+  private def postingsOf(docs: DataFrame): DataFrame =
+    tokenize(docs)
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .groupBy("tok", "doc_id", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("pk", concat(col("tok"), lit("#"), col("doc_id")))
+
+  /** Build the index from scratch over `docs` (doc_id, text). */
+  def build(spark: SparkSession, root: String, docs: DataFrame,
+            nBuckets: Int = 16, tag: Long = 1L): Unit =
+    ingest(spark, root, docs, nBuckets, tag)
+
+  /** Fold an append batch of NEW documents into the index: tokenize
+    * only the batch, rewrite only touched buckets. */
+  def append(spark: SparkSession, root: String, docs: DataFrame,
+             tag: Long): Unit =
+    ingest(spark, root, docs,
+      BucketedUpsert.bucketCount(spark, postingsRoot(root)), tag)
+
+  private def ingest(spark: SparkSession, root: String, docs: DataFrame,
+                     nBuckets: Int, tag: Long): Unit = {
+    BucketedUpsert.applyBatch(
+      postingsOf(docs).withColumn("graft_ver", lit(tag)),
+      postingsRoot(root), "pk", "graft_ver", nBuckets, tag)
+    BucketedUpsert.applyBatch(
+      tokenize(docs).select(col("doc_id"), col("dl"))
+        .withColumn("graft_ver", lit(tag)),
+      docstatsRoot(root), "doc_id", "graft_ver", nBuckets, tag)
+  }
+
+  /** BM25 top-k (k1=1.2, b=0.75) for `terms`, entirely from the stored
+    * index — same scoring and 1e-6 pre-rank rounding as t_bm25_topk,
+    * so results are identical to scoring the corpus directly. */
+  def topK(spark: SparkSession, root: String, terms: Seq[String],
+           k: Int): DataFrame = {
+    val tf = graft.operators.SeqIds.pin(
+      BucketedUpsert.read(spark, postingsRoot(root))
+        .filter(col("tok").isin(terms: _*))
+        .select("tok", "doc_id", "dl", "tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    val stats = BucketedUpsert.read(spark, docstatsRoot(root))
+      .agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          col("tf") * lit(1.2 + 1.0) /
+          (col("tf") + lit(1.2) * (lit(1.0 - 0.75) + lit(0.75) * col("dl") / col("avgdl")))), 6)
+        .as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(k)
+  }
+}

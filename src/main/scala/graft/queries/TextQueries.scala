@@ -216,6 +216,26 @@ object TextQueries extends QueryPack {
         .limit(25)
     }),
 
+    // BM25 from a PERSISTED inverted index (ext.Bm25Index): build the
+    // postings + doc-stats tables from the base slice, append the rest
+    // incrementally (tokenize only the batch, touched-bucket rewrite),
+    // then answer the SAME query as t_bm25_topk entirely from the
+    // stored index — same terms, same scoring, same oracle SQL, so
+    // hash-green means the maintained index is indistinguishable from
+    // re-scoring the corpus. The production retrieval shape: ingest
+    // tokenizes once per batch; queries touch only their terms'
+    // postings (tok IN-filter pushed into the postings scan).
+    "t_bm25_indexed" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25idx-q").toString + "/idx"
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      graft.ext.Bm25Index.build(s, root,
+        docs.filter(col("doc_id") % 10 =!= 0), nBuckets = 16, tag = 1)
+      graft.ext.Bm25Index.append(s, root,
+        docs.filter(col("doc_id") % 10 === 0), tag = 2)
+      graft.ext.Bm25Index.topK(s, root, Seq("dup", "spark", "merge"), 25)
+    }),
+
     // Benchmark decontamination (GPT-3 §C / PaLM-style): flag training
     // documents sharing word-5-grams with a held-out benchmark set
     // (here the doc_id%20==0 slice stands in for the eval suite; in
@@ -374,6 +394,29 @@ object TextQueries extends QueryPack {
                     || '-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0')
                ELSE '' END"""
 
+  // Shared by t_bm25_topk (corpus-direct) and t_bm25_indexed (the
+  // maintained index must be indistinguishable from scoring the corpus).
+  private val bm25OracleSql =
+    """WITH dl AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS DOUBLE) AS dl
+                     FROM documents WHERE text IS NOT NULL),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                FROM documents WHERE text IS NOT NULL),
+         tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tk
+                WHERE tok IN ('dup','spark','merge') GROUP BY 1, 2),
+         dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+         SELECT t.doc_id,
+                round(sum(ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                          * t.tf * (1.2 + 1.0)
+                          / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))), 6)
+                  AS bm25
+         FROM tf t
+         JOIN dfreq f ON f.tok = t.tok
+         JOIN dl l ON l.doc_id = t.doc_id
+         CROSS JOIN stats s
+         GROUP BY t.doc_id
+         ORDER BY bm25 DESC, t.doc_id LIMIT 25"""
+
   val oracle: Map[String, String] = Map(
     "t_quality_model" ->
       s"""WITH f AS (SELECT doc_id,
@@ -505,26 +548,10 @@ object TextQueries extends QueryPack {
     // Same kernel, same 1e-6 pre-rank rounding; sums are 3 doubles max
     // per doc so accumulation-order divergence sits far below the
     // rounding grain.
-    "t_bm25_topk" ->
-      """WITH dl AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS DOUBLE) AS dl
-                     FROM documents WHERE text IS NOT NULL),
-         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
-         tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
-                FROM documents WHERE text IS NOT NULL),
-         tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tk
-                WHERE tok IN ('dup','spark','merge') GROUP BY 1, 2),
-         dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
-         SELECT t.doc_id,
-                round(sum(ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
-                          * t.tf * (1.2 + 1.0)
-                          / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))), 6)
-                  AS bm25
-         FROM tf t
-         JOIN dfreq f ON f.tok = t.tok
-         JOIN dl l ON l.doc_id = t.doc_id
-         CROSS JOIN stats s
-         GROUP BY t.doc_id
-         ORDER BY bm25 DESC, t.doc_id LIMIT 25""",
+    "t_bm25_topk" -> bm25OracleSql,
+    // the maintained index over base ∪ appended batch must score
+    // identically to the corpus-direct oracle — one SQL serves both
+    "t_bm25_indexed" -> bm25OracleSql,
     "t_pii_scrub" ->
       s"""WITH a AS (SELECT doc_id, $augSql AS aug FROM documents)
           SELECT doc_id,

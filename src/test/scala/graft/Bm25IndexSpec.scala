@@ -1,0 +1,101 @@
+package graft
+
+import graft.ext.Bm25Index
+import graft.lake.BucketedUpsert
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 index: what the oracle gate cannot see — the
+  * query-side term filter must reach the postings parquet scan (the
+  * whole point of materializing postings), the index tables must carry
+  * exactly one row per (tok, doc) / per doc, and misuse fails fast.
+  */
+class Bm25IndexSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("bm25-spec").toString + "/idx"
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    .select("doc_id", "text")
+
+  private def pushedFilters(df: DataFrame): String = {
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    unwrap(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec => f.metadata.getOrElse("PushedFilters", "")
+      case b: BatchScanExec if b.scan.isInstanceOf[ParquetScan] =>
+        b.scan.asInstanceOf[ParquetScan].pushedFilters.mkString(",")
+    }.mkString(";")
+  }
+
+  test("build + append equals corpus-direct scoring; term filter pushes into the postings scan") {
+    val root = tmp()
+    Bm25Index.build(spark, root, docs.filter(col("doc_id") % 3 =!= 0),
+      nBuckets = 8, tag = 1)
+    Bm25Index.append(spark, root, docs.filter(col("doc_id") % 3 === 0), tag = 2)
+
+    val terms = Seq("the", "data")
+    // the topK plan pins (caches) the filtered postings frame, which
+    // hides the parquet scan behind InMemoryTableScan in the OUTER
+    // plan — so assert pushdown on the same filtered read the cache
+    // materializes from
+    val filteredRead = BucketedUpsert.read(spark, s"$root/postings")
+      .filter(col("tok").isin(terms: _*))
+      .select("tok", "doc_id", "dl", "tf")
+    assert(pushedFilters(filteredRead).contains("tok"),
+      s"the term filter must reach the postings scan: ${pushedFilters(filteredRead)}")
+    val got = Bm25Index.topK(spark, root, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    // corpus-direct reference: the t_bm25_topk shape over the same docs
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = base.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    val want = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          col("tf") * lit(1.2 + 1.0) /
+          (col("tf") + lit(1.2) * (lit(1.0 - 0.75) + lit(0.75) * col("dl") / col("avgdl")))), 6)
+        .as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.sameElements(want))
+    assert(got.nonEmpty)
+    graft.operators.SeqIds.releaseAll()
+  }
+
+  test("index tables carry one row per (tok, doc) and per doc") {
+    val root = tmp()
+    val slice = docs.filter(col("doc_id") < 100)
+    Bm25Index.build(spark, root, slice, nBuckets = 4, tag = 1)
+    val nDocs = slice.filter(col("text").isNotNull).count()
+    assert(BucketedUpsert.read(spark, s"$root/docstats").count() == nDocs)
+    val postings = BucketedUpsert.read(spark, s"$root/postings")
+    val nPairs = slice.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .count()
+    assert(postings.count() == nPairs,
+      "postings must hold exactly one row per (tok, doc) pair")
+    // tf sums back to total token count
+    val totToks = slice.filter(col("text").isNotNull)
+      .select(size(split(col("text"), " ")).as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(postings.agg(sum(col("tf").cast("long"))).head.getLong(0) == totToks)
+  }
+
+  test("append before build fails fast") {
+    intercept[IllegalArgumentException](
+      Bm25Index.append(spark, tmp(), docs.limit(3), tag = 1))
+  }
+}
