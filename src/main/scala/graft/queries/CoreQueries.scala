@@ -285,6 +285,28 @@ object CoreQueries extends QueryPack {
         .orderBy("c_mktsegment")
     }),
 
+    // S20: stats-pruned row-level delete — the GDPR/takedown shape:
+    // delete user_id ∈ [100,120] from the z-ordered tree, rewriting ONLY
+    // files whose zone-map range intersects (DeleteWhereSpec pins the
+    // minority-touched bound and kept-path identity); untouched files are
+    // referenced verbatim by the new version's manifest. The gate reads
+    // the post-delete version and hash-checks it against the oracle's
+    // full-scan delete — pruning the rewrite set must be invisible to
+    // the surviving rows.
+    "s20_delete_where" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-del-q").toString
+      val ev = t(s, d, "events")
+        .withColumn("bucket", expr("ts div 3600000000000"))
+      graft.lake.ZOrder.writeZOrdered(ev, s"$base/data", 16, "user_id", "bucket")
+      graft.lake.FileStats.writeStats(s, s"$base/data", s"$base/stats", Seq("user_id"))
+      graft.lake.DeleteWhere.deleteRange(s, s"$base/data", s"$base/stats",
+        "user_id", lit(100L), lit(120L), s"$base/v2")
+      graft.lake.DeleteWhere.read(s, s"$base/v2")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    }),
+
     // U5: union-by-name with missing-column fill — the schema-evolution
     // append (two exports whose column sets drifted, unioned into one
     // frame; matching is BY NAME, not position, and the absent column
@@ -385,6 +407,11 @@ object CoreQueries extends QueryPack {
       """SELECT c_mktsegment, count(*) AS n,
          CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // which files were rewritten must be invisible to the result: the
+    // oracle is the plain full-scan delete on the source table
+    "s20_delete_where" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE user_id NOT BETWEEN 100 AND 120 ORDER BY event_id""",
     "p1_project_cast" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation ORDER BY n_nationkey",
     "p3_eq_filter" ->
