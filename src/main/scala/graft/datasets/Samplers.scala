@@ -80,6 +80,60 @@ object Samplers {
     * Output keeps `es_score` as a column for downstream tie-breaks but
     * oracle-checked queries should project it away (raw-double hash).
     */
+  /** Deterministic MIXTURE sampling — the training-data "data recipe"
+    * step: given per-source integer weights and a token budget (a
+    * fraction `budgetNum/budgetDen` of the corpus' total `sizeCol`),
+    * select a per-source deterministic subset whose expected size hits
+    * the source's share of the budget. A source's keep-rate is
+    * `budget · w_s/ΣW · (T/tot_s)` capped at 1 — undersized sources are
+    * taken whole (the cap), oversized ones thinned.
+    *
+    * Selection is the md5-prefix Bernoulli of [[Portable.md5Sample]]
+    * with a PER-SOURCE bucket threshold, so the draw is scan-side
+    * (broadcast join against a source-count-sized rate table, no
+    * shuffle of the corpus), reproducible across engines and cluster
+    * sizes, and — because membership depends only on the key hash —
+    * MONOTONE in the budget: raising the budget only adds documents,
+    * never swaps them (the property that makes ablation runs nested).
+    *
+    * Cross-engine exactness: thresholds are computed in pure integer
+    * arithmetic (floor division over Long; weights are integers, sizes
+    * are summed as Long), so the oracle reproduces the same buckets
+    * digit-for-digit — no float rate ever exists to round differently.
+    * The per-source totals pass is one partial aggregate collected at
+    * source-count (dimension) scale.
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String, keyCol: String,
+                    sizeCol: String, weights: Map[String, Long],
+                    budgetNum: Long, budgetDen: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0,
+      s"budget fraction out of range: $budgetNum/$budgetDen")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) && weights.values.sum > 0,
+      "weights must be non-negative with a positive sum")
+    val wSum = weights.values.sum
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(col(sizeCol)).cast("long").as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // dimension-sized
+    val grand = totals.values.sum
+    val buckets = totals.map { case (src, tot) =>
+      val w = weights.getOrElse(src, 0L)
+      val num = 4096L * budgetNum * w * grand
+      require(w == 0 || grand == 0 || num / (4096L * budgetNum * w) == grand,
+        s"mixture threshold arithmetic overflows Long for source $src")
+      val b = if (tot <= 0 || w == 0) 0L
+              else math.min(4096L, num / (budgetDen * wSum * tot))
+      src -> b
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = buckets.toSeq.toDF(sourceCol, "mix_bucket")
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(col("mix_bucket") >= 4096 ||
+        substring(Portable.md5Key(col(keyCol)), 1, 3) <
+          format_string("%03x", col("mix_bucket")))
+      .drop("mix_bucket")
+  }
+
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String, k: Int): DataFrame = {
     require(k > 0, s"sample size must be positive: $k")
     val u48 = conv(substring(Portable.md5Key(col(keyCol)), 1, 12), 16, 10).cast("long")

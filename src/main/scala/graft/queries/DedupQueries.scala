@@ -509,6 +509,27 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Near-dup retention POLICY: instead of d_dedup_apply's keep-the-
+    // representative rule, keep the BEST document of each cluster —
+    // longest text, doc_id as the deterministic tie-break. This is the
+    // production quality-aware variant (dedup should discard the
+    // truncated mirror, not the original). Scale shape: the label table
+    // is pair-graph-sized (LSH survivors), so it broadcasts into the
+    // corpus scan map-side; the argmax is a partial-aggregatable
+    // min(struct) over cluster keys — the corpus is never shuffled and
+    // no window function materializes per-cluster row sets.
+    "d_cluster_best" -> ((s, d) => {
+      val labels = clustersOf(minhashPairs(s, d))
+      val docs = t(s, d, "documents").select("doc_id", "n_chars")
+      docs.join(broadcast(labels), Seq("doc_id"))
+        .groupBy("cluster")
+        .agg(min(struct((-col("n_chars")).as("neg"),
+          col("doc_id").as("doc_id"))).as("best"))
+        .select(col("cluster"), col("best.doc_id").as("doc_id"),
+          (-col("best.neg")).as("n_chars"))
+        .orderBy("cluster")
+    }),
+
     // SimHash near-dup candidates: 64-bit signature via the native
     // SimhashF expression, 2×32-bit bands — HASH-CHECKED end to end
     // (the oracle replicates the full 64-bit kernel in HUGEINT
@@ -760,6 +781,27 @@ object DedupQueries extends QueryPack {
             SELECT node FROM reach GROUP BY node
             HAVING LEAST(node, MIN(peer)) <> node)
           ORDER BY doc_id""",
+    // Same cluster closure, then the keep-best rule spelled as a
+    // window: rank each cluster's docs by (n_chars DESC, doc_id) and
+    // keep rank 1 — semantically identical to the Spark side's
+    // partial-aggregatable min(struct(-n_chars, doc_id)) argmax.
+    "d_cluster_best" ->
+      s"""WITH RECURSIVE $minhashCtes,
+          edges AS (SELECT da AS a, db AS b FROM mpairs
+                    UNION SELECT db, da FROM mpairs),
+          reach AS (
+            SELECT a AS node, b AS peer FROM edges
+            UNION
+            SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a),
+          labels AS (
+            SELECT node AS doc_id, LEAST(node, MIN(peer)) AS cluster
+            FROM reach GROUP BY node)
+          SELECT cluster, doc_id, n_chars FROM (
+            SELECT l.cluster, d.doc_id, d.n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY l.cluster
+                     ORDER BY d.n_chars DESC, d.doc_id) AS rn
+            FROM labels l JOIN documents d ON l.doc_id = d.doc_id) ranked
+          WHERE rn = 1 ORDER BY cluster""",
     // Full SQL replication of the SimHash kernel (TextSketches.simhash):
     // token hash = first 8 md5 bytes (two 32-bit hex parses combined in
     // HUGEINT — pure arithmetic, no signed-shift semantics questions),

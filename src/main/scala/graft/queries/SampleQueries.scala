@@ -116,6 +116,25 @@ object SampleQueries extends QueryPack {
         .orderBy("c_mktsegment", "fold")
     }),
 
+    // SP8: deterministic mixture sampling — the "data recipe" step of a
+    // training pipeline: weight the 20 sources 1..4 (by source index
+    // mod 4), budget 2/5 of total corpus chars, and let
+    // Samplers.mixtureSample derive each source's integer md5-bucket
+    // threshold from one dimension-sized totals pass. The oracle
+    // replays the integer threshold arithmetic digit-for-digit, so the
+    // exact selected set — not just its size — is hash-checked.
+    "sp8_mix_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val srcs = docs.select("source").distinct()
+        .collect().map(_.getString(0)) // dimension-sized
+      val weights = srcs.map(src =>
+        src -> ((src.stripPrefix("src").toLong % 4) + 1)).toMap
+      graft.datasets.Samplers
+        .mixtureSample(docs, "source", "doc_id", "n_chars", weights, 2L, 5L)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "p7_split_route" -> ((s, d) => {
       val keys = t(s, d, "orders")
         .select("o_custkey").distinct()
@@ -174,6 +193,27 @@ object SampleQueries extends QueryPack {
            FROM scored ORDER BY score DESC, o_orderkey LIMIT 64)
          SELECT o_orderkey, w AS weight, CAST(pick AS INT) AS pick
          FROM picked ORDER BY o_orderkey""",
+    // integer threshold replay: bucket_s = min(4096,
+    // (4096·2·w_s·T) // (5·ΣW·tot_s)) with w_s = srcIndex%4+1, then the
+    // same 3-hex-char md5 compare as Portable.md5Sample
+    "sp8_mix_sample" ->
+      """WITH tot AS (
+           SELECT source, CAST(sum(n_chars) AS BIGINT) AS tot,
+                  CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w
+           FROM documents GROUP BY source),
+         consts AS (
+           SELECT CAST(sum(tot) AS BIGINT) AS grand, CAST(sum(w) AS BIGINT) AS wsum
+           FROM tot),
+         rates AS (
+           SELECT source,
+                  LEAST(CAST(4096 AS BIGINT),
+                        (4096 * 2 * w * grand) // (5 * wsum * tot)) AS bucket
+           FROM tot, consts)
+         SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d JOIN rates r ON d.source = r.source
+         WHERE r.bucket >= 4096
+            OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 3) < printf('%03x', r.bucket)
+         ORDER BY d.doc_id""",
     "p7_split_route" ->
       s"""SELECT k.split, count(*) AS n_orders, count(DISTINCT o.o_custkey) AS n_keys
           FROM orders o

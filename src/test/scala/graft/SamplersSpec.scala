@@ -74,6 +74,46 @@ class SamplersSpec extends SparkSpec {
     assert(ids == Set(1L, 2L), s"non-positive-weight rows must never be drawn: $ids")
   }
 
+  test("mixtureSample hits per-source budget shares, caps undersized sources, nests by budget") {
+    // three sources: 'big' (8000 units), 'mid' (4000), 'tiny' (60).
+    // weights big=1, mid=1, tiny=2 → tiny's share of a half-total budget
+    // far exceeds its size, so it must be taken WHOLE (rate cap).
+    val rows = (1 to 800).map(i => (i.toLong, "big", 10L)) ++
+      (1 to 400).map(i => (1000L + i, "mid", 10L)) ++
+      (1 to 6).map(i => (2000L + i, "tiny", 10L))
+    val df = rows.toDF("doc_id", "source", "n_chars")
+    val w = Map("big" -> 1L, "mid" -> 1L, "tiny" -> 2L)
+
+    val half = Samplers.mixtureSample(df, "source", "doc_id", "n_chars", w, 1L, 2L)
+      .select("doc_id", "source").collect()
+    val bySrc = half.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // tiny: budget share = 1/2·(2/4)·12660 = 3165 units >> 60 → all 6 kept
+    assert(bySrc("tiny") == 6, s"undersized source must be taken whole: $bySrc")
+    // big and mid share rate = 1/2·(1/4)·12660/size: big ≈ 1583/8000 ≈ 20%,
+    // mid ≈ 1583/4000 ≈ 40% — md5 buckets give binomial noise, allow wide
+    assert(bySrc("big") > 100 && bySrc("big") < 230, s"big share off: $bySrc")
+    assert(bySrc("mid") > 100 && bySrc("mid") < 220, s"mid share off: $bySrc")
+
+    // monotone nesting: the half-budget draw is a SUBSET of the
+    // full-budget draw (hash-threshold selection, no reshuffling)
+    val fullB = Samplers.mixtureSample(df, "source", "doc_id", "n_chars", w, 9L, 10L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val halfIds = half.map(_.getLong(0)).toSet
+    assert(halfIds.subsetOf(fullB),
+      "raising the budget must only add documents, never swap them")
+
+    // determinism
+    val again = Samplers.mixtureSample(df, "source", "doc_id", "n_chars", w, 1L, 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == halfIds)
+
+    // a source with no weight entry is excluded entirely
+    val noW = Samplers.mixtureSample(df, "source", "doc_id", "n_chars",
+      Map("big" -> 1L), 1L, 2L).select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(noW == Set("big"))
+  }
+
   test("iidSampler keeps a deterministic ~25% of distinct ids") {
     val df = (1 to 1000).map(i => i.toLong % 200).toDF("item_id")
     val a = Samplers.iidSampler(df, "item_id", 1024).collect().map(_.getLong(0)).toSet
