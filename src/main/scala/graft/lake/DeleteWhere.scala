@@ -18,12 +18,16 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   * a small minority, so delete cost ∝ matching-range bytes, not table
   * bytes.
   *
-  * Output is a new immutable version: a `files/` dir holding the
-  * rewritten survivors plus a file-count-sized `manifest/` listing every
-  * path of the new version (kept originals + the rewritten dir). The
-  * manifest is written LAST, so a crash mid-delete leaves no readable
-  * half-version; production wraps the manifest in the [[Snapshot]]
-  * pointer protocol for multi-version atomicity, exactly as
+  * A delete's output is a new immutable VERSION that is itself a valid
+  * delete input: `files/` holds the rewritten survivors, `manifest/`
+  * (file-count-sized) lists every data path of the version, and `stats/`
+  * is the MAINTAINED zone-map manifest — kept files carry their old
+  * stats rows verbatim, rewritten files get fresh rows from one scan of
+  * `files/`. Stats maintenance therefore costs O(touched files), never a
+  * full-table rebuild, and deletes chain: `deleteRange(v2/stats) → v3`.
+  * The manifest is written LAST, so a crash mid-delete leaves no
+  * readable half-version; production wraps the version dir in the
+  * [[Snapshot]] pointer protocol for multi-version atomicity, exactly as
   * [[BucketedUpsert]] does with its bucket manifest.
   *
   * Correctness guards:
@@ -34,9 +38,9 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   *    (SQL three-valued logic would silently drop them through
   *    `NOT(col BETWEEN lo AND hi)`); the survivor filter keeps them
   *    explicitly.
-  *  - A stale manifest (layout changed since `writeStats`) fails loudly:
-  *    rewriting opens the manifest's paths, and a missing file is an
-  *    error, never a silent no-op.
+  *  - A stale stats manifest (layout changed since `writeStats`) fails
+  *    loudly: the delete opens the manifest's paths, and a missing file
+  *    is an error, never a silent no-op.
   */
 object DeleteWhere {
 
@@ -49,18 +53,28 @@ object DeleteWhere {
   private def manifestDir(outDir: String) = s"$outDir/manifest"
   private def filesDir(outDir: String) = s"$outDir/files"
 
-  /** Delete every row with `column` in [lo, hi] from the tree at
-    * `dataDir` (stats manifest at `statsDir`, built by
-    * [[FileStats.writeStats]] on the SAME layout), publishing the result
-    * as a new version at `outDir`. Only files whose zone-map range
-    * intersects [lo, hi] are read or written. */
-  def deleteRange(spark: SparkSession, dataDir: String, statsDir: String,
-                  column: String, lo: Column, hi: Column,
-                  outDir: String): DeleteStats = {
+  /** The maintained zone-map manifest of the version at `outDir` — pass
+    * this to the next [[deleteRange]] to chain deletes. */
+  def statsDirOf(outDir: String): String = s"$outDir/stats"
+
+  /** Delete every row with `column` in [lo, hi] from the version
+    * described by the stats manifest at `statsDir` (built by
+    * [[FileStats.writeStats]] over the initial tree, or maintained by a
+    * previous delete), publishing the result as a new version at
+    * `outDir`. Only files whose zone-map range intersects [lo, hi] are
+    * read or written — including their replacement stats rows. */
+  def deleteRange(spark: SparkSession, statsDir: String, column: String,
+                  lo: Column, hi: Column, outDir: String): DeleteStats = {
+    val oldStats = spark.read.parquet(statsDir)
+    require(oldStats.columns.contains(s"min_$column"),
+      s"stats manifest at $statsDir does not index column '$column'")
+    // every column the old manifest indexes (min_x/max_x pairs) is
+    // re-derived for rewritten files so the new manifest prunes on the
+    // same columns the old one did
+    val indexed = oldStats.columns.collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }.toSeq
     val touched = FileStats.prunedFiles(spark, statsDir, column, lo, hi).toSet
     // file-count-sized (metadata scale), same bound as the stats build
-    val all = spark.read.parquet(statsDir)
-      .select("path").collect().map(_.getString(0)).toSeq
+    val all = oldStats.select("path").collect().map(_.getString(0)).toSeq
     require(touched.subsetOf(all.toSet),
       "stats manifest disagrees with itself: pruned paths missing from it")
     val kept = all.filterNot(touched)
@@ -71,15 +85,38 @@ object DeleteWhere {
       val c = col(column)
       // survivors: NULL keys can never match a range delete — keep them
       val survivors = hit.filter(c.isNull || c < lo || c > hi)
-      survivors.write.mode(SaveMode.Overwrite).parquet(filesDir(outDir))
+      // re-range-cluster the survivors on the indexed columns before
+      // writing: a plain write inherits the scan's file-merged
+      // partitioning, whose per-file ranges go wide and erode the NEXT
+      // delete's pruning. The shuffle moves touched-file data only.
+      // (Full multi-dimensional re-clustering is compaction's job.)
+      survivors.repartitionByRange(touched.size, indexed.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(filesDir(outDir))
       // touched-row count comes from the stats manifest (already built),
       // not a second scan of the touched files
-      val before = spark.read.parquet(statsDir)
-        .filter(col("path").isInCollection(touched))
+      val before = oldStats.filter(col("path").isInCollection(touched))
         .agg(coalesce(sum("n_rows"), lit(0L))).head.getLong(0)
-      val after = spark.read.parquet(filesDir(outDir)).count()
+      // fresh stats for the rewritten files — this scan doubles as the
+      // post-delete row count, so stats maintenance adds no extra pass
+      FileStats.writeStats(spark, filesDir(outDir),
+        s"${statsDirOf(outDir)}-new", indexed)
+      val after = spark.read.parquet(s"${statsDirOf(outDir)}-new")
+        .agg(coalesce(sum("n_rows"), lit(0L))).head.getLong(0)
       rowsDeleted = before - after
     }
+    // maintained stats: kept files' rows verbatim + rewritten files' new
+    // rows (column-aligned by name; the fresh build emits the same set)
+    val keptStats = oldStats.filter(!col("path").isInCollection(touched))
+    val newStats =
+      if (touched.isEmpty) keptStats
+      else keptStats.unionByName(
+        spark.read.parquet(s"${statsDirOf(outDir)}-new"), allowMissingColumns = false)
+    newStats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDirOf(outDir))
+    if (touched.nonEmpty) { // drop the fresh-stats staging dir
+      val p = new org.apache.hadoop.fs.Path(s"${statsDirOf(outDir)}-new")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+
     val newPaths = kept ++ (if (touched.nonEmpty) Seq(filesDir(outDir)) else Nil)
     // manifest last: the version becomes readable only once it is complete
     import spark.implicits._

@@ -61,11 +61,36 @@ object FileStats {
     * back to an empty frame with the table schema when nothing
     * intersects. */
   def prunedRead(spark: SparkSession, dataDir: String, statsDir: String,
-                 column: String, lo: Column, hi: Column): DataFrame = {
-    val files = prunedFiles(spark, statsDir, column, lo, hi)
+                 column: String, lo: Column, hi: Column): DataFrame =
+    prunedReadAnd(spark, dataDir, statsDir, Seq((column, lo, hi)))
+
+  /** CONJUNCTIVE pruning: the manifest paths whose range intersects
+    * EVERY (column, lo, hi) bound — a file skippable on ANY dimension
+    * is skipped. This is where a z-ordered layout pays in full: each
+    * z-block is narrow on BOTH curve dimensions, so a 2D predicate
+    * multiplies the two dimensions' skip rates instead of taking the
+    * weaker one. */
+  def prunedFilesAnd(spark: SparkSession, statsDir: String,
+                     bounds: Seq[(String, Column, Column)]): Seq[String] = {
+    require(bounds.nonEmpty, "at least one pruning bound")
+    val pred = bounds.map { case (c, lo, hi) =>
+      col(maxName(c)) >= lo && col(minName(c)) <= hi
+    }.reduce(_ && _)
+    spark.read.parquet(statsDir).filter(pred)
+      .select("path").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Multi-bound range read: open only files surviving every bound,
+    * then re-apply the exact conjunctive predicate. */
+  def prunedReadAnd(spark: SparkSession, dataDir: String, statsDir: String,
+                    bounds: Seq[(String, Column, Column)]): DataFrame = {
+    val files = prunedFilesAnd(spark, statsDir, bounds)
     val base =
       if (files.isEmpty) spark.read.parquet(dataDir).limit(0)
       else spark.read.parquet(files: _*)
-    base.filter(col(column) >= lo && col(column) <= hi)
+    val pred = bounds.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    base.filter(pred)
   }
 }

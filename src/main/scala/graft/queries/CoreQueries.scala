@@ -227,6 +227,28 @@ object CoreQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // S21: CONJUNCTIVE zone-map pruning — the query shape the 2D
+    // z-order layout exists for: a (user range × time range) predicate
+    // prunes on BOTH curve dimensions, multiplying the per-dimension
+    // skip rates (FileStatsSpec pins that the 2D survivor set is a
+    // strict subset of either 1D prune). The exact predicate is
+    // re-applied after the skip, which is what the unpruned oracle
+    // hash-checks.
+    "s21_prune_2d" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-2d-q").toString
+      val ev = t(s, d, "events")
+        .withColumn("bucket", expr("ts div 3600000000000"))
+      graft.lake.ZOrder.writeZOrdered(ev, s"$base/data", 16, "user_id", "bucket")
+      graft.lake.FileStats.writeStats(s, s"$base/data", s"$base/stats",
+        Seq("user_id", "bucket"))
+      graft.lake.FileStats.prunedReadAnd(s, s"$base/data", s"$base/stats",
+          Seq(("user_id", lit(100L), lit(120L)),
+              ("bucket", lit(473400L), lit(473580L))))
+        .select("event_id", "user_id", "bucket")
+        .orderBy("event_id")
+    }),
+
     // S18: incremental materialized aggregate — a bucketed-upsert table
     // takes a base batch then an update batch (s15's update/insert mix),
     // and the MV is REFRESHED INCREMENTALLY between them from the
@@ -300,7 +322,7 @@ object CoreQueries extends QueryPack {
         .withColumn("bucket", expr("ts div 3600000000000"))
       graft.lake.ZOrder.writeZOrdered(ev, s"$base/data", 16, "user_id", "bucket")
       graft.lake.FileStats.writeStats(s, s"$base/data", s"$base/stats", Seq("user_id"))
-      graft.lake.DeleteWhere.deleteRange(s, s"$base/data", s"$base/stats",
+      graft.lake.DeleteWhere.deleteRange(s, s"$base/stats",
         "user_id", lit(100L), lit(120L), s"$base/v2")
       graft.lake.DeleteWhere.read(s, s"$base/v2")
         .select("event_id", "user_id", "event_type")
@@ -407,6 +429,14 @@ object CoreQueries extends QueryPack {
       """SELECT c_mktsegment, count(*) AS n,
          CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // 2D pruning must be invisible to results: the oracle is the plain
+    // unpruned conjunctive filter
+    "s21_prune_2d" ->
+      """SELECT event_id, user_id, epoch_ns(ts) // 3600000000000 AS bucket
+         FROM events
+         WHERE user_id BETWEEN 100 AND 120
+           AND epoch_ns(ts) // 3600000000000 BETWEEN 473400 AND 473580
+         ORDER BY event_id""",
     // which files were rewritten must be invisible to the result: the
     // oracle is the plain full-scan delete on the source table
     "s20_delete_where" ->

@@ -127,6 +127,19 @@ object WindowQueries extends QueryPack {
             / (col("n").cast("double") - 1.0)).as("var_qty"))
         .orderBy("l_returnflag")),
 
+    // A14: one-pass column profiling (operators.Profile) — per column,
+    // row/null/distinct counts and string-rendered min/max, computed as
+    // ONE aggregate over ONE scan (the multi-distinct compiles to a
+    // single-pass Expand) and unpivoted from the 1-row result. The
+    // oracle spells the same profile as a UNION ALL of per-column
+    // aggregates; `exact=false` is the documented 100 TB path (HLL NDV,
+    // no Expand) and is spec-covered rather than hash-gated because
+    // sketch values are engine-specific.
+    "a14_profile" -> ((s, d) =>
+      graft.operators.Profile.profile(
+        t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus"))),
+
     // Approximate distinct (HLL). The sketch VALUE is engine-specific,
     // so it cannot appear in the hashed output — but its accuracy
     // CONTRACT can: the gate emits the exact count plus a boolean
@@ -277,6 +290,29 @@ object WindowQueries extends QueryPack {
              - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
              / (CAST(n AS DOUBLE) - 1.0) AS var_qty
          FROM s ORDER BY l_returnflag""",
+    // the same profile spelled per column; min/max rendered as VARCHAR
+    // exactly as the Spark side's post-aggregate string cast
+    "a14_profile" ->
+      """SELECT * FROM (
+           SELECT 'l_orderkey' AS col_name, count(*) AS n,
+                  count(*) - count(l_orderkey) AS n_null,
+                  count(DISTINCT l_orderkey) AS n_distinct,
+                  CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+                  CAST(max(l_orderkey) AS VARCHAR) AS max_s FROM lineitem
+           UNION ALL
+           SELECT 'l_suppkey', count(*), count(*) - count(l_suppkey),
+                  count(DISTINCT l_suppkey),
+                  CAST(min(l_suppkey) AS VARCHAR),
+                  CAST(max(l_suppkey) AS VARCHAR) FROM lineitem
+           UNION ALL
+           SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+                  count(DISTINCT l_returnflag),
+                  min(l_returnflag), max(l_returnflag) FROM lineitem
+           UNION ALL
+           SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+                  count(DISTINCT l_linestatus),
+                  min(l_linestatus), max(l_linestatus) FROM lineitem)
+         ORDER BY col_name""",
     "a10_percentiles" ->
       """SELECT l_returnflag,
          quantile_cont(l_quantity, 0.25) AS p25,
