@@ -73,6 +73,25 @@ object Bm25Index {
       docstatsRoot(root), "doc_id", "graft_ver", nBuckets, tag)
   }
 
+  /** Remove documents from the index (takedown / mutate-as-
+    * delete-then-append): `docs` must carry the SAME (doc_id, text)
+    * that was ingested — the index is keyed by (tok, doc), so the
+    * stored tokenizer re-derives exactly the posting keys to remove
+    * (this is why the append-only contract tells mutators to delete
+    * first: the OLD text still names its own postings). Cost is one
+    * tokenize pass over the batch plus touched-bucket rewrites of both
+    * tables; corpus stats need no bookkeeping — N, avgdl, and df all
+    * derive from the surviving rows at query time, so they shrink with
+    * the deletion automatically. Returns the number of documents
+    * removed. */
+  def deleteDocs(spark: SparkSession, root: String, docs: DataFrame,
+                 tag: Long): Long = {
+    BucketedUpsert.deleteKeys(spark, postingsRoot(root), "pk",
+      postingsOf(docs).select("pk"), tag)
+    BucketedUpsert.deleteKeys(spark, docstatsRoot(root), "doc_id",
+      tokenize(docs).select("doc_id"), tag)
+  }
+
   /** BM25 top-k (k1=1.2, b=0.75) for `terms`, entirely from the stored
     * index — same scoring and 1e-6 pre-rank rounding as t_bm25_topk,
     * so results are identical to scoring the corpus directly. */

@@ -302,6 +302,15 @@ object Ivf {
     Snapshot.publish(centroids.coalesce(1), centRoot(root), tag)
   }
 
+  /** Remove vectors from the index by id (takedown / re-embed): a
+    * touched-bucket key delete on the corpus table; the stored
+    * quantizer is untouched (standard IVF — cells only thin, they
+    * never move). Cost is O(touched buckets + id set), never
+    * O(corpus). Returns the number of vectors removed. */
+  def deleteFromIndex(spark: SparkSession, root: String, vecIds: DataFrame,
+                      tag: Long): Long =
+    BucketedUpsert.deleteKeys(spark, corpusRoot(root), "vec_id", vecIds, tag)
+
   /** Search the persisted index as of its current published state. */
   def searchIndex(spark: SparkSession, root: String, queries: DataFrame,
                   topK: Int, nProbe: Int): DataFrame =

@@ -144,6 +144,79 @@ object BucketedUpsert {
     gcData(spark, root)
   }
 
+  /** Key-set delete — the GDPR/account-closure shape on a bucketed
+    * table: remove every row whose `key` appears in `keys` (a 1-column
+    * frame), rewriting ONLY the buckets those keys hash into and
+    * publishing the result as a new manifest under `tag`. Untouched
+    * buckets keep their previous-tag directories verbatim, so delete
+    * cost is O(touched buckets + key set), never O(table) — the
+    * complement of [[DeleteWhere]]'s range delete on zone-mapped trees.
+    *
+    * The key set is typically tiny (an account list) and the plan
+    * broadcast-anti-joins it into the touched buckets' scan; a huge
+    * delete set degrades gracefully to a shuffled anti join of the
+    * touched slice only. Returns the number of rows deleted.
+    *
+    * Semantics note (documented contract, same as every upsert table
+    * without tombstones): a delete removes the key's CURRENT row; a
+    * LATER batch carrying that key re-inserts it, whatever its version
+    * value — upstream must stop producing a deleted key, or carry the
+    * deletion as a tombstone row in its own feed.
+    */
+  def deleteKeys(spark: SparkSession, root: String, key: String,
+                 keys: DataFrame, tag: Long, keep: Int = 2): Long = {
+    require(keys.columns.length == 1,
+      s"keys must be a single-column frame, got ${keys.columns.mkString(",")}")
+    val prev = manifestEntries(spark, root)
+    require(prev.nonEmpty, s"no published bucketed table under $root")
+    val n = prev.head.nBuckets
+    val keyDf = keys.withColumnRenamed(keys.columns.head, key)
+    // delete-set-sized distinct, bucket-count-bounded result
+    val touched = keyDf.select(bucketOf(col(key), n).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val prevTouched = prev.filter(e => touched(e.bucket))
+    var deleted = 0L
+    val touchedEntries =
+      if (prevTouched.isEmpty) Seq.empty
+      else {
+        val base = spark.read.option("mergeSchema", "true")
+          .parquet(prevTouched.map(_.path): _*)
+        val survivors = base.join(keyDf, Seq(key), "left_anti")
+        val dataDir = s"$root/data/v$tag"
+        survivors
+          .withColumn("graft_bucket", bucketOf(col(key), n))
+          .repartition(col("graft_bucket"))
+          .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
+        // a fully-deleted bucket writes no leaf dir — it must simply
+        // drop out of the manifest (absent bucket = empty), never be
+        // referenced as a missing path
+        val dd = new Path(dataDir)
+        val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val present =
+          if (!fs.exists(dd)) Set.empty[Int]
+          else fs.listStatus(dd).map(_.getPath.getName)
+            .filter(_.startsWith("graft_bucket="))
+            .map(_.stripPrefix("graft_bucket=").toInt).toSet
+        // touched-slice-sized counts; the table is never scanned
+        val after =
+          if (present.isEmpty) 0L
+          else spark.read.option("mergeSchema", "true")
+            .parquet(present.toSeq.sorted.map(b => s"$dataDir/graft_bucket=$b"): _*)
+            .count()
+        deleted = base.count() - after
+        prevTouched.filter(e => present(e.bucket))
+          .map(e => Entry(e.bucket, s"$dataDir/graft_bucket=${e.bucket}", n))
+      }
+    val entries = prev.filterNot(e => touched(e.bucket)) ++ touchedEntries
+    import spark.implicits._
+    Snapshot.publish(
+      entries.map(e => (e.bucket, e.path, e.nBuckets))
+        .toDF("bucket", "path", "n_buckets").coalesce(1),
+      root, tag, keep)
+    gcData(spark, root)
+    deleted
+  }
+
   /** Delete `data/v*` version dirs referenced by NO retained manifest.
     * Runs after publish, so the retained manifest set (Snapshot keeps
     * `keep`) is exactly what in-flight readers can still resolve; a

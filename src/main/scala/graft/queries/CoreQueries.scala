@@ -329,6 +329,31 @@ object CoreQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // S22: key-set delete on a bucketed-upsert table — the other half
+    // of GDPR (s20 is the range delete on zone-mapped trees): every row
+    // whose key is in the delete set is removed by rewriting ONLY the
+    // buckets those keys hash into (BucketedUpsertSpec pins untouched
+    // buckets referenced verbatim and the fully-emptied-bucket edge);
+    // the new manifest publishes atomically through the Snapshot
+    // pointer. The oracle is the plain anti-filter aggregate.
+    "s22_delete_keys" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-delk-q").toString + "/t"
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal"), lit(1L).as("ver"))
+      graft.lake.BucketedUpsert.applyBatch(cust, root, "c_custkey", "ver",
+        nBuckets = 16, tag = 1)
+      val keys = t(s, d, "customer")
+        .filter(col("c_custkey") % 13 === 0).select("c_custkey")
+      graft.lake.BucketedUpsert.deleteKeys(s, root, "c_custkey", keys, tag = 2)
+      graft.lake.BucketedUpsert.read(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+             Portable.moneySum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // U5: union-by-name with missing-column fill — the schema-evolution
     // append (two exports whose column sets drifted, unioned into one
     // frame; matching is BY NAME, not position, and the absent column
@@ -437,6 +462,13 @@ object CoreQueries extends QueryPack {
          WHERE user_id BETWEEN 100 AND 120
            AND epoch_ns(ts) // 3600000000000 BETWEEN 473400 AND 473580
          ORDER BY event_id""",
+    // which buckets were rewritten must be invisible to the result:
+    // the oracle is the plain anti-filter on the source table
+    "s22_delete_keys" ->
+      """SELECT c_mktsegment, count(*) AS n,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+         FROM customer WHERE c_custkey % 13 <> 0
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // which files were rewritten must be invisible to the result: the
     // oracle is the plain full-scan delete on the source table
     "s20_delete_where" ->

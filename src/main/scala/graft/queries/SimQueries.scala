@@ -127,6 +127,31 @@ object SimQueries extends QueryPack {
         .orderBy("qid", "rank")
     }),
 
+    // Index deletion (takedown / re-embed): the persisted-index
+    // lifecycle's remaining verb — build, append, then REMOVE a vector
+    // set by id (touched-bucket key delete on the corpus table; the
+    // stored quantizer is untouched, cells only thin). Search runs from
+    // the post-delete published state; the oracle assigns the full
+    // corpus MINUS the deleted ids against the same base-seeded
+    // centroids, so hash-green means deletion is indistinguishable
+    // from never having ingested those vectors.
+    "ann_ivf_delete" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfdel-q").toString + "/idx"
+      val emb = t(s, d, "embeddings")
+      graft.ext.Ivf.buildIndex(s, root,
+        emb.filter(col("vec_id") % 5 =!= 0), k = 8, nBuckets = 16, tag = 1)
+      graft.ext.Ivf.appendToIndex(s, root,
+        emb.filter(col("vec_id") % 5 === 0), tag = 2)
+      graft.ext.Ivf.deleteFromIndex(s, root,
+        emb.filter(col("vec_id") % 7 === 1).select("vec_id"), tag = 3)
+      val q = querySet(emb)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      graft.ext.Ivf.searchIndex(s, root, q, topK = 3, nProbe = 2)
+        .select("qid", "rank", "vec_id")
+        .orderBy("qid", "rank")
+    }),
+
     // IVF-style bucketed ANN: search only the query's coarse cell.
     "ann_ivf_bucketed" -> ((s, d) => {
       graft.plans.GraftFunctions.register(s)
@@ -286,6 +311,40 @@ object SimQueries extends QueryPack {
                      row_number() OVER (PARTITION BY e.vec_id
                        ORDER BY $centCosSql DESC, c.cell) AS rn
               FROM embeddings e, cent c) WHERE rn = 1),
+          q AS (SELECT vec_id AS qid, embedding AS qemb FROM ($querySetSql)),
+          probes AS (
+            SELECT qid, qemb, cell FROM (
+              SELECT q.qid, q.qemb, c.cell,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY list_dot_product(CAST(q.qemb AS DOUBLE[]), CAST(c.centroid AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(q.qemb AS DOUBLE[]), CAST(q.qemb AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(c.centroid AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])))) DESC,
+                         c.cell) AS rn
+              FROM q, cent c) WHERE rn <= 2),
+          scored AS (
+            SELECT p.qid, a.vec_id,
+                   list_dot_product(CAST(p.qemb AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(p.qemb AS DOUBLE[]), CAST(p.qemb AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))) AS cos
+            FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid)
+          SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank, vec_id
+          FROM scored QUALIFY rank <= 3 ORDER BY qid, rank""",
+    // ann_ivf_persist's oracle with the deleted ids excluded from the
+    // assigned corpus — the quantizer still seeds from the ORIGINAL
+    // base slice (deletion never re-trains stored centroids)
+    "ann_ivf_delete" ->
+      s"""WITH cent AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                   embedding AS centroid
+            FROM (SELECT * FROM embeddings WHERE vec_id % 5 <> 0
+                  ORDER BY vec_id LIMIT 8)),
+          assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+              SELECT e.vec_id, e.embedding, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY $centCosSql DESC, c.cell) AS rn
+              FROM (SELECT * FROM embeddings WHERE vec_id % 7 <> 1) e, cent c)
+            WHERE rn = 1),
           q AS (SELECT vec_id AS qid, embedding AS qemb FROM ($querySetSql)),
           probes AS (
             SELECT qid, qemb, cell FROM (

@@ -236,6 +236,22 @@ object TextQueries extends QueryPack {
       graft.ext.Bm25Index.topK(s, root, Seq("dup", "spark", "merge"), 25)
     }),
 
+    // Index deletion: build the full corpus, take down the
+    // doc_id%10==7 slice (delete re-derives the posting keys from the
+    // docs' own text — the append-only contract's delete-first verb),
+    // query from the post-delete state. The oracle is the SAME BM25
+    // closure over the surviving corpus: hash-green means stats (N,
+    // avgdl, df) shrank exactly as if the docs were never ingested.
+    "t_bm25_delete" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bm25del-q").toString + "/idx"
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      graft.ext.Bm25Index.build(s, root, docs, nBuckets = 16, tag = 1)
+      graft.ext.Bm25Index.deleteDocs(s, root,
+        docs.filter(col("doc_id") % 10 === 7), tag = 2)
+      graft.ext.Bm25Index.topK(s, root, Seq("dup", "spark", "merge"), 25)
+    }),
+
     // Benchmark decontamination (GPT-3 §C / PaLM-style): flag training
     // documents sharing word-5-grams with a held-out benchmark set
     // (here the doc_id%20==0 slice stands in for the eval suite; in
@@ -396,12 +412,16 @@ object TextQueries extends QueryPack {
 
   // Shared by t_bm25_topk (corpus-direct) and t_bm25_indexed (the
   // maintained index must be indistinguishable from scoring the corpus).
-  private val bm25OracleSql =
-    """WITH dl AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS DOUBLE) AS dl
-                     FROM documents WHERE text IS NOT NULL),
+  /** The BM25 closure over `documents` restricted by `docFilter` —
+    * shared verbatim by the scan, index, and index-delete gates (the
+    * index paths' whole contract is indistinguishability from scoring
+    * the filtered corpus directly). */
+  private def bm25OracleSqlFor(docFilter: String) =
+    s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS DOUBLE) AS dl
+                     FROM documents WHERE text IS NOT NULL AND ($docFilter)),
          stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
          tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
-                FROM documents WHERE text IS NOT NULL),
+                FROM documents WHERE text IS NOT NULL AND ($docFilter)),
          tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM tk
                 WHERE tok IN ('dup','spark','merge') GROUP BY 1, 2),
          dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
@@ -416,6 +436,8 @@ object TextQueries extends QueryPack {
          CROSS JOIN stats s
          GROUP BY t.doc_id
          ORDER BY bm25 DESC, t.doc_id LIMIT 25"""
+
+  private val bm25OracleSql = bm25OracleSqlFor("TRUE")
 
   val oracle: Map[String, String] = Map(
     "t_quality_model" ->
@@ -552,6 +574,10 @@ object TextQueries extends QueryPack {
     // the maintained index over base ∪ appended batch must score
     // identically to the corpus-direct oracle — one SQL serves both
     "t_bm25_indexed" -> bm25OracleSql,
+    // deletion is indistinguishable from never having ingested the
+    // docs: the same closure over the surviving corpus (stats shrink
+    // with the deletion — N, avgdl, and df all recompute)
+    "t_bm25_delete" -> bm25OracleSqlFor("doc_id % 10 <> 7"),
     "t_pii_scrub" ->
       s"""WITH a AS (SELECT doc_id, $augSql AS aug FROM documents)
           SELECT doc_id,

@@ -94,6 +94,32 @@ class Bm25IndexSpec extends SparkSpec {
     assert(postings.agg(sum(col("tf").cast("long"))).head.getLong(0) == totToks)
   }
 
+  test("deleteDocs removes exactly the docs' postings and equals a never-ingested rebuild") {
+    val root = tmp()
+    Bm25Index.build(spark, root, docs, nBuckets = 8, tag = 1)
+    val doomed = docs.filter(col("doc_id") % 7 === 3)
+    val nDoomed = doomed.filter(col("text").isNotNull).count()
+    val removed = Bm25Index.deleteDocs(spark, root, doomed, tag = 2)
+    assert(removed == nDoomed)
+
+    // the post-delete index answers exactly like an index that never
+    // saw the docs — postings, stats, and scores all shrink together
+    val clean = tmp()
+    Bm25Index.build(spark, clean, docs.filter(col("doc_id") % 7 =!= 3),
+      nBuckets = 8, tag = 1)
+    val a = Bm25Index.topK(spark, root, Seq("dup", "spark", "merge"), 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Bm25Index.topK(spark, clean, Seq("dup", "spark", "merge"), 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b, "delete must equal the never-ingested rebuild")
+    assert(a.forall(_._1 % 7 != 3))
+
+    // no orphan postings: every surviving posting's doc survives
+    val p = graft.lake.BucketedUpsert.read(spark, s"$root/postings")
+    assert(p.filter(col("doc_id") % 7 === 3).count() == 0,
+      "deleted docs must leave no postings behind")
+  }
+
   test("append before build fails fast") {
     intercept[IllegalArgumentException](
       Bm25Index.append(spark, tmp(), docs.limit(3), tag = 1))

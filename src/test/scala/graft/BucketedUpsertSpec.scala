@@ -155,6 +155,51 @@ class BucketedUpsertSpec extends SparkSpec {
       none.columns.toSeq == Seq("k", "version", "v"))
   }
 
+  test("deleteKeys rewrites only the keys' buckets and drops fully-emptied buckets") {
+    val root = tmp("bu-del") + "/t"
+    val base = spark.range(0, 800)
+      .select(col("id").as("k"), lit(1L).as("version"), col("id").as("v"))
+    BucketedUpsert.applyBatch(base, root, "k", "version", nBuckets = 8, tag = 0)
+    val manifest0 = Snapshot.read(spark, root)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+
+    // one key → exactly one touched bucket; 7 untouched paths verbatim
+    val one = spark.range(7, 8).toDF("k")
+    val d1 = BucketedUpsert.deleteKeys(spark, root, "k", one, tag = 1)
+    assert(d1 == 1L)
+    val manifest1 = Snapshot.read(spark, root)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val changed = manifest1.filter { case (b, p) => manifest0(b) != p }
+    assert(changed.size == 1,
+      s"one-key delete must rewrite exactly one bucket, rewrote ${changed.keySet}")
+    assert(manifest1.filterNot(e => changed.contains(e._1)) ==
+      manifest0.filterNot(e => changed.contains(e._1)),
+      "untouched buckets must keep their previous data paths verbatim")
+    val got = snap(BucketedUpsert.read(spark, root))
+    assert(got.size == 799 && !got.exists(_._1 == 7L))
+
+    // deleting EVERY key of one bucket: the bucket must drop out of the
+    // manifest (absent = empty), and reads must keep working
+    import spark.implicits._
+    val b0keys = BucketedUpsert.read(spark, root)
+      .withColumn("b", BucketedUpsert.bucketOf(col("k"), 8))
+      .filter(col("b") === 0).select("k")
+    val n0 = b0keys.count()
+    assert(n0 > 0)
+    val d2 = BucketedUpsert.deleteKeys(spark, root, "k", b0keys, tag = 2)
+    assert(d2 == n0)
+    val manifest2 = Snapshot.read(spark, root)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(!manifest2.contains(0), s"emptied bucket must leave the manifest: $manifest2")
+    assert(BucketedUpsert.read(spark, root).count() == 799 - n0)
+
+    // deleting keys that do not exist is a published no-op on rows
+    val d3 = BucketedUpsert.deleteKeys(spark, root, "k",
+      Seq(100000L, 100001L).toDF("k"), tag = 3)
+    assert(d3 == 0L)
+    assert(BucketedUpsert.read(spark, root).count() == 799 - n0)
+  }
+
   test("data versions fall out of GC once no retained manifest references them") {
     val root = tmp("bu4-table") + "/t"
     def batchAt(tag: Long) = {

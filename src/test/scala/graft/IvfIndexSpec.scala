@@ -58,6 +58,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(got == 0.5f, "the re-ingested key must carry the NEW vector")
   }
 
+  test("deleteFromIndex removes the ids, keeps the quantizer, and search never returns them") {
+    val root = tmp()
+    Ivf.buildIndex(spark, root, emb, k = 4, nBuckets = 8, tag = 1)
+    val centBefore = Snapshot.read(spark, s"$root/centroids")
+      .collect().map(_.toString).sorted
+    val before = BucketedUpsert.read(spark, s"$root/corpus").count()
+
+    val doomed = emb.filter(col("vec_id") % 9 === 2).select("vec_id")
+    val nDoomed = doomed.count()
+    val removed = Ivf.deleteFromIndex(spark, root, doomed, tag = 2)
+    assert(removed == nDoomed)
+    val corpus = BucketedUpsert.read(spark, s"$root/corpus")
+    assert(corpus.count() == before - nDoomed)
+    assert(corpus.filter(col("vec_id") % 9 === 2).count() == 0)
+
+    // quantizer untouched: cells thin, they never move
+    val centAfter = Snapshot.read(spark, s"$root/centroids")
+      .collect().map(_.toString).sorted
+    assert(centBefore.sameElements(centAfter))
+
+    val q = emb.filter(col("vec_id") % 25 === 0).limit(8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val hits = Ivf.searchIndex(spark, root, q, topK = 3, nProbe = 2)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(hits.forall(_ % 9 != 2), "search must never surface a deleted vector")
+  }
+
   test("append before build fails fast; centroid tag tracks appends") {
     val root = tmp()
     intercept[IllegalStateException](
