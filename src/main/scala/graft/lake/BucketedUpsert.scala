@@ -144,6 +144,47 @@ object BucketedUpsert {
     gcData(spark, root)
   }
 
+  /** CDC live view: the table minus tombstone rows. A CDC feed's
+    * DELETE is ingested as a NORMAL row (op column + version) through
+    * [[applyBatch]] — the tombstone must be STORED, not applied-and-
+    * dropped, because it is what makes deletion safe under the same
+    * out-of-order arrivals SEQUENCE BY already guards: a late OLDER
+    * update for a deleted key loses the version resolve to the stored
+    * tombstone instead of silently resurrecting the key (the classic
+    * CDC bug; Kafka compaction retains tombstones for exactly this
+    * reason). Readers see the live table through this filter; rows
+    * where `tombstone` is NULL (pre-CDC legacy rows) are kept.
+    */
+  def readLive(spark: SparkSession, root: String, tombstone: Column): DataFrame =
+    read(spark, root).filter(!coalesce(tombstone, lit(false)))
+
+  /** Tombstone retention GC: physically drop tombstone rows whose
+    * `versionCol` is at or below `horizon`, rewriting ONLY the buckets
+    * that hold one. The horizon is the caller's out-of-order bound
+    * (e.g. the stream's watermark floor): a tombstone older than it
+    * can no longer be out-raced by a late update, so storing it buys
+    * nothing. Purging EARLIER than the true bound re-opens the
+    * resurrection window — the horizon contract is the caller's.
+    * The candidate scan is column-pruned (key, version + the tombstone
+    * inputs) over the current table; the rewrite cost is touched
+    * buckets only. Returns the number of tombstones dropped.
+    */
+  def purgeTombstones(spark: SparkSession, root: String, key: String,
+                      versionCol: String, tombstone: Column, horizon: Long,
+                      tag: Long, keep: Int = 2): Long = {
+    val prev = manifestEntries(spark, root)
+    require(prev.nonEmpty, s"no published bucketed table under $root")
+    val n = prev.head.nBuckets
+    val expirable = coalesce(tombstone, lit(false)) && col(versionCol) <= horizon
+    // bucket-count-bounded result; the scan reads only the columns the
+    // predicate needs
+    val touched = read(spark, root).filter(expirable)
+      .select(bucketOf(col(key), n).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    rewriteBuckets(spark, root, prev, touched, _.filter(!expirable),
+      key, n, tag, keep)
+  }
+
   /** Key-set delete — the GDPR/account-closure shape on a bucketed
     * table: remove every row whose `key` appears in `keys` (a 1-column
     * frame), rewriting ONLY the buckets those keys hash into and
@@ -174,22 +215,35 @@ object BucketedUpsert {
     // delete-set-sized distinct, bucket-count-bounded result
     val touched = keyDf.select(bucketOf(col(key), n).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
+    rewriteBuckets(spark, root, prev, touched,
+      _.join(keyDf, Seq(key), "left_anti"), key, n, tag, keep)
+  }
+
+  /** Shared touched-bucket rewrite: read the touched buckets, keep
+    * `survivorsOf`'s rows, land them as a new version dir, and publish
+    * a manifest where untouched entries carry their old paths verbatim.
+    * A fully-emptied bucket writes no leaf dir and simply DROPS OUT of
+    * the manifest (absent bucket = empty) — it is never referenced as
+    * a missing path. Returns the number of rows removed; counts are
+    * touched-slice-sized, the table is never scanned here.
+    */
+  private def rewriteBuckets(spark: SparkSession, root: String,
+                             prev: Seq[Entry], touched: Set[Int],
+                             survivorsOf: DataFrame => DataFrame,
+                             key: String, n: Int, tag: Long,
+                             keep: Int): Long = {
     val prevTouched = prev.filter(e => touched(e.bucket))
-    var deleted = 0L
+    var removed = 0L
     val touchedEntries =
       if (prevTouched.isEmpty) Seq.empty
       else {
         val base = spark.read.option("mergeSchema", "true")
           .parquet(prevTouched.map(_.path): _*)
-        val survivors = base.join(keyDf, Seq(key), "left_anti")
         val dataDir = s"$root/data/v$tag"
-        survivors
+        survivorsOf(base)
           .withColumn("graft_bucket", bucketOf(col(key), n))
           .repartition(col("graft_bucket"))
           .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
-        // a fully-deleted bucket writes no leaf dir — it must simply
-        // drop out of the manifest (absent bucket = empty), never be
-        // referenced as a missing path
         val dd = new Path(dataDir)
         val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val present =
@@ -197,13 +251,12 @@ object BucketedUpsert {
           else fs.listStatus(dd).map(_.getPath.getName)
             .filter(_.startsWith("graft_bucket="))
             .map(_.stripPrefix("graft_bucket=").toInt).toSet
-        // touched-slice-sized counts; the table is never scanned
         val after =
           if (present.isEmpty) 0L
           else spark.read.option("mergeSchema", "true")
             .parquet(present.toSeq.sorted.map(b => s"$dataDir/graft_bucket=$b"): _*)
             .count()
-        deleted = base.count() - after
+        removed = base.count() - after
         prevTouched.filter(e => present(e.bucket))
           .map(e => Entry(e.bucket, s"$dataDir/graft_bucket=${e.bucket}", n))
       }
@@ -214,7 +267,7 @@ object BucketedUpsert {
         .toDF("bucket", "path", "n_buckets").coalesce(1),
       root, tag, keep)
     gcData(spark, root)
-    deleted
+    removed
   }
 
   /** Delete `data/v*` version dirs referenced by NO retained manifest.

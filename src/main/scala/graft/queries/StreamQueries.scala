@@ -136,6 +136,31 @@ object StreamQueries extends QueryPack {
     // update stream (key = user_id, version = event_id), folded through
     // streamingUpsert's per-batch SEQUENCE BY resolve + atomic swap;
     // the final table must equal the batch last-version-per-key.
+    // CDC with DELETE ops through the REAL streaming runtime: rows
+    // where event_type='purchase' are tombstones ('the account closed').
+    // They flow through the bucketed upsert as NORMAL versioned rows —
+    // stored, not applied-and-dropped, so a late OLDER update can never
+    // resurrect a deleted key (BucketedUpsertSpec pins that property
+    // and the retention purge) — and the live view filters them at
+    // read. The oracle applies the same rule to the resolved stream:
+    // keys whose NEWEST event is a tombstone disappear.
+    "st_cdc_delete" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-cdc-q").toString
+      val src = s"$base/src"; val table = s"$base/table"; val ckp = s"$base/ckp"
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id").as("version"),
+          col("event_type"), col("value"))
+        .write.parquet(src)
+      val updates = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+      EventStreams.streamingUpsertBucketed(s, updates, "user_id", "version",
+        table, ckp, nBuckets = 8)
+      graft.lake.BucketedUpsert
+        .readLive(s, table, col("event_type") === "purchase")
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .orderBy("user_id")
+    }),
+
     "st_upsert_sink" -> ((s, d) => {
       val base = java.nio.file.Files.createTempDirectory("graft-upsert-q").toString
       val src = s"$base/src"; val table = s"$base/table"; val ckp = s"$base/ckp"
@@ -236,6 +261,15 @@ object StreamQueries extends QueryPack {
     "st_file_sink" ->
       """SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
          FROM events WHERE event_type = 'click' ORDER BY event_id""",
+    // the CDC apply rule: SEQUENCE BY resolve, then keys whose newest
+    // row is a tombstone (event_type='purchase') leave the live view
+    "st_cdc_delete" ->
+      """SELECT user_id, version, event_type, CAST(value AS DOUBLE) AS value
+         FROM (SELECT user_id, event_id AS version, event_type, value,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 AND event_type <> 'purchase' ORDER BY user_id""",
     // SEQUENCE BY resolve over the whole stream = last version per key
     "st_upsert_sink" ->
       """SELECT user_id, version, event_type, CAST(value AS DOUBLE) AS value

@@ -200,6 +200,53 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(BucketedUpsert.read(spark, root).count() == 799 - n0)
   }
 
+  test("stored tombstones survive late old updates; purge drops only expired ones") {
+    val root = tmp("bu-cdc") + "/t"
+    def row(k: Long, ver: Long, op: String, v: Long) = {
+      import spark.implicits._
+      Seq((k, ver, op, v)).toDF("k", "version", "op", "v")
+    }
+    val isTomb = col("op") === "D"
+    val base = spark.range(0, 40)
+      .select(col("id").as("k"), lit(1L).as("version"), lit("U").as("op"),
+        col("id").as("v"))
+    BucketedUpsert.applyBatch(base, root, "k", "version", nBuckets = 4, tag = 1)
+
+    // tombstone k=7 at version 10: leaves the live view, stays stored
+    BucketedUpsert.applyBatch(row(7L, 10L, "D", 0L), root, "k", "version", 4, tag = 2)
+    assert(BucketedUpsert.readLive(spark, root, isTomb)
+      .filter(col("k") === 7).count() == 0)
+    assert(BucketedUpsert.read(spark, root)
+      .filter(col("k") === 7 && isTomb).count() == 1,
+      "the tombstone row must be STORED, not applied-and-dropped")
+
+    // THE point: a late OLDER update (version 5 < 10) arrives after the
+    // delete — it must lose the resolve to the stored tombstone, not
+    // resurrect the key
+    BucketedUpsert.applyBatch(row(7L, 5L, "U", 777L), root, "k", "version", 4, tag = 3)
+    assert(BucketedUpsert.readLive(spark, root, isTomb)
+      .filter(col("k") === 7).count() == 0,
+      "a late old update must never resurrect a deleted key")
+
+    // purge below the horizon: version-10 tombstone survives horizon 9…
+    assert(BucketedUpsert.purgeTombstones(spark, root, "k", "version",
+      isTomb, horizon = 9L, tag = 4) == 0L)
+    assert(BucketedUpsert.read(spark, root)
+      .filter(col("k") === 7).count() == 1)
+    // …and is dropped at horizon 10; only its bucket rewrites
+    val manifestBefore = Snapshot.read(spark, root)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(BucketedUpsert.purgeTombstones(spark, root, "k", "version",
+      isTomb, horizon = 10L, tag = 5) == 1L)
+    val manifestAfter = Snapshot.read(spark, root)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val changed = manifestAfter.filter { case (b, p) => manifestBefore(b) != p }
+    assert(changed.size == 1,
+      s"purge must rewrite only the tombstone's bucket, rewrote ${changed.keySet}")
+    assert(BucketedUpsert.read(spark, root).filter(col("k") === 7).count() == 0)
+    assert(BucketedUpsert.read(spark, root).count() == 39)
+  }
+
   test("data versions fall out of GC once no retained manifest references them") {
     val root = tmp("bu4-table") + "/t"
     def batchAt(tag: Long) = {
