@@ -302,6 +302,38 @@ object Ivf {
     Snapshot.publish(centroids.coalesce(1), centRoot(root), tag)
   }
 
+  /** STREAMING index maintenance: fold a checkpointed stream of
+    * (vec_id, embedding, label) batches into the persisted index. The
+    * first batch BUILDS (seeds the quantizer from itself — the same
+    * base-slice-seeds rule the batch lifecycle uses); every later
+    * batch append-assigns against the stored centroids and rewrites
+    * only its touched buckets. Batch ids and snapshot tags share the
+    * ledger of [[graft.streaming.EventStreams]]'s upsert sinks, so a
+    * crash-replayed batch is skipped idempotently and a rewound
+    * checkpoint fails fast — the embedding pipeline gets exactly-once
+    * index state for free. This is the production shape for continuous
+    * embedding ingest: the quantizer trains once, the corpus grows in
+    * touched-bucket increments, and a search between any two batches
+    * reads a complete published state.
+    */
+  def streamingIngest(spark: SparkSession, updates: DataFrame, root: String,
+                      checkpointDir: String, k: Int, nBuckets: Int): Unit = {
+    // each micro-batch executes in a CLONED session state; the native
+    // argmax must be registered on the batch's own session (the
+    // pre-start registration seeds the clone, the per-batch one guards
+    // restarts that clone from a fresh state)
+    GraftFunctions.register(spark)
+    graft.streaming.EventStreams.runLedgeredUpsert(
+      spark, updates, corpusRoot(root), checkpointDir) { (batch, batchId) =>
+      val bs = batch.sparkSession
+      GraftFunctions.register(bs)
+      if (Snapshot.resolve(bs, corpusRoot(root)).isEmpty)
+        buildIndex(bs, root, batch, k, nBuckets, tag = batchId)
+      else
+        appendToIndex(bs, root, batch, tag = batchId)
+    }
+  }
+
   /** Remove vectors from the index by id (takedown / re-embed): a
     * touched-bucket key delete on the corpus table; the stored
     * quantizer is untouched (standard IVF — cells only thin, they

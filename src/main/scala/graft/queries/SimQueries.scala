@@ -127,6 +127,33 @@ object SimQueries extends QueryPack {
         .orderBy("qid", "rank")
     }),
 
+    // STREAMING index ingest through the real runtime: two embedding
+    // files land as two checkpointed micro-batches (mod-time ordered;
+    // maxFilesPerTrigger=1); batch 0 BUILDS the index (quantizer seeds
+    // from itself), batch 1 append-assigns against the stored
+    // centroids under the batch-id ledger. Search runs from the final
+    // published state. The oracle seeds centroids from the batch-0
+    // slice and assigns the full corpus — hash-green means continuous
+    // ingest converges to exactly the batch lifecycle's index.
+    "st_ann_ingest" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-annst-q").toString
+      val src = s"$base/src"; val root = s"$base/idx"; val ckp = s"$base/ckp"
+      val emb = t(s, d, "embeddings")
+      emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(src)
+      Thread.sleep(1100) // distinct mod times → deterministic batch order
+      emb.filter(col("vec_id") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(src)
+      val updates = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      graft.ext.Ivf.streamingIngest(s, updates, root, ckp, k = 8, nBuckets = 16)
+      val q = querySet(emb)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      graft.ext.Ivf.searchIndex(s, root, q, topK = 3, nProbe = 2)
+        .select("qid", "rank", "vec_id")
+        .orderBy("qid", "rank")
+    }),
+
     // Index deletion (takedown / re-embed): the persisted-index
     // lifecycle's remaining verb — build, append, then REMOVE a vector
     // set by id (touched-bucket key delete on the corpus table; the
@@ -304,6 +331,39 @@ object SimQueries extends QueryPack {
             SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
                    embedding AS centroid
             FROM (SELECT * FROM embeddings WHERE vec_id % 5 <> 0
+                  ORDER BY vec_id LIMIT 8)),
+          assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+              SELECT e.vec_id, e.embedding, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY $centCosSql DESC, c.cell) AS rn
+              FROM embeddings e, cent c) WHERE rn = 1),
+          q AS (SELECT vec_id AS qid, embedding AS qemb FROM ($querySetSql)),
+          probes AS (
+            SELECT qid, qemb, cell FROM (
+              SELECT q.qid, q.qemb, c.cell,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY list_dot_product(CAST(q.qemb AS DOUBLE[]), CAST(c.centroid AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(q.qemb AS DOUBLE[]), CAST(q.qemb AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(c.centroid AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])))) DESC,
+                         c.cell) AS rn
+              FROM q, cent c) WHERE rn <= 2),
+          scored AS (
+            SELECT p.qid, a.vec_id,
+                   list_dot_product(CAST(p.qemb AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(p.qemb AS DOUBLE[]), CAST(p.qemb AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))) AS cos
+            FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid)
+          SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank, vec_id
+          FROM scored QUALIFY rank <= 3 ORDER BY qid, rank""",
+    // ann_ivf_persist's closure with the quantizer seeded from the
+    // batch-0 slice (vec_id % 2 = 0) — streaming ingest must converge
+    // to exactly the batch lifecycle's index
+    "st_ann_ingest" ->
+      s"""WITH cent AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                   embedding AS centroid
+            FROM (SELECT * FROM embeddings WHERE vec_id % 2 = 0
                   ORDER BY vec_id LIMIT 8)),
           assigned AS (
             SELECT vec_id, embedding, cell FROM (

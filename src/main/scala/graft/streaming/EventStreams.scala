@@ -236,7 +236,7 @@ object EventStreams {
     * rewound-checkpoint fail-fast below it — see [[streamingUpsert]]'s
     * scaladoc for the full contract) around a per-batch apply.
     */
-  private def runLedgeredUpsert(spark: SparkSession, updates: DataFrame,
+  private[graft] def runLedgeredUpsert(spark: SparkSession, updates: DataFrame,
                                 tableRoot: String, checkpointDir: String)
                                (apply: (DataFrame, Long) => Unit): Unit = {
     val q = updates.writeStream

@@ -85,6 +85,36 @@ class IvfIndexSpec extends SparkSpec {
     assert(hits.forall(_ % 9 != 2), "search must never surface a deleted vector")
   }
 
+  test("streamingIngest equals the batch lifecycle and restarts are no-ops") {
+    val base = java.nio.file.Files.createTempDirectory("ivfst-spec").toString
+    val src = s"$base/src"; val root = s"$base/idx"; val ckp = s"$base/ckp"
+    val sliceA = emb.filter(col("vec_id") % 2 === 0)
+    val sliceB = emb.filter(col("vec_id") % 2 =!= 0)
+    sliceA.coalesce(1).write.parquet(src)
+    Thread.sleep(1100) // distinct mod times → deterministic batch order
+    sliceB.coalesce(1).write.mode("append").parquet(src)
+    def updates = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    Ivf.streamingIngest(spark, updates, root, ckp, k = 4, nBuckets = 8)
+
+    // equality with the batch lifecycle on the same slices
+    val batchRoot = s"$base/batch-idx"
+    Ivf.buildIndex(spark, batchRoot, sliceA, k = 4, nBuckets = 8, tag = 1)
+    Ivf.appendToIndex(spark, batchRoot, sliceB, tag = 2)
+    def corpusOf(r: String) = BucketedUpsert.read(spark, s"$r/corpus")
+      .select("vec_id", "cell").collect()
+      .map(x => (x.getLong(0), x.getInt(1))).sorted.toSeq
+    assert(corpusOf(root) == corpusOf(batchRoot),
+      "streaming ingest must converge to the batch lifecycle's index")
+
+    // restart on the same checkpoint: nothing new → published state
+    // unchanged (the ledger skips; no rebuild, no tag movement)
+    val tagBefore = Snapshot.currentTag(spark, s"$root/corpus")
+    Ivf.streamingIngest(spark, updates, root, ckp, k = 4, nBuckets = 8)
+    assert(Snapshot.currentTag(spark, s"$root/corpus") == tagBefore)
+    assert(corpusOf(root) == corpusOf(batchRoot))
+  }
+
   test("append before build fails fast; centroid tag tracks appends") {
     val root = tmp()
     intercept[IllegalStateException](
