@@ -73,6 +73,43 @@ object Bm25Index {
       docstatsRoot(root), "doc_id", "graft_ver", nBuckets, tag)
   }
 
+  /** STREAMING index maintenance: fold a checkpointed stream of
+    * (doc_id, text) batches into the inverted index — the crawl-ingest
+    * pipeline as a running process. First batch builds, later batches
+    * append (tokenize ONLY the batch, rewrite only touched buckets).
+    *
+    * The index is TWO tables published in sequence, so exactly-once
+    * needs two layers: the batch-id ledger is anchored on DOC-STATS —
+    * the table published LAST — so a crash anywhere inside an apply
+    * re-delivers the batch; and each table carries its own tag guard,
+    * so the replay re-publishes only what the crash left missing
+    * (Snapshot.publish forbids same-tag re-publish, which would
+    * otherwise make the replay of a half-applied batch throw on the
+    * already-landed postings). A rewound checkpoint still fails fast
+    * via the ledger. Append-only by doc_id, as the batch API: a
+    * mutating upstream deletes first. */
+  def streamingIngest(spark: SparkSession, updates: DataFrame, root: String,
+                      checkpointDir: String, nBuckets: Int): Unit =
+    graft.streaming.EventStreams.runLedgeredUpsert(
+      spark, updates, docstatsRoot(root), checkpointDir) { (batch, batchId) =>
+      val bs = batch.sparkSession
+      val n = graft.lake.Snapshot.resolve(bs, postingsRoot(root)) match {
+        case None => nBuckets
+        case Some(_) => BucketedUpsert.bucketCount(bs, postingsRoot(root))
+      }
+      def behind(tableRoot: String) =
+        !graft.lake.Snapshot.currentTag(bs, tableRoot).exists(_ >= batchId)
+      if (behind(postingsRoot(root)))
+        BucketedUpsert.applyBatch(
+          postingsOf(batch).withColumn("graft_ver", lit(batchId)),
+          postingsRoot(root), "pk", "graft_ver", n, batchId)
+      if (behind(docstatsRoot(root)))
+        BucketedUpsert.applyBatch(
+          tokenize(batch).select(col("doc_id"), col("dl"))
+            .withColumn("graft_ver", lit(batchId)),
+          docstatsRoot(root), "doc_id", "graft_ver", n, batchId)
+    }
+
   /** Remove documents from the index (takedown / mutate-as-
     * delete-then-append): `docs` must carry the SAME (doc_id, text)
     * that was ingested — the index is keyed by (tok, doc), so the

@@ -327,9 +327,23 @@ object Ivf {
       spark, updates, corpusRoot(root), checkpointDir) { (batch, batchId) =>
       val bs = batch.sparkSession
       GraftFunctions.register(bs)
-      if (Snapshot.resolve(bs, corpusRoot(root)).isEmpty)
-        buildIndex(bs, root, batch, k, nBuckets, tag = batchId)
-      else
+      if (Snapshot.resolve(bs, corpusRoot(root)).isEmpty) {
+        // replay-safe build (not buildIndex verbatim): a crash between
+        // the centroid publish and the corpus publish re-delivers the
+        // batch, and Snapshot.publish forbids same-tag re-publish — so
+        // the centroid step is guarded and the replay lands only the
+        // missing corpus half, assigned against the STORED quantizer.
+        if (!Snapshot.currentTag(bs, centRoot(root)).exists(_ >= batchId))
+          Snapshot.publish(seedCentroids(batch, k).coalesce(1),
+            centRoot(root), batchId)
+        val assigned = assign(bs, batch, Snapshot.read(bs, centRoot(root)))
+        BucketedUpsert.applyBatch(
+          assigned.withColumn("graft_ver", lit(batchId)),
+          corpusRoot(root), "vec_id", "graft_ver", nBuckets, batchId)
+      } else
+        // append publishes corpus FIRST, so a crash before the centroid
+        // freshness re-publish leaves only a stale centroid tag (same
+        // generation, content unchanged) — healed by the next batch
         appendToIndex(bs, root, batch, tag = batchId)
     }
   }

@@ -236,6 +236,30 @@ object TextQueries extends QueryPack {
       graft.ext.Bm25Index.topK(s, root, Seq("dup", "spark", "merge"), 25)
     }),
 
+    // STREAMING crawl ingest through the real runtime: two document
+    // files land as two checkpointed micro-batches; batch 0 builds the
+    // inverted index, batch 1 appends (tokenizes only itself). The
+    // two-table publish is replay-safe via per-table tag guards with
+    // the ledger anchored on the LAST-published table (scaladoc on
+    // Bm25Index.streamingIngest; Bm25IndexSpec pins batch-lifecycle
+    // equality and restart no-op-ness). Unlike the IVF gate there is
+    // no seed sensitivity — the index is batch-split-invariant, so the
+    // oracle is the full-corpus BM25 closure shared with t_bm25_topk.
+    "st_bm25_ingest" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bm25st-q").toString
+      val src = s"$base/src"; val root = s"$base/idx"; val ckp = s"$base/ckp"
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(src)
+      Thread.sleep(1100) // distinct mod times → deterministic batch order
+      docs.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(src)
+      val updates = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      graft.ext.Bm25Index.streamingIngest(s, updates, root, ckp, nBuckets = 16)
+      graft.ext.Bm25Index.topK(s, root, Seq("dup", "spark", "merge"), 25)
+    }),
+
     // Index deletion: build the full corpus, take down the
     // doc_id%10==7 slice (delete re-derives the posting keys from the
     // docs' own text — the append-only contract's delete-first verb),
@@ -578,6 +602,9 @@ object TextQueries extends QueryPack {
     // docs: the same closure over the surviving corpus (stats shrink
     // with the deletion — N, avgdl, and df all recompute)
     "t_bm25_delete" -> bm25OracleSqlFor("doc_id % 10 <> 7"),
+    // streaming ingest is batch-split-invariant: same closure as the
+    // scan and batch-index gates
+    "st_bm25_ingest" -> bm25OracleSql,
     "t_pii_scrub" ->
       s"""WITH a AS (SELECT doc_id, $augSql AS aug FROM documents)
           SELECT doc_id,

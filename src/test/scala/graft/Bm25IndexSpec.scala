@@ -120,6 +120,33 @@ class Bm25IndexSpec extends SparkSpec {
       "deleted docs must leave no postings behind")
   }
 
+  test("streamingIngest equals the batch lifecycle and restarts are no-ops") {
+    val base = java.nio.file.Files.createTempDirectory("bm25st-spec").toString
+    val src = s"$base/src"; val root = s"$base/idx"; val ckp = s"$base/ckp"
+    val sliceA = docs.filter(col("doc_id") % 2 === 0)
+    val sliceB = docs.filter(col("doc_id") % 2 =!= 0)
+    sliceA.coalesce(1).write.parquet(src)
+    Thread.sleep(1100) // distinct mod times → deterministic batch order
+    sliceB.coalesce(1).write.mode("append").parquet(src)
+    def updates = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    Bm25Index.streamingIngest(spark, updates, root, ckp, nBuckets = 8)
+
+    val batchRoot = s"$base/batch-idx"
+    Bm25Index.build(spark, batchRoot, sliceA, nBuckets = 8, tag = 1)
+    Bm25Index.append(spark, batchRoot, sliceB, tag = 2)
+    def score(r: String) = Bm25Index.topK(spark, r, Seq("dup", "spark", "merge"), 25)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(score(root) == score(batchRoot),
+      "streaming ingest must converge to the batch lifecycle's index")
+
+    // restart on the same checkpoint: ledger skips, nothing moves
+    val tagBefore = graft.lake.Snapshot.currentTag(spark, s"$root/docstats")
+    Bm25Index.streamingIngest(spark, updates, root, ckp, nBuckets = 8)
+    assert(graft.lake.Snapshot.currentTag(spark, s"$root/docstats") == tagBefore)
+    assert(score(root) == score(batchRoot))
+  }
+
   test("append before build fails fast") {
     intercept[IllegalArgumentException](
       Bm25Index.append(spark, tmp(), docs.limit(3), tag = 1))
