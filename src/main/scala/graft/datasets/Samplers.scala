@@ -80,6 +80,19 @@ object Samplers {
     * Output keeps `es_score` as a column for downstream tie-breaks but
     * oracle-checked queries should project it away (raw-double hash).
     */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val u48 = conv(substring(Portable.md5Key(col(keyCol)), 1, 12), 16, 10).cast("long")
+    val u = (u48.cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
+    // E-S is defined for positive weights only: w=0 gives -Inf (never
+    // picked — fine), but a NEGATIVE w flips ln(u)/w positive and would
+    // rank the row AHEAD of every valid one. Treat w<=0 as p=0.
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("es_score", log(u) / col(weightCol).cast("double"))
+      .orderBy(desc("es_score"), col(keyCol))
+      .limit(k)
+  }
+
   /** Deterministic MIXTURE sampling — the training-data "data recipe"
     * step: given per-source integer weights and a token budget (a
     * fraction `budgetNum/budgetDen` of the corpus' total `sizeCol`),
@@ -118,7 +131,8 @@ object Samplers {
     val buckets = totals.map { case (src, tot) =>
       val w = weights.getOrElse(src, 0L)
       val num = 4096L * budgetNum * w * grand
-      require(w == 0 || grand == 0 || num / (4096L * budgetNum * w) == grand,
+      require(budgetNum == 0 || w == 0 || grand == 0 ||
+          num / (4096L * budgetNum * w) == grand,
         s"mixture threshold arithmetic overflows Long for source $src")
       val b = if (tot <= 0 || w == 0) 0L
               else math.min(4096L, num / (budgetDen * wSum * tot))
@@ -132,18 +146,5 @@ object Samplers {
         substring(Portable.md5Key(col(keyCol)), 1, 3) <
           format_string("%03x", col("mix_bucket")))
       .drop("mix_bucket")
-  }
-
-  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, k: Int): DataFrame = {
-    require(k > 0, s"sample size must be positive: $k")
-    val u48 = conv(substring(Portable.md5Key(col(keyCol)), 1, 12), 16, 10).cast("long")
-    val u = (u48.cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
-    // E-S is defined for positive weights only: w=0 gives -Inf (never
-    // picked — fine), but a NEGATIVE w flips ln(u)/w positive and would
-    // rank the row AHEAD of every valid one. Treat w<=0 as p=0.
-    df.filter(col(weightCol).cast("double") > 0)
-      .withColumn("es_score", log(u) / col(weightCol).cast("double"))
-      .orderBy(desc("es_score"), col(keyCol))
-      .limit(k)
   }
 }

@@ -120,13 +120,28 @@ object Bm25Index {
     * tables; corpus stats need no bookkeeping — N, avgdl, and df all
     * derive from the surviving rows at query time, so they shrink with
     * the deletion automatically. Returns the number of documents
-    * removed. */
+    * removed in THIS call.
+    *
+    * Two tables, one tag, replay-safe: each table carries its own tag
+    * guard, so a crash between the two deleteKeys (postings gone,
+    * doc-stats still counting the docs — silently inflated N/avgdl)
+    * is healed by re-running deleteDocs WITH THE SAME TAG, which
+    * lands only the missing half instead of throwing on the landed
+    * one. Ownership contract as [[BucketedUpsert.deleteKeys]]: do not
+    * delete out of band on a [[streamingIngest]]-owned index — route
+    * takedowns as delete-first batches through the stream's pause
+    * window, or retire the pipeline first. */
   def deleteDocs(spark: SparkSession, root: String, docs: DataFrame,
                  tag: Long): Long = {
-    BucketedUpsert.deleteKeys(spark, postingsRoot(root), "pk",
-      postingsOf(docs).select("pk"), tag)
-    BucketedUpsert.deleteKeys(spark, docstatsRoot(root), "doc_id",
-      tokenize(docs).select("doc_id"), tag)
+    def behind(tableRoot: String) =
+      !graft.lake.Snapshot.currentTag(spark, tableRoot).exists(_ >= tag)
+    if (behind(postingsRoot(root)))
+      BucketedUpsert.deleteKeys(spark, postingsRoot(root), "pk",
+        postingsOf(docs).select("pk"), tag)
+    if (behind(docstatsRoot(root)))
+      BucketedUpsert.deleteKeys(spark, docstatsRoot(root), "doc_id",
+        docs.filter(col("text").isNotNull).select("doc_id"), tag)
+    else 0L
   }
 
   /** BM25 top-k (k1=1.2, b=0.75) for `terms`, entirely from the stored

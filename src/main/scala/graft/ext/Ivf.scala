@@ -352,7 +352,10 @@ object Ivf {
     * touched-bucket key delete on the corpus table; the stored
     * quantizer is untouched (standard IVF — cells only thin, they
     * never move). Cost is O(touched buckets + id set), never
-    * O(corpus). Returns the number of vectors removed. */
+    * O(corpus). Returns the number of vectors removed. Ownership
+    * contract as [[graft.lake.BucketedUpsert.deleteKeys]]: not for
+    * indexes a live [[streamingIngest]] owns — the delete tag would
+    * collide with the stream's batch-id ledger. */
   def deleteFromIndex(spark: SparkSession, root: String, vecIds: DataFrame,
                       tag: Long): Long =
     BucketedUpsert.deleteKeys(spark, corpusRoot(root), "vec_id", vecIds, tag)

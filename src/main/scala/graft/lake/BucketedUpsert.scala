@@ -103,6 +103,12 @@ object BucketedUpsert {
                  keep: Int = 2): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val spark = batch.sparkSession
+    // validate BEFORE the data write (same guard as rewriteBuckets):
+    // a reused tag would overwrite the live version dir the current
+    // manifest references, long before publish could reject it
+    Snapshot.currentTag(spark, root).foreach(cur => require(tag > cur,
+      s"batch tag $tag is not above the published v$cur under $root — " +
+        "a reused tag would overwrite the live version directory"))
     val prev = manifestEntries(spark, root)
     prev.headOption.foreach(e => require(e.nBuckets == nBuckets,
       s"table at $root was bucketed with n=${e.nBuckets}, got $nBuckets — " +
@@ -168,6 +174,10 @@ object BucketedUpsert {
     * The candidate scan is column-pruned (key, version + the tombstone
     * inputs) over the current table; the rewrite cost is touched
     * buckets only. Returns the number of tombstones dropped.
+    * Ownership contract as [[deleteKeys]]: on a stream-owned table,
+    * run the purge from the stream's own pause window with a tag the
+    * ledger will not collide with (i.e. retire or coordinate with the
+    * checkpoint), never concurrently out of band.
     */
   def purgeTombstones(spark: SparkSession, root: String, key: String,
                       versionCol: String, tombstone: Column, horizon: Long,
@@ -175,7 +185,12 @@ object BucketedUpsert {
     val prev = manifestEntries(spark, root)
     require(prev.nonEmpty, s"no published bucketed table under $root")
     val n = prev.head.nBuckets
-    val expirable = coalesce(tombstone, lit(false)) && col(versionCol) <= horizon
+    // NULL-safe on BOTH sides: a NULL version cannot prove the horizon
+    // passed, and three-valued logic would otherwise let filter(!e)
+    // silently DROP such a tombstone (NULL && x → NULL → row filtered)
+    // — purging exactly what the horizon could not certify
+    val expirable = coalesce(tombstone, lit(false)) &&
+      coalesce(col(versionCol) <= horizon, lit(false))
     // bucket-count-bounded result; the scan reads only the columns the
     // predicate needs
     val touched = read(spark, root).filter(expirable)
@@ -203,6 +218,16 @@ object BucketedUpsert {
     * LATER batch carrying that key re-inserts it, whatever its version
     * value — upstream must stop producing a deleted key, or carry the
     * deletion as a tombstone row in its own feed.
+    *
+    * OWNERSHIP contract: on a table whose tags are a STREAMING sink's
+    * batch-id ledger (streamingUpsertBucketed, the index ingests), an
+    * out-of-band delete advances the published tag past the stream's
+    * next batch id — the ledger then either skips that batch silently
+    * (tag == next id) or fail-fasts the stream forever (tag above it).
+    * Route deletes through the stream instead (CDC tombstones /
+    * delete-first batches), or retire the pipeline (new checkpoint +
+    * table root) before out-of-band maintenance. Batch-owned tables
+    * (the caller assigns every tag) are unaffected.
     */
   def deleteKeys(spark: SparkSession, root: String, key: String,
                  keys: DataFrame, tag: Long, keep: Int = 2): Long = {
@@ -232,6 +257,13 @@ object BucketedUpsert {
                              survivorsOf: DataFrame => DataFrame,
                              key: String, n: Int, tag: Long,
                              keep: Int): Long = {
+    // tag monotonicity is validated BEFORE any write: Snapshot.publish
+    // would catch a reused tag too, but only after mode("overwrite")
+    // has already destroyed data/v<tag> — which the CURRENT manifest
+    // may reference. Fail here, while the table is still intact.
+    Snapshot.currentTag(spark, root).foreach(cur => require(tag > cur,
+      s"rewrite tag $tag is not above the published v$cur under $root — " +
+        "a reused tag would overwrite the live version directory"))
     val prevTouched = prev.filter(e => touched(e.bucket))
     var removed = 0L
     val touchedEntries =

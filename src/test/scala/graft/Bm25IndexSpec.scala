@@ -120,6 +120,29 @@ class Bm25IndexSpec extends SparkSpec {
       "deleted docs must leave no postings behind")
   }
 
+  test("deleteDocs retried with the same tag after a half-applied crash heals the index") {
+    val root = tmp()
+    Bm25Index.build(spark, root, docs, nBuckets = 8, tag = 1)
+    val doomed = docs.filter(col("doc_id") % 11 === 4)
+    // simulate the crash window: the postings half landed at tag 2,
+    // the doc-stats half did not (replicate the pk derivation inline)
+    val pks = doomed.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(concat(col("tok"), lit("#"), col("doc_id")).as("pk")).distinct()
+    graft.lake.BucketedUpsert.deleteKeys(spark, s"$root/postings", "pk", pks, tag = 2)
+    // the retry with the SAME tag must land only the missing doc-stats
+    // half — not throw on the already-landed postings
+    val removed = Bm25Index.deleteDocs(spark, root, doomed, tag = 2)
+    assert(removed == doomed.filter(col("text").isNotNull).count())
+    val clean = tmp()
+    Bm25Index.build(spark, clean, docs.filter(col("doc_id") % 11 =!= 4),
+      nBuckets = 8, tag = 1)
+    def score(r: String) = Bm25Index.topK(spark, r, Seq("dup", "spark", "merge"), 25)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(score(root) == score(clean),
+      "the healed index must equal a never-ingested rebuild")
+  }
+
   test("streamingIngest equals the batch lifecycle and restarts are no-ops") {
     val base = java.nio.file.Files.createTempDirectory("bm25st-spec").toString
     val src = s"$base/src"; val root = s"$base/idx"; val ckp = s"$base/ckp"

@@ -247,6 +247,42 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(BucketedUpsert.read(spark, root).count() == 39)
   }
 
+  test("a reused tag fails BEFORE any write — the live version dir survives") {
+    val root = tmp("bu-tagguard") + "/t"
+    val base = spark.range(0, 50)
+      .select(col("id").as("k"), lit(1L).as("version"), col("id").as("v"))
+    BucketedUpsert.applyBatch(base, root, "k", "version", nBuckets = 4, tag = 3)
+    import spark.implicits._
+    // deleteKeys at the PUBLISHED tag: must reject before touching
+    // data/v3 (mode overwrite would otherwise destroy the live dir the
+    // manifest references, long before publish could object)
+    intercept[IllegalArgumentException](
+      BucketedUpsert.deleteKeys(spark, root, "k", Seq(1L).toDF("k"), tag = 3))
+    intercept[IllegalArgumentException](
+      BucketedUpsert.applyBatch(base, root, "k", "version", 4, tag = 3))
+    assert(BucketedUpsert.read(spark, root).count() == 50,
+      "the table must be intact after the rejected rewrite")
+  }
+
+  test("a NULL-version tombstone is never purged (horizon cannot certify it)") {
+    val root = tmp("bu-nullver") + "/t"
+    import spark.implicits._
+    val rows = Seq[(Long, java.lang.Long, String, Long)](
+      (1L, 1L, "U", 10L), (2L, 5L, "D", 0L), (3L, null, "D", 0L)
+    ).toDF("k", "version", "op", "v")
+    // route all three keys into a table; version NULL sorts last in the
+    // SEQUENCE-BY desc resolve, which is fine — it is the purge that
+    // must not misread it
+    BucketedUpsert.applyBatch(rows, root, "k", "version", nBuckets = 2, tag = 1)
+    val dropped = BucketedUpsert.purgeTombstones(spark, root, "k", "version",
+      col("op") === "D", horizon = 100L, tag = 2)
+    assert(dropped == 1L, s"only the version-5 tombstone may expire, dropped $dropped")
+    val left = BucketedUpsert.read(spark, root)
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(left.sameElements(Array(1L, 3L)),
+      "the NULL-version tombstone must survive every horizon")
+  }
+
   test("data versions fall out of GC once no retained manifest references them") {
     val root = tmp("bu4-table") + "/t"
     def batchAt(tag: Long) = {

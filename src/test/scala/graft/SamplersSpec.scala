@@ -112,6 +112,11 @@ class SamplersSpec extends SparkSpec {
       Map("big" -> 1L), 1L, 2L).select("source").distinct()
       .collect().map(_.getString(0)).toSet
     assert(noW == Set("big"))
+
+    // a zero budget selects nothing (and must not divide by zero in
+    // the overflow guard)
+    assert(Samplers.mixtureSample(df, "source", "doc_id", "n_chars",
+      w, 0L, 1L).count() == 0)
   }
 
   test("iidSampler keeps a deterministic ~25% of distinct ids") {
