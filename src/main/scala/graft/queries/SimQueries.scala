@@ -140,10 +140,9 @@ object SimQueries extends QueryPack {
         .createTempDirectory("graft-annst-q").toString
       val src = s"$base/src"; val root = s"$base/idx"; val ckp = s"$base/ckp"
       val emb = t(s, d, "embeddings")
-      emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(src)
-      Thread.sleep(1100) // distinct mod times → deterministic batch order
-      emb.filter(col("vec_id") % 2 =!= 0).coalesce(1)
-        .write.mode("append").parquet(src)
+      writeOrderedBatches(src, Seq(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 =!= 0)))
       val updates = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
       graft.ext.Ivf.streamingIngest(s, updates, root, ckp, k = 8, nBuckets = 16)

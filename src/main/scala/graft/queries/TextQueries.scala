@@ -250,10 +250,9 @@ object TextQueries extends QueryPack {
         .createTempDirectory("graft-bm25st-q").toString
       val src = s"$base/src"; val root = s"$base/idx"; val ckp = s"$base/ckp"
       val docs = t(s, d, "documents").select("doc_id", "text")
-      docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(src)
-      Thread.sleep(1100) // distinct mod times → deterministic batch order
-      docs.filter(col("doc_id") % 2 =!= 0).coalesce(1)
-        .write.mode("append").parquet(src)
+      writeOrderedBatches(src, Seq(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0)))
       val updates = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
       graft.ext.Bm25Index.streamingIngest(s, updates, root, ckp, nBuckets = 16)

@@ -148,9 +148,7 @@ class Bm25IndexSpec extends SparkSpec {
     val src = s"$base/src"; val root = s"$base/idx"; val ckp = s"$base/ckp"
     val sliceA = docs.filter(col("doc_id") % 2 === 0)
     val sliceB = docs.filter(col("doc_id") % 2 =!= 0)
-    sliceA.coalesce(1).write.parquet(src)
-    Thread.sleep(1100) // distinct mod times → deterministic batch order
-    sliceB.coalesce(1).write.mode("append").parquet(src)
+    graft.queries.writeOrderedBatches(src, Seq(sliceA, sliceB))
     def updates = spark.readStream.schema(spark.read.parquet(src).schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
     Bm25Index.streamingIngest(spark, updates, root, ckp, nBuckets = 8)

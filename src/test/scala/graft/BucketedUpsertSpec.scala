@@ -35,9 +35,7 @@ class BucketedUpsertSpec extends SparkSpec {
       .select(col("id").as("k"), lit(1L).as("version"), (col("id") * 10).as("v"))
     val v2 = spark.range(100, 400)
       .select(col("id").as("k"), lit(2L).as("version"), (col("id") * 100).as("v"))
-    v1.coalesce(1).write.mode("append").parquet(src)
-    Thread.sleep(1100) // distinct mod times → deterministic batch order
-    v2.coalesce(1).write.mode("append").parquet(src)
+    graft.queries.writeOrderedBatches(src, Seq(v1, v2))
     def stream() = spark.readStream.schema(v1.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
     val flat = tmp("bu-flat") + "/t"

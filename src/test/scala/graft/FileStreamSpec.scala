@@ -91,9 +91,7 @@ class FileStreamSpec extends SparkSpec {
       .select(col("id").as("k"), lit(1L).as("version"), lit(100L).as("v"))
     // the NEWER version lands FIRST: a blind merge would let the late
     // old file overwrite it
-    v2.write.mode("append").parquet(src)
-    Thread.sleep(1100) // distinct mod times → deterministic batch order
-    v1.write.mode("append").parquet(src)
+    graft.queries.writeOrderedBatches(src, Seq(v2, v1))
     val updates = spark.readStream.schema(v2.schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
     EventStreams.streamingUpsert(spark, updates, "k", "version", table, ckp)
@@ -113,9 +111,7 @@ class FileStreamSpec extends SparkSpec {
     val f2 = spark.range(20, 60)
       .select(col("id").as("k"), lit(2L).as("version"), (col("id") * 100).as("v"))
     // one file per landing so batch boundaries are exactly f1 then f2
-    f1.coalesce(1).write.mode("append").parquet(src)
-    Thread.sleep(1100)
-    f2.coalesce(1).write.mode("append").parquet(src)
+    graft.queries.writeOrderedBatches(src, Seq(f1, f2))
     // simulate the already-published batch 0 (exactly what the sink
     // would have written for f1)
     graft.lake.Snapshot.publish(f1, table, 0)

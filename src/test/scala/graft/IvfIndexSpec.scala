@@ -90,9 +90,7 @@ class IvfIndexSpec extends SparkSpec {
     val src = s"$base/src"; val root = s"$base/idx"; val ckp = s"$base/ckp"
     val sliceA = emb.filter(col("vec_id") % 2 === 0)
     val sliceB = emb.filter(col("vec_id") % 2 =!= 0)
-    sliceA.coalesce(1).write.parquet(src)
-    Thread.sleep(1100) // distinct mod times → deterministic batch order
-    sliceB.coalesce(1).write.mode("append").parquet(src)
+    graft.queries.writeOrderedBatches(src, Seq(sliceA, sliceB))
     def updates = spark.readStream.schema(spark.read.parquet(src).schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
     Ivf.streamingIngest(spark, updates, root, ckp, k = 4, nBuckets = 8)
