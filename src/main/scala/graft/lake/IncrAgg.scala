@@ -44,6 +44,27 @@ object IncrAgg {
               key: String, groupCols: Seq[String], sumCols: Seq[String],
               keep: Int = 2): Int = {
     require(groupCols.nonEmpty, "at least one grouping column")
+    maintain(spark, tableRoot, mvRoot, keep) { (changed, nBuckets) =>
+      val aggs = count(lit(1)).as(cntCol) +:
+        sumCols.map(c => sum(col(c).cast(DecimalType(12, 2))).as(sumName(c)))
+      changed
+        .withColumn("graft_bucket",
+          BucketedUpsert.bucketOf(col(key), nBuckets))
+        .groupBy("graft_bucket", groupCols: _*)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** Shared bucket-granular maintenance skeleton: figure out which
+    * buckets the base table rewrote since the MV's tag, recompute THEIR
+    * partial rows via `partialsOf` (over the change feed, which returns
+    * a rewritten bucket's full current rows), carry every other
+    * bucket's partial row over untouched, and publish at the table's
+    * tag. `partialsOf` must emit a `graft_bucket` column — it is the
+    * carry-over key. Returns the number of buckets recomputed. */
+  private[lake] def maintain(spark: SparkSession, tableRoot: String,
+                             mvRoot: String, keep: Int)(
+      partialsOf: (DataFrame, Int) => DataFrame): Int = {
     val tableTag = Snapshot.currentTag(spark, tableRoot).getOrElse(
       throw new IllegalStateException(s"no published table under $tableRoot"))
     val mvTag = Snapshot.currentTag(spark, mvRoot)
@@ -59,13 +80,8 @@ object IncrAgg {
       .filter(e => BucketedUpsert.entryTag(e.path) > since)
       .map(_.bucket).toSet
 
-    val aggs = count(lit(1)).as(cntCol) +:
-      sumCols.map(c => sum(col(c).cast(DecimalType(12, 2))).as(sumName(c)))
-    val changedPartials = BucketedUpsert.changesSince(spark, tableRoot, since)
-      .withColumn("graft_bucket",
-        BucketedUpsert.bucketOf(col(key), nBuckets))
-      .groupBy("graft_bucket", groupCols: _*)
-      .agg(aggs.head, aggs.tail: _*)
+    val changedPartials =
+      partialsOf(BucketedUpsert.changesSince(spark, tableRoot, since), nBuckets)
 
     val mv = mvTag match {
       case None => changedPartials

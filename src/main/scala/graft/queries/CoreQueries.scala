@@ -285,6 +285,42 @@ object CoreQueries extends QueryPack {
         .orderBy("c_mktsegment")
     }),
 
+    // S23: incrementally-maintained DISTINCT COUNT — the aggregate
+    // per-bucket scalars CANNOT maintain (distinct does not sum), made
+    // bucket-granular via mergeable KMV sketch partials (IncrNdv
+    // scaladoc). Same two-batch lifecycle as s18; the second refresh
+    // recomputes only touched buckets' sketch rows, and the read is
+    // the dedup-then-global-top-k merge. The oracle computes the SAME
+    // deterministic md5-KMV over the merge expansion from scratch, so
+    // hash-green means sketch maintenance is indistinguishable from a
+    // full rescan — the property that lets a 100 TB table answer NDV
+    // after each daily batch at O(touched buckets) cost.
+    "s23_incr_ndv" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-ndv-q").toString
+      val root = s"$base/table"; val mv = s"$base/mv"
+      val cust = t(s, d, "customer")
+      val nv = (col("c_custkey") % 1000).as("nv")
+      val batch1 = cust
+        .select(col("c_custkey"), col("c_mktsegment"), nv, lit(1L).as("ver"))
+      val batch2 = cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("UPDATED").as("c_mktsegment"),
+          nv, lit(2L).as("ver"))
+        .unionAll(cust.filter(col("c_custkey") % 17 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit("INSERTED").as("c_mktsegment"), nv, lit(2L).as("ver")))
+      graft.lake.BucketedUpsert.applyBatch(batch1, root, "c_custkey", "ver",
+        nBuckets = 16, tag = 1)
+      graft.lake.IncrNdv.refresh(s, root, mv, "c_custkey",
+        Seq("c_mktsegment"), "nv", k = 64)
+      graft.lake.BucketedUpsert.applyBatch(batch2, root, "c_custkey", "ver",
+        nBuckets = 16, tag = 2)
+      graft.lake.IncrNdv.refresh(s, root, mv, "c_custkey",
+        Seq("c_mktsegment"), "nv", k = 64)
+      graft.lake.IncrNdv.readNdv(s, mv, Seq("c_mktsegment"), k = 64)
+        .orderBy("c_mktsegment")
+    }),
+
     // S19: snapshot time travel — publish the customer base as v1, an
     // updated state as v2, then read the table AS OF tag 1 through the
     // pointer-history resolver. The oracle aggregates the base table
@@ -443,6 +479,35 @@ object CoreQueries extends QueryPack {
          SELECT c_mktsegment, count(*) AS n,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
          FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // the same merge expansion, then the deterministic md5-KMV from
+    // scratch — what the incrementally-maintained sketch must equal
+    "s23_incr_ndv" ->
+      """WITH upd AS (
+           SELECT c_custkey, 'UPDATED' AS c_mktsegment, c_custkey % 1000 AS nv
+           FROM customer WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'INSERTED', c_custkey % 1000
+           FROM customer WHERE c_custkey % 17 = 0),
+         merged AS (
+           SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+                  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
+                  CASE WHEN u.c_custkey IS NOT NULL THEN u.nv ELSE b.c_custkey % 1000 END AS nv
+           FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey),
+         vals AS (SELECT DISTINCT c_mktsegment, CAST(nv AS VARCHAR) AS nv FROM merged),
+         h AS (
+           SELECT c_mktsegment, nv,
+                  CAST(('0x' || substr(md5(nv), 1, 15)) AS BIGINT)
+                    / POWER(16, 15) AS u
+           FROM vals),
+         scored AS (
+           SELECT c_mktsegment, u,
+                  row_number() OVER (PARTITION BY c_mktsegment ORDER BY u, nv) AS rn
+           FROM h)
+         SELECT c_mktsegment,
+                CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                     ELSE 63.0 / max(u) END AS ndv_estimate,
+                count(*) AS n_mins
+         FROM scored WHERE rn <= 64 GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // pruning must be invisible to results: the oracle is the plain
     // unpruned range filter on the source table
     "s17_stats_prune" ->
