@@ -97,6 +97,15 @@ object BucketedUpsert {
     * ledger contract (strictly increasing; streaming drivers pass the
     * batch id). Data-version directories no retained manifest references
     * are GC'd after the publish.
+    *
+    * SCHEMA EVOLUTION: a batch may ADD columns — touched buckets
+    * resolve via unionByName (legacy rows take NULL in the new column),
+    * untouched buckets keep their old-schema files verbatim, and
+    * [[read]]/[[changesSince]] merge schemas across generations, so
+    * history is never rewritten. The upsert itself stays WHOLE-ROW: a
+    * batch that OMITS an existing column replaces matched rows with
+    * NULL there (not a patch) — carry a column in the feed if its value
+    * must survive updates.
     */
   def applyBatch(batch: DataFrame, root: String, key: String,
                  versionCol: String, nBuckets: Int, tag: Long,

@@ -321,6 +321,40 @@ object CoreQueries extends QueryPack {
         .orderBy("c_mktsegment")
     }),
 
+    // S24: SCHEMA EVOLUTION on the bucketed-upsert table — a later
+    // batch ADDS a column and the table absorbs it without rewriting
+    // history: touched buckets resolve via unionByName (legacy rows
+    // take NULL in the new column), untouched buckets keep their
+    // old-schema files verbatim, and the read path merge-schemas
+    // across generations. Rows the evolved batch never touched surface
+    // the new column as NULL — the gate groups on exactly that
+    // NULL-vs-value split, so hash-green proves both the evolved and
+    // the legacy generation read back correctly. The upsert contract
+    // stays WHOLE-ROW (a batch omitting an old column nulls it, not
+    // patches it — BucketedUpsertSpec pins that too).
+    "s24_schema_evolve" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-evolve-q").toString + "/t"
+      val cust = t(s, d, "customer")
+      val batch1 = cust.select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast("double").as("c_acctbal"), lit(1L).as("ver"))
+      val batch2 = cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("double").as("c_acctbal"),
+          when(col("c_acctbal").cast("double") > 5000, lit("gold"))
+            .otherwise(lit("std")).as("tier"),
+          lit(2L).as("ver"))
+      graft.lake.BucketedUpsert.applyBatch(batch1, root, "c_custkey", "ver",
+        nBuckets = 16, tag = 1)
+      graft.lake.BucketedUpsert.applyBatch(batch2, root, "c_custkey", "ver",
+        nBuckets = 16, tag = 2)
+      graft.lake.BucketedUpsert.read(s, root)
+        .groupBy(coalesce(col("tier"), lit("legacy")).as("tier"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("sum_bal"))
+        .orderBy("tier")
+    }),
+
     // S19: snapshot time travel — publish the customer base as v1, an
     // updated state as v2, then read the table AS OF tag 1 through the
     // pointer-history resolver. The oracle aggregates the base table
@@ -508,6 +542,21 @@ object CoreQueries extends QueryPack {
                      ELSE 63.0 / max(u) END AS ndv_estimate,
                 count(*) AS n_mins
          FROM scored WHERE rn <= 64 GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // the merge expansion with the added column NULL outside the
+    // evolved batch — what reading across schema generations must equal
+    "s24_schema_evolve" ->
+      """WITH upd AS (
+           SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+                  CASE WHEN CAST(c_acctbal AS DOUBLE) > 5000 THEN 'gold' ELSE 'std' END AS tier
+           FROM customer WHERE c_custkey % 10 = 0),
+         merged AS (
+           SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+                  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE CAST(b.c_acctbal AS DOUBLE) END AS c_acctbal,
+                  u.tier AS tier
+           FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey)
+         SELECT coalesce(tier, 'legacy') AS tier, count(*) AS n,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+         FROM merged GROUP BY 1 ORDER BY tier""",
     // pruning must be invisible to results: the oracle is the plain
     // unpruned range filter on the source table
     "s17_stats_prune" ->

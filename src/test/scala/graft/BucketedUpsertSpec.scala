@@ -281,6 +281,43 @@ class BucketedUpsertSpec extends SparkSpec {
       "the NULL-version tombstone must survive every horizon")
   }
 
+  test("an added column evolves the table: legacy rows read NULL, history is not rewritten") {
+    val root = tmp("bu-evolve") + "/t"
+    import spark.implicits._
+    val base = spark.range(0, 100)
+      .select(col("id").as("k"), lit(1L).as("version"), (col("id") * 10).as("v"))
+    BucketedUpsert.applyBatch(base, root, "k", "version", nBuckets = 8, tag = 1)
+    // ONE key's bucket evolves; every other bucket keeps old-schema files
+    val evolved = Seq((7L, 2L, 777L, "extra7")).toDF("k", "version", "v", "note")
+    BucketedUpsert.applyBatch(evolved, root, "k", "version", nBuckets = 8, tag = 2)
+    val got = BucketedUpsert.read(spark, root)
+    assert(got.columns.toSet == Set("k", "version", "v", "note"),
+      "the read schema must carry the added column across generations")
+    assert(got.filter(col("note").isNotNull).select("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L))
+    assert(got.filter(col("k") === 7L).select("v").head.getLong(0) == 777L)
+    assert(got.count() == 100)
+    // and the change feed merge-schemas too
+    assert(BucketedUpsert.changesSince(spark, root, 1L)
+      .columns.contains("note"))
+  }
+
+  test("the upsert contract is whole-row: a batch omitting a column nulls it") {
+    val root = tmp("bu-wholerow") + "/t"
+    import spark.implicits._
+    val base = Seq((1L, 1L, 10L, "keep-me"), (2L, 1L, 20L, "other"))
+      .toDF("k", "version", "v", "note")
+    BucketedUpsert.applyBatch(base, root, "k", "version", nBuckets = 2, tag = 1)
+    // the narrower batch REPLACES key 1's row; note becomes NULL, not
+    // carried over — patch semantics would need the column in the feed
+    val narrow = Seq((1L, 2L, 11L)).toDF("k", "version", "v")
+    BucketedUpsert.applyBatch(narrow, root, "k", "version", nBuckets = 2, tag = 2)
+    val byK = BucketedUpsert.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), Option(r.getString(3)))).toMap
+    assert(byK(1L) == (11L, None), "whole-row replace must null the omitted column")
+    assert(byK(2L) == (20L, Some("other")), "untouched keys keep their values")
+  }
+
   test("data versions fall out of GC once no retained manifest references them") {
     val root = tmp("bu4-table") + "/t"
     def batchAt(tag: Long) = {
