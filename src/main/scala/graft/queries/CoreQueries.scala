@@ -355,6 +355,34 @@ object CoreQueries extends QueryPack {
         .orderBy("tier")
     }),
 
+    // S25: SNAPSHOT DIFF — the lineage verb next to s19's time travel:
+    // publish two states, then answer "what changed between them" as
+    // data (op ∈ I/D/U + old/new values, unchanged rows absent). One
+    // co-partitioned full-outer join; change detection is a null-safe
+    // struct compare over the non-key columns. v2 updates the %10
+    // slice, deletes %13, inserts %17 — so every op class is exercised
+    // and the %130 overlap pins that delete beats update. The oracle
+    // classifies the same two states from scratch in SQL.
+    "s25_snapshot_diff" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-diff-q").toString + "/t"
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal").cast("double").as("bal"))
+      graft.lake.Snapshot.publish(cust, root, 1)
+      val upd = col("c_custkey") % 10 === 0
+      val v2 = cust.filter(col("c_custkey") % 13 =!= 0)
+        .withColumn("bal", when(upd, col("bal") + 100.0).otherwise(col("bal")))
+        .withColumn("c_mktsegment",
+          when(upd, lit("UPDATED")).otherwise(col("c_mktsegment")))
+        .unionByName(cust.filter(col("c_custkey") % 17 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit("INSERTED").as("c_mktsegment"), lit(0.0).as("bal")))
+      graft.lake.Snapshot.publish(v2, root, 2)
+      graft.lake.Diff.diff(s, root, fromTag = 1, toTag = 2, key = "c_custkey")
+        .select(col("c_custkey"), col("op"), col("old_bal"), col("new_bal"))
+        .orderBy("c_custkey")
+    }),
+
     // S19: snapshot time travel — publish the customer base as v1, an
     // updated state as v2, then read the table AS OF tag 1 through the
     // pointer-history resolver. The oracle aggregates the base table
@@ -557,6 +585,32 @@ object CoreQueries extends QueryPack {
          SELECT coalesce(tier, 'legacy') AS tier, count(*) AS n,
                 CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
          FROM merged GROUP BY 1 ORDER BY tier""",
+    // classify the same two published states from scratch: I/D/U by
+    // full-outer join, unchanged rows absent — what the diff must equal
+    "s25_snapshot_diff" ->
+      """WITH v1 AS (
+           SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS bal
+           FROM customer),
+         v2 AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment,
+                  CASE WHEN c_custkey % 10 = 0 THEN CAST(c_acctbal AS DOUBLE) + 100.0
+                       ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+           FROM customer WHERE c_custkey % 13 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'INSERTED', 0.0
+           FROM customer WHERE c_custkey % 17 = 0),
+         d AS (
+           SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+                  CASE WHEN o.c_custkey IS NULL THEN 'I'
+                       WHEN n.c_custkey IS NULL THEN 'D'
+                       WHEN o.bal IS DISTINCT FROM n.bal
+                         OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment THEN 'U'
+                  END AS op,
+                  o.bal AS old_bal, n.bal AS new_bal
+           FROM v1 o FULL OUTER JOIN v2 n ON o.c_custkey = n.c_custkey)
+         SELECT c_custkey, op, old_bal, new_bal FROM d
+         WHERE op IS NOT NULL ORDER BY c_custkey""",
     // pruning must be invisible to results: the oracle is the plain
     // unpruned range filter on the source table
     "s17_stats_prune" ->
