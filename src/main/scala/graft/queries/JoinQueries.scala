@@ -217,6 +217,35 @@ object JoinQueries extends QueryPack {
         .groupBy("l_orderkey")
         .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
         .orderBy("l_orderkey")
+    }),
+
+    // J14: DYNAMIC PARTITION PRUNING — the canonical 100 TB fact-join
+    // optimization: the fact lands hive-partitioned on the join key,
+    // the dim filter's surviving keys are only known at RUNTIME (the
+    // dim is a real table read, not a foldable literal), and Catalyst
+    // injects a dynamicpruning subquery into the fact scan so entire
+    // partition directories are never listed or read. PlanSpec pins
+    // `dynamicpruning` in the fact scan's partition filters; the
+    // oracle is the equivalent flat filter + aggregate, proving the
+    // pruning is result-transparent. At 100 TB with a date-partitioned
+    // fact this is the difference between scanning 7 days and 7 years.
+    "j14_dpp" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-dpp-q").toString
+      val orders = t(s, d, "orders")
+      orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.partitionBy("o_orderpriority").parquet(s"$base/fact")
+      orders.select("o_orderpriority").distinct()
+        .withColumn("urgency",
+          substring(col("o_orderpriority"), 1, 1).cast("int"))
+        .coalesce(1).write.parquet(s"$base/dim")
+      val fact = s.read.parquet(s"$base/fact")
+      val dim = s.read.parquet(s"$base/dim").filter(col("urgency") <= 2)
+      fact.join(broadcast(dim), Seq("o_orderpriority"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Portable.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -278,6 +307,14 @@ object JoinQueries extends QueryPack {
          SELECT a.k, n_cust, n_supp
          FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
          ORDER BY a.k NULLS FIRST""",
+    // partition pruning must be invisible in the result: the oracle is
+    // the flat filter + aggregate over the unpartitioned source
+    "j14_dpp" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         WHERE CAST(substr(o_orderpriority, 1, 1) AS INT) <= 2
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // The bloom prefilter must be invisible in the result: the oracle
     // is the plain IN-subquery semi join.
     "j10_bloom_semi" ->

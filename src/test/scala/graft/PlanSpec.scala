@@ -69,6 +69,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("J14 fact scan carries a dynamicpruning partition filter") {
+    // the scale claim of the gate: the dim filter's surviving keys
+    // reach the fact scan as a runtime partition filter, so pruned
+    // partition DIRECTORIES are never listed or read
+    val df = graft.queries.JoinQueries.defs("j14_dpp")(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      "expected a dynamicpruning partition filter on the fact scan; " +
+        "plan head:\n" + plan.take(1500))
+  }
+
   test("S10 scale tier: image dim never collected above the broadcast threshold") {
     import spark.implicits._
     val annos = (0 until 60).map { i =>
