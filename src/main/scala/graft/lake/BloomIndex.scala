@@ -34,7 +34,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object BloomIndex {
 
   /** k distinct bit positions for a value — Spark side (build). */
-  private def posArray(v: org.apache.spark.sql.Column, mLog2: Int, k: Int) =
+  private[lake] def posArray(v: org.apache.spark.sql.Column, mLog2: Int, k: Int) =
     array_distinct(array((0 until k).map(i =>
       conv(substring(md5(concat(v, lit("#" + i))), 1, 15), 16, 10)
         .cast("long") % (1L << mLog2)): _*))

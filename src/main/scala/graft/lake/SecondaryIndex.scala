@@ -1,0 +1,87 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SECONDARY INDEX on a [[BucketedUpsert]] table: per-BUCKET Bloom
+  * filters over a non-key column, maintained incrementally through the
+  * same bucket-granular skeleton as [[IncrAgg]]/[[IncrNdv]].
+  *
+  * The table's own layout already answers key lookups for free (the
+  * key hashes to its bucket), but a lookup by any OTHER attribute —
+  * find the doc by URL in a table keyed by doc_id, the customer by
+  * name in a table keyed by id — must scan all n buckets. The index
+  * stores `(bucket, word, bits)` Bloom rows per bucket
+  * ([[BloomIndex]]'s math, bucket-keyed instead of file-keyed), so an
+  * equality probe opens only the buckets whose filters admit a value:
+  * O(1) buckets for a selective attribute instead of O(n).
+  *
+  * Maintenance is the point: an upsert batch rewrites k buckets, and
+  * [[refresh]] recomputes exactly those buckets' filter rows from the
+  * change feed — a full recompute of a REWRITTEN bucket's filter is
+  * exact deletion support, which plain Bloom filters famously lack
+  * (a renamed attribute stops matching its bucket after one refresh;
+  * the spec pins that). Index states publish via [[Snapshot]] at the
+  * base table's tag, and [[lookup]] FAIL-FASTS on a stale index — a
+  * Bloom that has not seen the latest batch could false-negate, and
+  * this index is only allowed false POSITIVES (removed by the
+  * re-applied exact predicate).
+  */
+object SecondaryIndex {
+
+  /** Bring the index at `ixRoot` up to the table's published tag,
+    * recomputing only rewritten buckets. Returns buckets recomputed. */
+  def refresh(spark: SparkSession, tableRoot: String, ixRoot: String,
+              key: String, column: String, mLog2: Int = 16, k: Int = 3,
+              keep: Int = 2): Int =
+    IncrAgg.maintain(spark, tableRoot, ixRoot, keep) { (changed, nBuckets) =>
+      changed.filter(col(column).isNotNull)
+        .select(BucketedUpsert.bucketOf(col(key), nBuckets).as("graft_bucket"),
+          explode(BloomIndex.posArray(col(column).cast("string"), mLog2, k))
+            .as("pos"))
+        .distinct()
+        .groupBy(col("graft_bucket"), (col("pos") / 64).cast("int").as("w"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
+          .as("bits"))
+        .withColumn("m_log2", lit(mLog2)).withColumn("k", lit(k))
+    }
+
+  /** The buckets that may contain ANY of `values`. */
+  def lookupBuckets(spark: SparkSession, ixRoot: String,
+                    values: Seq[String]): Seq[Int] = {
+    require(values.nonEmpty, "at least one probe value")
+    val ix = Snapshot.read(spark, ixRoot)
+    val meta = ix.select("m_log2", "k").limit(1).collect()
+    if (meta.isEmpty) return Seq.empty
+    val (mLog2, k) = (meta.head.getInt(0), meta.head.getInt(1))
+    val perValue = values.map(v => BloomIndex.positions(v, mLog2, k))
+    val wanted = perValue.flatten.map(p => (p / 64).toInt).distinct
+    val words = ix.filter(col("w").isin(wanted: _*))
+      .select("graft_bucket", "w", "bits").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val buckets = words.keys.map(_._1).toSeq.distinct
+    buckets.filter(b => perValue.exists(ps => ps.forall { pos =>
+      (words.getOrElse((b, (pos / 64).toInt), 0L) & (1L << (pos % 64))) != 0L
+    }))
+  }
+
+  /** Equality/IN lookup by the indexed column: open only admitted
+    * buckets, re-apply the exact predicate. Fail-fasts if the index
+    * has not been refreshed to the table's current tag. */
+  def lookup(spark: SparkSession, tableRoot: String, ixRoot: String,
+             column: String, values: Seq[String]): DataFrame = {
+    val tableTag = Snapshot.currentTag(spark, tableRoot)
+    val ixTag = Snapshot.currentTag(spark, ixRoot)
+    require(ixTag == tableTag,
+      s"secondary index at $ixRoot is at tag $ixTag but the table is at " +
+        s"$tableTag — refresh before lookup (a stale Bloom could false-negate)")
+    val admitted = lookupBuckets(spark, ixRoot, values).toSet
+    val entries = BucketedUpsert.manifestEntries(spark, tableRoot)
+      .filter(e => admitted(e.bucket))
+    val base =
+      if (entries.isEmpty) BucketedUpsert.read(spark, tableRoot).limit(0)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(entries.map(_.path): _*)
+    base.filter(col(column).cast("string").isin(values: _*))
+  }
+}

@@ -405,6 +405,42 @@ object CoreQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // S27: SECONDARY INDEX on the bucketed table — per-bucket Bloom
+    // filters on a NON-key column, incrementally maintained (refresh
+    // recomputes only rewritten buckets; a full bucket recompute is
+    // exact deletion support, which plain Blooms lack). The lifecycle
+    // exercises exactly that: batch 2 RENAMES one customer, and the
+    // probe set includes the new name (must be found), the OLD name
+    // (must return nothing — the stale filter was rebuilt), and two
+    // untouched names. The oracle filters the merge expansion by name,
+    // so hash-green proves bucket-pruned lookup ≡ full scan.
+    "s27_secondary_index" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-six-q").toString
+      val root = s"$base/table"; val ix = s"$base/ix"
+      val cust = t(s, d, "customer")
+      val batch1 = cust.select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("bal"), lit(1L).as("ver"))
+      graft.lake.BucketedUpsert.applyBatch(batch1, root, "c_custkey", "ver",
+        nBuckets = 16, tag = 1)
+      graft.lake.SecondaryIndex.refresh(s, root, ix, "c_custkey", "c_name")
+      val batch2 = cust.filter(col("c_custkey").isin(500L, 777L))
+        .select(col("c_custkey"),
+          when(col("c_custkey") === 500L, lit("RENAMED-500"))
+            .otherwise(col("c_name")).as("c_name"),
+          when(col("c_custkey") === 777L, col("c_acctbal").cast("double") + 1.0)
+            .otherwise(col("c_acctbal").cast("double")).as("bal"),
+          lit(2L).as("ver"))
+      graft.lake.BucketedUpsert.applyBatch(batch2, root, "c_custkey", "ver",
+        nBuckets = 16, tag = 2)
+      graft.lake.SecondaryIndex.refresh(s, root, ix, "c_custkey", "c_name")
+      graft.lake.SecondaryIndex.lookup(s, root, ix, "c_name",
+        Seq("Customer#000000042", "Customer#000000777",
+          "RENAMED-500", "Customer#000000500"))
+        .select("c_custkey", "c_name", "bal")
+        .orderBy("c_custkey")
+    }),
+
     // S19: snapshot time travel — publish the customer base as v1, an
     // updated state as v2, then read the table AS OF tag 1 through the
     // pointer-history resolver. The oracle aggregates the base table
@@ -633,6 +669,20 @@ object CoreQueries extends QueryPack {
            FROM v1 o FULL OUTER JOIN v2 n ON o.c_custkey = n.c_custkey)
          SELECT c_custkey, op, old_bal, new_bal FROM d
          WHERE op IS NOT NULL ORDER BY c_custkey""",
+    // bucket pruning must be invisible to results: the oracle filters
+    // the merge expansion by name from scratch — including that the
+    // RENAMED key's old name returns nothing
+    "s27_secondary_index" ->
+      """WITH merged AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey = 500 THEN 'RENAMED-500' ELSE c_name END AS c_name,
+                  CASE WHEN c_custkey = 777 THEN CAST(c_acctbal AS DOUBLE) + 1.0
+                       ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+           FROM customer)
+         SELECT c_custkey, c_name, bal FROM merged
+         WHERE c_name IN ('Customer#000000042', 'Customer#000000777',
+                          'RENAMED-500', 'Customer#000000500')
+         ORDER BY c_custkey""",
     // Bloom pruning must be invisible to results: the oracle is the
     // plain IN filter on the source table
     "s26_bloom_prune" ->

@@ -1,0 +1,70 @@
+package graft
+
+import graft.lake.{BucketedUpsert, SecondaryIndex, Snapshot}
+import org.apache.spark.sql.functions._
+
+/** Secondary index: lookup equals the full scan, refresh stays
+  * bucket-granular, a rewritten bucket's filter forgets removed values
+  * (exact deletion), lookups prune to a minority of buckets, and a
+  * stale index fail-fasts instead of false-negating.
+  */
+class SecondaryIndexSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("six-spec").toString
+
+  test("lookup equals the full-scan filter; probes prune to few buckets") {
+    val base = tmp()
+    val root = s"$base/t"; val ix = s"$base/ix"
+    import spark.implicits._
+    val batch = (1L to 2000L).map(k => (k, s"name-$k", 1L)).toDF("k", "s", "ver")
+    BucketedUpsert.applyBatch(batch, root, "k", "ver", nBuckets = 32, tag = 1)
+    val n1 = SecondaryIndex.refresh(spark, root, ix, "k", "s")
+    assert(n1 > 0 && n1 <= 32)
+    val probes = Seq("name-17", "name-999", "no-such-name")
+    val got = SecondaryIndex.lookup(spark, root, ix, "s", probes)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == Set(17L, 999L))
+    // 2 present values live in ≤2 buckets; Bloom fp adds at most a few
+    val admitted = SecondaryIndex.lookupBuckets(spark, ix, probes)
+    assert(admitted.size <= 6,
+      s"expected ≤6 of 32 buckets admitted, got ${admitted.size}")
+  }
+
+  test("refresh is bucket-granular and a rebuilt bucket forgets removed values") {
+    val base = tmp()
+    val root = s"$base/t"; val ix = s"$base/ix"
+    import spark.implicits._
+    val batch1 = (1L to 500L).map(k => (k, s"name-$k", 1L)).toDF("k", "s", "ver")
+    BucketedUpsert.applyBatch(batch1, root, "k", "ver", nBuckets = 8, tag = 1)
+    SecondaryIndex.refresh(spark, root, ix, "k", "s")
+    // rename ONE key → one bucket rewritten → one filter recomputed
+    val batch2 = Seq((42L, "renamed-42", 2L)).toDF("k", "s", "ver")
+    BucketedUpsert.applyBatch(batch2, root, "k", "ver", nBuckets = 8, tag = 2)
+    val n2 = SecondaryIndex.refresh(spark, root, ix, "k", "s")
+    assert(n2 == 1, s"a one-key batch must recompute exactly 1 bucket, got $n2")
+    assert(SecondaryIndex.lookup(spark, root, ix, "s", Seq("renamed-42"))
+      .select("k").head.getLong(0) == 42L)
+    // the OLD name must be gone: its bucket's filter was rebuilt from
+    // current rows — this is the deletion support plain Blooms lack
+    assert(SecondaryIndex.lookup(spark, root, ix, "s", Seq("name-42"))
+      .count() == 0, "stale value survived the bucket rebuild")
+  }
+
+  test("a stale index fail-fasts on lookup instead of false-negating") {
+    val base = tmp()
+    val root = s"$base/t"; val ix = s"$base/ix"
+    import spark.implicits._
+    val batch1 = (1L to 100L).map(k => (k, s"name-$k", 1L)).toDF("k", "s", "ver")
+    BucketedUpsert.applyBatch(batch1, root, "k", "ver", nBuckets = 4, tag = 1)
+    SecondaryIndex.refresh(spark, root, ix, "k", "s")
+    BucketedUpsert.applyBatch(Seq((999L, "brand-new", 2L)).toDF("k", "s", "ver"),
+      root, "k", "ver", nBuckets = 4, tag = 2)
+    intercept[IllegalArgumentException](
+      SecondaryIndex.lookup(spark, root, ix, "s", Seq("brand-new")))
+    SecondaryIndex.refresh(spark, root, ix, "k", "s")
+    assert(SecondaryIndex.lookup(spark, root, ix, "s", Seq("brand-new"))
+      .count() == 1)
+    assert(Snapshot.currentTag(spark, ix).contains(2L))
+  }
+}
