@@ -174,6 +174,40 @@ object StreamQueries extends QueryPack {
         .select(col("user_id"), col("version"), col("event_type"),
           col("value").cast("double").as("value"))
         .orderBy("user_id")
+    }),
+
+    // Streaming-maintained MV: the full production loop in one gate —
+    // CDC micro-batches fold into the bucketed table AND the standing
+    // aggregate refreshes to each batch's tag, recomputing only the
+    // buckets the batch touched. The oracle is s18's from-scratch
+    // aggregate of the same two batches, so hash-green means the
+    // continuously-maintained MV is indistinguishable from a nightly
+    // full rebuild — at a per-batch cost of the churn, not the table.
+    "st_incr_mv" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-stmv-q").toString
+      val src = s"$base/src"; val table = s"$base/table"
+      val mv = s"$base/mv"; val ckp = s"$base/ckp"
+      val cust = t(s, d, "customer")
+      val batch1 = cust
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("double").as("c_acctbal"), lit(1L).as("ver"))
+      val batch2 = cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("UPDATED").as("c_mktsegment"),
+          (col("c_acctbal").cast("double") + 100.0).as("c_acctbal"),
+          lit(2L).as("ver"))
+        .unionAll(cust.filter(col("c_custkey") % 17 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit("INSERTED").as("c_mktsegment"),
+            lit(0.0).as("c_acctbal"), lit(2L).as("ver")))
+      writeOrderedBatches(src, Seq(batch1, batch2))
+      val updates = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      EventStreams.streamingUpsertWithAgg(s, updates, "c_custkey", "ver",
+        table, mv, ckp, nBuckets = 16,
+        Seq("c_mktsegment"), Seq("c_acctbal"))
+      graft.lake.IncrAgg.read(s, mv, Seq("c_mktsegment"), Seq("c_acctbal"))
+        .withColumnRenamed("sum_c_acctbal", "sum_bal")
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -277,6 +311,9 @@ object StreamQueries extends QueryPack {
                       row_number() OVER (PARTITION BY user_id
                                          ORDER BY event_id DESC) AS rn
                FROM events)
-         WHERE rn = 1 ORDER BY user_id"""
+         WHERE rn = 1 ORDER BY user_id""",
+    // the streaming-maintained MV must equal s18's from-scratch
+    // aggregate of the same two batches — the oracle is shared verbatim
+    "st_incr_mv" -> CoreQueries.oracle("s18_incr_agg")
   )
 }

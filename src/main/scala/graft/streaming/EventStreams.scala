@@ -231,6 +231,39 @@ object EventStreams {
           batch, tableRoot, key, versionCol, nBuckets, batchId)
     }
 
+  /** [[streamingUpsertBucketed]] with a CONTINUOUSLY-MAINTAINED
+    * incremental aggregate ([[graft.lake.IncrAgg]]): each micro-batch
+    * folds into the bucketed table and then refreshes the MV to the
+    * table's new tag — recomputing only the buckets the batch touched,
+    * so the standing aggregate is one bucket-churn refresh behind the
+    * ingest at all times instead of a nightly rescan. Crash window:
+    * if the process dies BETWEEN applyBatch and refresh, the restart's
+    * ledger skips the already-applied batch (so the in-loop refresh
+    * never fires for it) — the trailing heal refresh closes exactly
+    * that window, and is a no-op otherwise; refresh itself is
+    * idempotent catch-up by construction (it reads the change feed
+    * from the MV's own tag). StreamingSpec pins the healed state.
+    */
+  def streamingUpsertWithAgg(spark: SparkSession, updates: DataFrame,
+                             key: String, versionCol: String,
+                             tableRoot: String, mvRoot: String,
+                             checkpointDir: String, nBuckets: Int,
+                             groupCols: Seq[String],
+                             sumCols: Seq[String]): Unit = {
+    runLedgeredUpsert(spark, updates, tableRoot, checkpointDir) {
+      (batch, batchId) =>
+        graft.lake.BucketedUpsert.applyBatch(
+          batch, tableRoot, key, versionCol, nBuckets, batchId)
+        graft.lake.IncrAgg.refresh(spark, tableRoot, mvRoot, key,
+          groupCols, sumCols)
+    }
+    // heal the apply-then-crash window (MV behind the table after a
+    // replay skip); no-op when the in-loop refreshes kept pace
+    if (graft.lake.Snapshot.currentTag(spark, tableRoot).nonEmpty)
+      graft.lake.IncrAgg.refresh(spark, tableRoot, mvRoot, key,
+        groupCols, sumCols)
+  }
+
   /** Shared foreachBatch skeleton of the two upsert sinks: the
     * batch-id/snapshot-tag ledger (crash-replay skip at tag == id,
     * rewound-checkpoint fail-fast below it — see [[streamingUpsert]]'s

@@ -130,6 +130,31 @@ class FileStreamSpec extends SparkSpec {
     assert(got == want, "replay must not double-apply")
   }
 
+  test("streaming MV sink: apply-then-crash window is healed on restart") {
+    // crash model: batch 0's applyBatch landed (table at tag 0) but the
+    // refresh never ran and the checkpoint never committed — on restart
+    // the ledger SKIPS batch 0, so the in-loop refresh won't fire for
+    // it; the trailing heal refresh must bring the MV to the table
+    val src = tmp("mvheal-src"); val base = tmp("mvheal")
+    val table = s"$base/t"; val mv = s"$base/mv"; val ckp = tmp("mvheal-ckp")
+    val f1 = spark.range(0, 60)
+      .select(col("id").as("k"), lit("g").as("g"),
+        (col("id").cast("double")).as("v"), lit(1L).as("ver"))
+    f1.coalesce(1).write.mode("append").parquet(src)
+    // simulate the already-applied batch 0 (exactly what the sink would
+    // have written), MV untouched
+    graft.lake.BucketedUpsert.applyBatch(f1, table, "k", "ver",
+      nBuckets = 4, tag = 0)
+    val updates = spark.readStream.schema(spark.read.parquet(src).schema)
+      .parquet(src)
+    EventStreams.streamingUpsertWithAgg(spark, updates, "k", "ver",
+      table, mv, ckp, nBuckets = 4, Seq("g"), Seq("v"))
+    val got = graft.lake.IncrAgg.read(spark, mv, Seq("g"), Seq("v")).head
+    assert(got.getLong(1) == 60L && got.getDouble(2) == (0 until 60).sum.toDouble,
+      s"healed MV wrong: $got")
+    assert(graft.lake.Snapshot.currentTag(spark, mv).contains(0L))
+  }
+
   test("a rewound checkpoint below the published tag fails fast, not silently") {
     val src = tmp("rw-src"); val table = tmp("rw-table") + "/t"; val ckp = tmp("rw-ckp")
     val f1 = spark.range(0, 10)
