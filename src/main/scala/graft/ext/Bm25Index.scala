@@ -135,13 +135,19 @@ object Bm25Index {
                  tag: Long): Long = {
     def behind(tableRoot: String) =
       !graft.lake.Snapshot.currentTag(spark, tableRoot).exists(_ >= tag)
-    if (behind(postingsRoot(root)))
+    if (behind(postingsRoot(root))) {
+      // posting-row count is not a document count — tracked only as a
+      // side effect; the returned figure is doc-stats rows below
       BucketedUpsert.deleteKeys(spark, postingsRoot(root), "pk",
         postingsOf(docs).select("pk"), tag)
-    if (behind(docstatsRoot(root)))
-      BucketedUpsert.deleteKeys(spark, docstatsRoot(root), "doc_id",
-        docs.filter(col("text").isNotNull).select("doc_id"), tag)
-    else 0L
+      ()
+    }
+    val docsRemoved =
+      if (behind(docstatsRoot(root)))
+        BucketedUpsert.deleteKeys(spark, docstatsRoot(root), "doc_id",
+          docs.filter(col("text").isNotNull).select("doc_id"), tag)
+      else 0L // docs already counted removed by the landed half
+    docsRemoved
   }
 
   /** BM25 top-k (k1=1.2, b=0.75) for `terms`, entirely from the stored

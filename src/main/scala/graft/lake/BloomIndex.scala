@@ -59,7 +59,9 @@ object BloomIndex {
       .filter(col(column).isNotNull)
       .select(input_file_name().as("path"),
         explode(posArray(col(column).cast("string"), mLog2, k)).as("pos"))
-      .distinct()
+      // no distinct: bit_or is idempotent and the groupBy's partial
+      // aggregation collapses duplicates map-side — a pre-distinct
+      // would only add a second full shuffle of the exploded pairs
       .groupBy(col("path"), (col("pos") / 64).cast("int").as("w"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
         .as("bits"))

@@ -74,6 +74,12 @@ object IncrAgg {
     if (mvTag.contains(tableTag)) return 0
 
     val entries = BucketedUpsert.manifestEntries(spark, tableRoot)
+    // an EMPTY published manifest (a zero-row first batch) has nothing
+    // to recompute and no schema to build partials from — leave the MV
+    // as-is; the first non-empty batch's refresh catches up from the
+    // change feed. Without this, entries.head would kill a streaming
+    // sink on an empty leading micro-batch.
+    if (entries.isEmpty) return 0
     val nBuckets = entries.head.nBuckets
     val since = mvTag.getOrElse(Long.MinValue)
     val changedBuckets = entries

@@ -56,6 +56,11 @@ object IncrNdv {
       val w = Window.partitionBy("graft_bucket", groupCols: _*)
         .orderBy(col("graft_u"), col("graft_nv"))
       changed
+        // NULL does not count as a distinct value (SQL COUNT(DISTINCT)
+        // semantics, and what the oracle computes) — unfiltered it
+        // would hash to a NULL u, sort NULLS FIRST into every sketch's
+        // slot 1, and inflate n_mins
+        .filter(col(ndvCol).isNotNull)
         .withColumn("graft_bucket", BucketedUpsert.bucketOf(col(key), nBuckets))
         // string form: type-stable MV schema + the exact value both
         // engines hash; distinct BEFORE the window so per-group state

@@ -33,26 +33,46 @@ object SecondaryIndex {
     * recomputing only rewritten buckets. Returns buckets recomputed. */
   def refresh(spark: SparkSession, tableRoot: String, ixRoot: String,
               key: String, column: String, mLog2: Int = 16, k: Int = 3,
-              keep: Int = 2): Int =
+              keep: Int = 2): Int = {
+    // params are a property of the STORED index: carried-over bucket
+    // rows keep their build-time (m_log2, k), so a refresh with
+    // different params would mix incompatible filters and the probe
+    // would silently false-negate — the one failure this index forbids
+    Snapshot.currentTag(spark, ixRoot).foreach { _ =>
+      val stored = Snapshot.read(spark, ixRoot)
+        .select("m_log2", "k").limit(1).collect()
+      stored.headOption.foreach(r => require(
+        r.getInt(0) == mLog2 && r.getInt(1) == k,
+        s"index at $ixRoot was built with m_log2=${r.getInt(0)}, k=${r.getInt(1)} " +
+          s"— refresh got ($mLog2, $k); params are fixed at index creation"))
+    }
     IncrAgg.maintain(spark, tableRoot, ixRoot, keep) { (changed, nBuckets) =>
       changed.filter(col(column).isNotNull)
         .select(BucketedUpsert.bucketOf(col(key), nBuckets).as("graft_bucket"),
           explode(BloomIndex.posArray(col(column).cast("string"), mLog2, k))
             .as("pos"))
-        .distinct()
+        // no distinct: bit_or is idempotent, and the groupBy's partial
+        // aggregation collapses duplicates map-side — a pre-distinct
+        // would only add a second full shuffle of the exploded pairs
         .groupBy(col("graft_bucket"), (col("pos") / 64).cast("int").as("w"))
         .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
           .as("bits"))
         .withColumn("m_log2", lit(mLog2)).withColumn("k", lit(k))
     }
+  }
 
   /** The buckets that may contain ANY of `values`. */
   def lookupBuckets(spark: SparkSession, ixRoot: String,
                     values: Seq[String]): Seq[Int] = {
     require(values.nonEmpty, "at least one probe value")
     val ix = Snapshot.read(spark, ixRoot)
-    val meta = ix.select("m_log2", "k").limit(1).collect()
+    // defense in depth behind refresh's param guard: mixed params in
+    // one manifest could false-negate, so verify uniformity (the
+    // distinct is manifest-sized — metadata)
+    val meta = ix.select("m_log2", "k").distinct().collect()
     if (meta.isEmpty) return Seq.empty
+    require(meta.length == 1,
+      s"index at $ixRoot mixes filter params ${meta.mkString(",")} — rebuild it")
     val (mLog2, k) = (meta.head.getInt(0), meta.head.getInt(1))
     val perValue = values.map(v => BloomIndex.positions(v, mLog2, k))
     val wanted = perValue.flatten.map(p => (p / 64).toInt).distinct

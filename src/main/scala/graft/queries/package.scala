@@ -32,8 +32,10 @@ package object queries {
     var seen = Set.empty[String]
     batches.zipWithIndex.foreach { case (df, i) =>
       df.coalesce(1).write.mode("append").parquet(src)
-      val all = Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString).toSet
+      val listing = Files.list(dir)
+      val all =
+        try listing.iterator().asScala.map(_.getFileName.toString).toSet
+        finally listing.close()
       val stamp = FileTime.fromMillis(now - 60000L * (batches.size - 1 - i))
       (all -- seen).filter(_.startsWith("part-")).foreach(f =>
         Files.setLastModifiedTime(dir.resolve(f), stamp))

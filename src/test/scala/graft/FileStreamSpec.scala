@@ -155,6 +155,25 @@ class FileStreamSpec extends SparkSpec {
     assert(graft.lake.Snapshot.currentTag(spark, mv).contains(0L))
   }
 
+  test("streaming MV sink survives an empty leading micro-batch") {
+    // a zero-row first batch publishes an EMPTY manifest; the refresh
+    // must treat it as nothing-to-do (not die on entries.head) and the
+    // first real batch's refresh catches the MV up from the change feed
+    val src = tmp("mvempty-src"); val base = tmp("mvempty")
+    val table = s"$base/t"; val mv = s"$base/mv"; val ckp = tmp("mvempty-ckp")
+    val rows = spark.range(0, 40)
+      .select(col("id").as("k"), lit("g").as("g"),
+        col("id").cast("double").as("v"), lit(1L).as("ver"))
+    graft.queries.writeOrderedBatches(src, Seq(rows.limit(0), rows))
+    val updates = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    EventStreams.streamingUpsertWithAgg(spark, updates, "k", "ver",
+      table, mv, ckp, nBuckets = 4, Seq("g"), Seq("v"))
+    val got = graft.lake.IncrAgg.read(spark, mv, Seq("g"), Seq("v")).head
+    assert(got.getLong(1) == 40L && got.getDouble(2) == (0 until 40).sum.toDouble,
+      s"MV wrong after empty leading batch: $got")
+  }
+
   test("a rewound checkpoint below the published tag fails fast, not silently") {
     val src = tmp("rw-src"); val table = tmp("rw-table") + "/t"; val ckp = tmp("rw-ckp")
     val f1 = spark.range(0, 10)

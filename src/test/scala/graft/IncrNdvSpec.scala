@@ -97,6 +97,22 @@ class IncrNdvSpec extends SparkSpec {
     assert(est > 100 && est < 1200, s"estimate wildly off for 400 distinct: $est")
   }
 
+  test("NULL values do not count as distinct and cannot inflate the sketch") {
+    val base = tmp()
+    val root = s"$base/t"; val mv = s"$base/mv"
+    import spark.implicits._
+    // 3 real distinct values + NULLs on other keys: NDV must be exactly
+    // 3 (exact branch), not 4 — an unfiltered NULL would hash to a NULL
+    // u, sort NULLS FIRST into slot 1, and inflate n_mins
+    val rows = Seq[(Long, String, java.lang.Long, Long)](
+      (1L, "g", 10L, 1L), (2L, "g", 20L, 1L), (3L, "g", 30L, 1L),
+      (4L, "g", null, 1L), (5L, "g", null, 1L))
+    BucketedUpsert.applyBatch(rows.toDF("k", "g", "nv", "ver"), root,
+      "k", "ver", nBuckets = 4, tag = 1)
+    IncrNdv.refresh(spark, root, mv, "k", Seq("g"), "nv", K)
+    assert(mvNdv(mv) == Map("g" -> (3.0, 3L)))
+  }
+
   test("reading with k above the stored sketch's fail-fasts") {
     val base = tmp()
     val root = s"$base/t"; val mv = s"$base/mv"

@@ -51,6 +51,24 @@ class SecondaryIndexSpec extends SparkSpec {
       .count() == 0, "stale value survived the bucket rebuild")
   }
 
+  test("refreshing with different filter params fail-fasts instead of mixing filters") {
+    val base = tmp()
+    val root = s"$base/t"; val ix = s"$base/ix"
+    import spark.implicits._
+    val batch1 = (1L to 100L).map(k => (k, s"name-$k", 1L)).toDF("k", "s", "ver")
+    BucketedUpsert.applyBatch(batch1, root, "k", "ver", nBuckets = 4, tag = 1)
+    SecondaryIndex.refresh(spark, root, ix, "k", "s", mLog2 = 16, k = 3)
+    BucketedUpsert.applyBatch(Seq((7L, "renamed", 2L)).toDF("k", "s", "ver"),
+      root, "k", "ver", nBuckets = 4, tag = 2)
+    // a mixed-param refresh would carry m=2^16 rows next to m=2^12
+    // rows and the probe would silently false-negate — forbidden
+    intercept[IllegalArgumentException](
+      SecondaryIndex.refresh(spark, root, ix, "k", "s", mLog2 = 12, k = 3))
+    SecondaryIndex.refresh(spark, root, ix, "k", "s", mLog2 = 16, k = 3)
+    assert(SecondaryIndex.lookup(spark, root, ix, "s", Seq("renamed"))
+      .count() == 1)
+  }
+
   test("a stale index fail-fasts on lookup instead of false-negating") {
     val base = tmp()
     val root = s"$base/t"; val ix = s"$base/ix"
