@@ -80,6 +80,25 @@ object FileStats {
       .select("path").collect().map(_.getString(0)).toSeq
   }
 
+  /** METADATA-ONLY aggregate: global count / min / max answered purely
+    * from the stats manifest, zero data files opened. Exact because
+    * the per-file stats are exact: count(*) = Σ n_rows, global min =
+    * min of file minima (NULL-only files carry NULL bounds and drop
+    * out of min/max, matching SQL aggregate semantics). The 100 TB
+    * payoff: "how many rows / what's the key range of this table" is
+    * a manifest read — the question every planner, pipeline monitor,
+    * and sanity check asks first, answered without touching the data.
+    * The manifest must be current (rebuild after writes), same staleness
+    * contract as pruning.
+    */
+  def aggFromStats(spark: SparkSession, statsDir: String,
+                   cols: Seq[String]): DataFrame = {
+    val aggs = sum(col("n_rows")).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(minName(c))).as(minName(c)),
+        max(col(maxName(c))).as(maxName(c))))
+    spark.read.parquet(statsDir).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Multi-bound range read: open only files surviving every bound,
     * then re-apply the exact conjunctive predicate. */
   def prunedReadAnd(spark: SparkSession, dataDir: String, statsDir: String,

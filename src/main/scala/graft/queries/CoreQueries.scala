@@ -249,6 +249,50 @@ object CoreQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // A15: METADATA-ONLY aggregate — count/min/max answered purely
+    // from the zone-map stats manifest, zero data files opened (the
+    // planner/monitor question every table gets asked first). Exact
+    // because per-file stats are exact; the oracle computes the same
+    // aggregates from the raw table, so hash-green proves the manifest
+    // path loses nothing. At 100 TB this turns a full-table scan into
+    // one metadata read.
+    "a15_stats_agg" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-statsagg-q").toString
+      val ev = t(s, d, "events")
+        .select("event_id", "user_id", "value")
+      ev.repartition(16).write.parquet(s"$base/data")
+      graft.lake.FileStats.writeStats(s, s"$base/data", s"$base/stats",
+        Seq("event_id", "user_id"))
+      graft.lake.FileStats.aggFromStats(s, s"$base/stats",
+        Seq("event_id", "user_id"))
+    }),
+
+    // S28: CONSTRAINT-VALIDATED ingestion — the data-quality gate
+    // every production feed runs: rows failing the CHECK (strictly —
+    // NULL quarantines, deliberately harsher than SQL CHECK) divert to
+    // an auditable quarantine table instead of landing or aborting the
+    // batch. The gate ingests the customer feed under bal >= 0 (122
+    // real violators at sf0.01) and reads back the table; the oracle
+    // filters the source by the same predicate, so hash-green proves
+    // the split is exact. Quarantine content/audit is spec-pinned.
+    "s28_constraints" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-chk-q").toString
+      val root = s"$base/t"; val q = s"$base/q"
+      val batch = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("double").as("bal"), lit(1L).as("ver"))
+      graft.lake.Constraints.applyBatchValidated(batch, root, q,
+        "c_custkey", "ver", nBuckets = 16, tag = 1,
+        constraint = col("bal") >= 0)
+      graft.lake.BucketedUpsert.read(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal").cast("decimal(12,2)")).cast("double").as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // S18: incremental materialized aggregate — a bucketed-upsert table
     // takes a base batch then an update batch (s15's update/insert mix),
     // and the MV is REFRESHED INCREMENTALLY between them from the
@@ -683,6 +727,20 @@ object CoreQueries extends QueryPack {
          WHERE c_name IN ('Customer#000000042', 'Customer#000000777',
                           'RENAMED-500', 'Customer#000000500')
          ORDER BY c_custkey""",
+    // the validated table must equal the source filtered by the same
+    // CHECK predicate (strict TRUE-only semantics)
+    "s28_constraints" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+         FROM customer WHERE CAST(c_acctbal AS DOUBLE) >= 0
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // the manifest-only aggregate must equal the same aggregates
+    // computed from the raw table
+    "a15_stats_agg" ->
+      """SELECT count(*) AS n_rows,
+                min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+                min(user_id) AS min_user_id, max(user_id) AS max_user_id
+         FROM events""",
     // Bloom pruning must be invisible to results: the oracle is the
     // plain IN filter on the source table
     "s26_bloom_prune" ->

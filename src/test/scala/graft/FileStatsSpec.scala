@@ -48,6 +48,24 @@ class FileStatsSpec extends SparkSpec {
     assert(full.nonEmpty)
   }
 
+  test("aggFromStats equals the raw aggregates, including NULL-only files") {
+    val base = tmp()
+    import spark.implicits._
+    // file 1: real values; file 2: all-NULL v (its min/max bounds are
+    // NULL and must drop out of the global min/max, not poison it)
+    Seq[(Long, java.lang.Long)]((1L, 10L), (2L, 30L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$base/data")
+    Seq[(Long, java.lang.Long)]((3L, null), (4L, null)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$base/data")
+    graft.lake.FileStats.writeStats(spark, s"$base/data", s"$base/stats",
+      Seq("k", "v"))
+    val got = graft.lake.FileStats.aggFromStats(spark, s"$base/stats",
+      Seq("k", "v")).head
+    assert(got.getLong(0) == 4L)
+    assert(got.getLong(1) == 1L && got.getLong(2) == 4L) // min_k, max_k
+    assert(got.getLong(3) == 10L && got.getLong(4) == 30L) // min_v, max_v
+  }
+
   test("a range intersecting nothing returns an empty frame with the table schema") {
     val base = tmp()
     val ev = graft.Tables.t(spark, sf(), "events")
