@@ -105,6 +105,26 @@ object WindowQueries extends QueryPack {
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(20)),
 
+    // O6: TOP-K PER GROUP — the curation step every training recipe
+    // runs (top docs per source by quality, top events per user by
+    // recency). The rn<=k filter compiles to WindowGroupLimit: each
+    // map task keeps only its local top-k per group BEFORE the
+    // shuffle, so per-task state is O(groups x k) and no group is ever
+    // buffered whole — the same plan law a11's sketch pins, asserted
+    // for this gate in PlanSpec. Deterministic under price ties via
+    // the composite (price DESC, key ASC) order.
+    "o6_group_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("o_orderpriority")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rank") <= 3)
+        .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+          col("o_totalprice").cast("double").as("price"))
+        .orderBy("o_orderpriority", "rank")),
+
     // A13: mean/variance from EXACT decimal sums — the distributed-safe
     // way to hash-check second moments across engines. Naive double
     // accumulation is partition-order-dependent and Welford's online
@@ -266,6 +286,14 @@ object WindowQueries extends QueryPack {
          FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
          LIMIT 20""",
+    "o6_group_topk" ->
+      """SELECT o_orderpriority, rank, o_orderkey, price FROM (
+           SELECT o_orderpriority, o_orderkey,
+                  CAST(o_totalprice AS DOUBLE) AS price,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+           FROM orders)
+         WHERE rank <= 3 ORDER BY o_orderpriority, rank""",
     "o5_window_funcs" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
          CAST(rank() OVER w1 AS INT) AS rnk,

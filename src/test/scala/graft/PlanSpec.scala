@@ -69,6 +69,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("O6 per-group top-k compiles to WindowGroupLimit (O(k) per-task state)") {
+    val plan = graft.queries.WindowQueries.defs("o6_group_topk")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
+
   test("J14 fact scan carries a dynamicpruning partition filter") {
     // the scale claim of the gate: the dim filter's surviving keys
     // reach the fact scan as a runtime partition filter, so pruned
