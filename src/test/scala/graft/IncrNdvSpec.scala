@@ -113,6 +113,33 @@ class IncrNdvSpec extends SparkSpec {
     assert(mvNdv(mv) == Map("g" -> (3.0, 3L)))
   }
 
+  test("randomized multi-batch sweep: maintained sketch equals from-scratch after every batch") {
+    val rnd = new scala.util.Random(1543)
+    import spark.implicits._
+    for (trial <- 1 to 5) {
+      val base = tmp()
+      val root = s"$base/t"; val mv = s"$base/mv"
+      val nBuckets = 1 + rnd.nextInt(8)
+      var ver = 0L
+      for (tag <- 1 to 4) {
+        ver += 1
+        val n = 20 + rnd.nextInt(120)
+        val rows = (1 to n).map { _ =>
+          val k = rnd.nextInt(300).toLong
+          (k, s"g${rnd.nextInt(3)}", rnd.nextInt(50).toLong, ver)
+        }
+        // dedup keys within the batch (applyBatch resolves per key, but
+        // equal versions tie arbitrarily — keep the invariant clean)
+        val batch = rows.groupBy(_._1).map(_._2.head).toSeq
+          .toDF("k", "g", "nv", "ver")
+        BucketedUpsert.applyBatch(batch, root, "k", "ver", nBuckets, tag)
+        IncrNdv.refresh(spark, root, mv, "k", Seq("g"), "nv", K)
+        assert(mvNdv(mv) == scratch(root),
+          s"trial $trial tag $tag (nBuckets=$nBuckets): maintained != scratch")
+      }
+    }
+  }
+
   test("reading with k above the stored sketch's fail-fasts") {
     val base = tmp()
     val root = s"$base/t"; val mv = s"$base/mv"

@@ -51,6 +51,33 @@ class SecondaryIndexSpec extends SparkSpec {
       .count() == 0, "stale value survived the bucket rebuild")
   }
 
+  test("randomized multi-batch sweep: lookup equals full scan after every refresh") {
+    val rnd = new scala.util.Random(2291)
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val base = tmp()
+      val root = s"$base/t"; val ix = s"$base/ix"
+      val nBuckets = 2 + rnd.nextInt(8)
+      for (tag <- 1 to 4) {
+        val n = 10 + rnd.nextInt(80)
+        val batch = (1 to n).map { _ =>
+          val k = rnd.nextInt(400).toLong
+          (k, s"name-${rnd.nextInt(150)}", tag.toLong)
+        }.groupBy(_._1).map(_._2.head).toSeq.toDF("k", "s", "ver")
+        BucketedUpsert.applyBatch(batch, root, "k", "ver", nBuckets, tag)
+        SecondaryIndex.refresh(spark, root, ix, "k", "s")
+        val probes = (1 to 5).map(_ => s"name-${rnd.nextInt(170)}")
+        val got = SecondaryIndex.lookup(spark, root, ix, "s", probes)
+          .select("k").collect().map(_.getLong(0)).toSet
+        val want = BucketedUpsert.read(spark, root)
+          .filter(col("s").isin(probes: _*))
+          .select("k").collect().map(_.getLong(0)).toSet
+        assert(got == want,
+          s"trial $trial tag $tag (nBuckets=$nBuckets): lookup != scan for $probes")
+      }
+    }
+  }
+
   test("refreshing with different filter params fail-fasts instead of mixing filters") {
     val base = tmp()
     val root = s"$base/t"; val ix = s"$base/ix"
