@@ -66,8 +66,32 @@ object BloomIndex {
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
         .as("bits"))
       .withColumn("m_log2", lit(mLog2)).withColumn("k", lit(k))
-      .coalesce(1) // manifest is (files x set words)-sized — metadata
+      // NOT coalesced to one file: the manifest scales with FILE COUNT
+      // (unlike the bucket-bounded index manifests), and a single-task
+      // write would serialize the bit_or of a million files' words
+      // through one executor; probes filter by word, so a multi-file
+      // manifest costs readers nothing
       .write.mode("overwrite").parquet(bloomDir)
+  }
+
+  /** The words `values` hash to — the only manifest rows a probe reads. */
+  private[lake] def wantedWords(values: Seq[String], mLog2: Int,
+                                k: Int): Seq[Int] =
+    values.flatMap(v => positions(v, mLog2, k)).map(p => (p / 64).toInt).distinct
+
+  /** Shared probe core for both the file-keyed and bucket-keyed index:
+    * given the collected (entity, word) → bits slice, the entities
+    * whose filter admits at least one of `values` (every position of
+    * some value set). One implementation — the bit test of the two
+    * indexes can never diverge. */
+  private[lake] def admittedEntities[K](words: Map[(K, Int), Long],
+                                        values: Seq[String], mLog2: Int,
+                                        k: Int): Seq[K] = {
+    val perValue = values.map(v => positions(v, mLog2, k))
+    val entities = words.keys.map(_._1).toSeq.distinct
+    entities.filter(e => perValue.exists(ps => ps.forall { pos =>
+      (words.getOrElse((e, (pos / 64).toInt), 0L) & (1L << (pos % 64))) != 0L
+    }))
   }
 
   /** The files that may contain ANY of `values` (union of per-value
@@ -80,17 +104,12 @@ object BloomIndex {
       .select("m_log2", "k").limit(1).collect()
     if (meta.isEmpty) return Seq.empty // empty table indexed → no files
     val (mLog2, k) = (meta.head.getInt(0), meta.head.getInt(1))
-    val perValue = values.map(v => positions(v, mLog2, k))
-    val wanted = perValue.flatten.map(p => (p / 64).toInt).distinct
     // probe-set-sized collect: only the words the values hash to
     val words = spark.read.parquet(bloomDir)
-      .filter(col("w").isin(wanted: _*))
+      .filter(col("w").isin(wantedWords(values, mLog2, k): _*))
       .select("path", "w", "bits").collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
-    val paths = words.keys.map(_._1).toSeq.distinct
-    paths.filter(p => perValue.exists(ps => ps.forall { pos =>
-      (words.getOrElse((p, (pos / 64).toInt), 0L) & (1L << (pos % 64))) != 0L
-    }))
+    admittedEntities(words, values, mLog2, k)
   }
 
   /** Equality/IN read through the Bloom manifest: open only files whose

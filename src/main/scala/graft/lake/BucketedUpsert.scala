@@ -39,6 +39,16 @@ object BucketedUpsert {
   def bucketOf(key: Column, nBuckets: Int): Column =
     pmod(hash(key), lit(nBuckets))
 
+  /** Tag monotonicity, validated BEFORE any data write: Snapshot.publish
+    * would catch a reused tag too, but only after mode("overwrite") has
+    * already destroyed data/v<tag> — which the CURRENT manifest may
+    * reference. Fail here, while the table is still intact. */
+  private def requireTagAbove(spark: SparkSession, root: String, tag: Long,
+                              what: String): Unit =
+    Snapshot.currentTag(spark, root).foreach(cur => require(tag > cur,
+      s"$what tag $tag is not above the published v$cur under $root — " +
+        "a reused tag would overwrite the live version directory"))
+
   private[lake] case class Entry(bucket: Int, path: String, nBuckets: Int)
 
   private[lake] def manifestEntries(spark: SparkSession, root: String): Seq[Entry] =
@@ -112,12 +122,7 @@ object BucketedUpsert {
                  keep: Int = 2): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val spark = batch.sparkSession
-    // validate BEFORE the data write (same guard as rewriteBuckets):
-    // a reused tag would overwrite the live version dir the current
-    // manifest references, long before publish could reject it
-    Snapshot.currentTag(spark, root).foreach(cur => require(tag > cur,
-      s"batch tag $tag is not above the published v$cur under $root — " +
-        "a reused tag would overwrite the live version directory"))
+    requireTagAbove(spark, root, tag, "batch")
     val prev = manifestEntries(spark, root)
     prev.headOption.foreach(e => require(e.nBuckets == nBuckets,
       s"table at $root was bucketed with n=${e.nBuckets}, got $nBuckets — " +
@@ -266,13 +271,7 @@ object BucketedUpsert {
                              survivorsOf: DataFrame => DataFrame,
                              key: String, n: Int, tag: Long,
                              keep: Int): Long = {
-    // tag monotonicity is validated BEFORE any write: Snapshot.publish
-    // would catch a reused tag too, but only after mode("overwrite")
-    // has already destroyed data/v<tag> — which the CURRENT manifest
-    // may reference. Fail here, while the table is still intact.
-    Snapshot.currentTag(spark, root).foreach(cur => require(tag > cur,
-      s"rewrite tag $tag is not above the published v$cur under $root — " +
-        "a reused tag would overwrite the live version directory"))
+    requireTagAbove(spark, root, tag, "rewrite")
     val prevTouched = prev.filter(e => touched(e.bucket))
     var removed = 0L
     val touchedEntries =

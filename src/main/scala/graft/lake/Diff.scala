@@ -54,17 +54,24 @@ object Diff {
       val widened = valueCols.foldLeft(df)((d, c) =>
         if (d.columns.contains(c)) d
         else d.withColumn(c, lit(null).cast(typeOf(c))))
+      // presence marker: a NULL key cannot prove its side absent (the
+      // join below is null-safe, so NULL-key rows DO match each other),
+      // and testing the key for null would misclassify them
       widened.select((col(key).as(s"${prefix}$key") +:
+        lit(true).as(s"${prefix}present") +:
         valueCols.map(c => col(c).as(s"$prefix$c"))): _*)
     }
     val o = side(oldDf, "old_"); val n = side(newDf, "new_")
     val oldK = col(s"old_$key"); val newK = col(s"new_$key")
     val changed = !(struct(valueCols.map(c => col(s"old_$c")): _*) <=>
       struct(valueCols.map(c => col(s"new_$c")): _*))
-    o.join(n, oldK === newK, "full_outer")
+    // null-safe join: a NULL-key row compares against the other side's
+    // NULL-key row instead of reporting a spurious I+D pair (keys are
+    // unique per side by the table contract, NULL included)
+    o.join(n, oldK <=> newK, "full_outer")
       .withColumn("op",
-        when(oldK.isNull, lit("I"))
-          .when(newK.isNull, lit("D"))
+        when(!coalesce(col("old_present"), lit(false)), lit("I"))
+          .when(!coalesce(col("new_present"), lit(false)), lit("D"))
           .when(changed, lit("U")))
       .filter(col("op").isNotNull)
       .select((coalesce(oldK, newK).as(key) +: col("op") +:

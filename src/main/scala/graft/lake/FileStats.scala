@@ -93,7 +93,9 @@ object FileStats {
     */
   def aggFromStats(spark: SparkSession, statsDir: String,
                    cols: Seq[String]): DataFrame = {
-    val aggs = sum(col("n_rows")).as("n_rows") +:
+    // count over an empty manifest is 0, as count(*) would be — never
+    // NULL; min/max legitimately stay NULL there
+    val aggs = coalesce(sum(col("n_rows")), lit(0L)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(minName(c))).as(minName(c)),
         max(col(maxName(c))).as(maxName(c))))
     spark.read.parquet(statsDir).agg(aggs.head, aggs.tail: _*)

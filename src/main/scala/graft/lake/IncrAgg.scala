@@ -74,17 +74,38 @@ object IncrAgg {
     if (mvTag.contains(tableTag)) return 0
 
     val entries = BucketedUpsert.manifestEntries(spark, tableRoot)
-    // an EMPTY published manifest (a zero-row first batch) has nothing
-    // to recompute and no schema to build partials from — leave the MV
-    // as-is; the first non-empty batch's refresh catches up from the
-    // change feed. Without this, entries.head would kill a streaming
-    // sink on an empty leading micro-batch.
-    if (entries.isEmpty) return 0
+    if (entries.isEmpty) {
+      // an EMPTY published manifest: either a zero-row first batch (no
+      // MV yet — nothing to build, no schema to build it from; the
+      // first non-empty batch's refresh catches up from the feed), or
+      // the table was emptied COMPLETELY (every bucket vanished — the
+      // MV must follow, or it would report the deleted data forever)
+      mvTag match {
+        case None => return 0
+        case Some(_) =>
+          val mvBuckets = Snapshot.read(spark, mvRoot)
+            .select("graft_bucket").distinct().count().toInt
+          Snapshot.publish(Snapshot.read(spark, mvRoot).limit(0),
+            mvRoot, tableTag, keep)
+          return mvBuckets
+      }
+    }
     val nBuckets = entries.head.nBuckets
     val since = mvTag.getOrElse(Long.MinValue)
+    val currentBuckets = entries.map(_.bucket).toSet
+    // a bucket the MV knows that is ABSENT from the current manifest
+    // was fully emptied (rewriteBuckets drops empty buckets) — it is in
+    // nobody's change feed, so it must be EXPLICITLY dropped from the
+    // carried partials or its stale rows would survive forever
+    val vanished = mvTag match {
+      case None => Set.empty[Int]
+      case Some(_) => Snapshot.read(spark, mvRoot)
+        .select("graft_bucket").distinct().collect()
+        .map(_.getInt(0)).toSet -- currentBuckets
+    }
     val changedBuckets = entries
       .filter(e => BucketedUpsert.entryTag(e.path) > since)
-      .map(_.bucket).toSet
+      .map(_.bucket).toSet ++ vanished
 
     val changedPartials =
       partialsOf(BucketedUpsert.changesSince(spark, tableRoot, since), nBuckets)

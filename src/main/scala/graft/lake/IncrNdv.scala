@@ -82,7 +82,13 @@ object IncrNdv {
   def readNdv(spark: SparkSession, mvRoot: String,
               groupCols: Seq[String], k: Int): DataFrame = {
     val mv = Snapshot.read(spark, mvRoot)
-    val storedK = mv.agg(min("graft_k")).head.getInt(0)
+    val metaRow = mv.agg(min("graft_k")).head
+    // a published-but-empty sketch (all-NULL first batch, or a table
+    // emptied completely): zero groups, zero rows — not an NPE
+    if (metaRow.isNullAt(0))
+      return mv.limit(0).select((groupCols.map(col) :+
+        lit(0.0).as("ndv_estimate") :+ lit(0L).as("n_mins")): _*)
+    val storedK = metaRow.getInt(0)
     require(k <= storedK,
       s"sketch at $mvRoot stores k=$storedK rows per bucket-group — " +
         s"reading k=$k > $storedK would under-merge; rebuild with a larger k")

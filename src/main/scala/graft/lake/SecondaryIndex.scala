@@ -74,15 +74,12 @@ object SecondaryIndex {
     require(meta.length == 1,
       s"index at $ixRoot mixes filter params ${meta.mkString(",")} — rebuild it")
     val (mLog2, k) = (meta.head.getInt(0), meta.head.getInt(1))
-    val perValue = values.map(v => BloomIndex.positions(v, mLog2, k))
-    val wanted = perValue.flatten.map(p => (p / 64).toInt).distinct
-    val words = ix.filter(col("w").isin(wanted: _*))
+    val words = ix
+      .filter(col("w").isin(BloomIndex.wantedWords(values, mLog2, k): _*))
       .select("graft_bucket", "w", "bits").collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
-    val buckets = words.keys.map(_._1).toSeq.distinct
-    buckets.filter(b => perValue.exists(ps => ps.forall { pos =>
-      (words.getOrElse((b, (pos / 64).toInt), 0L) & (1L << (pos % 64))) != 0L
-    }))
+    // the bit test itself is BloomIndex's — one probe core, two indexes
+    BloomIndex.admittedEntities(words, values, mLog2, k)
   }
 
   /** Equality/IN lookup by the indexed column: open only admitted
@@ -90,14 +87,20 @@ object SecondaryIndex {
     * has not been refreshed to the table's current tag. */
   def lookup(spark: SparkSession, tableRoot: String, ixRoot: String,
              column: String, values: Seq[String]): DataFrame = {
+    val allEntries = BucketedUpsert.manifestEntries(spark, tableRoot)
+    // an empty table (zero-row first batch, or emptied completely) can
+    // hold no value — correct for any index state, and there are no
+    // data files to borrow a schema from
+    if (allEntries.isEmpty) return spark.emptyDataFrame
     val tableTag = Snapshot.currentTag(spark, tableRoot)
     val ixTag = Snapshot.currentTag(spark, ixRoot)
+    def show(t: Option[Long]) = t.map("v" + _).getOrElse("unbuilt")
     require(ixTag == tableTag,
-      s"secondary index at $ixRoot is at tag $ixTag but the table is at " +
-        s"$tableTag — refresh before lookup (a stale Bloom could false-negate)")
+      s"secondary index at $ixRoot is at ${show(ixTag)} but the table is " +
+        s"at ${show(tableTag)} — refresh before lookup (a stale Bloom " +
+        "could false-negate)")
     val admitted = lookupBuckets(spark, ixRoot, values).toSet
-    val entries = BucketedUpsert.manifestEntries(spark, tableRoot)
-      .filter(e => admitted(e.bucket))
+    val entries = allEntries.filter(e => admitted(e.bucket))
     val base =
       if (entries.isEmpty) BucketedUpsert.read(spark, tableRoot).limit(0)
       else spark.read.option("mergeSchema", "true")

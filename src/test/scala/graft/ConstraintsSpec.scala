@@ -43,14 +43,14 @@ class ConstraintsSpec extends SparkSpec {
     assert(BucketedUpsert.read(spark, root).count() == 2)
   }
 
-  test("a crash between the two publishes heals on same-tag retry") {
+  test("a crash between the two halves heals on same-tag retry") {
     val base = tmp()
     val root = s"$base/t"; val q = s"$base/q"
     import spark.implicits._
     val batch = Seq((1L, 1.0, 1L), (2L, -1.0, 1L)).toDF("k", "v", "ver")
-    // simulate: quarantine half landed at tag 1, table half did not
-    Snapshot.publish(batch.filter(col("v") < 0)
-      .withColumn("graft_qtag", lit(1L)), q, 1)
+    // simulate: quarantine half landed at tag 1 (dir + _SUCCESS),
+    // table half did not
+    batch.filter(col("v") < 0).write.parquet(s"$q/graft_qtag=1")
     val (good, bad) = Constraints.applyBatchValidated(batch, root, q,
       "k", "ver", 2, 1, col("v") >= 0)
     assert((good, bad) == (1L, 1L))
@@ -58,5 +58,24 @@ class ConstraintsSpec extends SparkSpec {
     // are NOT duplicated
     assert(Constraints.quarantined(spark, q).count() == 1)
     assert(BucketedUpsert.read(spark, root).select("k").head.getLong(0) == 1L)
+  }
+
+  test("quarantine appends are per-batch dirs; a clean batch writes nothing") {
+    val base = tmp()
+    val root = s"$base/t"; val q = s"$base/q"
+    import spark.implicits._
+    // empty-safe read before any rejection
+    assert(Constraints.quarantined(spark, q).count() == 0)
+    val clean = Seq((1L, 1.0, 1L), (2L, 2.0, 1L)).toDF("k", "v", "ver")
+    Constraints.applyBatchValidated(clean, root, q, "k", "ver", 2, 1,
+      col("v") >= 0)
+    // a violation-free batch must not create a quarantine partition
+    val fs = new java.io.File(q)
+    assert(!fs.exists || fs.listFiles.forall(!_.getName.startsWith("graft_qtag=")),
+      "clean batch created a quarantine dir")
+    val dirty = Seq((3L, -3.0, 2L)).toDF("k", "v", "ver")
+    Constraints.applyBatchValidated(dirty, root, q, "k", "ver", 2, 2,
+      col("v") >= 0)
+    assert(Constraints.quarantined(spark, q, Some(2L)).count() == 1)
   }
 }

@@ -39,6 +39,20 @@ class DiffSpec extends SparkSpec {
     assert(got == Map(1L -> "U", 2L -> "U"), s"null-safe compare broke: $got")
   }
 
+  test("NULL-key rows join null-safely: unchanged is absent, deleted is D") {
+    import spark.implicits._
+    val o = Seq[(java.lang.Long, Long)]((null, 5L), (1L, 10L))
+      .toDF("k", "v")
+    // identical NULL-key row on both sides → NOT in the diff
+    assert(Diff.diffFrames(o, o, "k").count() == 0,
+      "identical states with a NULL key must diff empty")
+    // NULL-key row deleted → op D (not a spurious I)
+    val n = Seq[(java.lang.Long, Long)]((1L, 10L)).toDF("k", "v")
+    val got = Diff.diffFrames(o, n, "k").select("op").collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("D"), s"deleted NULL-key row misclassified: $got")
+  }
+
   test("a column added between the snapshots diffs as NULL-vs-value") {
     import spark.implicits._
     val o = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")

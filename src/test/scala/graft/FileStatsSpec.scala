@@ -64,6 +64,17 @@ class FileStatsSpec extends SparkSpec {
     assert(got.getLong(0) == 4L)
     assert(got.getLong(1) == 1L && got.getLong(2) == 4L) // min_k, max_k
     assert(got.getLong(3) == 10L && got.getLong(4) == 30L) // min_v, max_v
+
+    // zero-row tree → empty manifest → count 0 (as count(*) would be),
+    // min/max NULL — never a NULL count
+    import spark.implicits._
+    Seq.empty[(Long, Long)].toDF("k", "v")
+      .coalesce(1).write.parquet(s"$base/empty")
+    graft.lake.FileStats.writeStats(spark, s"$base/empty",
+      s"$base/emptystats", Seq("k"))
+    val empty = graft.lake.FileStats.aggFromStats(spark, s"$base/emptystats",
+      Seq("k")).head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(2))
   }
 
   test("a range intersecting nothing returns an empty frame with the table schema") {

@@ -51,6 +51,36 @@ class IncrAggSpec extends SparkSpec {
     assert(Snapshot.currentTag(spark, mv).contains(2L))
   }
 
+  test("a fully-emptied bucket's partials are dropped, not carried forever") {
+    val base = tmp()
+    val root = s"$base/t"; val mv = s"$base/mv"
+    import spark.implicits._
+    val batch1 = (1L to 200L).map(k => (k, s"g${k % 3}", k.toDouble, 1L))
+      .toDF("k", "g", "v", "ver")
+    BucketedUpsert.applyBatch(batch1, root, "k", "ver", nBuckets = 8, tag = 1)
+    IncrAgg.refresh(spark, root, mv, "k", Seq("g"), Seq("v"))
+    // delete EVERY key of one bucket: the bucket drops out of the
+    // manifest entirely, so it is in nobody's change feed — the MV
+    // must still drop its partials or it reports deleted data forever
+    val bucketOfKey = BucketedUpsert.read(spark, root)
+      .select(col("k"), BucketedUpsert.bucketOf(col("k"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val doomed = bucketOfKey.collect { case (k, b) if b == 3 => k }.toSeq
+    assert(doomed.nonEmpty, "fixture must populate bucket 3")
+    BucketedUpsert.deleteKeys(spark, root, "k", doomed.toDF("k"), tag = 2)
+    val n = IncrAgg.refresh(spark, root, mv, "k", Seq("g"), Seq("v"))
+    assert(n >= 1, "the vanished bucket must count as changed")
+    assert(mvAgg(mv) == fullAgg(root),
+      "MV must not carry the emptied bucket's stale partials")
+
+    // empty the table COMPLETELY: the MV must follow to zero groups
+    val rest = BucketedUpsert.read(spark, root).select("k")
+    BucketedUpsert.deleteKeys(spark, root, "k", rest, tag = 3)
+    IncrAgg.refresh(spark, root, mv, "k", Seq("g"), Seq("v"))
+    assert(IncrAgg.read(spark, mv, Seq("g"), Seq("v")).count() == 0,
+      "a fully-emptied table must empty the MV")
+  }
+
   test("untouched buckets' partial rows are carried over, not recomputed") {
     val base = tmp()
     val root = s"$base/t"; val mv = s"$base/mv"
