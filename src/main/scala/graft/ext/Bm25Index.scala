@@ -40,6 +40,13 @@ object Bm25Index {
 
   private def tokenize(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
+      // at-least-once upstreams can land the SAME (doc_id, text) twice
+      // in one batch; without this distinct the duplicate would DOUBLE
+      // every tf in postingsOf (docstats survives via key dedup, so the
+      // corruption is silent). Same doc_id with DIFFERENT text in one
+      // batch remains a contract violation (append-only by doc_id —
+      // delete first), as across batches.
+      .select(col("doc_id"), col("text")).distinct()
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
 
@@ -56,11 +63,21 @@ object Bm25Index {
     ingest(spark, root, docs, nBuckets, tag)
 
   /** Fold an append batch of NEW documents into the index: tokenize
-    * only the batch, rewrite only touched buckets. */
+    * only the batch, rewrite only touched buckets. `nBucketsIfEmpty`
+    * applies only when the index was emptied of every document (a
+    * fully-emptied bucketed table forgets its bucket count). */
   def append(spark: SparkSession, root: String, docs: DataFrame,
-             tag: Long): Unit =
+             tag: Long, nBucketsIfEmpty: Int = 16): Unit = {
+    // no pointer at all = never built → fail fast (append implies an
+    // index); a RESOLVABLE but zero-entry manifest = emptied by
+    // takedowns → the bucket count was forgotten with the last bucket,
+    // fall back to nBucketsIfEmpty
+    require(graft.lake.Snapshot.resolve(spark, postingsRoot(root)).nonEmpty,
+      s"no BM25 index under $root — build before append")
     ingest(spark, root, docs,
-      BucketedUpsert.bucketCount(spark, postingsRoot(root)), tag)
+      BucketedUpsert.bucketCountOption(spark, postingsRoot(root))
+        .getOrElse(nBucketsIfEmpty), tag)
+  }
 
   private def ingest(spark: SparkSession, root: String, docs: DataFrame,
                      nBuckets: Int, tag: Long): Unit = {
@@ -93,10 +110,11 @@ object Bm25Index {
     graft.streaming.EventStreams.runLedgeredUpsert(
       spark, updates, docstatsRoot(root), checkpointDir) { (batch, batchId) =>
       val bs = batch.sparkSession
-      val n = graft.lake.Snapshot.resolve(bs, postingsRoot(root)) match {
-        case None => nBuckets
-        case Some(_) => BucketedUpsert.bucketCount(bs, postingsRoot(root))
-      }
+      // Option form: a resolvable-but-empty manifest (zero-row first
+      // batch, or an index emptied by takedowns) must fall back to the
+      // configured count instead of throwing forever
+      val n = BucketedUpsert.bucketCountOption(bs, postingsRoot(root))
+        .getOrElse(nBuckets)
       def behind(tableRoot: String) =
         !graft.lake.Snapshot.currentTag(bs, tableRoot).exists(_ >= batchId)
       if (behind(postingsRoot(root)))
@@ -135,6 +153,16 @@ object Bm25Index {
                  tag: Long): Long = {
     def behind(tableRoot: String) =
       !graft.lake.Snapshot.currentTag(spark, tableRoot).exists(_ >= tag)
+    // the >= skip exists ONLY for same-tag crash replays; a tag
+    // strictly below BOTH tables' published state is a mis-assigned
+    // (rewound/forgotten) tag — silently returning 0 would let the
+    // caller believe a takedown landed that never ran
+    val landedMax = Seq(postingsRoot(root), docstatsRoot(root))
+      .flatMap(r => graft.lake.Snapshot.currentTag(spark, r))
+      .reduceOption(_ max _)
+    landedMax.foreach(m => require(tag >= m,
+      s"deleteDocs tag $tag is below the index's published v$m — a replay " +
+        "carries the original tag; a new takedown needs a fresh one"))
     if (behind(postingsRoot(root))) {
       // posting-row count is not a document count — tracked only as a
       // side effect; the returned figure is doc-stats rows below

@@ -115,6 +115,14 @@ object Ivf {
     // on return would silently drop it for the caller's later actions
     val ownPin = embeddings.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (ownPin) embeddings.persist()
+    // an empty corpus has a well-defined answer — the seeds, unchanged
+    // (iteration 1's mean over nothing would yield an empty centroid
+    // set and iteration 2's assign would throw from deep in the loop)
+    if (embeddings.isEmpty) {
+      if (ownPin) embeddings.unpersist(blocking = false)
+      return spark.createDataFrame(
+        java.util.Arrays.asList(init.collect(): _*), init.schema)
+    }
     try {
       var cents = init
       var prevBc: Option[Broadcast[graft.plans.NearestCellModel]] = None
@@ -162,6 +170,13 @@ object Ivf {
       .withColumn("rmx", expr("array_max(transform(res, x -> abs(x)))"))
       .select(col("vec_id"), col("cell"),
         (col("rmx") / 127.0).as("rscale"),
+        // the vector's EXACT norm, stored with the codes: the shortlist
+        // must rank by approximate COSINE (approx-dot / vnorm) — a raw
+        // dot shortlist lets high-norm vectors crowd the true cosine
+        // top-k out before the exact re-rank ever sees it
+        expr("""sqrt(aggregate(zip_with(embedding, embedding,
+                (x, y) -> cast(x as double) * cast(y as double)),
+                cast(0.0 as double), (a, v) -> a + v))""").as("vnorm"),
         expr("""CASE WHEN rmx = 0.0d THEN transform(res, x -> 0)
                 ELSE transform(res, x -> cast(greatest(-127.0d, least(127.0d,
                   floor(x / (rmx / 127.0d) + 0.5d))) as int)) END""").as("rq8"))
@@ -212,7 +227,13 @@ object Ivf {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("intdot", expr(
         "aggregate(zip_with(qq8, rq8, (x, y) -> cast(x as double) * y), 0.0d, (a, v) -> a + v)"))
-      .withColumn("approx", col("qc_dot") + col("qscale") * col("rscale") * col("intdot"))
+      // approximate COSINE, not raw dot: dividing by the stored exact
+      // vnorm aligns the shortlist metric with the coarse probe and the
+      // final re-rank (both cosine) — without it high-norm vectors
+      // systematically displace better-cosine candidates
+      .withColumn("approx", when(col("vnorm") === 0.0, lit(0.0)).otherwise(
+        (col("qc_dot") + col("qscale") * col("rscale") * col("intdot"))
+          / col("vnorm")))
       .withColumn("arank", row_number().over(
         Window.partitionBy("qid").orderBy(col("approx").desc, col("vec_id"))))
       .filter(col("arank") <= shortlistK)
@@ -229,6 +250,13 @@ object Ivf {
 
   /** Top-k cosine neighbors per query, searching only each query's
     * nProbe nearest cells.
+    *
+    * CONTRACT (also [[searchPq]]/[[searchIndex]]): queries are assumed
+    * drawn from the corpus id space, and a candidate whose vec_id
+    * equals the query's qid is excluded as the trivial self-match. For
+    * an EXTERNAL query set, give the queries ids outside the corpus
+    * range — an accidental collision would silently drop a legitimate
+    * neighbor.
     */
   def search(spark: SparkSession, corpusWithCells: DataFrame, queries: DataFrame,
              centroids: DataFrame, topK: Int, nProbe: Int): DataFrame = {
@@ -327,7 +355,14 @@ object Ivf {
       spark, updates, corpusRoot(root), checkpointDir) { (batch, batchId) =>
       val bs = batch.sparkSession
       GraftFunctions.register(bs)
-      if (Snapshot.resolve(bs, corpusRoot(root)).isEmpty) {
+      if (Snapshot.resolve(bs, corpusRoot(root)).isEmpty && batch.isEmpty) {
+        // a zero-row leading file: seeding the quantizer from nothing
+        // would publish an EMPTY centroid table and wedge every later
+        // batch (assign requires centroids; the tag guard would forbid
+        // re-seeding). Skip entirely — the first NON-empty batch
+        // builds; a replay of this batch re-skips identically.
+        ()
+      } else if (Snapshot.resolve(bs, corpusRoot(root)).isEmpty) {
         // replay-safe build (not buildIndex verbatim): a crash between
         // the centroid publish and the corpus publish re-delivers the
         // batch, and Snapshot.publish forbids same-tag re-publish — so

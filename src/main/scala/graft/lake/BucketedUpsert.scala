@@ -67,6 +67,14 @@ object BucketedUpsert {
     entries.head.nBuckets
   }
 
+  /** [[bucketCount]] that answers None instead of throwing — for
+    * appenders that must survive a table with no manifest OR a
+    * published-but-empty one (every bucket deleted): the bucket count
+    * lives only in manifest entries, so a fully-emptied table forgets
+    * it and the appender must re-supply a count. */
+  def bucketCountOption(spark: SparkSession, root: String): Option[Int] =
+    manifestEntries(spark, root).headOption.map(_.nBuckets)
+
   /** The current table contents (throws before the first publish). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val entries = manifestEntries(spark, root)
@@ -130,6 +138,14 @@ object BucketedUpsert {
     // touched buckets: a batch-sized distinct, bucket-count-bounded result
     val touched = batch.select(bucketOf(col(key), nBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
+    // an empty FIRST batch creates nothing: publishing a zero-entry
+    // manifest would make the table "exist" with no schema and no
+    // bucket count, wedging every consumer that resolves it (the
+    // streaming index ingests died exactly this way on a zero-row
+    // leading file). The table appears with its first row; an empty
+    // LATER batch still re-publishes (the streaming ledger needs the
+    // tag advanced to skip the replay).
+    if (touched.isEmpty && prev.isEmpty) return
     val dataDir = s"$root/data/v$tag"
     val touchedEntries =
       if (touched.isEmpty) Seq.empty

@@ -462,15 +462,17 @@ object SimQueries extends QueryPack {
               FROM embeddings e, cent c) WHERE rn = 1),
           res AS (
             SELECT a.vec_id, a.cell,
+                   sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                        CAST(a.embedding AS DOUBLE[]))) AS vnorm,
                    list_transform(range(64), i ->
                      CAST(a.embedding[i + 1] AS DOUBLE) - CAST(c.centroid[i + 1] AS DOUBLE)) AS r
             FROM assigned a JOIN cent c ON a.cell = c.cell),
           coded AS (
-            SELECT vec_id, cell, rmx / 127.0 AS rscale,
+            SELECT vec_id, cell, vnorm, rmx / 127.0 AS rscale,
                    CASE WHEN rmx = 0.0 THEN list_transform(r, x -> 0)
                         ELSE list_transform(r, x -> CAST(greatest(-127.0,
                           least(127.0, floor(x / (rmx / 127.0) + 0.5))) AS INT)) END AS rq8
-            FROM (SELECT vec_id, cell, r,
+            FROM (SELECT vec_id, cell, vnorm, r,
                          list_max(list_transform(r, x -> abs(x))) AS rmx
                   FROM res)),
           q AS (
@@ -495,8 +497,10 @@ object SimQueries extends QueryPack {
             SELECT qid, vec_id FROM (
               SELECT p.qid, d.vec_id,
                      row_number() OVER (PARTITION BY p.qid ORDER BY
-                       p.qc_dot + p.qscale * d.rscale *
-                         list_dot_product(CAST(p.qq8 AS DOUBLE[]), CAST(d.rq8 AS DOUBLE[])) DESC,
+                       CASE WHEN d.vnorm = 0.0 THEN 0.0 ELSE
+                         (p.qc_dot + p.qscale * d.rscale *
+                           list_dot_product(CAST(p.qq8 AS DOUBLE[]), CAST(d.rq8 AS DOUBLE[])))
+                         / d.vnorm END DESC,
                        d.vec_id) AS arank
               FROM coded d JOIN probes p ON d.cell = p.cell AND d.vec_id <> p.qid)
             WHERE arank <= 8),

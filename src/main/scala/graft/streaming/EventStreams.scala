@@ -36,7 +36,11 @@ object EventStreams {
     withEventTime(events)
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      // moneySum, not a raw double sum: the float policy every other
+      // aggregate follows — partial sums in DECIMAL are exact and
+      // partition-order-free, so sum_value is hashable/comparable
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Portable.moneySum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -254,8 +258,11 @@ object EventStreams {
       (batch, batchId) =>
         graft.lake.BucketedUpsert.applyBatch(
           batch, tableRoot, key, versionCol, nBuckets, batchId)
-        graft.lake.IncrAgg.refresh(spark, tableRoot, mvRoot, key,
-          groupCols, sumCols)
+        // an empty FIRST batch creates no table (applyBatch no-op) —
+        // nothing to refresh against yet
+        if (graft.lake.Snapshot.currentTag(spark, tableRoot).nonEmpty)
+          graft.lake.IncrAgg.refresh(spark, tableRoot, mvRoot, key,
+            groupCols, sumCols)
     }
     // heal the apply-then-crash window (MV behind the table after a
     // replay skip); no-op when the in-loop refreshes kept pace
@@ -328,13 +335,27 @@ object EventStreams {
             for (e <- events.sortBy(_.event_time.getTime)) {
               val t = e.event_time.getTime
               cur match {
-                case Some(s) if t - s.end <= gapMillis =>
-                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                // a LATE in-watermark event can precede the restored
+                // session's start: merge iff within gap of the session
+                // INTERVAL (the batch twin's lag rule), extending START
+                // as well as end — keeping the stale start would report
+                // the session beginning after its earliest event
+                case Some(s) if t >= s.start - gapMillis &&
+                    t - s.end <= gapMillis =>
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), n = s.n + 1,
                     sum = s.sum + e.value))
-                case Some(s) =>
+                case Some(s) if t > s.end =>
                   closed += Session(userId, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.end), s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
+                case Some(_) =>
+                  // more than a gap BEFORE the current session: its own
+                  // already-complete single-event session (anything
+                  // that could have extended it is later-arriving and
+                  // would land after the current session instead)
+                  closed += Session(userId, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1, e.value)
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }

@@ -143,6 +143,41 @@ class Bm25IndexSpec extends SparkSpec {
       "the healed index must equal a never-ingested rebuild")
   }
 
+  test("intra-batch duplicate (doc_id, text) rows do not double tf") {
+    val root = tmp(); val clean = tmp()
+    // at-least-once upstream: the same rows land twice in ONE batch
+    Bm25Index.build(spark, root, docs.union(docs), nBuckets = 8, tag = 1)
+    Bm25Index.build(spark, clean, docs, nBuckets = 8, tag = 1)
+    def score(r: String) = Bm25Index.topK(spark, r, Seq("dup", "spark"), 25)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(score(root) == score(clean),
+      "duplicated ingest rows must not change tf or scores")
+  }
+
+  test("deleteDocs below the published state fails fast instead of silently no-oping") {
+    val root = tmp()
+    Bm25Index.build(spark, root, docs, nBuckets = 8, tag = 5)
+    intercept[IllegalArgumentException](
+      Bm25Index.deleteDocs(spark, root, docs.limit(3), tag = 1))
+  }
+
+  test("a zero-row leading file does not wedge the streaming ingest") {
+    val base = java.nio.file.Files.createTempDirectory("bm25st0-spec").toString
+    val src = s"$base/src"; val root = s"$base/idx"; val ckp = s"$base/ckp"
+    graft.queries.writeOrderedBatches(src, Seq(docs.limit(0),
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0)))
+    val updates = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    Bm25Index.streamingIngest(spark, updates, root, ckp, nBuckets = 8)
+    val clean = tmp()
+    Bm25Index.build(spark, clean, docs, nBuckets = 8, tag = 1)
+    def score(r: String) = Bm25Index.topK(spark, r, Seq("dup", "spark"), 25)
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(score(root) == score(clean),
+      "the empty leading batch must be skipped, then ingest normally")
+  }
+
   test("streamingIngest equals the batch lifecycle and restarts are no-ops") {
     val base = java.nio.file.Files.createTempDirectory("bm25st-spec").toString
     val src = s"$base/src"; val root = s"$base/idx"; val ckp = s"$base/ckp"

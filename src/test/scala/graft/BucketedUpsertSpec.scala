@@ -281,6 +281,26 @@ class BucketedUpsertSpec extends SparkSpec {
       "the NULL-version tombstone must survive every horizon")
   }
 
+  test("an empty FIRST batch creates no table; the first real batch does") {
+    val root = tmp("bu-empty1") + "/t"
+    val rows = spark.range(0, 30)
+      .select(col("id").as("k"), lit(1L).as("version"), col("id").as("v"))
+    // a zero-entry manifest would make the table "exist" with no schema
+    // and no bucket count — every consumer that resolves it would wedge
+    BucketedUpsert.applyBatch(rows.limit(0), root, "k", "version",
+      nBuckets = 4, tag = 1)
+    assert(Snapshot.currentTag(spark, root).isEmpty,
+      "empty first batch must not publish")
+    BucketedUpsert.applyBatch(rows, root, "k", "version", nBuckets = 4, tag = 2)
+    assert(BucketedUpsert.read(spark, root).count() == 30)
+    // an empty LATER batch still advances the tag (the streaming
+    // ledger's replay skip depends on it)
+    BucketedUpsert.applyBatch(rows.limit(0), root, "k", "version",
+      nBuckets = 4, tag = 3)
+    assert(Snapshot.currentTag(spark, root).contains(3L))
+    assert(BucketedUpsert.read(spark, root).count() == 30)
+  }
+
   test("an added column evolves the table: legacy rows read NULL, history is not rewritten") {
     val root = tmp("bu-evolve") + "/t"
     import spark.implicits._

@@ -85,6 +85,29 @@ class IvfIndexSpec extends SparkSpec {
     assert(hits.forall(_ % 9 != 2), "search must never surface a deleted vector")
   }
 
+  test("a zero-row leading file does not wedge the streaming ingest") {
+    val base = java.nio.file.Files.createTempDirectory("ivfst0-spec").toString
+    val src = s"$base/src"; val root = s"$base/idx"; val ckp = s"$base/ckp"
+    val sliceA = emb.filter(col("vec_id") % 2 === 0)
+    val sliceB = emb.filter(col("vec_id") % 2 =!= 0)
+    // the empty leading batch must be SKIPPED (seeding a quantizer from
+    // nothing would publish empty centroids and wedge every later batch)
+    graft.queries.writeOrderedBatches(src, Seq(emb.limit(0), sliceA, sliceB))
+    val updates = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    Ivf.streamingIngest(spark, updates, root, ckp, k = 4, nBuckets = 8)
+    val batchRoot = s"$base/batch-idx"
+    Ivf.buildIndex(spark, batchRoot, sliceA, k = 4, nBuckets = 8, tag = 1)
+    Ivf.appendToIndex(spark, batchRoot, sliceB, tag = 2)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    def top(r: String) = Ivf.searchIndex(spark, r, q, topK = 3, nProbe = 2)
+      .select("qid", "rank", "vec_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSeq.sorted
+    assert(top(root) == top(batchRoot),
+      "post-skip ingest must equal the batch lifecycle")
+  }
+
   test("streamingIngest equals the batch lifecycle and restarts are no-ops") {
     val base = java.nio.file.Files.createTempDirectory("ivfst-spec").toString
     val src = s"$base/src"; val root = s"$base/idx"; val ckp = s"$base/ckp"

@@ -59,6 +59,14 @@ class IvfSpec extends SparkSpec {
       s"Lloyd recall regressed: seed=$seedRecall lloyd=$lloydRecall")
   }
 
+  test("lloyd over an empty corpus returns the seeds unchanged") {
+    val seeds = graft.ext.Ivf.seedCentroids(emb, 4)
+    val got = graft.ext.Ivf.lloyd(spark, emb.limit(0), seeds, iters = 3)
+    val want = seeds.collect().map(r => r.getInt(0)).sorted
+    assert(got.collect().map(r => r.getInt(0)).sorted.sameElements(want),
+      "empty-corpus lloyd must return the seed cells, not crash")
+  }
+
   test("assign stays O(1)-plan-size and correct at k=256") {
     // 256 synthetic centroids: far beyond the literal-inlining cliff of
     // the former one-column-per-centroid form. The plan must stay a

@@ -68,6 +68,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionize merges a late in-watermark event and extends the session START") {
+    val input = MemoryStream[Event](spark, 13)
+    val sessions = EventStreams.sessionize(spark, input.toDS(),
+      gapMillis = 30 * 60 * 1000L)
+    val query = sessions.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      // state: session start=end=60 for user 1
+      input.addData(Event(1L, ts(60), 1.0))
+      query.processAllAvailable()
+      // LATE event at 55 (watermark = 60 - 10min = 50 → admitted):
+      // in-gap of the session interval, so it must MERGE and extend
+      // the start — the stale-start bug reported the session starting
+      // five minutes after its earliest event
+      input.addData(Event(1L, ts(55), 2.0))
+      query.processAllAvailable()
+      // push the watermark far past the timeout so the session closes
+      input.addData(Event(2L, ts(600), 1.0))
+      query.processAllAvailable()
+      input.addData(Event(2L, ts(1200), 1.0))
+      query.processAllAvailable()
+      val u1 = spark.table("sess_late").as[Session].collect()
+        .filter(_.user_id == 1L)
+      assert(u1.length == 1, s"one session expected: ${u1.toSeq}")
+      assert(u1.head.start == ts(55) && u1.head.end == ts(60) &&
+        u1.head.n_events == 2 && u1.head.sum_value == 3.0,
+        s"late merge wrong: ${u1.head}")
+    } finally query.stop()
+  }
+
   test("dedupEvents drops replayed ids incrementally across batches") {
     val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark, 2)
     val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
