@@ -24,7 +24,12 @@ object Coco {
     * path applies.
     */
   def categoryDim(annos: DataFrame): DataFrame =
-    SeqIds.withSeqIdDim(annos.select("category").distinct(),
+    // NULL categories never enter the dim: annotationRecords drops
+    // null-category annos, so a null here would both occupy id 1
+    // (shifting every real category) and NPE the streamed categories
+    // section
+    SeqIds.withSeqIdDim(
+        annos.select("category").filter(col("category").isNotNull).distinct(),
         Seq(col("category")), "category_id", startAt = 1L)
       .withColumn("category_id", col("category_id").cast("int"))
 
@@ -54,7 +59,8 @@ object Coco {
     import spark.implicits._
     val cap = math.min(maxImages + 1, Int.MaxValue.toLong).toInt
     val tagged = images.select(col("image_name").as("v"), lit(0).as("kind")).limit(cap)
-      .union(annos.select(col("category").as("v"), lit(1).as("kind")).distinct())
+      .union(annos.select(col("category").as("v"), lit(1).as("kind"))
+        .filter(col("v").isNotNull).distinct()) // same rule as categoryDim
       .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getInt(1)))
     def dim(kind: Int, nameCol: String, idCol: String, startAt: Int) =
       tagged.collect { case (v, k) if k == kind => v }
@@ -217,6 +223,12 @@ object Coco {
     // this method, so unlike annotationRecords no cache may outlive
     // the call.
     annos.persist()
+    // scoped registry cleanup: the withSeqId/pin frames minted INSIDE
+    // this call are fully consumed by the streamed write, so they are
+    // released on exit — a notebook caller looping exports must not
+    // accumulate pinned frames for the session lifetime (frames pinned
+    // BEFORE the call are untouched)
+    val regMark = SeqIds.mark()
     try {
     val info = """{"description": "Dataset", "version": "1.0", "year": 2022}"""
     val licenses = """[{"id": 1, "name": "placeholder"}]"""
@@ -288,7 +300,10 @@ object Coco {
       s"""{"supercategory": ${jstr(r.getString(0))}, "id": ${r.getInt(1)}, "name": ${jstr(r.getString(0))}}"""
     }
     out.write("]}")
-    } finally annos.unpersist(blocking = false)
+    } finally {
+      annos.unpersist(blocking = false)
+      SeqIds.releaseSince(regMark)
+    }
   }
 
   /** The document as one in-memory String — for tests and small

@@ -110,6 +110,7 @@ object BigStar {
     var sig = checksum(edges)
     var rounds = 0
     var converged = false
+    try {
     while (!converged && rounds < maxRounds) {
       // large-star over the symmetric view: per node u, m = min(u, min
       // neighbor); strictly larger neighbors re-hang onto m
@@ -138,6 +139,14 @@ object BigStar {
       rounds += 1
     }
     require(converged, s"big-star CC did not converge in $maxRounds rounds")
+    } catch { case t: Throwable =>
+      // failure path (non-convergence, or a killed job): nothing we
+      // return references the rounds' checkpoints — free them ALL now
+      // instead of leaking N+1 full edge-set copies for the session
+      (sc.getPersistentRDDs.keySet -- persistedBefore).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      throw t
+    }
     // free the intermediate rounds' checkpoint blocks now (see scaladoc).
     // The newest persistent RDD is the final edge set the returned labels
     // read — it must outlive downstream consumption, so it is registered

@@ -31,6 +31,8 @@ object Profile {
 
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
+    require(cols.distinct.length == cols.length,
+      s"duplicate profile columns: ${cols.diff(cols.distinct).mkString(", ")}")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
     val plainAggs = count(lit(1)).as("_n") +: cols.flatMap { c =>

@@ -40,6 +40,11 @@ object RangeJoin {
                         bucketWidth: Long, maxReplicas: Int = 1024): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     require(maxReplicas > 0, s"maxReplicas must be positive: $maxReplicas")
+    // the internal routing columns must not clobber (and later drop)
+    // real user columns of the same name — the Salt.graft_salt rule
+    for (c <- Seq("graft_b", "graft_reps"))
+      require(!intervals.columns.contains(c) && !points.columns.contains(c),
+        s"inputs must not already carry a '$c' column")
     val w = lit(bucketWidth)
     def bucketOf(c: Column) = floor(c / w).cast("long")
     // inverted intervals (end < start) contain no points under BETWEEN

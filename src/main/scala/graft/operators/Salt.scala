@@ -39,8 +39,12 @@ object Salt {
     // user column of the same name on either input
     require(!fact.columns.contains("graft_salt") && !dim.columns.contains("graft_salt"),
       "inputs must not already carry a 'graft_salt' column")
+    // coalesce: a NULL seed (nullable seed column) must still salt the
+    // row — pmod(null, n) is null and a null join key would silently
+    // DROP the fact row, breaking the row-for-row equivalence with the
+    // unsalted join; bucket 0 is as good as any for a null seed
     val saltedFact = fact.withColumn("graft_salt",
-      pmod(factSaltSeed, lit(salts)).cast("int"))
+      pmod(coalesce(factSaltSeed, lit(0)), lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("graft_salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedFact

@@ -100,6 +100,31 @@ object SeqIds {
     hooks.clear()
   }
 
+  /** Registry watermark for SCOPED release — see [[releaseSince]]. */
+  def mark(): (Int, Int, Int) =
+    caches.synchronized { (caches.length, tokens.length, hooks.length) }
+
+  /** Release only what was registered after `m` — the per-call cleanup
+    * for TERMINAL library entry points (e.g. the streamed COCO write)
+    * whose internal withSeqId frames are fully consumed by their own
+    * action before returning: without it, a library/notebook caller
+    * that never calls [[releaseAll]] accumulates pinned frames without
+    * bound. Same invalidate-on-release contract as releaseAll for the
+    * released slice; entries at or below the mark are untouched.
+    * Assumes no CONCURRENT registrations between mark() and here (the
+    * registry is session-global; interleaved independent writers should
+    * use releaseAll discipline instead). */
+  def releaseSince(m: (Int, Int, Int)): Unit = caches.synchronized {
+    val (cm, tm, hm) = m
+    caches.drop(cm).foreach(_.unpersist(blocking = false))
+    caches.remove(cm, caches.length - cm)
+    tokens.drop(tm).foreach(_.invalidate())
+    tokens.remove(tm, tokens.length - tm)
+    val hs = hooks.drop(hm).toList
+    hooks.remove(hm, hooks.length - hm)
+    hs.foreach(h => try h() catch { case scala.util.control.NonFatal(_) => () })
+  }
+
   /** Pin an arbitrary frame in the same registry: persisted now,
     * unpersisted at the next [[releaseAll]]. Unlike withSeqId's internal
     * caches, a pinned frame is safe to re-execute after release — it
@@ -121,6 +146,11 @@ object SeqIds {
     */
   def withSeqId(df: DataFrame, sortCols: Seq[Column], idName: String,
                 startAt: Long = 0L): DataFrame = {
+    // the internal bookkeeping columns must not clobber (and later
+    // drop) real user columns of the same name — the Salt.graft_salt rule
+    for (c <- Seq("_g_pid", "_g_mid"))
+      require(!df.columns.contains(c),
+        s"input must not already carry a '$c' column")
     val sorted = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_g_pid", spark_partition_id())

@@ -48,6 +48,24 @@ class ExportSpec extends SparkSpec {
     assert(a0.has("segmentation") && a0.get("segmentation").get(0).size() == 8)
   }
 
+  test("a NULL category neither takes an id nor crashes the categories section") {
+    import org.apache.spark.sql.functions.lit
+    val withNull = annoFixture.unionByName(
+      annoFixture.limit(1).withColumn("category", lit(null).cast("string"))
+        .withColumn("anno_key", lit(99L)))
+    val doc = Coco.cocoDocument(withNull, imageFixture, "anno_key")
+    graft.operators.SeqIds.releaseAll()
+    // the null-category anno is dropped (as annotationRecords already
+    // did); the categories section must hold exactly cat=1, dog=2 —
+    // a null in the dim would shift them and NPE the streamed write
+    assert(doc.contains(""""id": 1, "name": "cat""""), doc.takeRight(400))
+    assert(doc.contains(""""id": 2, "name": "dog""""), doc.takeRight(400))
+    assert(!doc.contains("null, \"id\""), "null category leaked into the dim")
+    val clean = Coco.cocoDocument(annoFixture, imageFixture, "anno_key")
+    graft.operators.SeqIds.releaseAll()
+    assert(doc == clean, "document must equal the null-free fixture's")
+  }
+
   test("cocoDocument is byte-identical across both image-dim tiers") {
     // The scale tier must be invisible in the output: the same fixture
     // exported with the driver localDims path and with the distributed

@@ -25,6 +25,18 @@ class SaltSpec extends SparkSpec {
       .except(salted.select("k", "row_id", "label")).count() == 0)
   }
 
+  test("a NULL salt seed still salts the row instead of silently dropping it") {
+    // a nullable seed column (e.g. an anonymous-user id): pmod(null, n)
+    // is null and a null join key would vanish from the equi-join —
+    // the row must survive with the same result as the plain join
+    val nullSeedFact = fact.withColumn("seed",
+      when(col("row_id") % 3 === 0, col("row_id")).otherwise(lit(null)))
+    val salted = Salt.saltedJoin(nullSeedFact, dim, "k", 8, col("seed"))
+    val plain = nullSeedFact.join(dim, Seq("k"))
+    assert(salted.count() == plain.count(),
+      "null-seed rows must not be dropped by the salting")
+  }
+
   test("the hot key's rows spread across multiple post-join partitions") {
     // AQE coalesces this toy shuffle into one partition, hiding the
     // spread we're here to observe; measure the static plan (restore in
