@@ -373,6 +373,32 @@ object DedupQueries extends QueryPack {
         .orderBy("da", "db")
     }),
 
+    // N-GRAM CONTAINMENT — the asymmetric twin of d_ngram_jaccard for
+    // QUOTE/SUBSUMPTION detection: a short doc wholly contained in a
+    // long one has low Jaccard (diluted by the long doc's shingles)
+    // but high containment |A∩B| / min(|A|,|B|). Same bucket-capped
+    // shingle-join plan (never all-pairs); the threshold is exact
+    // integer math (shared·10 ≥ min(na,nb)·9 ⇔ C ≥ 0.9), so the gate
+    // is a full cross-engine hash check.
+    "d_containment" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      val sh = graft.operators.SeqIds.pin(shingled(t(s, d, "documents")))
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      val cnt = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      val pairs = ex.groupBy("s")
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")) > 1 && size(col("docs")) <= MaxBucket)
+        .select(expr("graft_pairs(docs)"))
+        .groupBy("da", "db")
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(cnt.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(cnt.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .filter(col("shared") * 10 >= least(col("na"), col("nb")) * 9)
+        .select(col("da"), col("db"), col("shared"), col("na"), col("nb"))
+        .orderBy("da", "db")
+    }),
+
     // MinHash + LSH: deterministic md5 min-hash signature, banded. The
     // signature is one compiled pass over each doc's shingle set (pure
     // map — no explode/shuffle; the only shuffle is the band-bucket
@@ -691,6 +717,19 @@ object DedupQueries extends QueryPack {
           SELECT da, db, shared, ca.n AS na, cb.n AS nb
           FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
           WHERE shared * 10 >= (ca.n + cb.n - shared) * 8
+          ORDER BY da, db""",
+    // same shingle-join closure, containment threshold on the
+    // smaller side
+    "d_containment" ->
+      s"""WITH $shingleCtes,
+          oks AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $MaxBucket),
+          pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) shared
+                    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                    WHERE a.s IN (SELECT s FROM oks)
+                    GROUP BY 1, 2)
+          SELECT da, db, shared, ca.n AS na, cb.n AS nb
+          FROM pairs JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+          WHERE shared * 10 >= least(ca.n, cb.n) * 9
           ORDER BY da, db""",
     "d_minhash_lsh" ->
       s"""WITH $minhashCtes

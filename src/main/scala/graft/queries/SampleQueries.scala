@@ -135,6 +135,25 @@ object SampleQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // SP9: TEMPERATURE-SCALED mixture — the multilingual-sampling rule
+    // (mBERT/XLM): per-source probability ∝ mass^alpha with alpha < 1,
+    // upweighting small sources so the head does not drown the tail.
+    // alpha = 0.5 via sqrt keeps it exactly cross-engine replicable
+    // (IEEE sqrt is correctly rounded in both engines; floor to integer
+    // weights feeds the same exact threshold math as sp8). The source
+    // totals collect is dimension-sized.
+    "sp9_temp_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val weights = docs.groupBy("source")
+        .agg(sum("n_chars").cast("long").as("tot"))
+        .collect().map(r => r.getString(0) ->
+          math.floor(math.sqrt(r.getLong(1).toDouble)).toLong).toMap
+      graft.datasets.Samplers
+        .mixtureSample(docs, "source", "doc_id", "n_chars", weights, 2L, 5L)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "p7_split_route" -> ((s, d) => {
       val keys = t(s, d, "orders")
         .select("o_custkey").distinct()
@@ -209,6 +228,30 @@ object SampleQueries extends QueryPack {
                   LEAST(CAST(4096 AS BIGINT),
                         (4096 * 2 * w * grand) // (5 * wsum * tot)) AS bucket
            FROM tot, consts)
+         SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d JOIN rates r ON d.source = r.source
+         WHERE r.bucket >= 4096
+            OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 3) < printf('%03x', r.bucket)
+         ORDER BY d.doc_id""",
+    // sp8's threshold math with the weights DERIVED inside the query:
+    // w = floor(sqrt(source token mass)) — both engines' sqrt is the
+    // correctly-rounded IEEE double, so the weights match exactly
+    "sp9_temp_sample" ->
+      """WITH tot AS (
+           SELECT source, CAST(sum(n_chars) AS BIGINT) AS tot
+           FROM documents GROUP BY source),
+         tw AS (
+           SELECT source, tot,
+                  CAST(floor(sqrt(CAST(tot AS DOUBLE))) AS BIGINT) AS w
+           FROM tot),
+         consts AS (
+           SELECT CAST(sum(tot) AS BIGINT) AS grand, CAST(sum(w) AS BIGINT) AS wsum
+           FROM tw),
+         rates AS (
+           SELECT source,
+                  LEAST(CAST(4096 AS BIGINT),
+                        (4096 * 2 * w * grand) // (5 * wsum * tot)) AS bucket
+           FROM tw, consts)
          SELECT d.doc_id, d.source, d.n_chars
          FROM documents d JOIN rates r ON d.source = r.source
          WHERE r.bucket >= 4096

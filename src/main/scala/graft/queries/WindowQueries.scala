@@ -226,6 +226,22 @@ object WindowQueries extends QueryPack {
     // approx_percentile (t-digest, partial-merge; a9 demonstrates the
     // approx-sketch pattern); the exact form stays for export-sized
     // frames and oracle checking.
+    // A16: equi-width HISTOGRAM per group — the distribution view the
+    // a14 profiler's min/max cannot give (spotting bimodal quality
+    // scores, truncated lengths, outlier spikes). One map-side-combined
+    // groupBy on (group, bin); bin = floor(price / 50000) in double is
+    // exact cross-engine (the division result is the same IEEE double,
+    // floor is exact). At 100 TB this is the cheapest shape a
+    // distribution question has: no sort, no percentile state, partial
+    // aggregation all the way down.
+    "a16_histogram" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("bin",
+          floor(col("o_totalprice").cast("double") / 50000).cast("long"))
+        .groupBy("o_orderpriority", "bin")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority", "bin")),
+
     "a10_percentiles" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
@@ -341,6 +357,11 @@ object WindowQueries extends QueryPack {
                   count(DISTINCT l_linestatus),
                   min(l_linestatus), max(l_linestatus) FROM lineitem)
          ORDER BY col_name""",
+    "a16_histogram" ->
+      """SELECT o_orderpriority,
+                CAST(floor(CAST(o_totalprice AS DOUBLE) / 50000) AS BIGINT) AS bin,
+                count(*) AS n
+         FROM orders GROUP BY 1, 2 ORDER BY o_orderpriority, bin""",
     "a10_percentiles" ->
       """SELECT l_returnflag,
          quantile_cont(l_quantity, 0.25) AS p25,
