@@ -23,8 +23,13 @@ object Samplers {
   def uniqueImageNames(images: DataFrame, skipTags: Seq[String]): DataFrame = {
     val filtered =
       if (skipTags.isEmpty) images
-      else images.filter(!arrays_overlap(col("tags"),
-        array(skipTags.map(lit): _*)) || col("tags").isNull)
+      // coalesce: arrays_overlap returns NULL (not false) when the tags
+      // array holds a null ELEMENT and nothing matches — uncoalesced,
+      // three-valued logic silently dropped such images from every
+      // split (and diverged from DuckDB's list_has_any, which ignores
+      // null elements)
+      else images.filter(!coalesce(arrays_overlap(col("tags"),
+        array(skipTags.map(lit): _*)), lit(false)))
     filtered.select("image_name").distinct()
   }
 
@@ -126,16 +131,21 @@ object Samplers {
     val wSum = weights.values.sum
     val totals = df.groupBy(col(sourceCol))
       .agg(sum(col(sizeCol)).cast("long").as("tot"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // dimension-sized
+      .collect().map(r => r.getString(0) ->
+        // an all-NULL sizeCol source sums to NULL — treat as mass 0
+        // (the tot <= 0 branch below already handles it)
+        (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap // dimension-sized
     val grand = totals.values.sum
     val buckets = totals.map { case (src, tot) =>
       val w = weights.getOrElse(src, 0L)
-      val num = 4096L * budgetNum * w * grand
-      require(budgetNum == 0 || w == 0 || grand == 0 ||
-          num / (4096L * budgetNum * w) == grand,
-        s"mixture threshold arithmetic overflows Long for source $src")
+      // BigInt: at 100 TB token masses the numerator (4096·num·w·grand)
+      // and denominator (den·wSum·tot) both overflow Long, and a
+      // wrapped-negative bucket would render as a 16-char %03x string
+      // that KEEPS the whole source. The math is driver-side and
+      // dimension-sized — exactness costs nothing.
       val b = if (tot <= 0 || w == 0) 0L
-              else math.min(4096L, num / (budgetDen * wSum * tot))
+              else (BigInt(4096) * budgetNum * w * grand /
+                (BigInt(budgetDen) * wSum * tot)).min(BigInt(4096)).toLong
       src -> b
     }
     val spark = df.sparkSession

@@ -73,7 +73,10 @@ object Compaction {
       if (st.exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))) Seq(p)
       else st.filter(_.isDirectory).toSeq.flatMap(d => leaves(d.getPath))
     }
-    val rootUri = root.toUri.getPath.stripSuffix("/")
+    // qualify the root FIRST: listStatus returns fully-qualified leaf
+    // paths, so a relative inPath would never strip and the partition
+    // dirs would silently re-root under a mangled prefix
+    val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
     leaves(root).map { leaf =>
       val rel = leaf.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
       rel -> compact(spark, leaf.toString, s"$outPath/$rel", targetBytes, even)

@@ -63,17 +63,29 @@ object Feather {
 
   private def arrowToSpark(f: org.apache.arrow.vector.types.pojo.Field): DataType = {
     import org.apache.arrow.vector.types.pojo.ArrowType
+    // accept exactly what the row reader `get` decodes — a type mapped
+    // here but not decodable there would pass the schema check and then
+    // crash per-row MID-read; rejecting up front keeps failures loud
+    // and immediate
     f.getType match {
-      case t: ArrowType.Int if t.getBitWidth == 64 => LongType
-      case t: ArrowType.Int if t.getBitWidth == 32 => IntegerType
-      case t: ArrowType.Int => ShortType
+      case t: ArrowType.Int if t.getIsSigned && t.getBitWidth == 64 => LongType
+      case t: ArrowType.Int if t.getIsSigned && t.getBitWidth == 32 => IntegerType
+      case t: ArrowType.Int if t.getIsSigned && t.getBitWidth == 16 => ShortType
+      case t: ArrowType.Int => throw new UnsupportedOperationException(
+        s"arrow int width ${t.getBitWidth} signed=${t.getIsSigned} is not " +
+          "supported — cast to int16/32/64 before writing the feather")
       case t: ArrowType.FloatingPoint =>
         if (t.getPrecision == org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE)
           FloatType else DoubleType
       case _: ArrowType.Utf8 => StringType
       case _: ArrowType.Bool => BooleanType
       case _: ArrowType.Binary => BinaryType
-      case _: ArrowType.Timestamp => TimestampType
+      case t: ArrowType.Timestamp
+        if t.getUnit == org.apache.arrow.vector.types.TimeUnit.MICROSECOND =>
+        TimestampType
+      case t: ArrowType.Timestamp => throw new UnsupportedOperationException(
+        s"arrow timestamp unit ${t.getUnit} is not supported — " +
+          "cast to timestamp[us] before writing the feather")
       case _: ArrowType.List =>
         ArrayType(arrowToSpark(f.getChildren.get(0)))
       case other => throw new UnsupportedOperationException(s"arrow type $other")

@@ -46,9 +46,13 @@ object Merge {
       "base must not contain a column colliding with the internal b_ prefix")
     require(!updCols.exists(c => updCols.contains(s"u_$c")),
       "updates must not contain a column colliding with the internal u_ prefix")
+    require(!baseCols.contains("graft_present") && !updCols.contains("graft_present"),
+      "inputs must not already carry a 'graft_present' column")
     val outCols = (baseCols ++ updCols.filterNot(baseCols.contains)).filterNot(_ == key)
     val b = baseCols.foldLeft(base)((df, c) => df.withColumnRenamed(c, s"b_$c"))
+      .withColumn("b_graft_present", lit(true))
     val u = updCols.foldLeft(updates)((df, c) => df.withColumnRenamed(c, s"u_$c"))
+      .withColumn("u_graft_present", lit(true))
     val joined = b.join(u, b(s"b_$key") === u(s"u_$key"), "full_outer")
     val keyOut = coalesce(col(s"u_$key"), col(s"b_$key")).as(key)
     val rest = outCols.map { c =>
@@ -56,9 +60,13 @@ object Merge {
       val hasU = updCols.contains(c)
       // matched or insert → update's value wins when present; an update
       // row's explicit NULL must override the base value, so route on
-      // the update KEY's presence, not on the value column.
+      // the update SIDE's presence marker — not on the key column,
+      // which a NULL-key update row legitimately carries as NULL (a
+      // key test would half-null such a row: shared columns fell back
+      // to the absent base side while update-only columns survived)
       if (hasB && hasU)
-        when(col(s"u_$key").isNotNull, col(s"u_$c")).otherwise(col(s"b_$c")).as(c)
+        when(coalesce(col("u_graft_present"), lit(false)), col(s"u_$c"))
+          .otherwise(col(s"b_$c")).as(c)
       else if (hasU) col(s"u_$c").as(c)
       // column the update batch doesn't carry: target value survives the
       // update (UPDATE SET * under schema evolution touches only the

@@ -137,25 +137,23 @@ object Snapshot {
       new Path(root).toUri, spark.sessionState.newHadoopConf())
     fc.rename(tmp, new Path(s"$root/$Pointer"),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // GC: retain the newest `keep` snapshot dirs — but ORPHANS must not
-    // eat retention slots. A crash between the v<tag> directory write and
-    // the pointer swap leaves an unpublished dir; if its tag outranked
-    // published ones in this sort, `keep` would be consumed by garbage
-    // and the genuinely-previous snapshot (whose path in-flight readers
-    // still hold) could be deleted. Two guards: dirs tagged ABOVE the
-    // just-published tag are never considered (under the single-writer
-    // contract they can only be dead future-publish orphans — left for a
-    // replay to overwrite), and the previously-published dir is never
-    // deleted in the publish that supersedes it (a sub-tag orphan could
-    // otherwise push it past `keep`). A surviving orphan is collected by
-    // a later publish once `prevTag` has moved on.
-    val snaps = f.listStatus(new Path(root))
+    // GC: retain the newest `keep` PUBLISHED snapshot dirs — resolved
+    // from the pointer HISTORY, so orphans can never eat retention
+    // slots. A crash between the v<tag> directory write and the pointer
+    // swap leaves an unpublished dir; tag-sorted retention would let
+    // such a dir consume `keep` and evict a genuinely-published
+    // snapshot whose path in-flight readers still hold (with keep >= 3
+    // even a SUB-tag orphan did — the old prevTag-only shield protected
+    // just one). History-based protection also collects orphans
+    // immediately instead of one publish later; dirs tagged ABOVE the
+    // just-published tag stay untouched (under the single-writer
+    // contract they are dead future-publish orphans, left for a replay
+    // to overwrite). HistoryCap (64) bounds protectable retention.
+    val protect = (snapName +: prevLines).distinct.take(keep).toSet
+    f.listStatus(new Path(root))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
       .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
-      .filter(_._1 <= tag)
-      .sortBy(-_._1)
-    snaps.drop(keep)
-      .filter { case (t, _) => !prevTag.contains(t) }
+      .filter { case (t, p) => t <= tag && !protect.contains(s"v$t") }
       .foreach { case (_, p) => f.delete(p, true) }
   }
 }

@@ -48,9 +48,13 @@ object ZOrder {
     // integer scaling via `div` so no double rounding enters for wide
     // ranges; nulls route to cell 0 (they carry no range information)
     def scaledExpr(c: String, lo: Long, hi: Long): String = {
-      val range = hi - lo
-      require(range < (1L << (62 - bits)),
-        s"column range $range too wide to scale without overflow — bucketize first")
+      // BigInt subtraction: full-range longs (e.g. hash values) wrap
+      // hi-lo negative, which would PASS a plain `< bound` guard and
+      // silently degenerate the layout to garbage clustering
+      val rangeB = BigInt(hi) - BigInt(lo)
+      require(rangeB < (BigInt(1) << (62 - bits)),
+        s"column range $rangeB too wide to scale without overflow — bucketize first")
+      val range = rangeB.toLong
       if (range == 0L) "0L"
       else s"coalesce((($c - ${lo}L) * ${span}L) div ${range}L, 0L)"
     }

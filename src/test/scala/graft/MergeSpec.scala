@@ -38,6 +38,18 @@ class MergeSpec extends SparkSpec {
     assert(out(0) == Row(1L, "a", "legacy", null))
   }
 
+  test("a NULL-key update row survives intact, not half-nulled") {
+    import spark.implicits._
+    val base = Seq((1L, 10L)).toDF("k", "v")
+    val upd = Seq[(java.lang.Long, Long)]((null, 99L)).toDF("k", "v")
+    // the null key never equi-joins; routing shared columns on the
+    // update KEY's null-ness used to null out v=99 while update-only
+    // columns survived — the presence marker keeps the row whole
+    val got = graft.lake.Merge.upsert(base, upd, "k").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (-1L, 99L)), s"null-key row mangled: $got")
+  }
+
   test("upsert of an empty batch is the identity") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
     val out = Merge.upsert(base, base.limit(0), "k")

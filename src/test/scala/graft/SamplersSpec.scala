@@ -119,6 +119,32 @@ class SamplersSpec extends SparkSpec {
       w, 0L, 1L).count() == 0)
   }
 
+  test("mixtureSample thresholds survive Long-overflow-scale parameters (BigInt math)") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (s"src${i % 2}", i, 10L))
+      .toDF("source", "doc_id", "n_chars")
+    // denominator budgetDen·wSum·tot ~ 1e9 · 1e15 · 500 >> Long.MaxValue:
+    // wrapped-Long math produced a negative bucket whose %03x rendering
+    // KEPT the whole source; exact math gives bucket 0 → nothing drawn
+    val weights = Map("src0" -> 1000000000000000L, "src1" -> 1L)
+    val n = Samplers.mixtureSample(df, "source", "doc_id", "n_chars",
+      weights, 1L, 1000000000L).count()
+    assert(n == 0, s"overflow-scale thresholds must select nothing, got $n")
+  }
+
+  test("a null tag ELEMENT cannot drop an image from the splits") {
+    import spark.implicits._
+    val images = Seq(
+      ("img_keep", Seq("ok", null)),      // null element, no skip tag
+      ("img_skip", Seq("badimage", "x")), // carries the skip tag
+      ("img_null", null.asInstanceOf[Seq[String]]) // null tags column
+    ).toDF("image_name", "tags")
+    val got = Samplers.uniqueImageNames(images, Seq("badimage"))
+      .collect().map(_.getString(0)).toSet
+    // three-valued arrays_overlap used to silently drop img_keep
+    assert(got == Set("img_keep", "img_null"), s"tag-skip wrong: $got")
+  }
+
   test("iidSampler keeps a deterministic ~25% of distinct ids") {
     val df = (1 to 1000).map(i => i.toLong % 200).toDF("item_id")
     val a = Samplers.iidSampler(df, "item_id", 1024).collect().map(_.getLong(0)).toSet

@@ -97,6 +97,22 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.readAt(spark, root, 2).count() == 20)
   }
 
+  test("keep=3: an orphan cannot evict ANY retained published snapshot") {
+    val root = tmp()
+    Snapshot.publish(df(1, 10), root, 10, keep = 3)
+    Snapshot.publish(df(2, 20), root, 20, keep = 3)
+    // crashed publish of 25 (dir written, pointer unswapped)
+    df(3, 99).write.mode("overwrite").parquet(s"$root/v25")
+    Snapshot.publish(df(4, 30), root, 30, keep = 3)
+    // the pointer history says the published states are 30,20,10 —
+    // retention protects all three; tag-sorted retention would have
+    // let the v25 orphan consume a slot and delete v10
+    assert(dirs(root).contains("v10"),
+      s"keep=3 must retain the third-newest PUBLISHED state: ${dirs(root)}")
+    assert(!dirs(root).contains("v25"), s"orphan must be collected: ${dirs(root)}")
+    assert(Snapshot.readAt(spark, root, 10).count() == 1)
+  }
+
   test("a sub-tag orphan cannot push the previous snapshot past retention") {
     val root = tmp()
     Snapshot.publish(df(1, 0), root, 0)
