@@ -51,7 +51,12 @@ object AudioOps {
     } yield WavMeta(ch, rate, bits, d)
   }
 
-  /** Seconds of audio described by the header (PCM byte-rate math). */
+  /** Seconds of audio described by the header (PCM byte-rate math in
+    * LONG: individually-valid hostile header fields — rate 1e9 × 3
+    * channels — overflow the Int product to a negative or zero
+    * byte-rate, turning the documented None-on-malformed contract into
+    * a silent negative/Infinity duration). */
   def durationSec(m: WavMeta): Double =
-    m.dataBytes.toDouble / (m.sampleRate * m.channels * (m.bitsPerSample / 8))
+    m.dataBytes.toDouble /
+      (m.sampleRate.toLong * m.channels * (m.bitsPerSample / 8)).toDouble
 }

@@ -116,7 +116,11 @@ object ImageOps {
     * one row at a time on the executor.
     */
   def resize(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
-    decode(bytes).flatMap { img =>
+    // None, not IllegalArgumentException: the file's contract is
+    // Option-on-malformed, and one bad config value reaching
+    // BufferedImage's ctor would otherwise kill a whole scan
+    if (targetW <= 0 || targetH <= 0) None
+    else decode(bytes).flatMap { img =>
       val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
       val g = dst.createGraphics()
       g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,

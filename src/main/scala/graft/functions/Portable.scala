@@ -59,6 +59,11 @@ object Portable {
   }
 
   def md5SplitLabelSql(keyExpr: String, valHi: Int, testHi: Int): String = {
+    // same bounds as the Spark twin: a 4-char %03x rendering against a
+    // 3-char substr breaks the lexicographic compare silently — the
+    // oracle would diverge instead of throwing
+    require(valHi >= 0 && testHi >= valHi && testHi < 4096,
+      s"split bounds out of range: valHi=$valHi testHi=$testHi")
     val h = s"substr(md5(CAST($keyExpr AS VARCHAR)),1,3)"
     f"CASE WHEN $h < '$valHi%03x' THEN 'val' WHEN $h < '$testHi%03x' THEN 'test' ELSE 'train' END"
   }

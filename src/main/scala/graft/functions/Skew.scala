@@ -25,12 +25,20 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive: $saltFactor")
+    // the internal salt column must not clobber (and later drop) a real
+    // user column — the operators.Salt.graft_salt rule
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs must not already carry a '_salt' column")
     val salted = big.withColumn("_salt",
       pmod(hash(big.columns.map(col).toSeq: _*), lit(saltFactor)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    salted.join(replicated,
-        salted(bigKey) === replicated(smallKey) && salted("_salt") === replicated("_salt"))
+    val joined = salted.join(replicated,
+      salted(bigKey) === replicated(smallKey) && salted("_salt") === replicated("_salt"))
+    // equal key names would leave two identically-named columns and an
+    // AMBIGUOUS_REFERENCE on any downstream col(bigKey) — keep big's
+    (if (bigKey == smallKey) joined.drop(replicated(smallKey)) else joined)
       .drop("_salt")
   }
 }

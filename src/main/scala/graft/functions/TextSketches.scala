@@ -12,9 +12,15 @@ import java.security.MessageDigest
   */
 object TextSketches {
 
+  // one MD5 instance per thread, reset by digest() on every call —
+  // getInstance does a provider lookup + allocation, and this module
+  // sits on the hot dedup scan path (k x |shingles| hashes per doc)
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
   /** First 8 md5 bytes of the UTF-8 token as a big-endian long. */
   def tokenHash64(tok: String): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+    val d = md5.get().digest(tok.getBytes("UTF-8"))
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
@@ -44,7 +50,7 @@ object TextSketches {
   private val HEX = "0123456789abcdef".toCharArray
 
   private def md5HexPrefix8(s: String): String = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val d = md5.get().digest(s.getBytes("UTF-8"))
     val out = new Array[Char](8)
     var i = 0
     while (i < 4) {

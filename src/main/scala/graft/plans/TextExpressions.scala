@@ -53,10 +53,18 @@ object TextKernels {
   def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
     val n = shingles.numElements()
     if (n == 0) return null
-    val ss = new Array[String](n)
+    // null ELEMENTS are skipped deterministically: unguarded,
+    // getUTF8String on a null slot NPEs on GenericArrayData but reads
+    // an empty string on UnsafeArrayData — the same row would crash or
+    // hash differently depending on which representation arrives
+    val ss = new scala.collection.mutable.ArrayBuffer[String](n)
     var i = 0
-    while (i < n) { ss(i) = shingles.getUTF8String(i).toString; i += 1 }
-    val mins = TextSketches.minhashSignature(scala.collection.immutable.ArraySeq.unsafeWrapArray(ss), k)
+    while (i < n) {
+      if (!shingles.isNullAt(i)) ss += shingles.getUTF8String(i).toString
+      i += 1
+    }
+    if (ss.isEmpty) return null
+    val mins = TextSketches.minhashSignature(ss.toSeq, k)
     new GenericArrayData(mins.map(s => UTF8String.fromString(s)).toArray[Any])
   }
 
@@ -99,11 +107,15 @@ object TextKernels {
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = TextSketches.tokenHash64(tokens.getUTF8String(i).toString)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      // null tokens carry no content — skipped (same representation-
+      // divergence hazard as minhashSig)
+      if (!tokens.isNullAt(i)) {
+        val h = TextSketches.tokenHash64(tokens.getUTF8String(i).toString)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }

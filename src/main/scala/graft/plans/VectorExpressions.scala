@@ -24,6 +24,27 @@ private object VectorExpressions {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+
+  /** NULL array elements make the whole result NULL — the same policy
+    * GeomKernels.hasNullElem establishes, for the same reason: getFloat
+    * on a null slot reads 0.0, which would be SILENTLY wrong math. */
+  def hasNullElem(x: ArrayData): Boolean = {
+    var i = 0
+    val n = x.numElements()
+    while (i < n) { if (x.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
+  /** Codegen twin of [[hasNullElem]]: sets `bad` (a fresh boolean). */
+  def genNullElemScan(ctx: CodegenContext, v: String, bad: String): String = {
+    val i = ctx.freshName("nes")
+    s"""
+       |boolean $bad = false;
+       |for (int $i = 0; $i < $v.numElements(); $i++) {
+       |  if ($v.isNullAt($i)) { $bad = true; break; }
+       |}
+     """.stripMargin
+  }
 }
 
 /** Centroid matrix + precomputed norms + cell ids, shipped to executors
@@ -140,11 +161,14 @@ case class DotProductF(left: Expression, right: Expression)
       s"graft_dot expects two array<float> arguments, got " +
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null ELEMENT → null result
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (VectorExpressions.hasNullElem(x) || VectorExpressions.hasNullElem(y))
+      return null
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
@@ -157,13 +181,21 @@ case class DotProductF(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val badA = ctx.freshName("badA")
+      val badB = ctx.freshName("badB")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |${VectorExpressions.genNullElemScan(ctx, a, badA)}
+         |${VectorExpressions.genNullElemScan(ctx, b, badB)}
+         |if ($badA || $badB) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = Math.min($a.numElements(), $b.numElements());
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -183,10 +215,12 @@ case class NormF(child: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"graft_norm expects array<float>, got ${child.dataType.simpleString}")
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null ELEMENT → null result
   override def prettyName: String = "graft_norm"
 
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    if (VectorExpressions.hasNullElem(x)) return null
     var s = 0.0
     var i = 0
     val n = x.numElements()
@@ -200,14 +234,20 @@ case class NormF(child: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val v = ctx.freshName("v")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = $a.numElements();
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $v = (double) $a.getFloat($i);
-         |  $s += $v * $v;
+         |${VectorExpressions.genNullElemScan(ctx, a, bad)}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $v = (double) $a.getFloat($i);
+         |    $s += $v * $v;
+         |  }
+         |  ${ev.value} = java.lang.Math.sqrt($s);
          |}
-         |${ev.value} = java.lang.Math.sqrt($s);
        """.stripMargin
     })
 
@@ -262,6 +302,7 @@ case class NearestCellF(first: Expression, second: Expression, third: Expression
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true // null ELEMENT → null cell
   override def prettyName: String = "graft_nearest_cell"
 
   @transient private lazy val model = {
@@ -271,15 +312,27 @@ case class NearestCellF(first: Expression, second: Expression, third: Expression
     new NearestCellModel(mats, ids)
   }
 
-  override protected def nullSafeEval(v: Any, c: Any, ids: Any): Any =
-    NearestCellKernel.eval(v.asInstanceOf[ArrayData], model.mats, model.norms, model.ids)
+  override protected def nullSafeEval(v: Any, c: Any, ids: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    if (VectorExpressions.hasNullElem(x)) null
+    else NearestCellKernel.eval(x, model.mats, model.norms, model.ids)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mats = ctx.addReferenceObj("cellMats", model.mats, "float[][]")
     val norms = ctx.addReferenceObj("cellNorms", model.norms, "double[]")
     val ids = ctx.addReferenceObj("cellIds", model.ids, "int[]")
-    nullSafeCodeGen(ctx, ev, (v, _, _) =>
-      NearestCellKernel.gen(ctx, v, mats, norms, ids, ev.value))
+    nullSafeCodeGen(ctx, ev, (v, _, _) => {
+      val bad = ctx.freshName("bad")
+      s"""
+         |${VectorExpressions.genNullElemScan(ctx, v, bad)}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |${NearestCellKernel.gen(ctx, v, mats, norms, ids, ev.value)}
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(
@@ -310,12 +363,14 @@ case class NearestCellBcastF(child: Expression, bc: Broadcast[NearestCellModel])
       s"graft_nearest_cell expects array<float> vec, got ${child.dataType.simpleString}")
 
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = true // null ELEMENT → null cell
   override def prettyName: String = "graft_nearest_cell_bcast"
 
   override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    if (VectorExpressions.hasNullElem(x)) return null
     val m = bc.value
-    NearestCellKernel.eval(v.asInstanceOf[ArrayData], m.mats, m.norms, m.ids)
+    NearestCellKernel.eval(x, m.mats, m.norms, m.ids)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -325,9 +380,18 @@ case class NearestCellBcastF(child: Expression, bc: Broadcast[NearestCellModel])
     // not per row
     val model = ctx.addMutableState(modelCls, "nearestModel",
       v => s"$v = ($modelCls) $bcRef.value();")
-    nullSafeCodeGen(ctx, ev, v =>
-      NearestCellKernel.gen(ctx, v,
-        s"$model.mats()", s"$model.norms()", s"$model.ids()", ev.value))
+    nullSafeCodeGen(ctx, ev, v => {
+      val bad = ctx.freshName("bad")
+      s"""
+         |${VectorExpressions.genNullElemScan(ctx, v, bad)}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |${NearestCellKernel.gen(ctx, v,
+              s"$model.mats()", s"$model.norms()", s"$model.ids()", ev.value)}
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

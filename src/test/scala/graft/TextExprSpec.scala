@@ -49,6 +49,26 @@ class TextExprSpec extends SparkSpec {
     assert(rows(4L) == 0L, "null token list must keep the UDF's 0 signature")
   }
 
+  test("a NULL token element is skipped deterministically, not NPE or empty-hashed") {
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[String]("a", null, "b")),
+      (2L, Seq[String]("a", "b")),
+      (3L, Seq[String](null, null))
+    ).toDF("id", "toks")
+    val got = df.select(col("id"), expr("graft_simhash(toks)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // unguarded, getUTF8String on a null slot NPEs on GenericArrayData
+    // but hashes an empty string on UnsafeArrayData — here the null
+    // tokens simply carry no votes
+    assert(got(1L) == got(2L), "null token must not change the signature")
+    assert(got(3L) == 0L, "all-null token list hashes like empty")
+    val sig = df.filter(col("id") === 1L)
+      .select(graft.functions.TextFunctions.minhashSig(col("toks"), 4)).head
+    assert(!sig.isNullAt(0), "minhash over the non-null tokens")
+  }
+
   test("expressions stay inside codegen and compile under fallback=false") {
     GraftFunctions.register(spark)
     val prev = spark.conf.get("spark.sql.codegen.fallback")

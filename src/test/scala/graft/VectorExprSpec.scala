@@ -40,6 +40,29 @@ class VectorExprSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("a NULL array ELEMENT yields NULL, never silent 0.0 math") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // getFloat on a null slot reads 0.0 — unguarded, the dot/norm of a
+    // vector with a null element would be silently wrong instead of
+    // NULL (the GeomKernels.hasNullElem policy, applied here)
+    val df = Seq((1L, Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](1.0f, 1.0f)))
+      .toDF("id", "a", "b")
+    val r = df.select(
+      expr("graft_dot(a, b)").as("d1"),
+      expr("graft_dot(b, a)").as("d2"),
+      expr("graft_norm(a)").as("n1"),
+      expr("graft_norm(b)").as("n2")).head
+    assert(r.isNullAt(0) && r.isNullAt(1), "null element must null the dot")
+    assert(r.isNullAt(2), "null element must null the norm")
+    assert(r.getDouble(3) == math.sqrt(2.0), "clean vector unaffected")
+    // nearest-cell: null element → null cell (row drops from the join)
+    val cells = df.select(expr(
+      "graft_nearest_cell(a, array(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), array(7))")
+      .as("c")).head
+    assert(cells.isNullAt(0), "null element must null the cell")
+  }
+
   test("expressions stay inside codegen (no ScalaUDF in plan)") {
     // parquet-backed frame: local relations are fully evaluated at
     // optimization time, which would hide the plan shape
