@@ -56,29 +56,42 @@ class CvatClient(baseUrlRaw: String, headers: Map[String, String],
     * labelId → (attrId → attrName)) with "next"-link pagination
     * (ref :64-96).
     */
+  /** Follow "next" pagination links to exhaustion — applied to EVERY
+    * listing (labels, tasks, jobs). The reference paginates only the
+    * tasks listing (CvatApi.py:82-86); labels or jobs past the first
+    * page were silently truncated there (a label_id beyond page one
+    * dropped its shapes via the inner label join). Deviation: paginate
+    * everything. */
+  private def allResults(firstUrl: String): Seq[JsonNode] = {
+    val out = scala.collection.mutable.ArrayBuffer[JsonNode]()
+    var page = performGet(firstUrl)
+    out ++= page.get("results").elements().asScala
+    while (page.get("next") != null && !page.get("next").isNull) {
+      page = performGet(page.get("next").asText())
+      out ++= page.get("results").elements().asScala
+    }
+    out.toSeq
+  }
+
   def fetchProject(projId: Int): (Map[Int, String], Seq[(Int, Int)], Map[Int, Map[Int, String]]) = {
     val dat = performGet(s"/projects/$projId")
-    val labelDat = performGet(dat.get("labels").get("url").asText())
     var labels = Map.empty[Int, String]
     var attributes = Map.empty[Int, Map[Int, String]]
-    for (label <- labelDat.get("results").elements().asScala) {
+    for (label <- allResults(dat.get("labels").get("url").asText())) {
       val id = label.get("id").asInt()
       labels += id -> label.get("name").asText().toLowerCase
+      // ACCUMULATE the label's attributes. The reference replaces the
+      // map per attribute (CvatApi.py:74 — only the LAST attribute of
+      // each label survives, so e.g. 'Item ID' next to 'Text' silently
+      // vanished from gt_attr). Deviation: keep them all.
       for (attr <- label.get("attributes").elements().asScala)
-        attributes += id -> Map(attr.get("id").asInt() -> attr.get("name").asText())
-    }
-
-    val tasks = scala.collection.mutable.ArrayBuffer[JsonNode]()
-    var page = performGet(dat.get("tasks").get("url").asText())
-    tasks ++= page.get("results").elements().asScala
-    while (!page.get("next").isNull) {
-      page = performGet(page.get("next").asText())
-      tasks ++= page.get("results").elements().asScala
+        attributes += id -> (attributes.getOrElse(id, Map.empty) +
+          (attr.get("id").asInt() -> attr.get("name").asText()))
     }
 
     val jobIds = for {
-      task <- tasks.toSeq
-      job <- performGet(task.get("jobs").get("url").asText()).get("results").elements().asScala
+      task <- allResults(dat.get("tasks").get("url").asText())
+      job <- allResults(task.get("jobs").get("url").asText())
     } yield (job.get("task_id").asInt(), job.get("id").asInt())
 
     (labels, jobIds, attributes)
@@ -91,7 +104,7 @@ class CvatClient(baseUrlRaw: String, headers: Map[String, String],
     */
   private def frameNames(jobId: Int): Map[Int, String] = {
     val job = performGet(s"/jobs/$jobId")
-    val meta = performGet(s"/tasks/${job.get("task_id").asInt()}/data/meta")
+    val meta = fetchTaskMeta(job.get("task_id").asInt())
     meta.get("frames").elements().asScala.zipWithIndex.map { case (frame, i) =>
       val base = frame.get("name").asText().split('/').last
       val stem = base.lastIndexOf('.') match {
@@ -163,7 +176,13 @@ class CvatClient(baseUrlRaw: String, headers: Map[String, String],
     */
   def fetchJobImages(jobId: Int, outputDir: String, query: Map[String, String] = Map.empty): Unit = {
     require(Files.isDirectory(Paths.get(outputDir)), s"Directory $outputDir does not exist.")
-    val extra = if (query.nonEmpty) "&" + query.map { case (k, v) => s"$k=$v" }.mkString("&") else ""
+    // URL-encode keys and values: a space/&/= in a caller-supplied
+    // param would make URI.create throw or silently split the query
+    def enc(s: String) =
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    val extra = if (query.nonEmpty)
+      "&" + query.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    else ""
     val url = s"/jobs/$jobId/dataset?use_default_location=false&location=local&format=CVAT+for+images+1.1$extra"
 
     // consecutive connection failures are capped: the reference loops
@@ -195,11 +214,16 @@ class CvatClient(baseUrlRaw: String, headers: Map[String, String],
     // remain separately capped at maxConnectRetries consecutive misses.
     var statusPolls = 0
     var resp = tryGet(url)
-    while (resp.forall(_.statusCode() == 202)) {
+    // 202 = still composing; 5xx = the transient proxy burst the
+    // scaladoc promises to ride out (one 503 must not abort a bulk
+    // export) — both poll on, bounded by the shared deadline. A 4xx is
+    // permanent and falls through to the 201 check immediately.
+    while (resp.forall(r => r.statusCode() == 202 || r.statusCode() >= 500)) {
       statusPolls += 1
       if (statusPolls > maxStatusPolls)
         throw new RuntimeException(
-          s"Export for job $jobId still pending (202) after $statusPolls polls")
+          s"Export for job $jobId not ready after $statusPolls polls" +
+            resp.map(r => s" (last status ${r.statusCode()})").getOrElse(" (no response)"))
       Thread.sleep(pollMillis); resp = tryGet(url)
     }
     if (resp.get.statusCode() != 201)
@@ -227,7 +251,10 @@ class CvatClient(baseUrlRaw: String, headers: Map[String, String],
           val dest = destRoot.resolve(rel).normalize()
           require(dest.startsWith(destRoot), s"zip entry escapes target dir: ${e.getName}")
           Files.createDirectories(dest.getParent)
-          Files.copy(zin, dest)
+          // overwrite: a retry after a mid-zip crash must replace the
+          // partially-extracted files, not die on the first one
+          Files.copy(zin, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
         e = zin.getNextEntry
       }

@@ -46,26 +46,39 @@ object CvatTables {
       .join(broadcast(images), Seq("frame"))
       .withColumn("stem", regexp_replace(col("image_name"), "\\.[^.]*$", ""))
       .withColumn("stem",
+        // length = size(...), NOT Int.MaxValue: Slice's interpreted
+        // eval computes start + length, which overflows Int.MaxValue to
+        // a negative and returns an EMPTY array — the codegen path
+        // clamps, so the same row emptied or survived depending on
+        // which evaluator ran (confirmed on the shipped Spark 4.1.2)
         if (dropPrefix)
           when(size(split(col("stem"), "_")) >= 2,
-            array_join(slice(split(col("stem"), "_"), 2, Int.MaxValue), "_"))
+            array_join(slice(split(col("stem"), "_"), lit(2),
+              size(split(col("stem"), "_"))), "_"))
             .otherwise(col("stem"))
         else col("stem"))
       // JPEG_PAT removal (ref :24, :374-383): embedded .jpg/.jpeg dropped
       .withColumn("image_name_norm",
         regexp_replace(col("stem"), "\\.[Jj][Pp][Ee]?[Gg](\\.[Jj][Pp][Ee]?[Gg])?", ""))
 
-    // gt_attr: JSON array of typed attribute objects (ref :388-406)
+    // gt_attr: JSON array of typed attribute objects (ref :388-406).
+    // Values are JSON-escaped (backslash, quote, newline, tab) — this
+    // class exists to emit VALID JSON where the reference's iid branch
+    // was malformed, and a user-typed quote in a Text attribute would
+    // otherwise break the document the same way.
+    val escVal = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      col("attr.value"),
+      "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\t", "\\\\t")
     val attrJson = named
       .withColumn("attr", explode_outer(col("attributes")))
       .join(broadcast(attrTypes), col("attr.spec_id") === attrTypes("spec_id"), "left")
       .withColumn("attr_obj",
         when(col("attr_name") === "Item ID",
-          concat(lit("""{"iid": """"), col("attr.value"), lit(""""}""")))
+          concat(lit("""{"iid": """"), escVal, lit(""""}""")))
         .when(col("attr_name") === "UUID",
-          concat(lit("""{"uuid": """"), col("attr.value"), lit(""""}""")))
+          concat(lit("""{"uuid": """"), escVal, lit(""""}""")))
         .when(col("attr_name") === "Text",
-          concat(lit("""{"text": """"), col("attr.value"), lit(""""}"""))))
+          concat(lit("""{"text": """"), escVal, lit(""""}"""))))
       .groupBy("anno_uid")
       .agg(concat(lit("["),
         concat_ws(", ", sort_array(collect_list(struct(col("attr.spec_id").as("k"),
@@ -101,6 +114,12 @@ object CvatTables {
     withTags.select(
       lit(projectId).as("project_id"), lit(taskId).as("task_id"),
       lit(jobId).as("job_id"),
+      // last-extension strip ONLY — deliberately NOT the anno table's
+      // extra JPEG_PAT/prefix normalization: the reference's image path
+      // (CvatApi.py:296) applies only splitext while its anno path
+      // (:372-383) normalizes further, and the port keeps that
+      // asymmetry faithfully (double-extension names diverge between
+      // the two tables THERE too)
       regexp_replace(col("image_name"), "\\.[^.]*$", "").as("image_name"),
       (if (normalizeExif) exif(col("image_bytes")) else col("image_bytes")).as("image_bytes"),
       col("tags"), current_timestamp().as("ts"))

@@ -45,7 +45,8 @@ class CvatClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     h("/projects/7") { x => json(x,
       s"""{"id":7,"labels":{"url":"$base/labels?project=7"},"tasks":{"url":"$base/tasks?project=7&page=1"}}""") }
     h("/labels") { x => json(x,
-      """{"results":[{"id":11,"name":"DOG","attributes":[{"id":5,"name":"Item ID"}]},
+      """{"results":[{"id":11,"name":"DOG","attributes":[{"id":5,"name":"Item ID"},
+                                                        {"id":6,"name":"Text"}]},
                      {"id":12,"name":"Cat","attributes":[]}]}""") }
     h("/tasks") { x =>
       val q = x.getRequestURI.getQuery
@@ -114,7 +115,9 @@ class CvatClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (labels, jobIds, attrs) = client.fetchProject(7)
     assert(labels == Map(11 -> "dog", 12 -> "cat"))
     assert(jobIds == Seq((1, 100), (2, 200), (2, 201)))
-    assert(attrs == Map(11 -> Map(5 -> "Item ID")))
+    // BOTH attributes of label 11 survive — the reference kept only
+    // the last one per label (documented deviation)
+    assert(attrs == Map(11 -> Map(5 -> "Item ID", 6 -> "Text")))
   }
 
   test("fetchAnnotations: frame names normalized, shapes and attrs parsed (S7)") {
