@@ -150,11 +150,17 @@ object Samplers {
     }
     val spark = df.sparkSession
     import spark.implicits._
-    val rates = buckets.toSeq.toDF(sourceCol, "mix_bucket")
-    df.join(broadcast(rates), Seq(sourceCol))
+    // NULL-SAFE join: a NULL source appears in `totals` (groupBy keeps
+    // the null group) and so in `rates`, but a plain equi-join would
+    // never match it (NULL != NULL) and its rows would silently vanish.
+    // <=> routes them through the same explicit rate row as any other
+    // source — weight 0 (dropped as bucket 0) unless the caller's map
+    // carries a null key with a weight.
+    val rates = buckets.toSeq.toDF("mix_src", "mix_bucket")
+    df.join(broadcast(rates), col(sourceCol) <=> col("mix_src"))
       .filter(col("mix_bucket") >= 4096 ||
         substring(Portable.md5Key(col(keyCol)), 1, 3) <
           format_string("%03x", col("mix_bucket")))
-      .drop("mix_bucket")
+      .drop("mix_src", "mix_bucket")
   }
 }

@@ -100,9 +100,17 @@ object BloomIndex {
   def survivors(spark: SparkSession, bloomDir: String,
                 values: Seq[String]): Seq[String] = {
     require(values.nonEmpty, "at least one probe value")
+    // mixed params in one manifest (two interrupted writeBloom runs with
+    // different settings) would be probed with one row's params and
+    // silently false-negate — the one failure the index forbids. Same
+    // uniformity check as SecondaryIndex.lookupBuckets; distinct is
+    // manifest-sized (metadata).
     val meta = spark.read.parquet(bloomDir)
-      .select("m_log2", "k").limit(1).collect()
+      .select("m_log2", "k").distinct().collect()
     if (meta.isEmpty) return Seq.empty // empty table indexed → no files
+    require(meta.length == 1,
+      s"bloom index at $bloomDir mixes filter params " +
+        s"${meta.mkString(",")} — rebuild it")
     val (mLog2, k) = (meta.head.getInt(0), meta.head.getInt(1))
     // probe-set-sized collect: only the words the values hash to
     val words = spark.read.parquet(bloomDir)

@@ -54,10 +54,34 @@ object BucketedUpsert {
   private[lake] def manifestEntries(spark: SparkSession, root: String): Seq[Entry] =
     Snapshot.resolve(spark, root) match {
       case None => Seq.empty
-      case Some(dir) => spark.read.parquet(dir)
-        .select("bucket", "path", "n_buckets").collect()
-        .map(r => Entry(r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+      case Some(dir) => parseManifest(spark, dir)
     }
+
+  /** Manifest entries of a RETAINED historical version (time travel). */
+  private[lake] def manifestEntriesAt(spark: SparkSession, root: String,
+                                      asOf: Long): Seq[Entry] =
+    Snapshot.resolveAt(spark, root, asOf) match {
+      case None => Seq.empty
+      case Some(dir) => parseManifest(spark, dir)
+    }
+
+  private def parseManifest(spark: SparkSession, dir: String): Seq[Entry] =
+    spark.read.parquet(dir)
+      .select("bucket", "path", "n_buckets").collect()
+      .map(r => Entry(r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+
+  /** A zero-row frame carrying the table's schema, derivable even for a
+    * FULLY-EMPTIED table (every bucket deleted): the newest retained
+    * manifest version with entries still pins its data files against GC,
+    * so their footers can lend the schema. None when no retained version
+    * ever had data (schema genuinely unknowable). */
+  private[lake] def emptyWithSchema(spark: SparkSession,
+                                    root: String): Option[DataFrame] =
+    Snapshot.publishedTags(spark, root).sorted.reverse.iterator
+      .map(t => manifestEntriesAt(spark, root, t))
+      .find(_.nonEmpty)
+      .map(es => spark.read.option("mergeSchema", "true")
+        .parquet(es.map(_.path): _*).limit(0))
 
   /** The table's fixed bucket count (throws before the first publish) —
     * what an appender created elsewhere must pass to applyBatch. */

@@ -89,9 +89,15 @@ object SecondaryIndex {
              column: String, values: Seq[String]): DataFrame = {
     val allEntries = BucketedUpsert.manifestEntries(spark, tableRoot)
     // an empty table (zero-row first batch, or emptied completely) can
-    // hold no value — correct for any index state, and there are no
-    // data files to borrow a schema from
-    if (allEntries.isEmpty) return spark.emptyDataFrame
+    // hold no value — correct for any index state. The result must still
+    // carry the table SCHEMA where one is derivable (a fully-emptied
+    // table's newest retained manifest version pins its old data files
+    // against GC), or callers selecting the indexed columns get an
+    // AnalysisException instead of an empty typed frame. Only a table
+    // that never had a row in any retained version is schema-less.
+    if (allEntries.isEmpty)
+      return BucketedUpsert.emptyWithSchema(spark, tableRoot)
+        .getOrElse(spark.emptyDataFrame)
     val tableTag = Snapshot.currentTag(spark, tableRoot)
     val ixTag = Snapshot.currentTag(spark, ixRoot)
     def show(t: Option[Long]) = t.map("v" + _).getOrElse("unbuilt")

@@ -329,42 +329,37 @@ object EventStreams {
             Iterator(Session(userId, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.end), s.n, s.sum))
           } else {
-            val events = rows.toSeq
-            val closed = scala.collection.mutable.ArrayBuffer[Session]()
-            var cur = state.getOption
-            for (e <- events.sortBy(_.event_time.getTime)) {
+            // Gap-merge the restored session and ALL of the batch's
+            // events as one sorted timeline. Late in-watermark events
+            // that precede the restored session's start must first
+            // merge with EACH OTHER (and with any event bridging them
+            // toward the session) before anything closes — the earlier
+            // per-event fold closed each pre-session late event as its
+            // own singleton, splitting one true session into fragments
+            // whenever gapMillis < the watermark delay. Every merged
+            // session except the latest is final (nothing still in
+            // flight can attach below the latest session's start
+            // without being within gap of it); the latest stays open.
+            val protos = scala.collection.mutable.ArrayBuffer[SessionState]()
+            state.getOption.foreach(protos += _)
+            rows.foreach { e =>
               val t = e.event_time.getTime
-              cur match {
-                // a LATE in-watermark event can precede the restored
-                // session's start: merge iff within gap of the session
-                // INTERVAL (the batch twin's lag rule), extending START
-                // as well as end — keeping the stale start would report
-                // the session beginning after its earliest event
-                case Some(s) if t >= s.start - gapMillis &&
-                    t - s.end <= gapMillis =>
-                  cur = Some(s.copy(start = math.min(s.start, t),
-                    end = math.max(s.end, t), n = s.n + 1,
-                    sum = s.sum + e.value))
-                case Some(s) if t > s.end =>
-                  closed += Session(userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.n, s.sum)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case Some(_) =>
-                  // more than a gap BEFORE the current session: its own
-                  // already-complete single-event session (anything
-                  // that could have extended it is later-arriving and
-                  // would land after the current session instead)
-                  closed += Session(userId, new java.sql.Timestamp(t),
-                    new java.sql.Timestamp(t), 1, e.value)
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
+              protos += SessionState(t, t, 1, e.value)
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMillis)
+            val merged = scala.collection.mutable.ArrayBuffer[SessionState]()
+            for (p <- protos.sortBy(_.start)) {
+              if (merged.nonEmpty && p.start - merged.last.end <= gapMillis) {
+                val l = merged.last
+                merged(merged.size - 1) = SessionState(l.start,
+                  math.max(l.end, p.end), l.n + p.n, l.sum + p.sum)
+              } else merged += p
             }
-            closed.iterator
+            val open = merged.remove(merged.size - 1)
+            state.update(open)
+            state.setTimeoutTimestamp(open.end + gapMillis)
+            merged.iterator.map(s => Session(userId,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+              s.n, s.sum))
           }
       }
   }

@@ -62,6 +62,24 @@ class BloomIndexSpec extends SparkSpec {
     }
   }
 
+  test("a manifest with mixed filter params fail-fasts instead of false-negating") {
+    val base = tmp()
+    val dataDir = s"$base/data"; val bloomDir = s"$base/bloom"
+    writeShuffled(dataDir, 500, 4)
+    BloomIndex.writeBloom(spark, dataDir, bloomDir, "k", mLog2 = 12, k = 3)
+    // simulate a second interrupted writeBloom with different params
+    // leaving extra rows in the same manifest directory
+    val extraData = s"$base/data2"
+    writeShuffled(extraData, 100, 1)
+    BloomIndex.writeBloom(spark, extraData, s"$base/bloom2", "k", mLog2 = 14, k = 2)
+    spark.read.parquet(s"$base/bloom2").write.mode("append").parquet(bloomDir)
+    val ex = intercept[IllegalArgumentException] {
+      BloomIndex.survivors(spark, bloomDir, Seq("17"))
+    }
+    assert(ex.getMessage.contains("rebuild"),
+      s"mixed params must demand a rebuild: ${ex.getMessage}")
+  }
+
   test("NULL keys are not indexed and break nothing") {
     val base = tmp()
     val dataDir = s"$base/data"; val bloomDir = s"$base/bloom"

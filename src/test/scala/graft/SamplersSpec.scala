@@ -132,6 +132,27 @@ class SamplersSpec extends SparkSpec {
     assert(n == 0, s"overflow-scale thresholds must select nothing, got $n")
   }
 
+  test("mixtureSample routes NULL-source rows through an explicit rate row") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, "a", 10L)) ++
+      (1 to 50).map(i => (1000L + i, null.asInstanceOf[String], 10L)))
+      .toDF("doc_id", "source", "n_chars")
+    // no null weight: NULL-source rows are excluded as weight-0 (same
+    // semantics as any unweighted source), NOT silently join-dropped —
+    // and the weighted source is unaffected by their presence
+    val noNull = Samplers.mixtureSample(df, "source", "doc_id", "n_chars",
+      Map("a" -> 1L), 9L, 10L)
+    val srcs = noNull.select("source").distinct().collect()
+      .map(r => Option(r.getString(0))).toSet
+    assert(srcs == Set(Some("a")), s"null source must behave as weight-0: $srcs")
+    // a caller CAN weight the null source explicitly (null map key):
+    // the null-safe join matches it like any other rate row
+    val withNull = Samplers.mixtureSample(df, "source", "doc_id", "n_chars",
+      Map("a" -> 1L, (null: String) -> 1L), 9L, 10L)
+    val nullKept = withNull.filter(col("source").isNull).count()
+    assert(nullKept > 0, "a weighted null source must contribute rows")
+  }
+
   test("a null tag ELEMENT cannot drop an image from the splits") {
     import spark.implicits._
     val images = Seq(

@@ -112,4 +112,23 @@ class SecondaryIndexSpec extends SparkSpec {
       .count() == 1)
     assert(Snapshot.currentTag(spark, ix).contains(2L))
   }
+
+  test("lookup on a fully-emptied table returns an empty frame WITH the table schema") {
+    val base = tmp()
+    val root = s"$base/t"; val ix = s"$base/ix"
+    import spark.implicits._
+    val batch1 = (1L to 50L).map(k => (k, s"name-$k", 1L)).toDF("k", "s", "ver")
+    BucketedUpsert.applyBatch(batch1, root, "k", "ver", nBuckets = 4, tag = 1)
+    SecondaryIndex.refresh(spark, root, ix, "k", "s")
+    // delete EVERY key: the current manifest has zero entries, but the
+    // previous retained version still pins the old data files
+    BucketedUpsert.deleteKeys(spark, root, "k",
+      (1L to 50L).toDF("k"), tag = 2)
+    val got = SecondaryIndex.lookup(spark, root, ix, "s", Seq("name-7"))
+    // downstream callers select the indexed columns — this used to be
+    // an AnalysisException on the zero-column emptyDataFrame
+    assert(got.select("k", "s").count() == 0)
+    assert(got.columns.toSet == Set("k", "s", "ver"),
+      s"empty-table lookup must carry the table schema: ${got.columns.toSeq}")
+  }
 }

@@ -98,6 +98,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionize gap-merges pre-session late events instead of closing singletons") {
+    // gapMillis BELOW the 10-minute watermark delay: two late events can
+    // land more than a gap before the restored session's start yet within
+    // a gap of each other. The per-event fold used to close each as its
+    // own single-event session; they must merge into ONE closed session.
+    val input = MemoryStream[Event](spark, 14)
+    val sessions = EventStreams.sessionize(spark, input.toDS(),
+      gapMillis = 4 * 60 * 1000L)
+    val query = sessions.writeStream.format("memory").queryName("sess_gapm")
+      .outputMode("append").start()
+    try {
+      // state: session start=end=60 for user 1 (watermark → 50)
+      input.addData(Event(1L, ts(60), 1.0))
+      query.processAllAvailable()
+      // LATE events at 52 and 53: in-watermark (≥ 50), both > gap before
+      // the session start (60 − 53 = 7 > 4), within gap of each other.
+      input.addData(Event(1L, ts(52), 2.0), Event(1L, ts(53), 3.0))
+      query.processAllAvailable()
+      // close the main session
+      input.addData(Event(2L, ts(600), 1.0))
+      query.processAllAvailable()
+      input.addData(Event(2L, ts(1200), 1.0))
+      query.processAllAvailable()
+      val u1 = spark.table("sess_gapm").as[Session].collect()
+        .filter(_.user_id == 1L).sortBy(_.start.getTime)
+      assert(u1.length == 2, s"two sessions expected (merged-late + main): ${u1.toSeq}")
+      assert(u1(0).start == ts(52) && u1(0).end == ts(53) &&
+        u1(0).n_events == 2 && u1(0).sum_value == 5.0,
+        s"late events must gap-merge into one session: ${u1(0)}")
+      assert(u1(1).start == ts(60) && u1(1).n_events == 1, s"main session: ${u1(1)}")
+    } finally query.stop()
+  }
+
   test("dedupEvents drops replayed ids incrementally across batches") {
     val input = MemoryStream[(Long, Long, Long, String, Double, String)](spark, 2)
     val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
