@@ -192,6 +192,7 @@ object BucketedUpsert {
           .withColumn("graft_bucket", bucketOf(col(key), nBuckets))
           .repartition(col("graft_bucket"))
           .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
+        stampBucketFiles(spark, dataDir)
         touched.toSeq.sorted.map(b =>
           Entry(b, s"$dataDir/graft_bucket=$b", nBuckets))
       }
@@ -324,6 +325,7 @@ object BucketedUpsert {
           .withColumn("graft_bucket", bucketOf(col(key), n))
           .repartition(col("graft_bucket"))
           .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
+        stampBucketFiles(spark, dataDir)
         val dd = new Path(dataDir)
         val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val present =
@@ -348,6 +350,121 @@ object BucketedUpsert {
       root, tag, keep)
     gcData(spark, root)
     removed
+  }
+
+  /** Bucket-file-name regex Spark's scan uses (`BucketingUtils`): the
+    * digits after the LAST underscore are the bucket id. */
+  private val StampedName = """.*_(\d+)(?:\..*)?$""".r
+
+  /** Stamp every data file under `dataDir/graft_bucket=<i>/` with
+    * Spark's bucket-file suffix `_%05d` so the table can later be
+    * presented as a NATIVE Spark bucketed relation ([[bucketedRead]]):
+    * `FileSourceScanExec` derives the bucket id from the file NAME, one
+    * RDD partition per bucket, `outputPartitioning =
+    * HashPartitioning(key, n)` — whose partition-id expression
+    * `pmod(murmur3(key), n)` is EXACTLY [[bucketOf]], so the claim is
+    * true by write construction. One rename per written file: a
+    * metadata op on HDFS/local FS; on an object store one copy per
+    * file, amortized by bucket-sized files (a committer that names
+    * files directly would remove even that).
+    */
+  private def stampBucketFiles(spark: SparkSession, dataDir: String): Unit = {
+    val dd = new Path(dataDir)
+    val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dd)) return
+    fs.listStatus(dd)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("graft_bucket="))
+      .foreach { d =>
+        val b = d.getPath.getName.stripPrefix("graft_bucket=").toInt
+        fs.listStatus(d.getPath).filter(_.isFile).foreach { f0 =>
+          val name = f0.getPath.getName
+          val already = name match {
+            case StampedName(_) => true
+            case _ => false
+          }
+          if (!name.startsWith("_") && !name.startsWith(".") && !already) {
+            val stamped = name.indexOf('.') match {
+              case -1 => name + f"_$b%05d"
+              case i => name.substring(0, i) + f"_$b%05d" + name.substring(i)
+            }
+            fs.rename(f0.getPath, new Path(d.getPath, stamped))
+          }
+        }
+      }
+  }
+
+  /** The table as a NATIVE Spark bucketed relation: a
+    * `HadoopFsRelation` over the manifest's leaf dirs carrying
+    * `BucketSpec(n, key)`, so the scan reports
+    * `HashPartitioning(key, n)` and one RDD partition per bucket.
+    * Catalyst then ELIDES the exchange wherever that distribution is
+    * required — equi-joins and aggregations on `key` run shuffle-free
+    * on the fact side(s). This is Spark's own bucketed-table machinery
+    * fed by the manifest instead of a catalog entry; the partitioning
+    * claim is sound because [[bucketOf]] (the write route) IS
+    * `HashPartitioning.partitionIdExpression` for the same key and n.
+    *
+    * Fail-fasts on a table whose files predate bucket stamping (their
+    * names carry no bucket id — rewrite or compact first): a silently
+    * mis-bucketed scan would DROP matches, the one failure a join may
+    * never have.
+    */
+  def bucketedRead(spark: SparkSession, root: String, key: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.catalyst.catalog.BucketSpec
+    import org.apache.spark.sql.types.StructType
+    val entries = manifestEntries(spark, root)
+    require(entries.nonEmpty, s"no published bucketed table under $root")
+    val n = entries.head.nBuckets
+    // merged-footer schema: generations may differ by added columns
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(entries.map(_.path): _*).schema
+    require(schema.fieldNames.contains(key),
+      s"bucket key '$key' is not a column of the table at $root: " +
+        schema.fieldNames.mkString(","))
+    val index = new InMemoryFileIndex(spark,
+      entries.map(e => new Path(e.path)), Map.empty, Some(schema))
+    // every file must carry a stamp AGREEING with its manifest bucket
+    // dir — a name Spark cannot parse aborts the scan at runtime, and a
+    // wrong one would silently co-locate the wrong rows
+    index.inputFiles.foreach { f =>
+      val p = new Path(f)
+      val dirBucket = p.getParent.getName.stripPrefix("graft_bucket=").toInt
+      p.getName match {
+        case StampedName(id) => require(id.toInt == dirBucket,
+          s"file $f is stamped bucket ${id.toInt} but lives in bucket " +
+            s"$dirBucket — the table layout is corrupt")
+        case _ => throw new IllegalArgumentException(
+          s"file $f carries no bucket stamp — the table predates bucket " +
+            "stamping; rewrite it (any upsert/compaction of its buckets " +
+            "stamps them) before bucketedRead")
+      }
+    }
+    val rel = HadoopFsRelation(index, new StructType(), schema,
+      Some(BucketSpec(n, Seq(key), Nil)), new ParquetFileFormat,
+      Map.empty[String, String])(spark)
+    spark.baseRelationToDataFrame(rel)
+  }
+
+  /** Co-bucketed SHUFFLE-FREE equi-join of two bucketed tables sharing
+    * (key hash function, bucket count): read bucket i of each side as
+    * RDD partition i ([[bucketedRead]]) and join within — ZERO
+    * `Exchange` on either side (the sort-merge sorts stay, exchange-
+    * free). At 100 TB × 2 this removes the entire 2-sided fact shuffle
+    * — the single largest cost of the naive join — leaving IO + sort.
+    * Fail-fasts on mismatched bucket counts (co-location would be a
+    * lie; rebucket one side first).
+    */
+  def bucketedJoin(spark: SparkSession, leftRoot: String, rightRoot: String,
+                   key: String, joinType: String = "inner"): DataFrame = {
+    val nL = bucketCount(spark, leftRoot)
+    val nR = bucketCount(spark, rightRoot)
+    require(nL == nR,
+      s"cannot co-bucket join: $leftRoot has $nL buckets, $rightRoot has " +
+        s"$nR — bucket counts must match (rebucket one side)")
+    bucketedRead(spark, leftRoot, key)
+      .join(bucketedRead(spark, rightRoot, key), Seq(key), joinType)
   }
 
   /** Delete `data/v*` version dirs referenced by NO retained manifest.

@@ -100,6 +100,34 @@ object JoinQueries extends QueryPack {
         .orderBy("user_id", "click_id")
     }),
 
+    // J15: CO-BUCKETED SHUFFLE-FREE join — two BucketedUpsert tables
+    // sharing (key hash, bucket count) presented as NATIVE Spark
+    // bucketed relations (HashPartitioning(key, n) reported by the
+    // scan, one RDD partition per bucket), so the sort-merge join adds
+    // ZERO Exchange on either side. At 100 TB × 2 this removes the
+    // entire two-sided fact shuffle — the largest cost of the naive
+    // join. The oracle is the plain SQL join, so hash-green proves the
+    // exchange-free plan changes nothing but the shuffle bytes
+    // (BucketedJoinSpec asserts the zero-Exchange plan itself).
+    "j15_bucketed_join" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bjoin-q").toString
+      val l = s"$base/profile"; val r = s"$base/stats"
+      // the feature-store shape: a profile table and a per-key feature
+      // table maintained independently, co-bucketed on the entity key
+      graft.lake.BucketedUpsert.applyBatch(
+        t(s, d, "customer").select(col("c_custkey").as("custkey"),
+          col("c_name"), col("c_mktsegment"), lit(1L).as("ver")),
+        l, "custkey", "ver", nBuckets = 16, tag = 1)
+      graft.lake.BucketedUpsert.applyBatch(
+        t(s, d, "orders").groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("n_orders")).withColumn("ver", lit(1L)),
+        r, "custkey", "ver", nBuckets = 16, tag = 1)
+      graft.lake.BucketedUpsert.bucketedJoin(s, l, r, "custkey")
+        .select("custkey", "c_name", "c_mktsegment", "n_orders")
+        .orderBy("custkey")
+    }),
+
     // J9: RANGE join — pairs of events of the same user within 5
     // minutes. The scale-safe Spark shape is interval bucketing: each
     // left row equi-joins on (user, bucket) against right rows
@@ -256,6 +284,12 @@ object JoinQueries extends QueryPack {
       "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') ORDER BY l_orderkey, l_linenumber",
     "j3_anti_join" ->
       "SELECT o_orderkey, o_custkey FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey) ORDER BY o_orderkey",
+    "j15_bucketed_join" ->
+      """SELECT c_custkey AS custkey, c_name, c_mktsegment, n_orders
+         FROM customer JOIN (SELECT o_custkey, count(*) AS n_orders
+                             FROM orders GROUP BY o_custkey) o
+           ON c_custkey = o.o_custkey
+         ORDER BY custkey""",
     "j5_dim_lookup_chain" ->
       "SELECT l_orderkey, l_linenumber, p_brand, s_name FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey ORDER BY l_orderkey, l_linenumber",
     "j6_group_collect" ->

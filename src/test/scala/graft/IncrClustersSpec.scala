@@ -91,18 +91,15 @@ class IncrClustersSpec extends SparkSpec {
       // the standing table's file scan — both of its consumptions must be
       // the probe side of broadcast joins
       merged.collect()
-      def unwrap(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan =
-        p match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-          case other => other
-        }
+      // PlanInspect recurses through AQE's QueryStage leaf wrappers —
+      // a naive collect over the adaptive plan sees NO exchanges (and
+      // no scans) at all, making this assert pass vacuously
       def scansStanding(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-        p.collectWithSubqueries {
-          case f: FileSourceScanExec
-            if f.relation.location.rootPaths.exists(_.toString.contains(dir)) => f
-        }.nonEmpty
-      val offenders = unwrap(merged.queryExecution.executedPlan)
-        .collectWithSubqueries { case sh: ShuffleExchangeLike if scansStanding(sh) => sh }
+        graft.plans.PlanInspect.fileScans(p).exists(
+          _.relation.location.rootPaths.exists(_.toString.contains(dir)))
+      val offenders = graft.plans.PlanInspect
+        .shuffles(merged.queryExecution.executedPlan)
+        .filter(scansStanding)
       assert(offenders.isEmpty,
         s"standing-table scan found under a shuffle exchange:\n${offenders.mkString("\n")}")
       // and the merge must still be correct on this shape
