@@ -45,6 +45,19 @@ object DeleteBench {
       val prunedSec = (System.nanoTime() - t0) / 1e9
       val prunedBytes = dirBytes(s"$workDir/v2/files")
 
+      // deletion-vector delete of the SAME range: no file rewrites at
+      // all — bytes written are the (path, row_idx) sidecar plus the
+      // copied metadata manifests
+      val t2 = System.nanoTime()
+      val dvRes = graft.lake.DeleteWhere.deleteVectors(spark, s"$workDir/stats",
+        "user_id", lit(100L), lit(110L), s"$workDir/vdv")
+      val dvSec = (System.nanoTime() - t2) / 1e9
+      val dvBytes = dirBytes(s"$workDir/vdv")
+      // and the read-side cost the sidecar adds (masked full scan)
+      val t3 = System.nanoTime()
+      val dvRows = graft.lake.DeleteWhere.read(spark, s"$workDir/vdv").count()
+      val dvReadSec = (System.nanoTime() - t3) / 1e9
+
       // naive full rewrite of the same delete
       val t1 = System.nanoTime()
       spark.read.parquet(s"$workDir/data")
@@ -52,12 +65,16 @@ object DeleteBench {
         .write.mode("overwrite").parquet(s"$workDir/full")
       val fullSec = (System.nanoTime() - t1) / 1e9
       val fullBytes = dirBytes(s"$workDir/full")
+      require(dvRows == spark.read.parquet(s"$workDir/full").count(),
+        "DV-masked read disagrees with the rewrite")
 
       println(s"""{"bench":"delete_where","sf":"$srcDir","table_bytes":$tableBytes,""" +
         s""""files_total":${res.filesTotal},"files_rewritten":${res.filesRewritten},""" +
         s""""rows_deleted":${res.rowsDeleted},"pruned_sec":$prunedSec,""" +
         s""""pruned_bytes":$prunedBytes,"full_sec":$fullSec,"full_bytes":$fullBytes,""" +
-        s""""bytes_ratio":${if (prunedBytes > 0) fullBytes.toDouble / prunedBytes else -1}}""")
+        s""""bytes_ratio":${if (prunedBytes > 0) fullBytes.toDouble / prunedBytes else -1},""" +
+        s""""dv_sec":$dvSec,"dv_bytes":$dvBytes,"dv_read_sec":$dvReadSec,""" +
+        s""""dv_rows_deleted":${dvRes.rowsDeleted}}""")
     } finally spark.stop()
   }
 }

@@ -57,6 +57,31 @@ object DeleteWhere {
     * this to the next [[deleteRange]] to chain deletes. */
   def statsDirOf(outDir: String): String = s"$outDir/stats"
 
+  /** The deletion-vector sidecar of the version at `outDir`: rows
+    * `(path, row_idx)` naming file positions a sparse delete has hidden
+    * without rewriting the file. Discovered as the `dv` sibling of
+    * whatever stats manifest a delete chains from. */
+  def dvDirOf(outDir: String): String = s"$outDir/dv"
+
+  private def dvDirFromStats(statsDir: String): String =
+    new org.apache.hadoop.fs.Path(statsDir).getParent.toString + "/dv"
+
+  /** Scheme-less absolute path: `input_file_name()` and
+    * `_metadata.file_path` render the same file with different scheme
+    * spellings (`file:/x` vs `file:///x`); every DV path is stored and
+    * compared through this normal form so the mask can never miss its
+    * file over a string mismatch. */
+  private def normPathCol(c: Column): Column =
+    regexp_replace(c, "^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+  private def normPath(s: String): String =
+    s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+
+  private def dvReadIfExists(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(dir)) else None
+  }
+
   /** Delete every row with `column` in [lo, hi] from the version
     * described by the stats manifest at `statsDir` (built by
     * [[FileStats.writeStats]] over the initial tree, or maintained by a
@@ -78,10 +103,30 @@ object DeleteWhere {
     require(touched.subsetOf(all.toSet),
       "stats manifest disagrees with itself: pruned paths missing from it")
     val kept = all.filterNot(touched)
+    // a chained-from version may carry deletion vectors: entries for
+    // files rewritten here are FOLDED (the rewrite applies the mask and
+    // the file forgets its vector); kept files carry theirs forward
+    val priorDv = dvReadIfExists(spark, dvDirFromStats(statsDir))
+    val touchedNorm = touched.map(normPath)
+    val dvOnTouched = priorDv.map(_.filter(
+      col("path").isInCollection(touchedNorm)).count()).getOrElse(0L)
 
     var rowsDeleted = 0L
     if (touched.nonEmpty) {
-      val hit = spark.read.parquet(touched.toSeq: _*)
+      val hitBase = spark.read.parquet(touched.toSeq: _*)
+      val hit = priorDv match {
+        case None => hitBase
+        case Some(dv) =>
+          val mask = dv.select(col("path").as("_gf_dv_path"),
+            col("row_idx").as("_gf_dv_idx"))
+          hitBase.select(col("*"),
+              normPathCol(col("_metadata.file_path")).as("_gf_path"),
+              col("_metadata.row_index").as("_gf_idx"))
+            .join(broadcast(mask),
+              col("_gf_path") === col("_gf_dv_path") &&
+                col("_gf_idx") === col("_gf_dv_idx"), "left_anti")
+            .drop("_gf_path", "_gf_idx")
+      }
       val c = col(column)
       // survivors: NULL keys can never match a range delete — keep them
       val survivors = hit.filter(c.isNull || c < lo || c > hi)
@@ -93,9 +138,10 @@ object DeleteWhere {
       survivors.repartitionByRange(touched.size, indexed.map(col): _*)
         .write.mode(SaveMode.Overwrite).parquet(filesDir(outDir))
       // touched-row count comes from the stats manifest (already built),
-      // not a second scan of the touched files
+      // not a second scan of the touched files; already-DV-hidden rows
+      // were never live, so they don't count as deleted here
       val before = oldStats.filter(col("path").isInCollection(touched))
-        .agg(coalesce(sum("n_rows"), lit(0L))).head.getLong(0)
+        .agg(coalesce(sum("n_rows"), lit(0L))).head.getLong(0) - dvOnTouched
       // fresh stats for the rewritten files — this scan doubles as the
       // post-delete row count, so stats maintenance adds no extra pass
       FileStats.writeStats(spark, filesDir(outDir),
@@ -103,6 +149,13 @@ object DeleteWhere {
       val after = spark.read.parquet(s"${statsDirOf(outDir)}-new")
         .agg(coalesce(sum("n_rows"), lit(0L))).head.getLong(0)
       rowsDeleted = before - after
+    }
+    // kept files' deletion vectors survive into the new version
+    priorDv.foreach { dv =>
+      val carried = dv.filter(!col("path").isInCollection(touchedNorm))
+      if (carried.take(1).nonEmpty)
+        carried.coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(dvDirOf(outDir))
     }
     // maintained stats: kept files' rows verbatim + rewritten files' new
     // rows (column-aligned by name; the fresh build emits the same set)
@@ -125,12 +178,93 @@ object DeleteWhere {
     DeleteStats(all.size.toLong, touched.size.toLong, rowsDeleted)
   }
 
+  /** SPARSE delete: hide every row with `column` in [lo, hi] behind a
+    * per-file DELETION VECTOR instead of rewriting the files — the
+    * takedown shape where a handful of rows live in files that zone
+    * maps cannot shrink below "most of them" (or where rewrite cost
+    * must be deferred to off-peak compaction). The new version
+    * references every old file VERBATIM; what it adds is a sidecar of
+    * `(path, row_idx)` positions (delete-set-sized) that [[read]]
+    * applies as a scan-side anti-mask through the parquet
+    * `_metadata.row_index` column. Write cost is therefore
+    * O(matching rows), not O(matching files) — the entire point.
+    *
+    * Chained deletes compose: the new sidecar is the prior version's
+    * DV (discovered next to `statsDir`) UNION the new matches, and a
+    * later [[deleteRange]] FOLDS a file's DV into it when it rewrites
+    * the file anyway. Zone-map stats are carried verbatim — a DV only
+    * hides rows, so min/max stay conservative bounds and the next
+    * delete prunes on them unchanged (`n_rows` becomes an upper
+    * bound; exact post-mask counts come from [[read]]).
+    *
+    * Same crash protocol as [[deleteRange]]: dv and stats land first,
+    * the manifest LAST, so no half-version is ever readable.
+    */
+  def deleteVectors(spark: SparkSession, statsDir: String, column: String,
+                    lo: Column, hi: Column, outDir: String): DeleteStats = {
+    val oldStats = spark.read.parquet(statsDir)
+    require(oldStats.columns.contains(s"min_$column"),
+      s"stats manifest at $statsDir does not index column '$column'")
+    val touched = FileStats.prunedFiles(spark, statsDir, column, lo, hi)
+    val all = oldStats.select("path").collect().map(_.getString(0)).toSeq
+    require(touched.toSet.subsetOf(all.toSet),
+      "stats manifest disagrees with itself: pruned paths missing from it")
+    val priorDv = dvReadIfExists(spark, dvDirFromStats(statsDir))
+    val priorCount = priorDv.map(_.count()).getOrElse(0L)
+
+    val newMatches =
+      if (touched.isEmpty) None
+      else {
+        val c = col(column)
+        Some(spark.read.parquet(touched: _*)
+          .select(normPathCol(col("_metadata.file_path")).as("path"),
+            col("_metadata.row_index").as("row_idx"), c.as("_gf_c"))
+          .filter(col("_gf_c").isNotNull && col("_gf_c") >= lo &&
+            col("_gf_c") <= hi)
+          .select("path", "row_idx"))
+      }
+    val combined = (priorDv, newMatches) match {
+      case (Some(p), Some(n)) => Some(p.unionByName(n).distinct())
+      case (Some(p), None) => Some(p)
+      case (None, Some(n)) => Some(n.distinct())
+      case (None, None) => None
+    }
+    var rowsDeleted = 0L
+    combined.foreach { dv =>
+      // delete-set-sized; one file keeps the sidecar broadcastable
+      dv.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dvDirOf(outDir))
+      rowsDeleted = spark.read.parquet(dvDirOf(outDir)).count() - priorCount
+    }
+    // stats verbatim: all files survive physically, bounds stay valid
+    oldStats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDirOf(outDir))
+    import spark.implicits._
+    all.toDF("path").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestDir(outDir))
+    DeleteStats(all.size.toLong, 0L, rowsDeleted)
+  }
+
   /** Read the post-delete version: the manifest's paths (kept original
-    * files + the rewritten dir), opened as one frame. */
+    * files + any rewritten dir), opened as one frame, with the
+    * version's deletion vectors — if any — applied as a scan-side
+    * anti-mask on (file, row_index). The sidecar is delete-set-sized
+    * and broadcast, so the mask adds no shuffle over the table. */
   def read(spark: SparkSession, outDir: String): DataFrame = {
     val paths = spark.read.parquet(manifestDir(outDir))
       .select("path").collect().map(_.getString(0)).toSeq
     require(paths.nonEmpty, s"empty delete manifest at $outDir")
-    spark.read.parquet(paths: _*)
+    val base = spark.read.parquet(paths: _*)
+    dvReadIfExists(spark, dvDirOf(outDir)) match {
+      case None => base
+      case Some(dv) =>
+        val mask = dv.select(col("path").as("_gf_dv_path"),
+          col("row_idx").as("_gf_dv_idx"))
+        base.select(col("*"),
+            normPathCol(col("_metadata.file_path")).as("_gf_path"),
+            col("_metadata.row_index").as("_gf_idx"))
+          .join(broadcast(mask),
+            col("_gf_path") === col("_gf_dv_path") &&
+              col("_gf_idx") === col("_gf_dv_idx"), "left_anti")
+          .drop("_gf_path", "_gf_idx")
+    }
   }
 }

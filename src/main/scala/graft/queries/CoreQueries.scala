@@ -529,6 +529,31 @@ object CoreQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // S29: DELETION-VECTOR sparse delete — same DELETE semantics as
+    // s20, but the version rewrites NOTHING: every original file is
+    // referenced verbatim and the deleted rows hide behind a
+    // (path, row_index) sidecar applied as a broadcast anti-mask on
+    // the parquet _metadata.row_index column at read. Two chained DV
+    // deletes compose through the maintained manifest, so the gate
+    // exercises the union path too. Hash-green proves the scan-side
+    // mask is indistinguishable from the full-scan delete.
+    "s29_delete_vectors" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-dv-q").toString
+      val ev = t(s, d, "events")
+        .withColumn("bucket", expr("ts div 3600000000000"))
+      graft.lake.ZOrder.writeZOrdered(ev, s"$base/data", 16, "user_id", "bucket")
+      graft.lake.FileStats.writeStats(s, s"$base/data", s"$base/stats", Seq("user_id"))
+      graft.lake.DeleteWhere.deleteVectors(s, s"$base/stats",
+        "user_id", lit(100L), lit(120L), s"$base/v2")
+      graft.lake.DeleteWhere.deleteVectors(s,
+        graft.lake.DeleteWhere.statsDirOf(s"$base/v2"),
+        "user_id", lit(40L), lit(45L), s"$base/v3")
+      graft.lake.DeleteWhere.read(s, s"$base/v3")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    }),
+
     // S22: key-set delete on a bucketed-upsert table — the other half
     // of GDPR (s20 is the range delete on zone-mapped trees): every row
     // whose key is in the delete set is removed by rewriting ONLY the
@@ -779,6 +804,10 @@ object CoreQueries extends QueryPack {
     "s20_delete_where" ->
       """SELECT event_id, user_id, event_type FROM events
          WHERE user_id NOT BETWEEN 100 AND 120 ORDER BY event_id""",
+    "s29_delete_vectors" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE user_id NOT BETWEEN 100 AND 120
+           AND user_id NOT BETWEEN 40 AND 45 ORDER BY event_id""",
     "p1_project_cast" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation ORDER BY n_nationkey",
     "p3_eq_filter" ->

@@ -90,6 +90,88 @@ class DeleteWhereSpec extends SparkSpec {
     assert(!new java.io.File(s"$base/v3/stats-new").exists())
   }
 
+  test("deleteVectors rewrites NOTHING, masks exactly the range, and equals the full-scan delete") {
+    val base = tmp()
+    val ev = graft.Tables.t(spark, sf("sf0.01"), "events")
+      .withColumn("bucket", expr("ts div 3600000000000"))
+    ZOrder.writeZOrdered(ev, s"$base/data", 16, "user_id", "bucket")
+    FileStats.writeStats(spark, s"$base/data", s"$base/stats", Seq("user_id"))
+
+    val res = DeleteWhere.deleteVectors(spark, s"$base/stats",
+      "user_id", lit(80L), lit(110L), s"$base/v2")
+    assert(res.filesRewritten == 0, "a DV delete must rewrite no file")
+    assert(res.rowsDeleted > 0)
+    // no rewritten-files dir exists — bytes written are sidecar-sized
+    assert(!new java.io.File(s"$base/v2/files").exists(),
+      "DV delete must not write data files")
+    // every original path referenced verbatim
+    val originals = spark.read.parquet(s"$base/stats")
+      .select("path").collect().map(_.getString(0)).toSet
+    val manifest = spark.read.parquet(s"$base/v2/manifest")
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(manifest == originals, "DV version must reference every file verbatim")
+
+    val got = DeleteWhere.read(spark, s"$base/v2")
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val want = spark.read.parquet(s"$base/data")
+      .filter(!col("user_id").between(80L, 110L))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want), "DV mask must equal the full-scan delete")
+    assert(res.rowsDeleted == ev.count() - want.length)
+  }
+
+  test("DV deletes chain, and a later rewrite FOLDS touched files' vectors") {
+    val base = tmp()
+    val ev = graft.Tables.t(spark, sf("sf0.01"), "events")
+      .withColumn("bucket", expr("ts div 3600000000000"))
+    ZOrder.writeZOrdered(ev, s"$base/data", 16, "user_id", "bucket")
+    FileStats.writeStats(spark, s"$base/data", s"$base/stats", Seq("user_id"))
+
+    // two DV deletes chain: v3's sidecar is the union
+    DeleteWhere.deleteVectors(spark, s"$base/stats",
+      "user_id", lit(80L), lit(110L), s"$base/v2")
+    val r2 = DeleteWhere.deleteVectors(spark,
+      DeleteWhere.statsDirOf(s"$base/v2"), "user_id", lit(10L), lit(25L),
+      s"$base/v3")
+    assert(r2.filesRewritten == 0 && r2.rowsDeleted > 0)
+    val got3 = DeleteWhere.read(spark, s"$base/v3")
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val want3 = spark.read.parquet(s"$base/data")
+      .filter(!col("user_id").between(80L, 110L) &&
+        !col("user_id").between(10L, 25L))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got3.sameElements(want3), "chained DV deletes must compose")
+
+    // a REWRITING delete folds: files it rewrites lose their DV entries
+    // (mask applied in the rewrite), kept files carry theirs forward
+    val r3 = DeleteWhere.deleteRange(spark,
+      DeleteWhere.statsDirOf(s"$base/v3"), "user_id", lit(100L), lit(130L),
+      s"$base/v4")
+    assert(r3.filesRewritten > 0)
+    val got4 = DeleteWhere.read(spark, s"$base/v4")
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val want4 = spark.read.parquet(s"$base/data")
+      .filter(!col("user_id").between(80L, 110L) &&
+        !col("user_id").between(10L, 25L) &&
+        !col("user_id").between(100L, 130L))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got4.sameElements(want4),
+      "rewrite after DV deletes must apply the mask before rewriting")
+    // the folded version's sidecar (if any) names NO rewritten file:
+    // v4's files dir holds the rewrites; surviving DV paths must all be
+    // kept originals
+    val dvDir = new java.io.File(s"$base/v4/dv")
+    if (dvDir.exists()) {
+      val dvPaths = spark.read.parquet(s"$base/v4/dv")
+        .select("path").distinct().collect().map(_.getString(0))
+      assert(dvPaths.forall(!_.contains("/v4/files")),
+        "folded files must not retain DV entries")
+    }
+    // rowsDeleted accounting never double-counts DV-hidden rows
+    assert(r3.rowsDeleted == want3.length - want4.length,
+      s"rewrite deleted ${r3.rowsDeleted}, expected ${want3.length - want4.length}")
+  }
+
   test("a range touching nothing rewrites zero files and keeps the table byte-identical") {
     val base = tmp()
     val ev = graft.Tables.t(spark, sf(), "events")
