@@ -49,7 +49,13 @@ object BucketedUpsert {
       s"$what tag $tag is not above the published v$cur under $root — " +
         "a reused tag would overwrite the live version directory"))
 
-  private[lake] case class Entry(bucket: Int, path: String, nBuckets: Int)
+  /** `dataTag`: the tag of the last DATA change to this entry's rows —
+    * distinct from the tag encoded in its physical path, because
+    * COMPACTION relocates bytes without changing data, and the change
+    * feed must not report a relocation as churn. Manifests written
+    * before this column existed fall back to the path's tag. */
+  private[lake] case class Entry(bucket: Int, path: String, nBuckets: Int,
+                                 dataTag: Long)
 
   private[lake] def manifestEntries(spark: SparkSession, root: String): Seq[Entry] =
     Snapshot.resolve(spark, root) match {
@@ -65,10 +71,26 @@ object BucketedUpsert {
       case Some(dir) => parseManifest(spark, dir)
     }
 
-  private def parseManifest(spark: SparkSession, dir: String): Seq[Entry] =
-    spark.read.parquet(dir)
-      .select("bucket", "path", "n_buckets").collect()
-      .map(r => Entry(r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+  private def parseManifest(spark: SparkSession, dir: String): Seq[Entry] = {
+    val df = spark.read.parquet(dir)
+    if (df.columns.contains("data_tag"))
+      df.select("bucket", "path", "n_buckets", "data_tag").collect()
+        .map(r => Entry(r.getInt(0), r.getString(1), r.getInt(2), r.getLong(3)))
+        .toSeq
+    else
+      df.select("bucket", "path", "n_buckets").collect()
+        .map(r => Entry(r.getInt(0), r.getString(1), r.getInt(2),
+          entryTag(r.getString(1)))).toSeq
+  }
+
+  private def publishEntries(spark: SparkSession, entries: Seq[Entry],
+                             root: String, tag: Long, keep: Int): Unit = {
+    import spark.implicits._
+    Snapshot.publish(
+      entries.map(e => (e.bucket, e.path, e.nBuckets, e.dataTag))
+        .toDF("bucket", "path", "n_buckets", "data_tag").coalesce(1),
+      root, tag, keep)
+  }
 
   /** A zero-row frame carrying the table's schema, derivable even for a
     * FULLY-EMPTIED table (every bucket deleted): the newest retained
@@ -126,7 +148,9 @@ object BucketedUpsert {
   def changesSince(spark: SparkSession, root: String, sinceTag: Long): DataFrame = {
     val entries = manifestEntries(spark, root)
     require(entries.nonEmpty, s"no published bucketed table under $root")
-    val changed = entries.filter(e => entryTag(e.path) > sinceTag)
+    // data_tag, not the path's tag: compaction relocates bytes under a
+    // new version dir without changing data, and must NOT appear here
+    val changed = entries.filter(e => e.dataTag > sinceTag)
     if (changed.isEmpty)
       spark.read.parquet(entries.head.path).limit(0)
     else
@@ -194,15 +218,125 @@ object BucketedUpsert {
           .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
         stampBucketFiles(spark, dataDir)
         touched.toSeq.sorted.map(b =>
-          Entry(b, s"$dataDir/graft_bucket=$b", nBuckets))
+          Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag))
       }
     val entries = prev.filterNot(e => touched(e.bucket)) ++ touchedEntries
-    import spark.implicits._
-    Snapshot.publish(
-      entries.map(e => (e.bucket, e.path, e.nBuckets))
-        .toDF("bucket", "path", "n_buckets").coalesce(1),
-      root, tag, keep)
+    publishEntries(spark, entries, root, tag, keep)
     gcData(spark, root)
+  }
+
+  /** LSM-style fragment append — the WRITE-CHEAP half of the upsert
+    * trade: land ONLY the batch's rows as new per-bucket fragment dirs
+    * and keep every previous fragment in the manifest, deferring
+    * version resolution to [[readResolved]] (merge-on-read) and
+    * physical consolidation to [[mergeFragments]]. Per-batch write
+    * cost drops from O(touched buckets + batch) ([[applyBatch]]'s
+    * read-resolve-rewrite) to **O(batch)** — at 100 TB with frequent
+    * small batches this is the difference between an ingest that
+    * rewrites 1.5 GB buckets per thousand-row batch and one that
+    * writes the thousand rows.
+    *
+    * The manifest may then hold SEVERAL entries per bucket (fragments,
+    * each with its own data_tag); readers union them — the bucketed
+    * scan groups same-bucket fragments into one partition, so the
+    * resolve window runs exchange-free. Same ledger contract as
+    * applyBatch (strictly-increasing tags; empty FIRST batch creates
+    * nothing, empty later batch re-publishes to advance the tag).
+    */
+  def appendFragment(batch: DataFrame, root: String, key: String,
+                     nBuckets: Int, tag: Long, keep: Int = 2): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val spark = batch.sparkSession
+    requireTagAbove(spark, root, tag, "fragment")
+    val prev = manifestEntries(spark, root)
+    prev.headOption.foreach(e => require(e.nBuckets == nBuckets,
+      s"table at $root was bucketed with n=${e.nBuckets}, got $nBuckets — " +
+        "the bucket count is fixed at table creation"))
+    val dataDir = s"$root/data/v$tag"
+    batch
+      .withColumn("graft_bucket", bucketOf(col(key), nBuckets))
+      .repartition(col("graft_bucket"))
+      .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
+    stampBucketFiles(spark, dataDir)
+    val dd = new Path(dataDir)
+    val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val written =
+      if (!fs.exists(dd)) Seq.empty[Int]
+      else fs.listStatus(dd).map(_.getPath.getName)
+        .filter(_.startsWith("graft_bucket="))
+        .map(_.stripPrefix("graft_bucket=").toInt).toSeq.sorted
+    // empty FIRST batch creates nothing (same wedge guard as applyBatch)
+    if (written.isEmpty && prev.isEmpty) return
+    val entries = prev ++ written.map(b =>
+      Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag))
+    publishEntries(spark, entries, root, tag, keep)
+    gcData(spark, root)
+  }
+
+  /** The CURRENT row per key over a (possibly fragmented) table:
+    * highest `versionCol` wins, later fragments break version ties.
+    * Runs over [[bucketedRead]], so the per-key window needs NO
+    * exchange — the scan already delivers HashPartitioning(key, n) and
+    * the resolve is an in-partition sort, fragment count never changes
+    * the shuffle story. On a fragment-free table this equals [[read]].
+    */
+  def readResolved(spark: SparkSession, root: String, key: String,
+                   versionCol: String): DataFrame = {
+    val resolved = bucketedRead(spark, root, key)
+      .withColumn("graft_frag_tag",
+        regexp_extract(normFilePath, "/v(\\d+)/graft_bucket=", 1).cast("long"))
+      .withColumn("graft_rn", row_number().over(
+        Window.partitionBy(col(key))
+          .orderBy(desc(versionCol), desc("graft_frag_tag"))))
+    resolved.filter(col("graft_rn") === 1)
+      .drop("graft_rn", "graft_frag_tag")
+  }
+
+  private def normFilePath: Column =
+    regexp_replace(input_file_name(), "^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+
+  /** Bucket-granular COMPACTION of a fragmented table: every bucket
+    * with more than one fragment is resolved (highest version per key,
+    * exactly [[readResolved]]'s rule) and rewritten as a single entry;
+    * single-fragment buckets are referenced verbatim. The new entries
+    * carry the MAX data_tag of the fragments they merged, so the
+    * change feed ([[changesSince]]) reports NOTHING for a compaction —
+    * bytes moved, data didn't — and time travel still resolves the
+    * pre-compaction manifests Snapshot retains. Ledger contract as
+    * every other writer (strictly-increasing tag; on stream-owned
+    * tables run from the stream's pause window). Returns the number of
+    * buckets compacted.
+    */
+  def mergeFragments(spark: SparkSession, root: String, key: String,
+                     versionCol: String, tag: Long, keep: Int = 2): Int = {
+    requireTagAbove(spark, root, tag, "compaction")
+    val prev = manifestEntries(spark, root)
+    require(prev.nonEmpty, s"no published bucketed table under $root")
+    val n = prev.head.nBuckets
+    val fragmented = prev.groupBy(_.bucket).filter(_._2.size > 1)
+    if (fragmented.isEmpty) return 0
+    val dataDir = s"$root/data/v$tag"
+    // resolve over the BUCKETED relation of the fragmented slice: the
+    // scan delivers HashPartitioning(key, n), so the per-key window is
+    // an in-partition sort and the write lands each task's rows in its
+    // own bucket dir — the whole compaction runs with ZERO exchange
+    bucketedReadEntries(spark, fragmented.values.flatten.toSeq, key)
+      .withColumn("graft_frag_tag",
+        regexp_extract(normFilePath, "/v(\\d+)/graft_bucket=", 1).cast("long"))
+      .withColumn("graft_rn", row_number().over(
+        Window.partitionBy(col(key))
+          .orderBy(desc(versionCol), desc("graft_frag_tag"))))
+      .filter(col("graft_rn") === 1).drop("graft_rn", "graft_frag_tag")
+      .withColumn("graft_bucket", bucketOf(col(key), n))
+      .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
+    stampBucketFiles(spark, dataDir)
+    val merged = fragmented.map { case (b, frags) =>
+      Entry(b, s"$dataDir/graft_bucket=$b", n, frags.map(_.dataTag).max)
+    }.toSeq
+    val entries = prev.filterNot(e => fragmented.contains(e.bucket)) ++ merged
+    publishEntries(spark, entries, root, tag, keep)
+    gcData(spark, root)
+    fragmented.size
   }
 
   /** CDC live view: the table minus tombstone rows. A CDC feed's
@@ -339,15 +473,13 @@ object BucketedUpsert {
             .parquet(present.toSeq.sorted.map(b => s"$dataDir/graft_bucket=$b"): _*)
             .count()
         removed = base.count() - after
-        prevTouched.filter(e => present(e.bucket))
-          .map(e => Entry(e.bucket, s"$dataDir/graft_bucket=${e.bucket}", n))
+        // distinct: a FRAGMENTED bucket has several prev entries — its
+        // rewrite must publish exactly one
+        prevTouched.map(_.bucket).distinct.sorted.filter(present)
+          .map(b => Entry(b, s"$dataDir/graft_bucket=$b", n, tag))
       }
     val entries = prev.filterNot(e => touched(e.bucket)) ++ touchedEntries
-    import spark.implicits._
-    Snapshot.publish(
-      entries.map(e => (e.bucket, e.path, e.nBuckets))
-        .toDF("bucket", "path", "n_buckets").coalesce(1),
-      root, tag, keep)
+    publishEntries(spark, entries, root, tag, keep)
     gcData(spark, root)
     removed
   }
@@ -410,18 +542,23 @@ object BucketedUpsert {
     * never have.
     */
   def bucketedRead(spark: SparkSession, root: String, key: String): DataFrame = {
+    val entries = manifestEntries(spark, root)
+    require(entries.nonEmpty, s"no published bucketed table under $root")
+    bucketedReadEntries(spark, entries, key)
+  }
+
+  private def bucketedReadEntries(spark: SparkSession, entries: Seq[Entry],
+                                  key: String): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     import org.apache.spark.sql.catalyst.catalog.BucketSpec
     import org.apache.spark.sql.types.StructType
-    val entries = manifestEntries(spark, root)
-    require(entries.nonEmpty, s"no published bucketed table under $root")
     val n = entries.head.nBuckets
     // merged-footer schema: generations may differ by added columns
     val schema = spark.read.option("mergeSchema", "true")
       .parquet(entries.map(_.path): _*).schema
     require(schema.fieldNames.contains(key),
-      s"bucket key '$key' is not a column of the table at $root: " +
+      s"bucket key '$key' is not a column of the table: " +
         schema.fieldNames.mkString(","))
     val index = new InMemoryFileIndex(spark,
       entries.map(e => new Path(e.path)), Map.empty, Some(schema))

@@ -104,7 +104,7 @@ object IncrAgg {
         .map(_.getInt(0)).toSet -- currentBuckets
     }
     val changedBuckets = entries
-      .filter(e => BucketedUpsert.entryTag(e.path) > since)
+      .filter(_.dataTag > since)
       .map(_.bucket).toSet ++ vanished
 
     val changedPartials =

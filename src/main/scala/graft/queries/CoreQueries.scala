@@ -529,6 +529,34 @@ object CoreQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // S31: LSM-style FRAGMENT ingest on the bucketed table — the
+    // write-cheap upsert regime: each batch lands as per-bucket
+    // fragments (O(batch) write, no bucket rewrite), versions resolve
+    // at read over the bucketed scan (exchange-free window — pinned in
+    // FragmentSpec), and mergeFragments consolidates mid-lifecycle
+    // without perturbing resolved data or the change feed. The gate
+    // runs append ×2 → compact → append → readResolved; the oracle is
+    // the CASE-expressed latest-version state, so hash-green proves
+    // the whole lifecycle resolves exactly.
+    "s31_fragment_ingest" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-frag-q").toString + "/t"
+      val orders = t(s, d, "orders")
+      val b1 = orders.select(col("o_orderkey"),
+        col("o_orderstatus").as("status"), lit(1L).as("ver"))
+      val b2 = orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("X").as("status"), lit(2L).as("ver"))
+      val b3 = orders.filter(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderkey"), lit("Y").as("status"), lit(3L).as("ver"))
+      graft.lake.BucketedUpsert.appendFragment(b1, root, "o_orderkey", 16, tag = 1)
+      graft.lake.BucketedUpsert.appendFragment(b2, root, "o_orderkey", 16, tag = 2)
+      graft.lake.BucketedUpsert.mergeFragments(s, root, "o_orderkey", "ver", tag = 3)
+      graft.lake.BucketedUpsert.appendFragment(b3, root, "o_orderkey", 16, tag = 4)
+      graft.lake.BucketedUpsert.readResolved(s, root, "o_orderkey", "ver")
+        .select("o_orderkey", "status", "ver")
+        .orderBy("o_orderkey")
+    }),
+
     // S29: DELETION-VECTOR sparse delete — same DELETE semantics as
     // s20, but the version rewrites NOTHING: every original file is
     // referenced verbatim and the deleted rows hide behind a
@@ -808,6 +836,15 @@ object CoreQueries extends QueryPack {
       """SELECT event_id, user_id, event_type FROM events
          WHERE user_id NOT BETWEEN 100 AND 120
            AND user_id NOT BETWEEN 40 AND 45 ORDER BY event_id""",
+    "s31_fragment_ingest" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 7 = 3 THEN 'Y'
+                     WHEN o_orderkey % 10 = 0 THEN 'X'
+                     ELSE o_orderstatus END AS status,
+                CASE WHEN o_orderkey % 7 = 3 THEN 3
+                     WHEN o_orderkey % 10 = 0 THEN 2
+                     ELSE 1 END AS ver
+         FROM orders ORDER BY o_orderkey""",
     "p1_project_cast" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation ORDER BY n_nationkey",
     "p3_eq_filter" ->

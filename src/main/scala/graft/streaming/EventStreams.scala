@@ -235,6 +235,22 @@ object EventStreams {
           batch, tableRoot, key, versionCol, nBuckets, batchId)
     }
 
+  /** [[streamingUpsertBucketed]]'s WRITE-CHEAP twin: each micro-batch
+    * lands as per-bucket FRAGMENTS (O(batch) write, no bucket rewrite
+    * — [[graft.lake.BucketedUpsert.appendFragment]]); readers resolve
+    * versions with `readResolved`, and `mergeFragments` consolidates
+    * from a maintenance window. Same exactly-once ledger. Choose this
+    * regime when batches are small relative to buckets (the ingest-
+    * bound shape); choose applyBatch when reads dominate writes. */
+  def streamingAppendBucketed(spark: SparkSession, updates: DataFrame,
+                              key: String, tableRoot: String,
+                              checkpointDir: String, nBuckets: Int): Unit =
+    runLedgeredUpsert(spark, updates, tableRoot, checkpointDir) {
+      (batch, batchId) =>
+        graft.lake.BucketedUpsert.appendFragment(
+          batch, tableRoot, key, nBuckets, batchId)
+    }
+
   /** [[streamingUpsertBucketed]] with a CONTINUOUSLY-MAINTAINED
     * incremental aggregate ([[graft.lake.IncrAgg]]): each micro-batch
     * folds into the bucketed table and then refreshes the MV to the

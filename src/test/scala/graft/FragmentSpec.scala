@@ -1,0 +1,160 @@
+package graft
+
+import graft.lake.{BucketedUpsert, Snapshot}
+import org.apache.spark.sql.functions._
+
+/** LSM-style fragment ingest on the bucketed table: appendFragment is
+  * O(batch), readResolved merges versions exchange-free over the
+  * bucketed scan, mergeFragments consolidates without perturbing the
+  * change feed or time travel, and the rewrite paths stay correct on
+  * fragmented manifests.
+  */
+class FragmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("frag-spec").toString
+
+  test("readResolved over fragments equals applyBatch's resolved state") {
+    val base = tmp()
+    val frag = s"$base/frag"; val upsert = s"$base/upsert"
+    val b1 = (1L to 800L).map(k => (k, s"v1-$k", 1L)).toDF("k", "s", "ver")
+    val b2 = (400L to 1000L).map(k => (k, s"v2-$k", 2L)).toDF("k", "s", "ver")
+    // out-of-order: a LATE batch with an older version must lose
+    val b3 = (600L to 700L).map(k => (k, s"stale-$k", 1L)).toDF("k", "s", "ver")
+    for ((b, t) <- Seq(b1, b2, b3).zipWithIndex) {
+      BucketedUpsert.appendFragment(b, frag, "k", nBuckets = 8, tag = t + 1)
+      BucketedUpsert.applyBatch(b, upsert, "k", "ver", nBuckets = 8, tag = t + 1)
+    }
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "s", "ver").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = state(BucketedUpsert.readResolved(spark, frag, "k", "ver"))
+    val want = state(BucketedUpsert.read(spark, upsert))
+    assert(got == want, s"fragment resolve diverged: ${got.size} vs ${want.size}")
+    // the raw fragment table really is fragmented (multi-entry buckets)
+    assert(BucketedUpsert.read(spark, frag).count() > got.size,
+      "raw read must show superseded fragment rows")
+  }
+
+  test("the resolve window runs with ZERO exchange over the bucketed scan") {
+    val base = tmp()
+    BucketedUpsert.appendFragment(
+      (1L to 500L).map(k => (k, k, 1L)).toDF("k", "v", "ver"),
+      base, "k", nBuckets = 4, tag = 1)
+    BucketedUpsert.appendFragment(
+      (250L to 750L).map(k => (k, k * 2, 2L)).toDF("k", "v", "ver"),
+      base, "k", nBuckets = 4, tag = 2)
+    val resolved = BucketedUpsert.readResolved(spark, base, "k", "ver")
+    val sh = graft.plans.PlanInspect.shufflesOf(resolved)
+    assert(sh.isEmpty,
+      s"merge-on-read must not shuffle, found ${sh.map(_.nodeName)}")
+  }
+
+  test("fragment ties on version resolve to the LATER fragment") {
+    val base = tmp()
+    BucketedUpsert.appendFragment(
+      Seq((1L, "first", 5L)).toDF("k", "s", "ver"), base, "k", 2, tag = 1)
+    BucketedUpsert.appendFragment(
+      Seq((1L, "second", 5L)).toDF("k", "s", "ver"), base, "k", 2, tag = 2)
+    val got = BucketedUpsert.readResolved(spark, base, "k", "ver")
+      .select("s").head.getString(0)
+    assert(got == "second", s"equal versions must break to the later fragment: $got")
+  }
+
+  test("changesSince over fragments returns EXACTLY the appended rows") {
+    val base = tmp()
+    BucketedUpsert.appendFragment(
+      (1L to 400L).map(k => (k, 1L)).toDF("k", "ver"), base, "k", 8, tag = 1)
+    BucketedUpsert.appendFragment(
+      (1000L to 1010L).map(k => (k, 2L)).toDF("k", "ver"), base, "k", 8, tag = 2)
+    val feed = BucketedUpsert.changesSince(spark, base, sinceTag = 1)
+      .select("k").collect().map(_.getLong(0)).toSet
+    // the applyBatch feed returns whole rewritten BUCKETS; the fragment
+    // feed is finer — only the new fragment's rows appear
+    assert(feed == (1000L to 1010L).toSet,
+      s"fragment change feed must be batch-exact, got ${feed.size} rows")
+  }
+
+  test("mergeFragments consolidates without changing data, the feed, or retained history") {
+    val base = tmp()
+    for (t <- 1 to 6)
+      BucketedUpsert.appendFragment(
+        (1L to 300L).map(k => (k * t, s"b$t-${k * t}", t.toLong))
+          .toDF("k", "s", "ver"),
+        base, "k", nBuckets = 4, tag = t.toLong, keep = 3)
+    val before = BucketedUpsert.readResolved(spark, base, "k", "ver")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val entriesBefore = Snapshot.read(spark, base).count()
+    assert(entriesBefore > 4, s"expected a fragmented manifest: $entriesBefore")
+
+    val nCompacted = BucketedUpsert.mergeFragments(spark, base, "k", "ver",
+      tag = 100, keep = 3)
+    assert(nCompacted == 4, s"all 4 buckets were fragmented: $nCompacted")
+    // one entry per bucket now
+    assert(Snapshot.read(spark, base).count() == 4)
+    val after = BucketedUpsert.readResolved(spark, base, "k", "ver")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(after == before, "compaction must not change resolved data")
+    // change feed: compaction moved bytes, not data — nothing to report
+    assert(BucketedUpsert.changesSince(spark, base, sinceTag = 6).count() == 0,
+      "a compaction must be INVISIBLE to the change feed")
+    // ...while data changes BEFORE the horizon still report through the
+    // compacted entries (data_tag carries the max merged tag)
+    assert(BucketedUpsert.changesSince(spark, base, sinceTag = 5).count() > 0)
+    // retained history: the pre-compaction manifest still resolves and
+    // its data files still exist (GC keeps what retained manifests pin)
+    val prevTag = Snapshot.publishedTags(spark, base).sorted.takeRight(2).head
+    assert(prevTag < 100)
+    val oldPaths = Snapshot.readAt(spark, base, prevTag)
+      .select("path").collect().map(_.getString(0))
+    assert(oldPaths.nonEmpty && oldPaths.forall(p =>
+      new java.io.File(p.replaceFirst("^file:/+", "/")).exists() ||
+        new java.io.File(p).exists()),
+      "time travel must still reach pre-compaction data")
+    // a later append continues the table normally
+    BucketedUpsert.appendFragment(
+      Seq((9999L, "late", 9L)).toDF("k", "s", "ver"), base, "k", 4, tag = 101,
+      keep = 3)
+    assert(BucketedUpsert.readResolved(spark, base, "k", "ver")
+      .filter(col("k") === 9999L).count() == 1)
+  }
+
+  test("deleteKeys on a fragmented table folds fragments and keeps one entry per bucket") {
+    val base = tmp()
+    BucketedUpsert.appendFragment(
+      (1L to 200L).map(k => (k, 1L)).toDF("k", "ver"), base, "k", 4, tag = 1)
+    BucketedUpsert.appendFragment(
+      (1L to 200L).map(k => (k, 2L)).toDF("k", "ver"), base, "k", 4, tag = 2)
+    val removed = BucketedUpsert.deleteKeys(spark, base, "k",
+      Seq(7L).toDF("k"), tag = 3)
+    // the key had a row in BOTH fragments of its bucket — raw delete
+    assert(removed == 2, s"both fragment rows of k=7 must go: $removed")
+    // the touched bucket must collapse to ONE manifest entry
+    val mf = Snapshot.read(spark, base)
+      .groupBy("bucket").count().collect().map(r => (r.getInt(0), r.getLong(1)))
+    val touchedBucket = mf.filter(_._2 > 1)
+    // every bucket with >1 entries must be an UNtouched one
+    val deletedBucket = BucketedUpsert.readResolved(spark, base, "k", "ver")
+      .filter(col("k") === 7L)
+    assert(deletedBucket.count() == 0)
+    assert(!touchedBucket.exists(_._2 > 2), s"manifest malformed: ${mf.toSeq}")
+  }
+
+  test("appendFragment guards the ledger: empty first batch creates nothing, reused tags fail") {
+    val base = tmp()
+    BucketedUpsert.appendFragment(
+      spark.emptyDataFrame.select(lit(1L).as("k"), lit(1L).as("ver")).limit(0),
+      base, "k", 4, tag = 1)
+    assert(Snapshot.currentTag(spark, base).isEmpty,
+      "an empty FIRST batch must not create the table")
+    BucketedUpsert.appendFragment(
+      Seq((1L, 1L)).toDF("k", "ver"), base, "k", 4, tag = 1)
+    intercept[IllegalArgumentException](
+      BucketedUpsert.appendFragment(
+        Seq((2L, 1L)).toDF("k", "ver"), base, "k", 4, tag = 1))
+    intercept[IllegalArgumentException](
+      BucketedUpsert.appendFragment(
+        Seq((2L, 1L)).toDF("k", "ver"), base, "k", 8, tag = 2))
+  }
+}
