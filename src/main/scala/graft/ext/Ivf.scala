@@ -26,6 +26,23 @@ object Ivf {
       .withColumn("cell", col("cell").cast("int"))
       .select(col("cell"), col("embedding").as("centroid"))
 
+  /** Deterministic uniform-SAMPLE quantizer, for [[retrainIndex]]: k
+    * seeds drawn by md5 order of vec_id. Unlike the first-k-ids build
+    * rule (which always seeds from the oldest vectors), a uniform
+    * sample follows the CURRENT corpus distribution — a drifted mass
+    * holding 75% of the vectors gets ~75% of the seeds, which is what
+    * lets a retrain actually rebalance hot cells. Still fully
+    * deterministic and oracle-replicable
+    * (`ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT k`), and plans as a
+    * TakeOrderedAndProject top-k — never a full sort of the corpus.
+    * Cells are numbered by vec_id order of the sampled seeds. */
+  def sampleCentroids(embeddings: DataFrame, k: Int): DataFrame =
+    SeqIds.withSeqIdDim(
+      embeddings.orderBy(graft.functions.Portable.md5Key(col("vec_id"))).limit(k),
+      Seq(col("vec_id")), "cell")
+      .withColumn("cell", col("cell").cast("int"))
+      .select(col("cell"), col("embedding").as("centroid"))
+
   /** Bytes of centroid floats above which [[assign]] ships the matrix
     * as a broadcast variable instead of a foldable Literal. A Literal
     * is re-serialized into every task binary at every job submission;
@@ -303,6 +320,22 @@ object Ivf {
 
   private def centRoot(root: String) = s"$root/centroids"
   private def corpusRoot(root: String) = s"$root/corpus"
+  private def genPtr(root: String) = s"$root/genptr"
+  private def cellStatsRoot(corpusPath: String) = s"$corpusPath-cellstats"
+
+  /** The index's LIVE (centroids, corpus) roots: through the
+    * generation pointer once a [[retrainIndex]] has published one,
+    * else the original layout. The pointer is a one-row Snapshot
+    * table, so the swap inherits Snapshot's atomic pointer protocol —
+    * a reader mid-flight keeps resolving the old generation's tables
+    * (retained by their own snapshots) until it re-resolves. */
+  private[graft] def livePaths(spark: SparkSession, root: String): (String, String) =
+    Snapshot.resolve(spark, genPtr(root)) match {
+      case None => (centRoot(root), corpusRoot(root))
+      case Some(_) =>
+        val r = Snapshot.read(spark, genPtr(root)).select("cent", "corp").head()
+        (r.getString(0), r.getString(1))
+    }
 
   /** Build and persist the index from scratch: seed k centroids from
     * `embeddings`, assign every vector, land both tables. */
@@ -320,14 +353,32 @@ object Ivf {
     * stored centroids (no re-train), upsert by vec_id. Only the
     * buckets the batch hashes into are rewritten. */
   def appendToIndex(spark: SparkSession, root: String, batch: DataFrame,
-                    tag: Long): Unit = {
-    val centroids = Snapshot.read(spark, centRoot(root))
+                    tag: Long): Unit =
+    appendToIndexHooked(spark, root, batch, tag, () => ())
+
+  /** [[appendToIndex]] with a test seam fired before the generation
+    * re-check (see [[retrainIndexHooked]]). */
+  private[graft] def appendToIndexHooked(spark: SparkSession, root: String,
+                                         batch: DataFrame, tag: Long,
+                                         beforeCheck: () => Unit): Unit = {
+    val (cent, corp) = livePaths(spark, root)
+    val centroids = Snapshot.read(spark, cent)
     val assigned = assign(spark, batch, centroids)
     BucketedUpsert.applyBatch(
       assigned.withColumn("graft_ver", lit(tag)),
-      corpusRoot(root), "vec_id", "graft_ver",
-      BucketedUpsert.bucketCount(spark, corpusRoot(root)), tag)
-    Snapshot.publish(centroids.coalesce(1), centRoot(root), tag)
+      corp, "vec_id", "graft_ver",
+      BucketedUpsert.bucketCount(spark, corp), tag)
+    Snapshot.publish(centroids.coalesce(1), cent, tag)
+    beforeCheck()
+    // fail-fast on a retrain that swapped generations mid-append: this
+    // batch landed in a corpus that is no longer live and would be
+    // silently absent from every future search
+    val (_, corpAfter) = livePaths(spark, root)
+    if (corpAfter != corp)
+      throw new IllegalStateException(
+        s"concurrent retrain detected: appended batch (tag $tag) landed in " +
+          s"retired generation $corp while $corpAfter went live — re-apply " +
+          "the batch to the new generation")
   }
 
   /** STREAMING index maintenance: fold a checkpointed stream of
@@ -393,14 +444,121 @@ object Ivf {
     * collide with the stream's batch-id ledger. */
   def deleteFromIndex(spark: SparkSession, root: String, vecIds: DataFrame,
                       tag: Long): Long =
-    BucketedUpsert.deleteKeys(spark, corpusRoot(root), "vec_id", vecIds, tag)
+    BucketedUpsert.deleteKeys(spark, livePaths(spark, root)._2, "vec_id",
+      vecIds, tag)
 
   /** Search the persisted index as of its current published state. */
   def searchIndex(spark: SparkSession, root: String, queries: DataFrame,
-                  topK: Int, nProbe: Int): DataFrame =
+                  topK: Int, nProbe: Int): DataFrame = {
+    val (cent, corp) = livePaths(spark, root)
     search(spark,
-      BucketedUpsert.read(spark, corpusRoot(root)),
+      BucketedUpsert.read(spark, corp),
       queries,
-      Snapshot.read(spark, centRoot(root)),
+      Snapshot.read(spark, cent),
       topK, nProbe)
+  }
+
+  // ------------------------------------------------------------------
+  // Quantizer drift + atomic re-train (VERDICT r15 #4). Appends only
+  // THIN or FATTEN cells (standard IVF: centroids never move), so a
+  // corpus whose distribution shifts concentrates into few cells and
+  // probe cost degrades toward brute force. The cell-population MV
+  // below is the detector; retrainIndex is the repair — a NEW
+  // quantizer generation published atomically behind the generation
+  // pointer, old index readable until the swap.
+  // ------------------------------------------------------------------
+
+  /** Maintain the per-cell population MV incrementally: an [[IncrAgg]]
+    * over the live corpus grouped by cell — each refresh recomputes
+    * only the buckets the batches since the last refresh touched,
+    * never the corpus. Call after build/append/delete; cost is
+    * O(churn). Returns the number of buckets recomputed. */
+  def refreshCellStats(spark: SparkSession, root: String): Int = {
+    val (_, corp) = livePaths(spark, root)
+    graft.lake.IncrAgg.refresh(spark, corp, cellStatsRoot(corp),
+      "vec_id", Seq("cell"), Nil)
+  }
+
+  /** Drift summary from the maintained stats: `ratio` is max-cell
+    * population over the ideal (n/k) — 1.0 is perfectly balanced,
+    * and probe cost for a query routed to the hot cell scales with it.
+    * `emptyCells` counts dead centroids (capacity the quantizer has
+    * lost). */
+  final case class Drift(k: Int, nVectors: Long, maxCell: Long,
+                         emptyCells: Int, ratio: Double)
+
+  def drift(spark: SparkSession, root: String): Drift = {
+    val (cent, corp) = livePaths(spark, root)
+    val k = Snapshot.read(spark, cent).count().toInt
+    val stats = graft.lake.IncrAgg.read(spark, cellStatsRoot(corp),
+      Seq("cell"), Nil)
+      .select(col("cell"), col("n")).collect()
+    val n = stats.map(_.getLong(1)).sum
+    val maxCell = if (stats.isEmpty) 0L else stats.map(_.getLong(1)).max
+    val ideal = if (k == 0) 1.0 else n.toDouble / k
+    Drift(k, n, maxCell, k - stats.length,
+      if (n == 0) 1.0 else maxCell / ideal)
+  }
+
+  /** `true` when the hottest cell exceeds `threshold`× the balanced
+    * size — the re-train trigger a maintenance job polls. */
+  def needsRetrain(spark: SparkSession, root: String,
+                   threshold: Double = 4.0): Boolean =
+    drift(spark, root).ratio >= threshold
+
+  /** ATOMIC re-train: seed a fresh k-cell quantizer from the CURRENT
+    * corpus (same deterministic rule as [[buildIndex]] — the oracle
+    * replicates it), re-assign every vector, land both tables as a new
+    * GENERATION under `root/g<tag>/`, and only then swap the
+    * generation pointer — one Snapshot pointer publish, so readers see
+    * the old index until the instant the new one is complete, and a
+    * crash anywhere before the swap leaves the old generation live and
+    * the half-built one unreferenced (re-run the retrain; tags guard
+    * replays).
+    *
+    * Concurrency: the corpus tag captured at the start must still be
+    * live at swap time — an append that lands mid-retrain would be
+    * missing from the re-assigned corpus, so the retrain FAILS instead
+    * of publishing a generation that silently lost a batch (the
+    * closing race window is the caller's maintenance-window contract,
+    * same as every other out-of-band lake verb). [[appendToIndex]]
+    * checks the mirror direction. Not for stream-owned indexes while
+    * the stream runs ([[streamingIngest]]'s ledger owns those tags).
+    */
+  def retrainIndex(spark: SparkSession, root: String, k: Int,
+                   tag: Long): Unit =
+    retrainIndexHooked(spark, root, k, tag, () => ())
+
+  /** [[retrainIndex]] with a test seam fired between the rebuild and
+    * the liveness re-check — the only way to pin the concurrent-append
+    * fail-fast deterministically. */
+  private[graft] def retrainIndexHooked(spark: SparkSession, root: String,
+                                        k: Int, tag: Long,
+                                        beforeSwap: () => Unit): Unit = {
+    val (_, corp0) = livePaths(spark, root)
+    val srcTag = Snapshot.currentTag(spark, corp0).getOrElse(
+      throw new IllegalStateException(s"no corpus published under $corp0"))
+    val corpus = BucketedUpsert.read(spark, corp0)
+    val nBuckets = BucketedUpsert.bucketCount(spark, corp0)
+    val gDir = s"$root/g$tag"
+    val raw = corpus.drop("cell", "graft_ver")
+    // sampled, not first-k: the whole point of a drift-triggered
+    // retrain is that seeds follow the corpus's CURRENT distribution
+    Snapshot.publish(sampleCentroids(raw, k).coalesce(1), s"$gDir/centroids", tag)
+    val assigned = assign(spark, raw, Snapshot.read(spark, s"$gDir/centroids"))
+    BucketedUpsert.applyBatch(
+      assigned.withColumn("graft_ver", lit(tag)),
+      s"$gDir/corpus", "vec_id", "graft_ver", nBuckets, tag)
+    beforeSwap()
+    if (!Snapshot.currentTag(spark, corp0).contains(srcTag))
+      throw new IllegalStateException(
+        s"concurrent append detected: corpus at $corp0 moved past " +
+          s"v$srcTag during the retrain — the new generation would lose " +
+          "that batch; re-run the retrain")
+    import spark.implicits._
+    Snapshot.publish(
+      Seq((s"$gDir/centroids", s"$gDir/corpus")).toDF("cent", "corp")
+        .coalesce(1),
+      genPtr(root), tag)
+  }
 }

@@ -127,6 +127,33 @@ object SimQueries extends QueryPack {
         .orderBy("qid", "rank")
     }),
 
+    // QUANTIZER RETRAIN lifecycle: build from a slice, append the
+    // rest, delete a few ids, then retrainIndex re-seeds a LARGER
+    // quantizer (k 8→12) from the current corpus and swaps the
+    // generation pointer atomically. The search runs through the
+    // pointer, so hash-green proves the retrained generation equals a
+    // from-scratch rebuild over the surviving corpus — the oracle IS
+    // that rebuild (k=12 centroids seeded from the survivors,
+    // everything re-assigned). IvfRetrainSpec pins the atomicity and
+    // the concurrent-append fail-fasts.
+    "ann_ivf_retrain" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfrt-q").toString + "/idx"
+      val emb = t(s, d, "embeddings")
+      graft.ext.Ivf.buildIndex(s, root,
+        emb.filter(col("vec_id") % 5 =!= 0), k = 8, nBuckets = 16, tag = 1)
+      graft.ext.Ivf.appendToIndex(s, root,
+        emb.filter(col("vec_id") % 5 === 0), tag = 2)
+      graft.ext.Ivf.deleteFromIndex(s, root,
+        emb.filter(col("vec_id") % 97 === 0).select("vec_id"), tag = 3)
+      graft.ext.Ivf.retrainIndex(s, root, k = 12, tag = 4)
+      val q = querySet(emb)
+        .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      graft.ext.Ivf.searchIndex(s, root, q, topK = 3, nProbe = 2)
+        .select("qid", "rank", "vec_id")
+        .orderBy("qid", "rank")
+    }),
+
     // STREAMING index ingest through the real runtime: two embedding
     // files land as two checkpointed micro-batches (mod-time ordered;
     // maxFilesPerTrigger=1); batch 0 BUILDS the index (quantizer seeds
@@ -355,6 +382,39 @@ object SimQueries extends QueryPack {
             FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid)
           SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank, vec_id
           FROM scored QUALIFY rank <= 3 ORDER BY qid, rank""",
+    "ann_ivf_retrain" ->
+      s"""WITH corpus AS (
+            SELECT * FROM embeddings WHERE vec_id % 97 <> 0),
+          cent AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                   embedding AS centroid
+            FROM (SELECT * FROM corpus
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 12)),
+          assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+              SELECT e.vec_id, e.embedding, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY $centCosSql DESC, c.cell) AS rn
+              FROM corpus e, cent c) WHERE rn = 1),
+          q AS (SELECT vec_id AS qid, embedding AS qemb FROM ($querySetSql)),
+          probes AS (
+            SELECT qid, qemb, cell FROM (
+              SELECT q.qid, q.qemb, c.cell,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY list_dot_product(CAST(q.qemb AS DOUBLE[]), CAST(c.centroid AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(q.qemb AS DOUBLE[]), CAST(q.qemb AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(c.centroid AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])))) DESC,
+                         c.cell) AS rn
+              FROM q, cent c) WHERE rn <= 2),
+          scored AS (
+            SELECT p.qid, a.vec_id,
+                   list_dot_product(CAST(p.qemb AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(p.qemb AS DOUBLE[]), CAST(p.qemb AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))) AS cos
+            FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid)
+          SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank, vec_id
+          FROM scored QUALIFY rank <= 3 ORDER BY qid, rank""",
+
     // ann_ivf_persist's closure with the quantizer seeded from the
     // batch-0 slice (vec_id % 2 = 0) — streaming ingest must converge
     // to exactly the batch lifecycle's index
