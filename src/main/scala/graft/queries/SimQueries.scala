@@ -75,9 +75,17 @@ object SimQueries extends QueryPack {
     // Real IVF: deterministic seed centroids → cell assignment →
     // nProbe=2 probing → top-3 per query (ext.Ivf). Fully replicated in
     // the DuckDB oracle, so the whole quantizer is hash-checked.
+    // PRODUCTION SIZING LAW: k = ⌊√n⌋ cells, so per-query probe cost
+    // is nProbe·(n/k) ≈ nProbe·√n and total search cost scales as
+    // √n — the standard IVF operating point. The cell count is derived
+    // from the corpus AT RUN TIME (one metadata-cheap count) and the
+    // oracle derives it identically (count window + rank filter), so
+    // the same gate is hash-green at every SF while scaling like the
+    // design instead of a pinned k.
     "ann_ivf_real" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val centroids = graft.ext.Ivf.seedCentroids(emb, 8)
+      val k = math.max(1, math.sqrt(emb.count().toDouble).toLong.toInt)
+      val centroids = graft.ext.Ivf.seedCentroids(emb, k)
       val corpus = graft.ext.Ivf.assign(s, emb, centroids)
       val q = querySet(emb)
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
@@ -321,9 +329,12 @@ object SimQueries extends QueryPack {
           FROM scored QUALIFY rank <= 3 ORDER BY qid, rank""",
     "ann_ivf_real" ->
       s"""WITH cent AS (
-            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-                   embedding AS centroid
-            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+            SELECT CAST(rn - 1 AS INT) AS cell, embedding AS centroid
+            FROM (SELECT embedding,
+                         row_number() OVER (ORDER BY vec_id) AS rn,
+                         count(*) OVER () AS n
+                  FROM embeddings)
+            WHERE rn <= greatest(1, CAST(floor(sqrt(n)) AS BIGINT))),
           assigned AS (
             SELECT vec_id, embedding, cell FROM (
               SELECT e.vec_id, e.embedding, c.cell,
