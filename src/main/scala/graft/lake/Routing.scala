@@ -1,0 +1,233 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** UNIFIED index-aware scan routing (VERDICT r15 #5): one
+  * `readWhere(root, predicate)` that consults whichever index
+  * manifests exist for the table and opens only the files they admit,
+  * instead of three caller-chosen APIs ([[FileStats.prunedFiles]],
+  * [[BloomIndex.prunedReadIn]], [[SecondaryIndex.lookup]]).
+  *
+  * Layout convention — index builders land their manifests in fixed
+  * spots beside the data, so the router discovers them by existence:
+  * {{{
+  *   root/data            the parquet tree        (plain tables)
+  *   root                 a BucketedUpsert root   (bucketed tables —
+  *                        detected by its Snapshot pointer)
+  *   root/ix/stats        zone-map manifest (FileStats)
+  *   root/ix/bloom/<col>  Bloom file index on <col>
+  *   root/ix/six/<col>    secondary index on <col> (bucketed only)
+  * }}}
+  *
+  * Routing per conjunct of the predicate:
+  *  - equality / IN on a secondary-indexed column → bucket-pruned
+  *    lookup (bucketed tables);
+  *  - equality / IN on a Bloom-indexed column → file survivors;
+  *  - equality and CLOSED ranges (`between`, `>= && <=`) on zone-
+  *    mapped columns → min/max pruning;
+  *  - everything else (open ranges, functions, ORs) routes nothing
+  *    and is applied post-scan.
+  * File sets from independent conjuncts INTERSECT (each is a superset
+  * of the true matches, so the intersection still is). Correctness is
+  * structural: pruning only ever drops files that CANNOT match, and
+  * the FULL original predicate is re-applied to whatever is read —
+  * the router is invisible in results, only in files opened
+  * (RoutingSpec asserts both; the gate hash-checks transparency).
+  *
+  * At 100 TB the difference is the point-lookup story: a needle query
+  * over a petabyte tree opens the handful of files all indexes admit,
+  * and adding an index never requires touching query code — the same
+  * `readWhere` call just starts pruning harder.
+  */
+object Routing {
+
+  private def dataDir(root: String) = s"$root/data"
+  private def statsDir(root: String) = s"$root/ix/stats"
+  private def bloomDir(root: String, c: String) = s"$root/ix/bloom/$c"
+  private def sixDir(root: String, c: String) = s"$root/ix/six/$c"
+
+  private def exists(spark: SparkSession, p: String): Boolean = {
+    val hp = new Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** `true` when `root` is a BucketedUpsert table (Snapshot pointer
+    * present) rather than a plain `root/data` tree. */
+  private def isBucketed(spark: SparkSession, root: String): Boolean =
+    Snapshot.resolve(spark, root).nonEmpty
+
+  // ---- index builders: thin wrappers that land manifests in the
+  // conventional spots, so building an index IS registering it.
+
+  /** Build/refresh the zone-map manifest over the plain tree. */
+  def indexStats(spark: SparkSession, root: String, cols: Seq[String]): Unit =
+    FileStats.writeStats(spark, dataDir(root), statsDir(root), cols)
+
+  /** Build the Bloom file index on `column` over the plain tree. */
+  def indexBloom(spark: SparkSession, root: String, column: String,
+                 mLog2: Int = 16, k: Int = 3): Unit =
+    BloomIndex.writeBloom(spark, dataDir(root), bloomDir(root, column),
+      column, mLog2, k)
+
+  /** Build/refresh the secondary index on `column` of the bucketed
+    * table at `root` (keyed by `key`). */
+  def indexSecondary(spark: SparkSession, root: String, key: String,
+                     column: String): Int =
+    SecondaryIndex.refresh(spark, root, sixDir(root, column), key, column)
+
+  // ---- predicate introspection: conjuncts a manifest can act on.
+
+  private[lake] sealed trait Conjunct
+  private[lake] case class EqIn(column: String,
+                                values: Seq[expressions.Literal]) extends Conjunct
+  private[lake] case class Bound(column: String,
+                                 lo: Option[expressions.Literal],
+                                 hi: Option[expressions.Literal]) extends Conjunct
+  private[lake] case object Opaque extends Conjunct
+
+  private def attrName(e: expressions.Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.name)
+    case a: expressions.AttributeReference => Some(a.name)
+    case _ => None
+  }
+  /** A usable literal: a plain one, or any foldable expression (the
+    * analyzer wraps int literals compared to long columns in casts —
+    * fold them down so the bound carries the COLUMN's type). */
+  private def litValue(e: expressions.Expression): Option[expressions.Literal] =
+    e match {
+      case l: expressions.Literal if l.value != null => Some(l)
+      case f if f.foldable && f.deterministic =>
+        val v = f.eval(null)
+        if (v == null) None else Some(expressions.Literal(v, f.dataType))
+      case _ => None
+    }
+
+  /** Split the predicate on AND and classify each conjunct. The
+    * predicate is ANALYZED against the table's schema first (a lazy
+    * filter plan — no data read), so attributes resolve and literal
+    * types match the columns they bound. */
+  private[lake] def conjunctsOf(table: DataFrame, pred: Column): Seq[Conjunct] = {
+    val cond = table.filter(pred).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    if (cond.isEmpty) return Seq(Opaque)
+    def split(e: expressions.Expression): Seq[expressions.Expression] = e match {
+      case expressions.And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    split(cond.get).map {
+      case expressions.EqualTo(a, v) if attrName(a).isDefined && litValue(v).isDefined =>
+        EqIn(attrName(a).get, Seq(litValue(v).get))
+      case expressions.EqualTo(v, a) if attrName(a).isDefined && litValue(v).isDefined =>
+        EqIn(attrName(a).get, Seq(litValue(v).get))
+      case expressions.In(a, vs) if attrName(a).isDefined &&
+          vs.nonEmpty && vs.forall(litValue(_).isDefined) =>
+        EqIn(attrName(a).get, vs.map(litValue(_).get))
+      case expressions.GreaterThanOrEqual(a, v)
+          if attrName(a).isDefined && litValue(v).isDefined =>
+        Bound(attrName(a).get, Some(litValue(v).get), None)
+      case expressions.LessThanOrEqual(a, v)
+          if attrName(a).isDefined && litValue(v).isDefined =>
+        Bound(attrName(a).get, None, Some(litValue(v).get))
+      case expressions.GreaterThan(a, v)
+          if attrName(a).isDefined && litValue(v).isDefined =>
+        // min/max pruning is range-inclusive-safe for strict bounds too
+        Bound(attrName(a).get, Some(litValue(v).get), None)
+      case expressions.LessThan(a, v)
+          if attrName(a).isDefined && litValue(v).isDefined =>
+        Bound(attrName(a).get, None, Some(litValue(v).get))
+      case _ => Opaque
+    }
+  }
+
+  /** What the router decided: the files (or buckets) it will open and
+    * the manifests that pruned them — the spec's files-opened oracle. */
+  final case class Route(files: Seq[String], via: Seq[String])
+
+  /** The routing decision for a PLAIN tree, without reading data. */
+  def route(spark: SparkSession, root: String, pred: Column): Route = {
+    require(!isBucketed(spark, root),
+      s"$root is a bucketed table — readWhere routes it via its secondary index")
+    val cs = conjunctsOf(spark.read.parquet(dataDir(root)), pred)
+    val haveStats = exists(spark, statsDir(root))
+    var via = Seq.empty[String]
+
+    // zone maps: every eq (as a [v,v] range) and every CLOSED range.
+    // A column may carry its bounds across SEVERAL conjuncts
+    // (x >= lo AND x <= hi parses as two Bounds) — merge per column.
+    val colBridge = org.apache.spark.sql.graft.ColumnBridge.column _
+    val merged = scala.collection.mutable.LinkedHashMap[String,
+      (Option[expressions.Literal], Option[expressions.Literal])]()
+    cs.foreach {
+      case EqIn(c, Seq(v: expressions.Literal)) =>
+        merged(c) = (Some(v), Some(v))
+      case Bound(c, lo, hi) =>
+        val (l0, h0) = merged.getOrElse(c, (None, None))
+        merged(c) = (lo.orElse(l0), hi.orElse(h0))
+      case _ => ()
+    }
+    val bounds = merged.collect {
+      case (c, (Some(lo), Some(hi))) => (c, colBridge(lo), colBridge(hi))
+    }.toSeq.filter { case (c, _, _) =>
+      haveStats && spark.read.parquet(statsDir(root)).columns.contains(s"min_$c")
+    }
+    var files: Option[Set[String]] = None
+    def intersect(s: Seq[String], tag: String): Unit = {
+      files = Some(files.map(_.intersect(s.toSet)).getOrElse(s.toSet))
+      via = via :+ tag
+    }
+    if (bounds.nonEmpty)
+      intersect(FileStats.prunedFilesAnd(spark, statsDir(root), bounds),
+        s"stats[${bounds.map(_._1).mkString(",")}]")
+
+    // Bloom: every eq/IN conjunct whose column has a filter
+    cs.foreach {
+      case EqIn(c, vs) if exists(spark, bloomDir(root, c)) =>
+        intersect(BloomIndex.survivors(spark, bloomDir(root, c),
+          vs.map(_.value.toString)), s"bloom[$c]")
+      case _ => ()
+    }
+    files match {
+      case Some(f) => Route(f.toSeq.sorted, via)
+      case None =>
+        // nothing routable: every file (through the stats manifest when
+        // present — exact file list without a directory walk)
+        val all =
+          if (haveStats) spark.read.parquet(statsDir(root))
+            .select("path").collect().map(_.getString(0)).toSeq.sorted
+          else Seq(dataDir(root))
+        Route(all, Seq("full-scan"))
+    }
+  }
+
+  /** Read the table at `root` with `pred`, opening only what the
+    * discovered indexes admit; the FULL predicate is re-applied, so
+    * the result equals the plain filtered scan on any index state. */
+  def readWhere(spark: SparkSession, root: String, pred: Column): DataFrame = {
+    if (isBucketed(spark, root)) {
+      // bucketed table: route eq/IN through the first secondary index
+      // that exists for a predicate column; everything else post-filters
+      val six = conjunctsOf(BucketedUpsert.read(spark, root), pred).collectFirst {
+        case EqIn(c, vs) if exists(spark, sixDir(root, c)) =>
+          (c, vs.map(_.value.toString))
+      }
+      val base = six match {
+        case Some((c, vs)) =>
+          SecondaryIndex.lookup(spark, root, sixDir(root, c), c, vs)
+        case None => BucketedUpsert.read(spark, root)
+      }
+      base.filter(pred)
+    } else {
+      val r = route(spark, root, pred)
+      val base =
+        if (r.files.isEmpty)
+          spark.read.parquet(dataDir(root)).limit(0)
+        else spark.read.parquet(r.files: _*)
+      base.filter(pred)
+    }
+  }
+}

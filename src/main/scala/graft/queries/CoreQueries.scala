@@ -529,6 +529,33 @@ object CoreQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // S32: UNIFIED index-aware scan routing — one readWhere(root,
+    // predicate) discovers whichever index manifests exist beside the
+    // data (zone maps, Bloom, secondary index) and opens only the
+    // files they admit, re-applying the full predicate. The gate
+    // builds a z-ordered tree with stats(user_id) + bloom(event_id),
+    // runs a MIXED predicate (closed range AND equality — both
+    // indexes intersect), and hash-checks against the plain SQL
+    // filter: pruning must be invisible in results (RoutingSpec pins
+    // the files-opened counts against each manual route).
+    "s32_read_where" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-route-q").toString
+      val ev = t(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      graft.lake.ZOrder.writeZOrdered(ev, s"$root/data", 16, "user_id", "event_id")
+      graft.lake.Routing.indexStats(s, root, Seq("user_id"))
+      graft.lake.Routing.indexBloom(s, root, "event_id")
+      val pred = col("user_id").between(lit(50L), lit(250L)) &&
+        col("event_id") % 3 =!= 1 // routable range + opaque residual
+      val eqPred = col("user_id").between(lit(50L), lit(250L)) &&
+        col("event_id").isin((1 to 40).map(i => i * 101L): _*)
+      graft.lake.Routing.readWhere(s, root, pred)
+        .unionByName(graft.lake.Routing.readWhere(s, root, eqPred))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id", "user_id")
+    }),
+
     // S31: LSM-style FRAGMENT ingest on the bucketed table — the
     // write-cheap upsert regime: each batch lands as per-bucket
     // fragments (O(batch) write, no bucket rewrite), versions resolve
@@ -836,6 +863,17 @@ object CoreQueries extends QueryPack {
       """SELECT event_id, user_id, event_type FROM events
          WHERE user_id NOT BETWEEN 100 AND 120
            AND user_id NOT BETWEEN 40 AND 45 ORDER BY event_id""",
+    "s32_read_where" -> {
+      val inList = (1 to 40).map(i => i * 101L).mkString(",")
+      s"""WITH base AS (
+           SELECT event_id, user_id, event_type FROM events
+           WHERE user_id BETWEEN 50 AND 250 AND event_id % 3 <> 1),
+         eqs AS (
+           SELECT event_id, user_id, event_type FROM events
+           WHERE user_id BETWEEN 50 AND 250 AND event_id IN ($inList))
+         SELECT * FROM base UNION ALL SELECT * FROM eqs
+         ORDER BY event_id, user_id"""
+    },
     "s31_fragment_ingest" ->
       """SELECT o_orderkey,
                 CASE WHEN o_orderkey % 7 = 3 THEN 'Y'

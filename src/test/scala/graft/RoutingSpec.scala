@@ -1,0 +1,99 @@
+package graft
+
+import graft.lake.{BloomIndex, BucketedUpsert, FileStats, Routing, ZOrder}
+import org.apache.spark.sql.functions._
+
+/** Unified index routing: results are ALWAYS the plain filtered scan
+  * (transparency on every predicate class), and the files opened match
+  * the best manual route through each index API.
+  */
+class RoutingSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("route-spec").toString
+
+  /** events tree z-ordered on user_id with stats(user_id) + bloom(event_id). */
+  private def buildTree(): String = {
+    val root = tmp()
+    val ev = graft.Tables.t(spark, sf("sf0.01"), "events")
+      .select("event_id", "user_id", "event_type", "value")
+    ZOrder.writeZOrdered(ev, s"$root/data", 16, "user_id", "event_id")
+    Routing.indexStats(spark, root, Seq("user_id"))
+    Routing.indexBloom(spark, root, "event_id")
+    root
+  }
+
+  private def plain(root: String) = spark.read.parquet(s"$root/data")
+
+  private def sameAs(root: String, pred: org.apache.spark.sql.Column): Unit = {
+    val got = Routing.readWhere(spark, root, pred)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val want = plain(root).filter(pred)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want),
+      s"routing changed results for $pred: ${got.length} vs ${want.length}")
+  }
+
+  test("every predicate class is result-transparent") {
+    val root = buildTree()
+    sameAs(root, col("user_id").between(100L, 140L))          // closed range
+    sameAs(root, col("user_id") >= lit(100L) && col("user_id") <= lit(140L))
+    sameAs(root, col("event_id") === lit(4217L))              // bloom eq
+    sameAs(root, col("event_id").isin(17L, 4217L, 999999L))   // bloom IN + misses
+    sameAs(root, col("user_id").between(100L, 140L) &&
+      col("event_id") === lit(4217L))                         // intersection
+    sameAs(root, col("event_type") === lit("click") &&
+      col("user_id").between(50L, 60L))                       // routable + opaque-ish
+    sameAs(root, upper(col("event_type")) === lit("CLICK"))   // fully opaque
+    sameAs(root, col("user_id").between(99999L, 100001L))     // empty result
+  }
+
+  test("files opened match the best manual route per index") {
+    val root = buildTree()
+    // range → exactly the zone-map prune
+    val r1 = Routing.route(spark, root, col("user_id").between(100L, 140L))
+    val manual1 = FileStats.prunedFiles(spark, s"$root/ix/stats",
+      "user_id", lit(100L), lit(140L))
+    assert(r1.files.toSet == manual1.toSet && r1.via.exists(_.startsWith("stats")),
+      s"stats route mismatch: ${r1.via}")
+    assert(r1.files.size < plain(root).inputFiles.length,
+      "the route must actually prune")
+    // eq → exactly the bloom survivors
+    val r2 = Routing.route(spark, root, col("event_id") === lit(4217L))
+    val manual2 = BloomIndex.survivors(spark, s"$root/ix/bloom/event_id",
+      Seq("4217"))
+    assert(r2.files.toSet == manual2.toSet && r2.via.exists(_.startsWith("bloom")),
+      s"bloom route mismatch: ${r2.via}")
+    // combined → the intersection (never more than either alone)
+    val r3 = Routing.route(spark, root,
+      col("user_id").between(100L, 140L) && col("event_id") === lit(4217L))
+    assert(r3.files.toSet == manual1.toSet.intersect(manual2.toSet),
+      "combined route must intersect the index verdicts")
+    assert(r3.via.size == 2)
+    // opaque → the full file list, via the stats manifest
+    val r4 = Routing.route(spark, root, upper(col("event_type")) === lit("X"))
+    assert(r4.via == Seq("full-scan") &&
+      r4.files.size == plain(root).inputFiles.length)
+  }
+
+  test("bucketed tables route equality through the secondary index") {
+    import spark.implicits._
+    val root = tmp()
+    val batch = (1L to 2000L).map(k => (k, s"name-$k", 1L)).toDF("k", "s", "ver")
+    BucketedUpsert.applyBatch(batch, root, "k", "ver", nBuckets = 16, tag = 1)
+    Routing.indexSecondary(spark, root, "k", "s")
+    val got = Routing.readWhere(spark, root,
+      col("s").isin("name-17", "name-999", "absent"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == Set(17L, 999L))
+    // a second conjunct post-filters on top of the index route
+    val got2 = Routing.readWhere(spark, root,
+      col("s").isin("name-17", "name-999") && col("k") > lit(500L))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(999L))
+    // no index for the column → full resolved read, still correct
+    val got3 = Routing.readWhere(spark, root, col("k") === lit(42L))
+      .select("s").head.getString(0)
+    assert(got3 == "name-42")
+  }
+}
