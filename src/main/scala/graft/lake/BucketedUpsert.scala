@@ -102,8 +102,7 @@ object BucketedUpsert {
     Snapshot.publishedTags(spark, root).sorted.reverse.iterator
       .map(t => manifestEntriesAt(spark, root, t))
       .find(_.nonEmpty)
-      .map(es => spark.read.option("mergeSchema", "true")
-        .parquet(es.map(_.path): _*).limit(0))
+      .map(es => readPaths(spark, root, es.map(_.path)).limit(0))
 
   /** The table's fixed bucket count (throws before the first publish) —
     * what an appender created elsewhere must pass to applyBatch. */
@@ -121,12 +120,149 @@ object BucketedUpsert {
   def bucketCountOption(spark: SparkSession, root: String): Option[Int] =
     manifestEntries(spark, root).headOption.map(_.nBuckets)
 
+  // ---- declared logical schema (schema evolution beyond add-column).
+  // Parquet scans natively UPCAST a stored narrow type into a wider
+  // requested one (int32→long, float→double, int→double), so widening
+  // a column is METADATA-ONLY: publish the new logical schema, rewrite
+  // nothing — old files upcast at scan, new batches land wide, and the
+  // two widths coexist forever (mergeSchema, by contrast, REFUSES
+  // int-vs-long trees). Dropping a column is likewise one schema
+  // publish: the scan simply stops requesting it (column pruning means
+  // its bytes are never read again). The sidecar is a one-row Snapshot
+  // table at root/schema; absent → reads keep the mergeSchema path.
+
+  private def schemaRoot(root: String) = s"$root/schema"
+
+  /** The table's declared logical schema, if evolution has been used. */
+  def declaredSchema(spark: SparkSession,
+                     root: String): Option[org.apache.spark.sql.types.StructType] =
+    declaredState(spark, root).map(_._1)
+
+  /** (schema, sticky-dropped column names). Drops are STICKY: a later
+    * batch still carrying a dropped column must NOT re-introduce it —
+    * untouched files still hold the old values, which would resurrect.
+    * (Re-adding a once-dropped name is an explicit new evolution,
+    * deliberately unsupported here.) */
+  private def declaredState(spark: SparkSession, root: String)
+      : Option[(org.apache.spark.sql.types.StructType, Set[String])] =
+    Snapshot.resolve(spark, schemaRoot(root)).map { _ =>
+      val r = Snapshot.read(spark, schemaRoot(root))
+        .select("schema_json", "dropped_json").head()
+      (org.apache.spark.sql.types.DataType.fromJson(r.getString(0))
+        .asInstanceOf[org.apache.spark.sql.types.StructType],
+        r.getString(1).split(",").filter(_.nonEmpty).toSet)
+    }
+
+  private def publishSchema(spark: SparkSession, root: String,
+                            schema: org.apache.spark.sql.types.StructType,
+                            dropped: Set[String], tag: Long,
+                            keep: Int): Unit = {
+    import spark.implicits._
+    Snapshot.publish(
+      Seq((schema.json, dropped.toSeq.sorted.mkString(",")))
+        .toDF("schema_json", "dropped_json").coalesce(1),
+      schemaRoot(root), tag, keep)
+  }
+
+  /** When the table carries a declared schema, fold the batch's
+    * schema into it (adds append, wider types widen) so evolution and
+    * ordinary ingestion compose — a batch adding a column after a
+    * widen must not make the declared schema hide it. No-op when
+    * nothing changed or no declared schema exists. */
+  private def absorbBatchSchema(spark: SparkSession, root: String,
+                                batch: org.apache.spark.sql.types.StructType,
+                                tag: Long, keep: Int): Unit =
+    declaredState(spark, root).foreach { case (cur, dropped) =>
+      val merged = mergeDeclared(cur, batch, dropped)
+      if (merged != cur) publishSchema(spark, root, merged, dropped, tag, keep)
+    }
+
+  /** Widenings the parquet scan performs losslessly in place. */
+  private val Widenings: Set[(org.apache.spark.sql.types.DataType,
+                              org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    Set[(DataType, DataType)](
+      (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
+      (ShortType, IntegerType), (ShortType, LongType),
+      (IntegerType, LongType), (IntegerType, DoubleType),
+      (FloatType, DoubleType))
+  }
+
+  /** Fold a batch's schema into the declared one: new fields append,
+    * a wider batch type widens the declared field, a narrower batch
+    * type keeps the declared width (the scan upcasts those rows). */
+  private def mergeDeclared(declared: org.apache.spark.sql.types.StructType,
+                            batch: org.apache.spark.sql.types.StructType,
+                            dropped: Set[String])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val updated = declared.fields.map { f =>
+      batch.fields.find(_.name == f.name) match {
+        case Some(b) if Widenings((f.dataType, b.dataType)) =>
+          f.copy(dataType = b.dataType)
+        case _ => f
+      }
+    }
+    val added = batch.fields.filterNot(b =>
+      declared.fieldNames.contains(b.name) || dropped(b.name))
+    StructType(updated ++ added)
+  }
+
+  /** TYPE-WIDEN `column` to `newType` — one metadata publish, zero
+    * data movement. Fail-fasts on anything but a lossless widening
+    * (a narrowing or cross-family cast would silently corrupt). */
+  def widenColumn(spark: SparkSession, root: String, column: String,
+                  newType: org.apache.spark.sql.types.DataType, tag: Long,
+                  keep: Int = 2): Unit = {
+    val cur = declaredSchema(spark, root).getOrElse(read(spark, root).schema)
+    val field = cur.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$column' in the table at $root"))
+    require(Widenings((field.dataType, newType)),
+      s"cannot widen $column from ${field.dataType.simpleString} to " +
+        s"${newType.simpleString} — only lossless widenings are allowed")
+    val dropped = declaredState(spark, root).map(_._2).getOrElse(Set.empty)
+    publishSchema(spark, root,
+      org.apache.spark.sql.types.StructType(cur.fields.map(f =>
+        if (f.name == column) f.copy(dataType = newType) else f)),
+      dropped, tag, keep)
+  }
+
+  /** DROP `column` — one metadata publish; the scan stops requesting
+    * it, so its bytes are never read again (physical reclaim happens
+    * whenever a bucket is rewritten for any other reason). The bucket
+    * KEY and the version column must survive; the caller owns that
+    * contract (this layer does not record which they are). */
+  def dropColumn(spark: SparkSession, root: String, column: String,
+                 tag: Long, keep: Int = 2): Unit = {
+    val cur = declaredSchema(spark, root).getOrElse(read(spark, root).schema)
+    require(cur.fieldNames.contains(column),
+      s"no column '$column' in the table at $root")
+    require(cur.fields.length > 1, "cannot drop the last column")
+    val dropped = declaredState(spark, root).map(_._2).getOrElse(Set.empty)
+    publishSchema(spark, root,
+      org.apache.spark.sql.types.StructType(
+        cur.fields.filterNot(_.name == column)),
+      dropped + column, tag, keep)
+  }
+
+  /** Read `paths` under the table's schema contract: the declared
+    * logical schema when evolution is in use (files upcast narrow
+    * columns, supply NULL for later-added ones, and prune dropped
+    * ones), else the merged-footer schema. */
+  private[lake] def readPaths(spark: SparkSession, root: String,
+                              paths: Seq[String]): DataFrame =
+    declaredSchema(spark, root) match {
+      case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+
   /** The current table contents (throws before the first publish). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val entries = manifestEntries(spark, root)
     require(entries.nonEmpty, s"no published bucketed table under $root")
     // leaf dirs read directly: no partition inference, plain row files
-    spark.read.option("mergeSchema", "true").parquet(entries.map(_.path): _*)
+    readPaths(spark, root, entries.map(_.path))
   }
 
   /** Bucket-level change feed: the rows of every bucket REWRITTEN after
@@ -152,9 +288,9 @@ object BucketedUpsert {
     // new version dir without changing data, and must NOT appear here
     val changed = entries.filter(e => e.dataTag > sinceTag)
     if (changed.isEmpty)
-      spark.read.parquet(entries.head.path).limit(0)
+      readPaths(spark, root, Seq(entries.head.path)).limit(0)
     else
-      spark.read.option("mergeSchema", "true").parquet(changed.map(_.path): _*)
+      readPaths(spark, root, changed.map(_.path))
   }
 
   /** Fold one update batch into the table: SEQUENCE-BY resolve (highest
@@ -201,8 +337,7 @@ object BucketedUpsert {
         val prevTouched = prev.filter(e => touched(e.bucket))
         val base = prevTouched match {
           case Seq() => batch.limit(0)
-          case es => spark.read.option("mergeSchema", "true")
-            .parquet(es.map(_.path): _*)
+          case es => readPaths(spark, root, es.map(_.path))
         }
         val resolved = base
           .unionByName(batch, allowMissingColumns = true)
@@ -221,6 +356,7 @@ object BucketedUpsert {
           Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag))
       }
     val entries = prev.filterNot(e => touched(e.bucket)) ++ touchedEntries
+    absorbBatchSchema(spark, root, batch.schema, tag, keep)
     publishEntries(spark, entries, root, tag, keep)
     gcData(spark, root)
   }
@@ -269,6 +405,7 @@ object BucketedUpsert {
     if (written.isEmpty && prev.isEmpty) return
     val entries = prev ++ written.map(b =>
       Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag))
+    absorbBatchSchema(spark, root, batch.schema, tag, keep)
     publishEntries(spark, entries, root, tag, keep)
     gcData(spark, root)
   }
@@ -320,7 +457,7 @@ object BucketedUpsert {
     // scan delivers HashPartitioning(key, n), so the per-key window is
     // an in-partition sort and the write lands each task's rows in its
     // own bucket dir — the whole compaction runs with ZERO exchange
-    bucketedReadEntries(spark, fragmented.values.flatten.toSeq, key)
+    bucketedReadEntries(spark, root, fragmented.values.flatten.toSeq, key)
       .withColumn("graft_frag_tag",
         regexp_extract(normFilePath, "/v(\\d+)/graft_bucket=", 1).cast("long"))
       .withColumn("graft_rn", row_number().over(
@@ -452,8 +589,7 @@ object BucketedUpsert {
     val touchedEntries =
       if (prevTouched.isEmpty) Seq.empty
       else {
-        val base = spark.read.option("mergeSchema", "true")
-          .parquet(prevTouched.map(_.path): _*)
+        val base = readPaths(spark, root, prevTouched.map(_.path))
         val dataDir = s"$root/data/v$tag"
         survivorsOf(base)
           .withColumn("graft_bucket", bucketOf(col(key), n))
@@ -469,9 +605,8 @@ object BucketedUpsert {
             .map(_.stripPrefix("graft_bucket=").toInt).toSet
         val after =
           if (present.isEmpty) 0L
-          else spark.read.option("mergeSchema", "true")
-            .parquet(present.toSeq.sorted.map(b => s"$dataDir/graft_bucket=$b"): _*)
-            .count()
+          else readPaths(spark, root,
+            present.toSeq.sorted.map(b => s"$dataDir/graft_bucket=$b")).count()
         removed = base.count() - after
         // distinct: a FRAGMENTED bucket has several prev entries — its
         // rewrite must publish exactly one
@@ -544,19 +679,21 @@ object BucketedUpsert {
   def bucketedRead(spark: SparkSession, root: String, key: String): DataFrame = {
     val entries = manifestEntries(spark, root)
     require(entries.nonEmpty, s"no published bucketed table under $root")
-    bucketedReadEntries(spark, entries, key)
+    bucketedReadEntries(spark, root, entries, key)
   }
 
-  private def bucketedReadEntries(spark: SparkSession, entries: Seq[Entry],
-                                  key: String): DataFrame = {
+  private def bucketedReadEntries(spark: SparkSession, root: String,
+                                  entries: Seq[Entry], key: String): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     import org.apache.spark.sql.catalyst.catalog.BucketSpec
     import org.apache.spark.sql.types.StructType
     val n = entries.head.nBuckets
-    // merged-footer schema: generations may differ by added columns
-    val schema = spark.read.option("mergeSchema", "true")
-      .parquet(entries.map(_.path): _*).schema
+    // declared schema when evolution is in use (widened/dropped columns);
+    // merged-footer schema otherwise (generations may differ by adds)
+    val schema = declaredSchema(spark, root).getOrElse(
+      spark.read.option("mergeSchema", "true")
+        .parquet(entries.map(_.path): _*).schema)
     require(schema.fieldNames.contains(key),
       s"bucket key '$key' is not a column of the table: " +
         schema.fieldNames.mkString(","))

@@ -109,8 +109,10 @@ object SecondaryIndex {
     val entries = allEntries.filter(e => admitted(e.bucket))
     val base =
       if (entries.isEmpty) BucketedUpsert.read(spark, tableRoot).limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(entries.map(_.path): _*)
+      // through the table's declared-schema contract: a lookup on a
+      // DROPPED column must fail loudly, not resurrect hidden values
+      // from the raw files
+      else BucketedUpsert.readPaths(spark, tableRoot, entries.map(_.path))
     base.filter(col(column).cast("string").isin(values: _*))
   }
 }

@@ -529,6 +529,37 @@ object CoreQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // S30: SCHEMA EVOLUTION beyond add-column — metadata-only TYPE
+    // WIDENING and sticky DROP on the bucketed table. batch1 lands an
+    // INT balance; widenColumn(int→long) publishes one schema row and
+    // rewrites nothing (the parquet scan upcasts the old files);
+    // batch2 carries beyond-int-range longs through the widened
+    // column; dropColumn hides c_mktsegment (the oracle's schema
+    // compare pins the drop — a resurrected column breaks the gate).
+    // Hash-green proves old-narrow and new-wide files agree with the
+    // oracle's single-width view.
+    "s30_schema_widen" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-widen-q").toString + "/t"
+      val cust = t(s, d, "customer")
+      val b1 = cust.select(col("c_custkey"), col("c_mktsegment"),
+        floor(col("c_acctbal")).cast("int").as("bal"), lit(1L).as("ver"))
+      graft.lake.BucketedUpsert.applyBatch(b1, root, "c_custkey", "ver",
+        nBuckets = 16, tag = 1)
+      graft.lake.BucketedUpsert.widenColumn(s, root, "bal",
+        org.apache.spark.sql.types.LongType, tag = 2)
+      val b2 = cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (floor(col("c_acctbal")).cast("long") + 10000000000L).as("bal"),
+          lit(2L).as("ver"))
+      graft.lake.BucketedUpsert.applyBatch(b2, root, "c_custkey", "ver",
+        nBuckets = 16, tag = 3)
+      graft.lake.BucketedUpsert.dropColumn(s, root, "c_mktsegment", tag = 4)
+      graft.lake.BucketedUpsert.read(s, root)
+        .select("c_custkey", "bal", "ver")
+        .orderBy("c_custkey")
+    }),
+
     // S32: UNIFIED index-aware scan routing — one readWhere(root,
     // predicate) discovers whichever index manifests exist beside the
     // data (zone maps, Bloom, secondary index) and opens only the
@@ -863,6 +894,13 @@ object CoreQueries extends QueryPack {
       """SELECT event_id, user_id, event_type FROM events
          WHERE user_id NOT BETWEEN 100 AND 120
            AND user_id NOT BETWEEN 40 AND 45 ORDER BY event_id""",
+    "s30_schema_widen" ->
+      """SELECT c_custkey,
+                CASE WHEN c_custkey % 10 = 0
+                     THEN CAST(floor(c_acctbal) AS BIGINT) + 10000000000
+                     ELSE CAST(floor(c_acctbal) AS BIGINT) END AS bal,
+                CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS ver
+         FROM customer ORDER BY c_custkey""",
     "s32_read_where" -> {
       val inList = (1 to 40).map(i => i * 101L).mkString(",")
       s"""WITH base AS (
