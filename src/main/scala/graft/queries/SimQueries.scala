@@ -120,15 +120,13 @@ object SimQueries extends QueryPack {
     // oracle seeds from the same base slice and assigns the full
     // corpus, so the whole persisted lifecycle — build, append,
     // reload, probe — is hash-checked.
+    // build + append run in the SHARED per-JVM fixture (Fixtures.ivf —
+    // exactly this gate's lifecycle, once per run); the delete and
+    // retrain gates fork the same fixture instead of paying the
+    // identical build+append twice more.
     "ann_ivf_persist" -> ((s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-ivfidx-q").toString + "/idx"
-      val emb = t(s, d, "embeddings")
-      graft.ext.Ivf.buildIndex(s, root,
-        emb.filter(col("vec_id") % 5 =!= 0), k = 8, nBuckets = 16, tag = 1)
-      graft.ext.Ivf.appendToIndex(s, root,
-        emb.filter(col("vec_id") % 5 === 0), tag = 2)
-      val q = querySet(emb)
+      val root = Fixtures.ivf(s, d)
+      val q = querySet(t(s, d, "embeddings"))
         .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
       graft.ext.Ivf.searchIndex(s, root, q, topK = 3, nProbe = 2)
         .select("qid", "rank", "vec_id")
@@ -145,13 +143,8 @@ object SimQueries extends QueryPack {
     // everything re-assigned). IvfRetrainSpec pins the atomicity and
     // the concurrent-append fail-fasts.
     "ann_ivf_retrain" -> ((s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-ivfrt-q").toString + "/idx"
+      val root = Fixtures.fork(Fixtures.ivf(s, d))
       val emb = t(s, d, "embeddings")
-      graft.ext.Ivf.buildIndex(s, root,
-        emb.filter(col("vec_id") % 5 =!= 0), k = 8, nBuckets = 16, tag = 1)
-      graft.ext.Ivf.appendToIndex(s, root,
-        emb.filter(col("vec_id") % 5 === 0), tag = 2)
       graft.ext.Ivf.deleteFromIndex(s, root,
         emb.filter(col("vec_id") % 97 === 0).select("vec_id"), tag = 3)
       graft.ext.Ivf.retrainIndex(s, root, k = 12, tag = 4)
@@ -197,13 +190,8 @@ object SimQueries extends QueryPack {
     // centroids, so hash-green means deletion is indistinguishable
     // from never having ingested those vectors.
     "ann_ivf_delete" -> ((s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-ivfdel-q").toString + "/idx"
+      val root = Fixtures.fork(Fixtures.ivf(s, d))
       val emb = t(s, d, "embeddings")
-      graft.ext.Ivf.buildIndex(s, root,
-        emb.filter(col("vec_id") % 5 =!= 0), k = 8, nBuckets = 16, tag = 1)
-      graft.ext.Ivf.appendToIndex(s, root,
-        emb.filter(col("vec_id") % 5 === 0), tag = 2)
       graft.ext.Ivf.deleteFromIndex(s, root,
         emb.filter(col("vec_id") % 7 === 1).select("vec_id"), tag = 3)
       val q = querySet(emb)
