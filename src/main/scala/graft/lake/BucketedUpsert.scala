@@ -55,7 +55,7 @@ object BucketedUpsert {
     * feed must not report a relocation as churn. Manifests written
     * before this column existed fall back to the path's tag. */
   private[lake] case class Entry(bucket: Int, path: String, nBuckets: Int,
-                                 dataTag: Long)
+                                 dataTag: Long, keyCol: String)
 
   private[lake] def manifestEntries(spark: SparkSession, root: String): Seq[Entry] =
     Snapshot.resolve(spark, root) match {
@@ -73,24 +73,46 @@ object BucketedUpsert {
 
   private def parseManifest(spark: SparkSession, dir: String): Seq[Entry] = {
     val df = spark.read.parquet(dir)
-    if (df.columns.contains("data_tag"))
-      df.select("bucket", "path", "n_buckets", "data_tag").collect()
-        .map(r => Entry(r.getInt(0), r.getString(1), r.getInt(2), r.getLong(3)))
-        .toSeq
-    else
-      df.select("bucket", "path", "n_buckets").collect()
-        .map(r => Entry(r.getInt(0), r.getString(1), r.getInt(2),
-          entryTag(r.getString(1)))).toSeq
+    val hasTag = df.columns.contains("data_tag")
+    val hasKey = df.columns.contains("key_col")
+    val cols = Seq("bucket", "path", "n_buckets") ++
+      (if (hasTag) Seq("data_tag") else Nil) ++
+      (if (hasKey) Seq("key_col") else Nil)
+    df.select(cols.head, cols.tail: _*).collect().map { r =>
+      val dt = if (hasTag) r.getLong(3) else entryTag(r.getString(1))
+      val kc = if (hasKey) r.getString(if (hasTag) 4 else 3) else ""
+      Entry(r.getInt(0), r.getString(1), r.getInt(2), dt, kc)
+    }.toSeq
   }
 
   private def publishEntries(spark: SparkSession, entries: Seq[Entry],
                              root: String, tag: Long, keep: Int): Unit = {
     import spark.implicits._
     Snapshot.publish(
-      entries.map(e => (e.bucket, e.path, e.nBuckets, e.dataTag))
-        .toDF("bucket", "path", "n_buckets", "data_tag").coalesce(1),
+      entries.map(e => (e.bucket, e.path, e.nBuckets, e.dataTag, e.keyCol))
+        .toDF("bucket", "path", "n_buckets", "data_tag", "key_col").coalesce(1),
       root, tag, keep)
   }
+
+  /** The bucket-route contract: the route is pmod(murmur3(key), n),
+    * and murmur3 of the SAME logical value DIFFERS by type (hash(5:
+    * int) != hash(5L)). A batch, delete set, or widening that changes
+    * the key's TYPE would silently re-route keys to different buckets
+    * — lost upsert matches, missed deletes, co-location lies. Every
+    * write path therefore pins the key's dtype against the standing
+    * table, and schema evolution refuses the recorded key column. */
+  private def requireKeyTypeStable(spark: SparkSession, root: String,
+                                   key: String,
+                                   incoming: org.apache.spark.sql.types.DataType): Unit =
+    manifestEntries(spark, root).headOption.foreach { e =>
+      val stored = spark.read.parquet(e.path).schema
+        .fields.find(_.name == key).map(_.dataType)
+      stored.foreach(st => require(st == incoming,
+        s"bucket key '$key' arrives as ${incoming.simpleString} but the " +
+          s"table at $root hashed it as ${st.simpleString} — a type change " +
+          "re-routes keys to different buckets (murmur3 is type-sensitive); " +
+          "cast the batch to the table's key type"))
+    }
 
   /** A zero-row frame carrying the table's schema, derivable even for a
     * FULLY-EMPTIED table (every bucket deleted): the newest retained
@@ -188,9 +210,23 @@ object BucketedUpsert {
       (FloatType, DoubleType))
   }
 
+  /** Schema evolution may never touch the column the bucket route
+    * hashes ([[requireKeyTypeStable]]'s rationale); the key is
+    * recorded in the manifest by every writer. */
+  private def requireNotBucketKey(spark: SparkSession, root: String,
+                                  column: String, what: String): Unit =
+    manifestEntries(spark, root).headOption
+      .map(_.keyCol).filter(_.nonEmpty).foreach(k => require(k != column,
+        s"cannot $what '$column': it is the table's bucket key — its " +
+          "murmur3 route is type- and presence-sensitive; rebucket into a " +
+          "new table instead"))
+
   /** Fold a batch's schema into the declared one: new fields append,
     * a wider batch type widens the declared field, a narrower batch
-    * type keeps the declared width (the scan upcasts those rows). */
+    * type keeps the declared width (the scan upcasts those rows). A
+    * CROSS-FAMILY conflict (declared int, batch string) fail-fasts:
+    * the union would coerce and write bytes the declared schema can
+    * no longer read. */
   private def mergeDeclared(declared: org.apache.spark.sql.types.StructType,
                             batch: org.apache.spark.sql.types.StructType,
                             dropped: Set[String])
@@ -200,7 +236,14 @@ object BucketedUpsert {
       batch.fields.find(_.name == f.name) match {
         case Some(b) if Widenings((f.dataType, b.dataType)) =>
           f.copy(dataType = b.dataType)
-        case _ => f
+        case Some(b) =>
+          require(b.dataType == f.dataType ||
+              Widenings((b.dataType, f.dataType)),
+            s"batch column '${f.name}' is ${b.dataType.simpleString} but " +
+              s"the declared schema says ${f.dataType.simpleString} — " +
+              "neither a widening nor upcastable; cast the batch")
+          f
+        case None => f
       }
     }
     val added = batch.fields.filterNot(b =>
@@ -221,6 +264,7 @@ object BucketedUpsert {
     require(Widenings((field.dataType, newType)),
       s"cannot widen $column from ${field.dataType.simpleString} to " +
         s"${newType.simpleString} — only lossless widenings are allowed")
+    requireNotBucketKey(spark, root, column, "widen")
     val dropped = declaredState(spark, root).map(_._2).getOrElse(Set.empty)
     publishSchema(spark, root,
       org.apache.spark.sql.types.StructType(cur.fields.map(f =>
@@ -239,6 +283,7 @@ object BucketedUpsert {
     require(cur.fieldNames.contains(column),
       s"no column '$column' in the table at $root")
     require(cur.fields.length > 1, "cannot drop the last column")
+    requireNotBucketKey(spark, root, column, "drop")
     val dropped = declaredState(spark, root).map(_._2).getOrElse(Set.empty)
     publishSchema(spark, root,
       org.apache.spark.sql.types.StructType(
@@ -315,6 +360,12 @@ object BucketedUpsert {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val spark = batch.sparkSession
     requireTagAbove(spark, root, tag, "batch")
+    requireKeyTypeStable(spark, root, key, batch.schema(key).dataType)
+    // validate + absorb the batch's schema BEFORE any data write: a
+    // cross-family conflict must fail while the table is untouched,
+    // and a schema published without its data yet is harmless (extra
+    // declared columns read as NULL until the manifest follows)
+    absorbBatchSchema(spark, root, batch.schema, tag, keep)
     val prev = manifestEntries(spark, root)
     prev.headOption.foreach(e => require(e.nBuckets == nBuckets,
       s"table at $root was bucketed with n=${e.nBuckets}, got $nBuckets — " +
@@ -353,10 +404,9 @@ object BucketedUpsert {
           .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
         stampBucketFiles(spark, dataDir)
         touched.toSeq.sorted.map(b =>
-          Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag))
+          Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag, key))
       }
     val entries = prev.filterNot(e => touched(e.bucket)) ++ touchedEntries
-    absorbBatchSchema(spark, root, batch.schema, tag, keep)
     publishEntries(spark, entries, root, tag, keep)
     gcData(spark, root)
   }
@@ -384,6 +434,8 @@ object BucketedUpsert {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val spark = batch.sparkSession
     requireTagAbove(spark, root, tag, "fragment")
+    requireKeyTypeStable(spark, root, key, batch.schema(key).dataType)
+    absorbBatchSchema(spark, root, batch.schema, tag, keep)
     val prev = manifestEntries(spark, root)
     prev.headOption.foreach(e => require(e.nBuckets == nBuckets,
       s"table at $root was bucketed with n=${e.nBuckets}, got $nBuckets — " +
@@ -404,8 +456,7 @@ object BucketedUpsert {
     // empty FIRST batch creates nothing (same wedge guard as applyBatch)
     if (written.isEmpty && prev.isEmpty) return
     val entries = prev ++ written.map(b =>
-      Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag))
-    absorbBatchSchema(spark, root, batch.schema, tag, keep)
+      Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag, key))
     publishEntries(spark, entries, root, tag, keep)
     gcData(spark, root)
   }
@@ -468,7 +519,7 @@ object BucketedUpsert {
       .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
     stampBucketFiles(spark, dataDir)
     val merged = fragmented.map { case (b, frags) =>
-      Entry(b, s"$dataDir/graft_bucket=$b", n, frags.map(_.dataTag).max)
+      Entry(b, s"$dataDir/graft_bucket=$b", n, frags.map(_.dataTag).max, key)
     }.toSeq
     val entries = prev.filterNot(e => fragmented.contains(e.bucket)) ++ merged
     publishEntries(spark, entries, root, tag, keep)
@@ -563,6 +614,7 @@ object BucketedUpsert {
     require(prev.nonEmpty, s"no published bucketed table under $root")
     val n = prev.head.nBuckets
     val keyDf = keys.withColumnRenamed(keys.columns.head, key)
+    requireKeyTypeStable(spark, root, key, keyDf.schema(key).dataType)
     // delete-set-sized distinct, bucket-count-bounded result
     val touched = keyDf.select(bucketOf(col(key), n).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
@@ -611,7 +663,7 @@ object BucketedUpsert {
         // distinct: a FRAGMENTED bucket has several prev entries — its
         // rewrite must publish exactly one
         prevTouched.map(_.bucket).distinct.sorted.filter(present)
-          .map(b => Entry(b, s"$dataDir/graft_bucket=$b", n, tag))
+          .map(b => Entry(b, s"$dataDir/graft_bucket=$b", n, tag, key))
       }
     val entries = prev.filterNot(e => touched(e.bucket)) ++ touchedEntries
     publishEntries(spark, entries, root, tag, keep)

@@ -144,6 +144,22 @@ object Routing {
     }
   }
 
+  /** Types whose `Literal.value.toString` provably equals the engine's
+    * `cast(col AS string)` rendering — the form the Bloom and
+    * secondary indexes hashed at build time. Date/timestamp/decimal
+    * literals carry INTERNAL representations (days/micros since epoch)
+    * whose toString differs from the cast rendering; routing them
+    * through a string-hashed index would silently FALSE-NEGATE, so
+    * such conjuncts stay post-filter-only. */
+  private def stringStable(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+           BooleanType => true
+      case _ => false
+    }
+  }
+
   /** What the router decided: the files (or buckets) it will open and
     * the manifests that pruned them — the spec's files-opened oracle. */
   final case class Route(files: Seq[String], via: Seq[String])
@@ -186,7 +202,8 @@ object Routing {
 
     // Bloom: every eq/IN conjunct whose column has a filter
     cs.foreach {
-      case EqIn(c, vs) if exists(spark, bloomDir(root, c)) =>
+      case EqIn(c, vs) if exists(spark, bloomDir(root, c)) &&
+          vs.forall(v => stringStable(v.dataType)) =>
         intersect(BloomIndex.survivors(spark, bloomDir(root, c),
           vs.map(_.value.toString)), s"bloom[$c]")
       case _ => ()
@@ -212,7 +229,8 @@ object Routing {
       // bucketed table: route eq/IN through the first secondary index
       // that exists for a predicate column; everything else post-filters
       val six = conjunctsOf(BucketedUpsert.read(spark, root), pred).collectFirst {
-        case EqIn(c, vs) if exists(spark, sixDir(root, c)) =>
+        case EqIn(c, vs) if exists(spark, sixDir(root, c)) &&
+            vs.forall(v => stringStable(v.dataType)) =>
           (c, vs.map(_.value.toString))
       }
       val base = six match {

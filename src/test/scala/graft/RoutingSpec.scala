@@ -76,6 +76,25 @@ class RoutingSpec extends SparkSpec {
       r4.files.size == plain(root).inputFiles.length)
   }
 
+  test("a date-typed predicate never routes through a string-hashed index") {
+    import spark.implicits._
+    val root = tmp()
+    // a Bloom index on a DATE column: the literal's internal days-int
+    // toString differs from the cast-string the index hashed — routing
+    // it would silently false-negate, so it must stay full-scan
+    (1 to 500).map(i => (i.toLong, java.sql.Date.valueOf(
+      f"2024-01-${i % 28 + 1}%02d")))
+      .toDF("id", "d").repartition(8).write.parquet(s"$root/data")
+    Routing.indexBloom(spark, root, "d")
+    val pred = col("d") === lit(java.sql.Date.valueOf("2024-01-15"))
+    val r = Routing.route(spark, root, pred)
+    assert(r.via == Seq("full-scan"),
+      s"date eq must not trust the string-hashed index: ${r.via}")
+    val got = Routing.readWhere(spark, root, pred).count()
+    val want = spark.read.parquet(s"$root/data").filter(pred).count()
+    assert(got == want && want > 0, s"date transparency broke: $got vs $want")
+  }
+
   test("bucketed tables route equality through the secondary index") {
     import spark.implicits._
     val root = tmp()

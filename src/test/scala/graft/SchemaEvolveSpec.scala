@@ -111,6 +111,51 @@ class SchemaEvolveSpec extends SparkSpec {
       SecondaryIndex.refresh(spark, root, ix, "k", "num"))
   }
 
+  test("the bucket-key route is type-protected: mis-typed writes and key evolution fail fast") {
+    val root = tmp()
+    BucketedUpsert.applyBatch(
+      (1 to 100).map(k => (k, k, 1L)).toDF("k", "v", "ver"), // INT key
+      root, "k", "ver", nBuckets = 4, tag = 1)
+    // a LONG-keyed batch would hash the same logical keys to different
+    // buckets (murmur3 is type-sensitive) — silent lost-update corruption
+    val ex = intercept[IllegalArgumentException](
+      BucketedUpsert.applyBatch(
+        Seq((5L, 99, 2L)).toDF("k", "v", "ver"), root, "k", "ver", 4, tag = 2))
+    assert(ex.getMessage.contains("type-sensitive"), ex.getMessage)
+    intercept[IllegalArgumentException](
+      BucketedUpsert.appendFragment(
+        Seq((5L, 99, 2L)).toDF("k", "v", "ver"), root, "k", 4, tag = 2))
+    // a LONG-typed delete set would compute wrong buckets and MISS rows
+    intercept[IllegalArgumentException](
+      BucketedUpsert.deleteKeys(spark, root, "k", Seq(5L).toDF("k"), tag = 2))
+    // and schema evolution refuses the recorded bucket key outright
+    val exW = intercept[IllegalArgumentException](
+      BucketedUpsert.widenColumn(spark, root, "k", LongType, tag = 2))
+    assert(exW.getMessage.contains("bucket key"), exW.getMessage)
+    intercept[IllegalArgumentException](
+      BucketedUpsert.dropColumn(spark, root, "k", tag = 2))
+    // correctly-typed traffic still flows
+    BucketedUpsert.applyBatch(
+      Seq((5, 99, 2L)).toDF("k", "v", "ver"), root, "k", "ver", 4, tag = 3)
+    assert(BucketedUpsert.read(spark, root)
+      .filter(col("k") === 5).head().getInt(1) == 99)
+  }
+
+  test("a cross-family batch type under a declared schema fails fast instead of corrupting") {
+    val root = tmp()
+    BucketedUpsert.applyBatch(
+      (1 to 50).map(k => (k.toLong, k, 1L)).toDF("k", "v", "ver"),
+      root, "k", "ver", nBuckets = 4, tag = 1)
+    BucketedUpsert.widenColumn(spark, root, "v", LongType, tag = 2)
+    // a STRING v: the union would coerce and write bytes the declared
+    // long schema can never read back
+    val ex = intercept[IllegalArgumentException](
+      BucketedUpsert.applyBatch(
+        Seq((7L, "oops", 2L)).toDF("k", "v", "ver"), root, "k", "ver", 4,
+        tag = 3))
+    assert(ex.getMessage.contains("cast the batch"), ex.getMessage)
+  }
+
   test("incremental MV stays exact across a widening") {
     val root = tmp(); val mv = root + "-mv"
     val b1 = (1 to 400).map(k => (k.toLong, k % 5, k, 1L))
