@@ -114,6 +114,45 @@ object BucketedUpsert {
           "cast the batch to the table's key type"))
     }
 
+  /** Whether `column` is the table's RECORDED bucket key (tables
+    * written before key recording answer false — no route claim). */
+  private[lake] def isBucketKey(spark: SparkSession, root: String,
+                                column: String): Boolean =
+    manifestEntries(spark, root).headOption
+      .exists(e => e.keyCol.nonEmpty && e.keyCol == column)
+
+  /** PRIMARY-KEY point lookup: open ONLY the buckets the probe values
+    * hash into — the key is its own index, O(1) buckets per value at
+    * any table size, no auxiliary structure. Probes must carry the
+    * table's key TYPE (verified — a mis-typed probe hashes to the
+    * wrong bucket and would silently return nothing); the caller
+    * re-applies its exact predicate over the returned buckets.
+    */
+  def readKeyBuckets(spark: SparkSession, root: String, key: String,
+                     probes: Seq[Column]): DataFrame = {
+    require(probes.nonEmpty, "at least one probe value")
+    val entries = manifestEntries(spark, root)
+    require(entries.nonEmpty, s"no published bucketed table under $root")
+    val n = entries.head.nBuckets
+    // one driver-local job: each probe's bucket and dtype
+    val sel = spark.range(1).select(probes.zipWithIndex.map {
+      case (c, i) => bucketOf(c, n).as(s"b$i")
+    }: _*)
+    val probeTypes = spark.range(1).select(probes: _*).schema.map(_.dataType)
+    val stored = spark.read.parquet(entries.head.path).schema
+      .fields.find(_.name == key).map(_.dataType)
+    stored.foreach(st => probeTypes.foreach(pt => require(pt == st,
+      s"probe value arrives as ${pt.simpleString} but the table hashed " +
+        s"'$key' as ${st.simpleString} — a mis-typed probe routes to the " +
+        "wrong bucket (murmur3 is type-sensitive); cast the probe")))
+    val row = sel.head()
+    val buckets = probes.indices.map(row.getInt).toSet
+    val hit = entries.filter(e => buckets(e.bucket))
+    if (hit.isEmpty) emptyWithSchema(spark, root)
+      .getOrElse(readPaths(spark, root, Seq(entries.head.path)).limit(0))
+    else readPaths(spark, root, hit.map(_.path))
+  }
+
   /** A zero-row frame carrying the table's schema, derivable even for a
     * FULLY-EMPTIED table (every bucket deleted): the newest retained
     * manifest version with entries still pins its data files against GC,
@@ -525,6 +564,26 @@ object BucketedUpsert {
     publishEntries(spark, entries, root, tag, keep)
     gcData(spark, root)
     fragmented.size
+  }
+
+  /** Threshold-gated [[mergeFragments]] — the AUTO-compaction policy a
+    * maintenance job polls: compacts only when some bucket has
+    * accumulated at least `maxFragments` fragments (merge-on-read cost
+    * grows with fragment count; below the threshold compaction would
+    * burn a rewrite for nothing). Returns buckets compacted, 0 when
+    * below threshold — and a no-op consumes NO tag, so the caller can
+    * poll with the same reserved tag until it fires. Same ownership
+    * contract as every maintenance verb (batch-owned tables, or a
+    * stream's pause window).
+    */
+  def mergeFragmentsIfNeeded(spark: SparkSession, root: String, key: String,
+                             versionCol: String, tag: Long,
+                             maxFragments: Int = 8, keep: Int = 2): Int = {
+    require(maxFragments >= 2, s"maxFragments must be >= 2: $maxFragments")
+    val worst = manifestEntries(spark, root)
+      .groupBy(_.bucket).values.map(_.size).maxOption.getOrElse(0)
+    if (worst < maxFragments) 0
+    else mergeFragments(spark, root, key, versionCol, tag, keep)
   }
 
   /** CDC live view: the table minus tombstone rows. A CDC feed's

@@ -243,6 +243,48 @@ object DeleteWhere {
     DeleteStats(all.size.toLong, 0L, rowsDeleted)
   }
 
+  /** COMPACT a delete version: fold every deletion vector into the
+    * base files (the masked rows disappear PHYSICALLY) and merge the
+    * surviving rows into ~`targetBytes` files, re-range-clustered on
+    * the indexed columns so the zone maps stay sharp. Publishes a
+    * fresh version at `outDir` — maintained stats, NO sidecar —
+    * that chains like any other ([[deleteRange]]/[[deleteVectors]]
+    * consume its stats). This is where the DV regime's deferred
+    * rewrite cost is actually paid: off-peak, once, for all
+    * accumulated vectors, instead of per takedown. Returns
+    * (filesBefore, filesAfter, dvEntriesFolded).
+    */
+  def compactVersion(spark: SparkSession, versionDir: String,
+                     outDir: String,
+                     targetBytes: Long = 128L << 20): (Long, Long, Long) = {
+    val statsDir = statsDirOf(versionDir)
+    val oldStats = spark.read.parquet(statsDir)
+    val indexed = oldStats.columns.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_")
+    }.toSeq
+    val dvFolded = dvReadIfExists(spark, dvDirOf(versionDir))
+      .map(_.count()).getOrElse(0L)
+    val filesBefore = oldStats.count()
+    val masked = read(spark, versionDir) // DV-applied view
+    // size the output from the version's physical bytes (manifest-
+    // listed paths only — a driver metadata pass)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = spark.read.parquet(manifestDir(versionDir))
+      .select("path").collect().map(_.getString(0)).map { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).getContentSummary(hp).getLength
+      }.sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    masked.repartitionByRange(nOut, indexed.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(filesDir(outDir))
+    FileStats.writeStats(spark, filesDir(outDir), statsDirOf(outDir), indexed)
+    import spark.implicits._
+    Seq(filesDir(outDir)).toDF("path").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestDir(outDir))
+    val filesAfter = spark.read.parquet(statsDirOf(outDir)).count()
+    (filesBefore, filesAfter, dvFolded)
+  }
+
   /** Read the post-delete version: the manifest's paths (kept original
     * files + any rewritten dir), opened as one frame, with the
     * version's deletion vectors — if any — applied as a scan-side

@@ -226,17 +226,30 @@ object Routing {
     * the result equals the plain filtered scan on any index state. */
   def readWhere(spark: SparkSession, root: String, pred: Column): DataFrame = {
     if (isBucketed(spark, root)) {
-      // bucketed table: route eq/IN through the first secondary index
-      // that exists for a predicate column; everything else post-filters
-      val six = conjunctsOf(BucketedUpsert.read(spark, root), pred).collectFirst {
+      // bucketed table, best route first:
+      //  1. eq/IN on the BUCKET KEY — the key IS the route: hash the
+      //     probe values and open only their buckets. O(1) buckets per
+      //     value, no index required at any table size.
+      //  2. eq/IN on a secondary-indexed column — bucket-pruned lookup.
+      //  3. otherwise the full resolved table.
+      // The full predicate re-applies in every case.
+      val cs = conjunctsOf(BucketedUpsert.read(spark, root), pred)
+      val keyEq = cs.collectFirst {
+        case EqIn(c, vs) if BucketedUpsert.isBucketKey(spark, root, c) =>
+          (c, vs)
+      }
+      val six = cs.collectFirst {
         case EqIn(c, vs) if exists(spark, sixDir(root, c)) &&
             vs.forall(v => stringStable(v.dataType)) =>
           (c, vs.map(_.value.toString))
       }
-      val base = six match {
-        case Some((c, vs)) =>
+      val base = (keyEq, six) match {
+        case (Some((c, vs)), _) =>
+          BucketedUpsert.readKeyBuckets(spark, root, c,
+            vs.map(l => org.apache.spark.sql.graft.ColumnBridge.column(l)))
+        case (None, Some((c, vs))) =>
           SecondaryIndex.lookup(spark, root, sixDir(root, c), c, vs)
-        case None => BucketedUpsert.read(spark, root)
+        case _ => BucketedUpsert.read(spark, root)
       }
       base.filter(pred)
     } else {

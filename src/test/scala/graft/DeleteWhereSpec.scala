@@ -172,6 +172,41 @@ class DeleteWhereSpec extends SparkSpec {
       s"rewrite deleted ${r3.rowsDeleted}, expected ${want3.length - want4.length}")
   }
 
+  test("compactVersion folds all vectors physically and the result chains cleanly") {
+    val base = tmp()
+    val ev = graft.Tables.t(spark, sf("sf0.01"), "events")
+      .withColumn("bucket", expr("ts div 3600000000000"))
+    ZOrder.writeZOrdered(ev, s"$base/data", 16, "user_id", "bucket")
+    FileStats.writeStats(spark, s"$base/data", s"$base/stats", Seq("user_id"))
+    DeleteWhere.deleteVectors(spark, s"$base/stats",
+      "user_id", lit(80L), lit(110L), s"$base/v2")
+    DeleteWhere.deleteVectors(spark, DeleteWhere.statsDirOf(s"$base/v2"),
+      "user_id", lit(10L), lit(25L), s"$base/v3")
+    val (before, after, folded) =
+      DeleteWhere.compactVersion(spark, s"$base/v3", s"$base/v4",
+        targetBytes = 256L << 10)
+    assert(folded > 0, "the accumulated vectors must fold")
+    assert(after < before, s"compaction must merge files: $before -> $after")
+    // no sidecar survives; the masked rows are PHYSICALLY gone
+    assert(!new java.io.File(s"$base/v4/dv").exists())
+    val got = DeleteWhere.read(spark, s"$base/v4")
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val want = spark.read.parquet(s"$base/data")
+      .filter(!col("user_id").between(80L, 110L) &&
+        !col("user_id").between(10L, 25L))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want), "compaction must not change visible rows")
+    // maintained stats describe exactly the surviving rows and CHAIN:
+    // a further delete consumes the compacted version's stats
+    assert(spark.read.parquet(DeleteWhere.statsDirOf(s"$base/v4"))
+      .agg(sum("n_rows")).head.getLong(0) == want.length)
+    val r = DeleteWhere.deleteRange(spark, DeleteWhere.statsDirOf(s"$base/v4"),
+      "user_id", lit(130L), lit(140L), s"$base/v5")
+    assert(r.rowsDeleted > 0)
+    val got5 = DeleteWhere.read(spark, s"$base/v5").count()
+    assert(got5 == want.length - r.rowsDeleted)
+  }
+
   test("a range touching nothing rewrites zero files and keeps the table byte-identical") {
     val base = tmp()
     val ev = graft.Tables.t(spark, sf(), "events")

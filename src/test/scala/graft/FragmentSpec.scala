@@ -141,6 +141,28 @@ class FragmentSpec extends SparkSpec {
     assert(!touchedBucket.exists(_._2 > 2), s"manifest malformed: ${mf.toSeq}")
   }
 
+  test("mergeFragmentsIfNeeded fires only at the threshold and no-ops without a tag") {
+    val base = tmp()
+    for (t <- 1 to 3)
+      BucketedUpsert.appendFragment(
+        (1L to 100L).map(k => (k, t.toLong)).toDF("k", "ver"),
+        base, "k", nBuckets = 2, tag = t.toLong)
+    // 3 fragments per bucket < threshold 4: no-op, tag NOT consumed
+    assert(BucketedUpsert.mergeFragmentsIfNeeded(spark, base, "k", "ver",
+      tag = 50, maxFragments = 4) == 0)
+    assert(Snapshot.currentTag(spark, base).contains(3L),
+      "a below-threshold poll must not consume the tag")
+    BucketedUpsert.appendFragment(
+      (1L to 100L).map(k => (k, 4L)).toDF("k", "ver"), base, "k", 2, tag = 4)
+    // now 4 fragments: the same poll fires and compacts both buckets
+    assert(BucketedUpsert.mergeFragmentsIfNeeded(spark, base, "k", "ver",
+      tag = 50, maxFragments = 4) == 2)
+    assert(Snapshot.read(spark, base).count() == 2)
+    val got = BucketedUpsert.readResolved(spark, base, "k", "ver")
+      .select("k", "ver").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 100 && got.forall(_._2 == 4L))
+  }
+
   test("appendFragment guards the ledger: empty first batch creates nothing, reused tags fail") {
     val base = tmp()
     BucketedUpsert.appendFragment(

@@ -110,9 +110,22 @@ class RoutingSpec extends SparkSpec {
       col("s").isin("name-17", "name-999") && col("k") > lit(500L))
       .select("k").collect().map(_.getLong(0)).toSet
     assert(got2 == Set(999L))
-    // no index for the column → full resolved read, still correct
-    val got3 = Routing.readWhere(spark, root, col("k") === lit(42L))
-      .select("s").head.getString(0)
-    assert(got3 == "name-42")
+    // eq on the BUCKET KEY routes without any index at all: the key
+    // hashes to its bucket, and only that bucket's files open
+    val keyProbe = Routing.readWhere(spark, root, col("k") === lit(42L))
+    assert(keyProbe.select("s").head.getString(0) == "name-42")
+    val opened = keyProbe.inputFiles.length
+    val total = BucketedUpsert.read(spark, root).inputFiles.length
+    assert(opened < total,
+      s"key point-lookup must open a bucket subset: $opened of $total")
+    // IN on the key: the union of the probed buckets, still a subset
+    val multi = Routing.readWhere(spark, root, col("k").isin(1L, 2L, 777L))
+    assert(multi.select("k").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 777L))
+    // a mis-typed direct probe fails fast instead of silently missing
+    val ex = intercept[IllegalArgumentException](
+      BucketedUpsert.readKeyBuckets(spark, root, "k",
+        Seq(lit(42))).count()) // INT probe into a LONG-keyed table
+    assert(ex.getMessage.contains("type-sensitive"), ex.getMessage)
   }
 }
