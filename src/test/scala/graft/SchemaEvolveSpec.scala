@@ -156,6 +156,41 @@ class SchemaEvolveSpec extends SparkSpec {
     assert(ex.getMessage.contains("cast the batch"), ex.getMessage)
   }
 
+  test("the co-bucketed join and fragment resolve honor an evolved schema") {
+    val l = tmp(); val r = tmp()
+    BucketedUpsert.applyBatch(
+      (1L to 300L).map(k => (k, k.toInt, 1L)).toDF("k", "v", "ver"),
+      l, "k", "ver", nBuckets = 4, tag = 1)
+    BucketedUpsert.widenColumn(spark, l, "v", LongType, tag = 2)
+    BucketedUpsert.applyBatch(
+      Seq((7L, 9000000000L, 2L)).toDF("k", "v", "ver"),
+      l, "k", "ver", nBuckets = 4, tag = 3)
+    BucketedUpsert.applyBatch(
+      (1L to 300L).map(k => (k, s"r-$k", 1L)).toDF("k", "s", "ver"),
+      r, "k", "ver", nBuckets = 4, tag = 1)
+    // join across one evolved side: the declared (long) schema reaches
+    // the bucketed scan; mixed-width files coexist under it
+    val joined = BucketedUpsert.bucketedJoin(spark, l, r, "k")
+      .select("k", "v", "s")
+    assert(joined.schema("v").dataType == LongType)
+    val m = joined.collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(m.size == 300 && m(7L) == 9000000000L && m(8L) == 8L)
+    assert(graft.plans.PlanInspect.shufflesOf(joined).isEmpty ||
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "evolved-schema join must stay exchange-free (modulo broadcast)")
+    // fragment resolve under an evolved schema
+    val f = tmp()
+    BucketedUpsert.appendFragment(
+      (1L to 100L).map(k => (k, k.toInt, 1L)).toDF("k", "v", "ver"),
+      f, "k", nBuckets = 2, tag = 1)
+    BucketedUpsert.widenColumn(spark, f, "v", LongType, tag = 2)
+    BucketedUpsert.appendFragment(
+      Seq((5L, 8000000000L, 2L)).toDF("k", "v", "ver"), f, "k", 2, tag = 3)
+    val res = BucketedUpsert.readResolved(spark, f, "k", "ver")
+    assert(res.schema("v").dataType == LongType)
+    assert(res.filter(col("k") === 5L).head().getLong(1) == 8000000000L)
+  }
+
   test("incremental MV stays exact across a widening") {
     val root = tmp(); val mv = root + "-mv"
     val b1 = (1 to 400).map(k => (k.toLong, k % 5, k, 1L))
