@@ -566,6 +566,26 @@ object BucketedUpsert {
     fragmented.size
   }
 
+  /** [[bucketedJoin]] over RESOLVED views — the join for tables in the
+    * fragment regime, where the raw manifest still holds superseded
+    * rows: each side resolves first (highest version per key), and
+    * because the resolve window PRESERVES the scan's
+    * HashPartitioning(key, n), the whole resolve-then-join pipeline
+    * still runs with ZERO Exchange on either side. */
+  def bucketedJoinResolved(spark: SparkSession, leftRoot: String,
+                           rightRoot: String, key: String,
+                           leftVersionCol: String, rightVersionCol: String,
+                           joinType: String = "inner"): DataFrame = {
+    val nL = bucketCount(spark, leftRoot)
+    val nR = bucketCount(spark, rightRoot)
+    require(nL == nR,
+      s"cannot co-bucket join: $leftRoot has $nL buckets, $rightRoot has " +
+        s"$nR — bucket counts must match (rebucket one side)")
+    readResolved(spark, leftRoot, key, leftVersionCol)
+      .join(readResolved(spark, rightRoot, key, rightVersionCol),
+        Seq(key), joinType)
+  }
+
   /** Threshold-gated [[mergeFragments]] — the AUTO-compaction policy a
     * maintenance job polls: compacts only when some bucket has
     * accumulated at least `maxFragments` fragments (merge-on-read cost

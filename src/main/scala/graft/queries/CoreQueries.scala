@@ -516,15 +516,14 @@ object CoreQueries extends QueryPack {
     // full-scan delete — pruning the rewrite set must be invisible to
     // the surviving rows.
     "s20_delete_where" -> ((s, d) => {
-      val base = java.nio.file.Files
+      // the z-ordered source tree is the SHARED read-only fixture
+      // (deletes publish into this gate's own out-dir, never the tree)
+      val src = Fixtures.zEvents(s, d)
+      val out = java.nio.file.Files
         .createTempDirectory("graft-del-q").toString
-      val ev = t(s, d, "events")
-        .withColumn("bucket", expr("ts div 3600000000000"))
-      graft.lake.ZOrder.writeZOrdered(ev, s"$base/data", 16, "user_id", "bucket")
-      graft.lake.FileStats.writeStats(s, s"$base/data", s"$base/stats", Seq("user_id"))
-      graft.lake.DeleteWhere.deleteRange(s, s"$base/stats",
-        "user_id", lit(100L), lit(120L), s"$base/v2")
-      graft.lake.DeleteWhere.read(s, s"$base/v2")
+      graft.lake.DeleteWhere.deleteRange(s, s"$src/stats",
+        "user_id", lit(100L), lit(120L), s"$out/v2")
+      graft.lake.DeleteWhere.read(s, s"$out/v2")
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     }),
@@ -624,18 +623,15 @@ object CoreQueries extends QueryPack {
     // exercises the union path too. Hash-green proves the scan-side
     // mask is indistinguishable from the full-scan delete.
     "s29_delete_vectors" -> ((s, d) => {
-      val base = java.nio.file.Files
+      val src = Fixtures.zEvents(s, d)
+      val out = java.nio.file.Files
         .createTempDirectory("graft-dv-q").toString
-      val ev = t(s, d, "events")
-        .withColumn("bucket", expr("ts div 3600000000000"))
-      graft.lake.ZOrder.writeZOrdered(ev, s"$base/data", 16, "user_id", "bucket")
-      graft.lake.FileStats.writeStats(s, s"$base/data", s"$base/stats", Seq("user_id"))
-      graft.lake.DeleteWhere.deleteVectors(s, s"$base/stats",
-        "user_id", lit(100L), lit(120L), s"$base/v2")
+      graft.lake.DeleteWhere.deleteVectors(s, s"$src/stats",
+        "user_id", lit(100L), lit(120L), s"$out/v2")
       graft.lake.DeleteWhere.deleteVectors(s,
-        graft.lake.DeleteWhere.statsDirOf(s"$base/v2"),
-        "user_id", lit(40L), lit(45L), s"$base/v3")
-      graft.lake.DeleteWhere.read(s, s"$base/v3")
+        graft.lake.DeleteWhere.statsDirOf(s"$out/v2"),
+        "user_id", lit(40L), lit(45L), s"$out/v3")
+      graft.lake.DeleteWhere.read(s, s"$out/v3")
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     }),

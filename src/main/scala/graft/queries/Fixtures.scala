@@ -64,6 +64,20 @@ object Fixtures {
     dstRoot
   }
 
+  /** Z-ordered events tree with a zone-map stats manifest — the shared
+    * READ-ONLY base of the delete gates: deleteRange/deleteVectors
+    * never write into their source tree (new versions land in each
+    * gate's own out-dir), so the build runs once. Returns the dir
+    * holding `data/` and `stats/`. */
+  def zEvents(s: SparkSession, d: String): String =
+    shared("zevents", d) { root =>
+      val ev = graft.Tables.t(s, d, "events")
+        .withColumn("bucket", expr("ts div 3600000000000"))
+      graft.lake.ZOrder.writeZOrdered(ev, s"$root/data", 16, "user_id", "bucket")
+      graft.lake.FileStats.writeStats(s, s"$root/data", s"$root/stats",
+        Seq("user_id"))
+    }
+
   /** BM25 index over `documents`, built from the base slice and
     * appended with the rest — exactly the t_bm25_indexed lifecycle,
     * final state = the full-corpus index (the index is

@@ -141,6 +141,33 @@ class FragmentSpec extends SparkSpec {
     assert(!touchedBucket.exists(_._2 > 2), s"manifest malformed: ${mf.toSeq}")
   }
 
+  test("joining two RESOLVED fragment tables stays exchange-free and version-exact") {
+    val base = tmp()
+    val l = s"$base/left"; val r = s"$base/right"
+    BucketedUpsert.appendFragment(
+      (1L to 500L).map(k => (k, s"old-$k", 1L)).toDF("k", "lv", "ver"),
+      l, "k", nBuckets = 4, tag = 1)
+    BucketedUpsert.appendFragment(
+      Seq((7L, "new-7", 2L)).toDF("k", "lv", "ver"), l, "k", 4, tag = 2)
+    BucketedUpsert.appendFragment(
+      (1L to 500L).map(k => (k, k * 2, 1L)).toDF("k", "rv", "ver"),
+      r, "k", nBuckets = 4, tag = 1)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = BucketedUpsert.bucketedJoinResolved(spark, l, r, "k",
+        "ver", "ver").select("k", "lv", "rv")
+      val rows = joined.collect().map(x => (x.getLong(0), x.getString(1))).toMap
+      // superseded fragment rows must NOT join (would duplicate keys)
+      assert(rows.size == 500 && rows(7L) == "new-7", s"resolve-join wrong: ${rows.size}")
+      assert(joined.count() == 500, "one row per key after resolve")
+      // the resolve window preserves the bucketed partitioning: the
+      // whole resolve-then-join pipeline adds no exchange
+      val sh = graft.plans.PlanInspect.shufflesOf(joined)
+      assert(sh.isEmpty, s"resolved join must stay exchange-free: ${sh.map(_.nodeName)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("mergeFragmentsIfNeeded fires only at the threshold and no-ops without a tag") {
     val base = tmp()
     for (t <- 1 to 3)
