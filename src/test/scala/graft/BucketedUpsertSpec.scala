@@ -82,6 +82,41 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(got.find(_._1 == 7L).get == ((7L, 2L, 999L)))
   }
 
+  test("streamingAppendBucketed: fragment sink converges to the upsert sink, exactly once across restarts") {
+    val src = tmp("frag-src"); val root = tmp("frag-t") + "/t"; val ckp = tmp("frag-ck")
+    val v1 = spark.range(0, 300)
+      .select(col("id").as("k"), lit(1L).as("version"), (col("id") * 10).as("v"))
+    val v2 = spark.range(100, 400)
+      .select(col("id").as("k"), lit(2L).as("version"), (col("id") * 100).as("v"))
+    graft.queries.writeOrderedBatches(src, Seq(v1, v2))
+    def stream() = spark.readStream.schema(v1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    EventStreams.streamingAppendBucketed(spark, stream(), "k", root, ckp, 8)
+    // the fragment sink's RESOLVED view equals the rewrite sink's table
+    val flat = tmp("frag-flat") + "/t"
+    EventStreams.streamingUpsert(spark, stream(), "k", "version", flat,
+      tmp("frag-ck2"))
+    assert(snap(BucketedUpsert.readResolved(spark, root, "k", "version")) ==
+      snap(Snapshot.read(spark, flat)),
+      "fragment and rewrite streaming sinks must converge")
+    // each batch landed as fragments: overlap keys hold BOTH versions raw
+    assert(BucketedUpsert.read(spark, root).count() == 600,
+      "raw fragment rows must be batch-cumulative")
+    // restart with one new file: exactly-once, fragments only grow by it
+    val v3 = spark.range(0, 10)
+      .select(col("id").as("k"), lit(3L).as("version"), lit(7L).as("v"))
+    Thread.sleep(1100)
+    v3.coalesce(1).write.mode("append").parquet(src)
+    EventStreams.streamingAppendBucketed(spark, stream(), "k", root, ckp, 8)
+    assert(BucketedUpsert.read(spark, root).count() == 610)
+    val got = snap(BucketedUpsert.readResolved(spark, root, "k", "version"))
+    assert(got.size == 400 && got.count(_._2 == 3L) == 10)
+    // replay with NO new data must be a clean no-op (ledger skip)
+    EventStreams.streamingAppendBucketed(spark, stream(), "k", root, ckp, 8)
+    assert(BucketedUpsert.read(spark, root).count() == 610,
+      "a no-data restart must not duplicate fragments")
+  }
+
   test("restart on the same checkpoint applies new files exactly once") {
     val src = tmp("bu2-src"); val root = tmp("bu2-table") + "/t"; val ckp = tmp("bu2-ckp")
     val f1 = spark.range(0, 50)
