@@ -179,8 +179,17 @@ object Routing {
     val merged = scala.collection.mutable.LinkedHashMap[String,
       (Option[expressions.Literal], Option[expressions.Literal])]()
     cs.foreach {
-      case EqIn(c, Seq(v: expressions.Literal)) =>
+      case EqIn(c, Seq(v)) =>
         merged(c) = (Some(v), Some(v))
+      case EqIn(c, vs) if vs.map(_.dataType).distinct.size == 1 =>
+        // an IN list prunes by its [min, max] ENVELOPE — a valid
+        // over-approximation (files outside it cannot hold any listed
+        // value); the exact membership re-applies post-scan
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(vs.head.dataType)
+          .asInstanceOf[Ordering[Any]]
+        val sortedVals = vs.sortBy(_.value)(ord)
+        merged(c) = (Some(sortedVals.head), Some(sortedVals.last))
       case Bound(c, lo, hi) =>
         val (l0, h0) = merged.getOrElse(c, (None, None))
         merged(c) = (lo.orElse(l0), hi.orElse(h0))

@@ -74,6 +74,14 @@ class RoutingSpec extends SparkSpec {
     val r4 = Routing.route(spark, root, upper(col("event_type")) === lit("X"))
     assert(r4.via == Seq("full-scan") &&
       r4.files.size == plain(root).inputFiles.length)
+    // an IN list on the zone-mapped column prunes by its [min,max]
+    // ENVELOPE (files outside it cannot hold any listed value)
+    val r5 = Routing.route(spark, root, col("user_id").isin(101L, 103L, 108L))
+    val manual5 = FileStats.prunedFiles(spark, s"$root/ix/stats",
+      "user_id", lit(101L), lit(108L))
+    assert(r5.files.toSet == manual5.toSet && r5.via.exists(_.startsWith("stats")),
+      s"IN-envelope route mismatch: ${r5.via}")
+    sameAs(root, col("user_id").isin(101L, 103L, 108L))
   }
 
   test("a date-typed predicate never routes through a string-hashed index") {
