@@ -55,7 +55,8 @@ object BucketedUpsert {
     * feed must not report a relocation as churn. Manifests written
     * before this column existed fall back to the path's tag. */
   private[lake] case class Entry(bucket: Int, path: String, nBuckets: Int,
-                                 dataTag: Long, keyCol: String)
+                                 dataTag: Long, keyCol: String,
+                                 sorted: Boolean)
 
   private[lake] def manifestEntries(spark: SparkSession, root: String): Seq[Entry] =
     Snapshot.resolve(spark, root) match {
@@ -75,13 +76,18 @@ object BucketedUpsert {
     val df = spark.read.parquet(dir)
     val hasTag = df.columns.contains("data_tag")
     val hasKey = df.columns.contains("key_col")
+    val hasSorted = df.columns.contains("sorted_by_key")
     val cols = Seq("bucket", "path", "n_buckets") ++
       (if (hasTag) Seq("data_tag") else Nil) ++
-      (if (hasKey) Seq("key_col") else Nil)
+      (if (hasKey) Seq("key_col") else Nil) ++
+      (if (hasSorted) Seq("sorted_by_key") else Nil)
     df.select(cols.head, cols.tail: _*).collect().map { r =>
-      val dt = if (hasTag) r.getLong(3) else entryTag(r.getString(1))
-      val kc = if (hasKey) r.getString(if (hasTag) 4 else 3) else ""
-      Entry(r.getInt(0), r.getString(1), r.getInt(2), dt, kc)
+      var i = 3
+      val dt = if (hasTag) { val v = r.getLong(i); i += 1; v }
+               else entryTag(r.getString(1))
+      val kc = if (hasKey) { val v = r.getString(i); i += 1; v } else ""
+      val so = if (hasSorted) r.getBoolean(i) else false
+      Entry(r.getInt(0), r.getString(1), r.getInt(2), dt, kc, so)
     }.toSeq
   }
 
@@ -89,8 +95,10 @@ object BucketedUpsert {
                              root: String, tag: Long, keep: Int): Unit = {
     import spark.implicits._
     Snapshot.publish(
-      entries.map(e => (e.bucket, e.path, e.nBuckets, e.dataTag, e.keyCol))
-        .toDF("bucket", "path", "n_buckets", "data_tag", "key_col").coalesce(1),
+      entries.map(e => (e.bucket, e.path, e.nBuckets, e.dataTag, e.keyCol,
+          e.sorted))
+        .toDF("bucket", "path", "n_buckets", "data_tag", "key_col",
+          "sorted_by_key").coalesce(1),
       root, tag, keep)
   }
 
@@ -440,10 +448,15 @@ object BucketedUpsert {
         resolved
           .withColumn("graft_bucket", bucketOf(col(key), nBuckets))
           .repartition(col("graft_bucket"))
+          // key-sorted within each bucket file: with every entry sorted
+          // (manifest flag), the bucketed scan also claims the sort
+          // order and co-bucketed joins elide their SortExec too
+          .sortWithinPartitions(col("graft_bucket"), col(key))
           .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
         stampBucketFiles(spark, dataDir)
         touched.toSeq.sorted.map(b =>
-          Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag, key))
+          Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag, key,
+            sorted = true))
       }
     val entries = prev.filterNot(e => touched(e.bucket)) ++ touchedEntries
     publishEntries(spark, entries, root, tag, keep)
@@ -483,6 +496,7 @@ object BucketedUpsert {
     batch
       .withColumn("graft_bucket", bucketOf(col(key), nBuckets))
       .repartition(col("graft_bucket"))
+      .sortWithinPartitions(col("graft_bucket"), col(key))
       .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
     stampBucketFiles(spark, dataDir)
     val dd = new Path(dataDir)
@@ -495,7 +509,7 @@ object BucketedUpsert {
     // empty FIRST batch creates nothing (same wedge guard as applyBatch)
     if (written.isEmpty && prev.isEmpty) return
     val entries = prev ++ written.map(b =>
-      Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag, key))
+      Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag, key, sorted = true))
     publishEntries(spark, entries, root, tag, keep)
     gcData(spark, root)
   }
@@ -555,10 +569,12 @@ object BucketedUpsert {
           .orderBy(desc(versionCol), desc("graft_frag_tag"))))
       .filter(col("graft_rn") === 1).drop("graft_rn", "graft_frag_tag")
       .withColumn("graft_bucket", bucketOf(col(key), n))
+      .sortWithinPartitions(col("graft_bucket"), col(key))
       .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
     stampBucketFiles(spark, dataDir)
     val merged = fragmented.map { case (b, frags) =>
-      Entry(b, s"$dataDir/graft_bucket=$b", n, frags.map(_.dataTag).max, key)
+      Entry(b, s"$dataDir/graft_bucket=$b", n, frags.map(_.dataTag).max, key,
+        sorted = true)
     }.toSeq
     val entries = prev.filterNot(e => fragmented.contains(e.bucket)) ++ merged
     publishEntries(spark, entries, root, tag, keep)
@@ -725,6 +741,7 @@ object BucketedUpsert {
         survivorsOf(base)
           .withColumn("graft_bucket", bucketOf(col(key), n))
           .repartition(col("graft_bucket"))
+          .sortWithinPartitions(col("graft_bucket"), col(key))
           .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
         stampBucketFiles(spark, dataDir)
         val dd = new Path(dataDir)
@@ -742,7 +759,8 @@ object BucketedUpsert {
         // distinct: a FRAGMENTED bucket has several prev entries — its
         // rewrite must publish exactly one
         prevTouched.map(_.bucket).distinct.sorted.filter(present)
-          .map(b => Entry(b, s"$dataDir/graft_bucket=$b", n, tag, key))
+          .map(b => Entry(b, s"$dataDir/graft_bucket=$b", n, tag, key,
+            sorted = true))
       }
     val entries = prev.filterNot(e => touched(e.bucket)) ++ touchedEntries
     publishEntries(spark, entries, root, tag, keep)
@@ -806,6 +824,15 @@ object BucketedUpsert {
     * names carry no bucket id — rewrite or compact first): a silently
     * mis-bucketed scan would DROP matches, the one failure a join may
     * never have.
+    *
+    * SORT claim: every writer lands bucket files KEY-SORTED and the
+    * manifest certifies it, so when all entries are sorted the scan
+    * also declares `sortColumns = key` — under
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (Spark's
+    * opt-in, because honoring file order forbids file splitting) a
+    * co-bucketed SMJ then needs neither Exchange NOR Sort. One legacy
+    * unsorted entry anywhere drops the claim (a false order would
+    * silently lose join matches).
     */
   def bucketedRead(spark: SparkSession, root: String, key: String): DataFrame = {
     val entries = manifestEntries(spark, root)
@@ -846,8 +873,14 @@ object BucketedUpsert {
             "stamps them) before bucketedRead")
       }
     }
+    // sort claim: only when EVERY entry was written key-sorted (a
+    // single legacy unsorted file would make SMJ read wrong order and
+    // silently drop matches). Spark itself additionally drops the
+    // ordering claim for buckets holding >1 file (fragments), so the
+    // flag only has to certify per-FILE sortedness.
+    val sortCols = if (entries.forall(_.sorted)) Seq(key) else Nil
     val rel = HadoopFsRelation(index, new StructType(), schema,
-      Some(BucketSpec(n, Seq(key), Nil)), new ParquetFileFormat,
+      Some(BucketSpec(n, Seq(key), sortCols)), new ParquetFileFormat,
       Map.empty[String, String])(spark)
     spark.baseRelationToDataFrame(rel)
   }

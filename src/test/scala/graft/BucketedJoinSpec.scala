@@ -126,6 +126,46 @@ class BucketedJoinSpec extends SparkSpec {
     assert(ex2.getMessage.contains("no bucket stamp"))
   }
 
+  test("single-file sorted buckets elide the join's SortExec too") {
+    val base = tmp()
+    val l = s"$base/left"; val r = s"$base/right"
+    BucketedUpsert.applyBatch(
+      (1L to 2000L).map(k => (k, s"l-$k", 1L)).toDF("k", "lv", "ver"),
+      l, "k", "ver", nBuckets = 8, tag = 1)
+    BucketedUpsert.applyBatch(
+      (1L to 2000L).map(k => (k, k * 3, 1L)).toDF("k", "rv", "ver"),
+      r, "k", "ver", nBuckets = 8, tag = 1)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // honoring per-bucket file order forbids file SPLITTING, so Spark
+    // gates the ordering claim behind this opt-in (the user's trade:
+    // sort-free SMJ vs intra-file scan parallelism)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val joined = BucketedUpsert.bucketedJoin(spark, l, r, "k")
+        .select("k", "lv", "rv")
+      val got = joined.collect().map(x => (x.getLong(0), x.getString(1))).toMap
+      assert(got.size == 2000 && got(42L) == "l-42")
+      // files are key-sorted and the manifest certifies it, so the
+      // scan claims the ordering and SMJ needs neither Exchange NOR Sort
+      def sorts(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+        p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            sorts(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            sorts(q.plan)
+          case s: org.apache.spark.sql.execution.SortExec => Seq(s.nodeName)
+        }.flatten
+      assert(graft.plans.PlanInspect.shuffles(
+        joined.queryExecution.executedPlan).isEmpty)
+      assert(sorts(joined.queryExecution.executedPlan).isEmpty,
+        "sorted single-file buckets must elide the SMJ sorts")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
+
   test("bucketedRead also elides the exchange under a groupBy on the key") {
     val base = tmp()
     val l = s"$base/t"
