@@ -59,9 +59,15 @@ object BucketedJoinBench {
     val (bktSec, bktSh, nB) = run(
       BucketedUpsert.bucketedJoin(spark, l, r, "k"))
     require(nN == nRows && nB == nRows, s"join cardinality wrong: $nN/$nB")
+    // third variant: the certified sort order honored too — SMJ with
+    // neither Exchange nor Sort (the opt-in trades file splitting away)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val (sortedSec, _, nS) = run(BucketedUpsert.bucketedJoin(spark, l, r, "k"))
+    spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    require(nS == nRows, s"sorted-join cardinality wrong: $nS")
 
     println(
-      f"""{"metric":"bucketed_join","rows_per_side":$nRows,"n_buckets":$nBuckets,"naive_sec":$naiveSec%.2f,"bucketed_sec":$bktSec%.2f,"naive_shuffle_mb":${naiveSh / 1e6}%.1f,"bucketed_shuffle_mb":${bktSh / 1e6}%.1f}""")
+      f"""{"metric":"bucketed_join","rows_per_side":$nRows,"n_buckets":$nBuckets,"naive_sec":$naiveSec%.2f,"bucketed_sec":$bktSec%.2f,"sorted_sec":$sortedSec%.2f,"naive_shuffle_mb":${naiveSh / 1e6}%.1f,"bucketed_shuffle_mb":${bktSh / 1e6}%.1f}""")
     spark.stop()
   }
 }
