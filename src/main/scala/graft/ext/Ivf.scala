@@ -374,11 +374,17 @@ object Ivf {
     // batch landed in a corpus that is no longer live and would be
     // silently absent from every future search
     val (_, corpAfter) = livePaths(spark, root)
-    if (corpAfter != corp)
+    if (corpAfter != corp) {
+      // recovery must use a FRESH tag: the new generation's ledger
+      // starts at the retrain tag (> this batch's tag), so replaying
+      // under the same tag would be rejected by requireTagAbove
+      val newGenTag = Snapshot.currentTag(spark, corpAfter)
       throw new IllegalStateException(
         s"concurrent retrain detected: appended batch (tag $tag) landed in " +
           s"retired generation $corp while $corpAfter went live — re-apply " +
-          "the batch to the new generation")
+          s"the batch to the new generation under a fresh tag above its " +
+          s"current one (${newGenTag.getOrElse("unknown")})")
+    }
   }
 
   /** STREAMING index maintenance: fold a checkpointed stream of

@@ -72,6 +72,7 @@ object BloomIndex {
       // through one executor; probes filter by word, so a multi-file
       // manifest costs readers nothing
       .write.mode("overwrite").parquet(bloomDir)
+    FileStats.writeTreeFp(spark, dataDir, bloomDir)
   }
 
   /** The words `values` hash to — the only manifest rows a probe reads. */

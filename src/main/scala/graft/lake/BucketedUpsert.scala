@@ -219,8 +219,28 @@ object BucketedUpsert {
         .select("schema_json", "dropped_json").head()
       (org.apache.spark.sql.types.DataType.fromJson(r.getString(0))
         .asInstanceOf[org.apache.spark.sql.types.StructType],
-        r.getString(1).split(",").filter(_.nonEmpty).toSet)
+        decodeDropped(r.getString(1)))
     }
+
+  // The dropped set round-trips as a JSON ARRAY (ADVICE r16): the old
+  // comma-joined form split a column name containing a comma into
+  // bogus entries, losing the real dropped name — a later batch
+  // carrying it would silently RESURRECT the dropped column. Legacy
+  // comma-joined sidecars (pre-JSON) still decode.
+  private def encodeDropped(dropped: Set[String]): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(dropped.toSeq.sorted))
+  }
+  private def decodeDropped(s: String): Set[String] =
+    if (s.startsWith("["))
+      org.json4s.jackson.JsonMethods.parse(s) match {
+        case org.json4s.JArray(xs) =>
+          xs.collect { case org.json4s.JString(v) => v }.toSet
+        case other => throw new IllegalStateException(
+          s"corrupt dropped_json sidecar value: $s ($other)")
+      }
+    else s.split(",").filter(_.nonEmpty).toSet
 
   private def publishSchema(spark: SparkSession, root: String,
                             schema: org.apache.spark.sql.types.StructType,
@@ -228,7 +248,7 @@ object BucketedUpsert {
                             keep: Int): Unit = {
     import spark.implicits._
     Snapshot.publish(
-      Seq((schema.json, dropped.toSeq.sorted.mkString(",")))
+      Seq((schema.json, encodeDropped(dropped)))
         .toDF("schema_json", "dropped_json").coalesce(1),
       schemaRoot(root), tag, keep)
   }
@@ -803,7 +823,15 @@ object BucketedUpsert {
               case -1 => name + f"_$b%05d"
               case i => name.substring(0, i) + f"_$b%05d" + name.substring(i)
             }
-            fs.rename(f0.getPath, new Path(d.getPath, stamped))
+            // a silently failed rename would leave an unstamped file in
+            // a published version, surfacing only later as a
+            // bucketedRead fail-fast for EVERY reader — fail the write
+            // here so the publish never lands (ADVICE r16)
+            val dst = new Path(d.getPath, stamped)
+            if (!fs.rename(f0.getPath, dst))
+              throw new java.io.IOException(
+                s"bucket-file stamp rename failed: ${f0.getPath} -> $dst — " +
+                  "aborting the write before its manifest publishes")
           }
         }
       }

@@ -30,6 +30,86 @@ object FileStats {
   private def minName(c: String) = s"min_$c"
   private def maxName(c: String) = s"max_$c"
 
+  /** Deterministic fingerprint of the data tree a manifest was built
+    * over: data-file count, total bytes, max modification time
+    * (side files with `_`/`.` prefixes excluded — the same set a
+    * parquet scan reads). Recorded as a `_tree_fp` sidecar beside
+    * every stats/Bloom manifest at build time so [[Routing]] can fail
+    * FAST on staleness: without it, files landed after the build are
+    * excluded both from routed reads and from the manifest-derived
+    * full-scan fallback — silently missing rows, the one failure the
+    * docs promise cannot happen. Cost at read time is one recursive
+    * listing, metadata-scale (and already paid by any un-indexed scan).
+    */
+  def treeFingerprint(spark: SparkSession, dataDir: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var n = 0L; var bytes = 0L; var maxM = 0L
+    if (fs.exists(hp)) {
+      val it = fs.listFiles(hp, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val nm = f.getPath.getName
+        if (!nm.startsWith("_") && !nm.startsWith(".")) {
+          n += 1; bytes += f.getLen
+          if (f.getModificationTime > maxM) maxM = f.getModificationTime
+        }
+      }
+    }
+    s"v1:$n:$bytes:$maxM"
+  }
+
+  private def fpPath(manifestDir: String) =
+    new org.apache.hadoop.fs.Path(manifestDir, "_tree_fp")
+
+  /** Record the CURRENT fingerprint of `dataDir` beside the manifest
+    * at `manifestDir`. Computed fresh (after the manifest lands), so a
+    * tree mutated DURING the build mismatches at read time — fail-safe
+    * in the racy direction. The `_` prefix keeps parquet readers of
+    * the manifest itself blind to the sidecar. */
+  private[lake] def writeTreeFp(spark: SparkSession, dataDir: String,
+                                manifestDir: String): Unit = {
+    val p = fpPath(manifestDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(treeFingerprint(spark, dataDir).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The fingerprint recorded at build time, if any. */
+  private[lake] def recordedTreeFp(spark: SparkSession,
+                                   manifestDir: String): Option[String] = {
+    val p = fpPath(manifestDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  /** Fail-fast freshness gate (ADVICE r16, medium): the manifest at
+    * `manifestDir` must carry a fingerprint matching the CURRENT state
+    * of `dataDir`. Mirrors [[SecondaryIndex]]'s table-vs-index tag
+    * parity — a stale index yields a LOUD failure naming the fix, not
+    * silently missing rows. Manifests predating the fingerprint (no
+    * sidecar) also fail: their freshness is unknowable. */
+  def requireFresh(spark: SparkSession, dataDir: String,
+                   manifestDir: String): Unit = {
+    val rec = recordedTreeFp(spark, manifestDir).getOrElse(
+      throw new IllegalStateException(
+        s"manifest at $manifestDir carries no tree fingerprint — " +
+          s"rebuild it (Routing.indexStats / indexBloom) over $dataDir"))
+    val cur = treeFingerprint(spark, dataDir)
+    if (rec != cur) throw new IllegalStateException(
+      s"manifest at $manifestDir is STALE: built over tree state $rec, " +
+        s"data tree at $dataDir is now $cur — rebuild the index before " +
+        "routing reads through it (a stale manifest would silently " +
+        "exclude files added after the build)")
+  }
+
   /** Scan the parquet tree at `dataDir` once and write a stats manifest
     * `(path, n_rows, min_<c>, max_<c>…)` for `cols` to `statsDir`. Min
     * and max keep each column's native type, so pruning compares in the
@@ -45,6 +125,7 @@ object FileStats {
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1) // manifest is file-count-sized
       .write.mode("overwrite").parquet(statsDir)
+    writeTreeFp(spark, dataDir, statsDir)
   }
 
   /** The manifest paths whose [min,max] on `column` intersects

@@ -170,6 +170,12 @@ object Routing {
       s"$root is a bucketed table — readWhere routes it via its secondary index")
     val cs = conjunctsOf(spark.read.parquet(dataDir(root)), pred)
     val haveStats = exists(spark, statsDir(root))
+    // Freshness gate (ADVICE r16): a manifest consulted below — or used
+    // as the full-scan fallback's file list — must have been built over
+    // the CURRENT data tree; otherwise fail loudly here instead of
+    // silently dropping files added after the build. Mirrors
+    // SecondaryIndex.lookup's tag-parity check.
+    if (haveStats) FileStats.requireFresh(spark, dataDir(root), statsDir(root))
     var via = Seq.empty[String]
 
     // zone maps: every eq (as a [v,v] range) and every CLOSED range.
@@ -209,10 +215,12 @@ object Routing {
       intersect(FileStats.prunedFilesAnd(spark, statsDir(root), bounds),
         s"stats[${bounds.map(_._1).mkString(",")}]")
 
-    // Bloom: every eq/IN conjunct whose column has a filter
+    // Bloom: every eq/IN conjunct whose column has a filter (each
+    // consulted manifest passes the same freshness gate as stats)
     cs.foreach {
       case EqIn(c, vs) if exists(spark, bloomDir(root, c)) &&
           vs.forall(v => stringStable(v.dataType)) =>
+        FileStats.requireFresh(spark, dataDir(root), bloomDir(root, c))
         intersect(BloomIndex.survivors(spark, bloomDir(root, c),
           vs.map(_.value.toString)), s"bloom[$c]")
       case _ => ()

@@ -328,12 +328,30 @@ object EventStreams {
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes when no event arrives for `gapMillis` (event-time timeout).
     * Emits closed sessions only.
+    *
+    * PRECONDITION (enforced): `watermarkDelayMillis <= gapMillis`.
+    * Only the single open session survives in state, so the finality
+    * rule below ("everything but the latest merged session is final")
+    * holds exactly when no in-watermark event can arrive BELOW an
+    * already-emitted session without being within gap of the open one
+    * — true iff the watermark delay does not exceed the gap. With
+    * delay > gap, a late event landing in a later micro-batch before
+    * an emitted session would re-emit it as a duplicate fragment
+    * (ADVICE r16); callers needing a laxer watermark must keep
+    * recently-closed sessions in state instead, which this
+    * implementation deliberately does not pay for.
     */
   def sessionize(spark: SparkSession, events: Dataset[Event],
-                 gapMillis: Long = 30 * 60 * 1000L): Dataset[Session] = {
+                 gapMillis: Long = 30 * 60 * 1000L,
+                 watermarkDelayMillis: Long = 10 * 60 * 1000L): Dataset[Session] = {
     import spark.implicits._
+    require(watermarkDelayMillis <= gapMillis,
+      s"watermark delay ($watermarkDelayMillis ms) must not exceed the " +
+        s"session gap ($gapMillis ms): an in-watermark event older than " +
+        "the gap could attach below an already-emitted session, which " +
+        "single-open-session state would re-emit as a duplicate fragment")
     events
-      .withWatermark("event_time", "10 minutes")
+      .withWatermark("event_time", s"$watermarkDelayMillis milliseconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         org.apache.spark.sql.streaming.OutputMode.Append(),
@@ -353,9 +371,10 @@ object EventStreams {
             // per-event fold closed each pre-session late event as its
             // own singleton, splitting one true session into fragments
             // whenever gapMillis < the watermark delay. Every merged
-            // session except the latest is final (nothing still in
+            // session except the latest is final — GIVEN the enforced
+            // watermark-delay <= gap precondition, nothing still in
             // flight can attach below the latest session's start
-            // without being within gap of it); the latest stays open.
+            // without being within gap of it; the latest stays open.
             val protos = scala.collection.mutable.ArrayBuffer[SessionState]()
             state.getOption.foreach(protos += _)
             rows.foreach { e =>

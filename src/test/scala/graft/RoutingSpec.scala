@@ -103,6 +103,38 @@ class RoutingSpec extends SparkSpec {
     assert(got == want && want > 0, s"date transparency broke: $got vs $want")
   }
 
+  test("a stale manifest fails fast instead of silently missing rows") {
+    import spark.implicits._
+    val root = buildTree()
+    // land a new file AFTER the index build — rows the stale manifests
+    // don't know about and would silently exclude (even from the
+    // manifest-derived full-scan fallback)
+    Seq((999999L, 42L, "click", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$root/data")
+    val ex = intercept[IllegalStateException](
+      Routing.route(spark, root, col("user_id").between(100L, 140L)))
+    assert(ex.getMessage.contains("STALE"), ex.getMessage)
+    val ex2 = intercept[IllegalStateException](
+      Routing.readWhere(spark, root,
+        upper(col("event_type")) === lit("X")).count())
+    assert(ex2.getMessage.contains("STALE"), ex2.getMessage)
+    // rebuilding the indexes restores routing — and the new row routes
+    Routing.indexStats(spark, root, Seq("user_id"))
+    Routing.indexBloom(spark, root, "event_id")
+    sameAs(root, col("user_id").between(100L, 140L))
+    assert(Routing.readWhere(spark, root,
+      col("event_id") === lit(999999L)).count() == 1L)
+    // a manifest with no fingerprint (predating the sidecar) is
+    // unknowable-freshness — loud too, naming the rebuild
+    val fp = new org.apache.hadoop.fs.Path(s"$root/ix/stats/_tree_fp")
+    fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(fp, false)
+    val ex3 = intercept[IllegalStateException](
+      Routing.route(spark, root, col("user_id").between(100L, 140L)))
+    assert(ex3.getMessage.contains("no tree fingerprint"), ex3.getMessage)
+  }
+
   test("bucketed tables route equality through the secondary index") {
     import spark.implicits._
     val root = tmp()

@@ -77,6 +77,22 @@ class SchemaEvolveSpec extends SparkSpec {
     assert(BucketedUpsert.read(spark, root).columns.contains("extra"))
   }
 
+  test("sticky drop survives a comma-containing column name (JSON round-trip)") {
+    val root = tmp()
+    // the old comma-joined dropped-set encoding split this name into
+    // bogus entries, losing it — a later batch carrying the column
+    // would silently resurrect it (ADVICE r16)
+    val b1 = (1 to 50).map(k => (k.toLong, s"x-$k", 1L)).toDF("k", "a,b", "ver")
+    BucketedUpsert.applyBatch(b1, root, "k", "ver", nBuckets = 4, tag = 1)
+    BucketedUpsert.dropColumn(spark, root, "a,b", tag = 2)
+    assert(!BucketedUpsert.read(spark, root).columns.contains("a,b"))
+    val b2 = Seq((7L, "resurrected", 2L)).toDF("k", "a,b", "ver")
+    BucketedUpsert.applyBatch(b2, root, "k", "ver", nBuckets = 4, tag = 3)
+    val cols = BucketedUpsert.read(spark, root).columns.toSet
+    assert(!cols.contains("a,b"),
+      s"comma-named sticky drop violated (dropped-set round-trip lost the name): $cols")
+  }
+
   test("secondary index survives widening (string form stable); drop of the indexed column fails loudly") {
     val root = tmp(); val ix = root + "-ix"
     val b1 = (1 to 500).map(k => (k.toLong, k * 3, s"name-$k", 1L))

@@ -68,6 +68,20 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionize rejects a watermark delay exceeding the gap (finality precondition)") {
+    // with delay > gap, an in-watermark event landing in a later
+    // micro-batch below an already-emitted session would re-emit a
+    // duplicate fragment — the single-open-session state cannot merge
+    // it; the constructor enforces the precondition loudly
+    val input = MemoryStream[Event](spark, 97)
+    val ex = intercept[IllegalArgumentException](
+      EventStreams.sessionize(spark, input.toDS(),
+        gapMillis = 5 * 60 * 1000L,
+        watermarkDelayMillis = 10 * 60 * 1000L))
+    assert(ex.getMessage.contains("must not exceed the session gap"),
+      ex.getMessage)
+  }
+
   test("sessionize merges a late in-watermark event and extends the session START") {
     val input = MemoryStream[Event](spark, 13)
     val sessions = EventStreams.sessionize(spark, input.toDS(),
@@ -98,35 +112,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
-  test("sessionize gap-merges pre-session late events instead of closing singletons") {
-    // gapMillis BELOW the 10-minute watermark delay: two late events can
-    // land more than a gap before the restored session's start yet within
-    // a gap of each other. The per-event fold used to close each as its
-    // own single-event session; they must merge into ONE closed session.
+  test("sessionize gap-merges an out-of-order batch into multiple sessions, not singletons") {
+    // one micro-batch delivering a user's events OUT OF ORDER and
+    // spanning more than one session: the sorted-timeline merge must
+    // fold them into exactly two sessions (the per-event fold used to
+    // close pre-gap events as their own singletons). Legal under the
+    // delay<=gap precondition: nothing here is late — the disorder is
+    // WITHIN the batch.
     val input = MemoryStream[Event](spark, 14)
     val sessions = EventStreams.sessionize(spark, input.toDS(),
-      gapMillis = 4 * 60 * 1000L)
+      gapMillis = 4 * 60 * 1000L, watermarkDelayMillis = 4 * 60 * 1000L)
     val query = sessions.writeStream.format("memory").queryName("sess_gapm")
       .outputMode("append").start()
     try {
-      // state: session start=end=60 for user 1 (watermark → 50)
-      input.addData(Event(1L, ts(60), 1.0))
+      // delivered newest-first: 60, then 52, 53 (7 and 8 min before —
+      // beyond the 4-min gap, so a separate earlier session)
+      input.addData(Event(1L, ts(60), 1.0), Event(1L, ts(52), 2.0),
+        Event(1L, ts(53), 3.0))
       query.processAllAvailable()
-      // LATE events at 52 and 53: in-watermark (≥ 50), both > gap before
-      // the session start (60 − 53 = 7 > 4), within gap of each other.
-      input.addData(Event(1L, ts(52), 2.0), Event(1L, ts(53), 3.0))
-      query.processAllAvailable()
-      // close the main session
+      // close the main session by advancing the watermark via user 2
       input.addData(Event(2L, ts(600), 1.0))
       query.processAllAvailable()
       input.addData(Event(2L, ts(1200), 1.0))
       query.processAllAvailable()
       val u1 = spark.table("sess_gapm").as[Session].collect()
         .filter(_.user_id == 1L).sortBy(_.start.getTime)
-      assert(u1.length == 2, s"two sessions expected (merged-late + main): ${u1.toSeq}")
+      assert(u1.length == 2, s"two sessions expected (merged-early + main): ${u1.toSeq}")
       assert(u1(0).start == ts(52) && u1(0).end == ts(53) &&
         u1(0).n_events == 2 && u1(0).sum_value == 5.0,
-        s"late events must gap-merge into one session: ${u1(0)}")
+        s"out-of-order events must gap-merge into one session: ${u1(0)}")
       assert(u1(1).start == ts(60) && u1(1).n_events == 1, s"main session: ${u1(1)}")
     } finally query.stop()
   }
