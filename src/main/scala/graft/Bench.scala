@@ -145,6 +145,30 @@ object Bench {
         finally graft.operators.SeqIds.releaseAll()
       }
 
+    // Fixture pre-pass (VERDICT r16 #1a): the shared per-JVM lifecycle
+    // fixtures build ONCE per (kind, sfDir); without this pass the
+    // build cost lands in whichever consuming gate runs first
+    // alphabetically — r16's artifact charged the bm25 build to
+    // t_bm25_delete, reading as a 3.4× regression of unchanged
+    // operator code. Build every kind a selected query consumes
+    // OUTSIDE the timed windows and report the cost in its own
+    // "fixture_build_s" field, so per-gate numbers mean what they say.
+    // Runs in cold mode too: the fixture is a shared artifact, not a
+    // per-query cost, in either measurement mode.
+    val selNames = selected.map(_._1).toSet
+    val fxT0 = System.nanoTime()
+    graft.queries.Fixtures.prebuilders.toSeq.sortBy(_._1).foreach {
+      case (kind, (users, build)) if users.exists(selNames) =>
+        try build(spark, sfDir)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // the consuming gate retries the build and fails loudly there
+            System.err.println(s"fixture pre-build failed for $kind: ${e.getMessage}")
+        }
+      case _ => ()
+    }
+    val fixtureSec = (System.nanoTime() - fxT0) / 1e9
+
     // SPARK_GRAFT_PASSES=N runs each query N times (fresh plan + caches
     // per pass — SeqIds.releaseAll between). Pass 1 is the cold number
     // reported in `queries` (driver-compatible); the last pass lands in
@@ -195,8 +219,9 @@ object Bench {
           .mkString(""""warm":{""", ",", "}")
       else ""
     val mode = if (warmupOn) "steady" else "cold"
+    val fxField = f""","fixture_build_s":$fixtureSec%.3f"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$warmField,"n_ok":${timings.size},"n_err":${errors.size},"warmup":"$mode","sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es$warmField$fxField,"n_ok":${timings.size},"n_err":${errors.size},"warmup":"$mode","sf":"${esc(sfDir)}"}"""
     println(fullLine)
 
     // The driver's bench artifact keeps only a ~2000-char TAIL of this
@@ -231,7 +256,7 @@ object Bench {
     def compactLine(topN: Int): String = {
       val top = slowest.take(topN).sortBy(_._1)
         .map { case (k, v) => f""""${esc(k)}":$v%.2f""" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","families":$fams,"queries":$top,"queries_shown":${math.min(topN, slowest.size)},"n_ok":${timings.size},"n_err":${errors.size},"warmup":"$mode","sf":"${esc(sfDir)}","detail":"BENCH_DETAIL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","families":$fams,"queries":$top,"queries_shown":${math.min(topN, slowest.size)}$fxField,"n_ok":${timings.size},"n_err":${errors.size},"warmup":"$mode","sf":"${esc(sfDir)}","detail":"BENCH_DETAIL.json"}"""
     }
     // sbt appends "[success] Total time: ..." (~75 chars) after us;
     // keep the whole compact line within ~1800 of the 2000-char tail.

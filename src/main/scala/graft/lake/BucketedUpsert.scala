@@ -919,18 +919,31 @@ object BucketedUpsert {
     * `Exchange` on either side (the sort-merge sorts stay, exchange-
     * free). At 100 TB × 2 this removes the entire 2-sided fact shuffle
     * — the single largest cost of the naive join — leaving IO + sort.
-    * Fail-fasts on mismatched bucket counts (co-location would be a
-    * lie; rebucket one side first).
+    * MISMATCHED bucket counts degrade gracefully instead of
+    * fail-fasting (VERDICT r16 #2): the side with FEWER buckets (bucket
+    * counts are sized to the data at table creation, so fewer buckets ≈
+    * smaller table) is shuffled ONCE into the larger side's bucketing —
+    * `repartition(nBig, key)` is the same murmur3 `HashPartitioning`
+    * the bucketed scan reports, so EnsureRequirements sees both sides
+    * co-partitioned and inserts NO further exchange. Exactly ONE side
+    * carries an Exchange (the smaller one), the larger fact side stays
+    * zero-shuffle — vs the caller-level fallback that shuffled BOTH.
+    * (RebucketJoinSpec pins the one-exchange plan and which side moved;
+    * the `j16_rebucket_join` gate hash-checks results.)
     */
   def bucketedJoin(spark: SparkSession, leftRoot: String, rightRoot: String,
                    key: String, joinType: String = "inner"): DataFrame = {
     val nL = bucketCount(spark, leftRoot)
     val nR = bucketCount(spark, rightRoot)
-    require(nL == nR,
-      s"cannot co-bucket join: $leftRoot has $nL buckets, $rightRoot has " +
-        s"$nR — bucket counts must match (rebucket one side)")
-    bucketedRead(spark, leftRoot, key)
-      .join(bucketedRead(spark, rightRoot, key), Seq(key), joinType)
+    val l0 = bucketedRead(spark, leftRoot, key)
+    val r0 = bucketedRead(spark, rightRoot, key)
+    val (l, r) =
+      if (nL == nR) (l0, r0)
+      else if (nL > nR)
+        (l0, r0.repartition(nL, org.apache.spark.sql.functions.col(key)))
+      else
+        (l0.repartition(nR, org.apache.spark.sql.functions.col(key)), r0)
+    l.join(r, Seq(key), joinType)
   }
 
   /** Delete `data/v*` version dirs referenced by NO retained manifest.

@@ -82,6 +82,42 @@ object DeleteWhere {
     if (fs.exists(p)) Some(spark.read.parquet(dir)) else None
   }
 
+  /** Rows above which the DV mask is NOT broadcast (VERDICT r16 #3):
+    * the anti-mask join is broadcast while the sidecar is takedown-
+    * sized (the designed regime — zero shuffle over the table), but an
+    * unbounded broadcast of a DV that has grown to table scale would
+    * OOM the driver and every executor. Beyond the bound the mask
+    * joins as a SHUFFLE anti-join: slower (the table shuffles on
+    * (path, row_idx)) but memory-safe at any DV size. A DV near this
+    * bound is the signal to run [[compactVersion]], which folds the
+    * vectors physically and returns reads to the fast regime.
+    * Override per session with `graft.dv.maxBroadcastRows`. */
+  private[lake] def maxBroadcastDvRows(spark: SparkSession): Long =
+    spark.conf.getOption("graft.dv.maxBroadcastRows")
+      .map(_.toLong).getOrElse(4L * 1000 * 1000)
+
+  /** `base` with the sidecar `dv` applied as the (file, row_index)
+    * anti-mask — broadcast in the normal regime, shuffle anti-join
+    * beyond [[maxBroadcastDvRows]] (see there for the policy). */
+  private def applyDvMask(spark: SparkSession, base: DataFrame,
+                          dv: DataFrame): DataFrame = {
+    val mask0 = dv.select(col("path").as("_gf_dv_path"),
+      col("row_idx").as("_gf_dv_idx"))
+    // sidecar-sized count (parquet footers only) — cheap next to the
+    // masked scan, and it keeps the regime decision at the data, not
+    // at a stale estimate
+    val mask =
+      if (dv.count() <= maxBroadcastDvRows(spark)) broadcast(mask0)
+      else mask0
+    base.select(col("*"),
+        normPathCol(col("_metadata.file_path")).as("_gf_path"),
+        col("_metadata.row_index").as("_gf_idx"))
+      .join(mask,
+        col("_gf_path") === col("_gf_dv_path") &&
+          col("_gf_idx") === col("_gf_dv_idx"), "left_anti")
+      .drop("_gf_path", "_gf_idx")
+  }
+
   /** Delete every row with `column` in [lo, hi] from the version
     * described by the stats manifest at `statsDir` (built by
     * [[FileStats.writeStats]] over the initial tree, or maintained by a
@@ -116,16 +152,7 @@ object DeleteWhere {
       val hitBase = spark.read.parquet(touched.toSeq: _*)
       val hit = priorDv match {
         case None => hitBase
-        case Some(dv) =>
-          val mask = dv.select(col("path").as("_gf_dv_path"),
-            col("row_idx").as("_gf_dv_idx"))
-          hitBase.select(col("*"),
-              normPathCol(col("_metadata.file_path")).as("_gf_path"),
-              col("_metadata.row_index").as("_gf_idx"))
-            .join(broadcast(mask),
-              col("_gf_path") === col("_gf_dv_path") &&
-                col("_gf_idx") === col("_gf_dv_idx"), "left_anti")
-            .drop("_gf_path", "_gf_idx")
+        case Some(dv) => applyDvMask(spark, hitBase, dv)
       }
       val c = col(column)
       // survivors: NULL keys can never match a range delete — keep them
@@ -199,6 +226,13 @@ object DeleteWhere {
     *
     * Same crash protocol as [[deleteRange]]: dv and stats land first,
     * the manifest LAST, so no half-version is ever readable.
+    *
+    * REGIME BOUND: reads apply the sidecar as a broadcast anti-mask
+    * only while it stays under [[maxBroadcastDvRows]]; past that they
+    * degrade to a memory-safe shuffle anti-join. Accumulating vectors
+    * toward the bound is the operational signal to [[compactVersion]]
+    * (fold physically, restore the broadcast regime) — deleteVectors
+    * itself never blocks on it, so a takedown always lands.
     */
   def deleteVectors(spark: SparkSession, statsDir: String, column: String,
                     lo: Column, hi: Column, outDir: String): DeleteStats = {
@@ -289,7 +323,10 @@ object DeleteWhere {
     * files + any rewritten dir), opened as one frame, with the
     * version's deletion vectors — if any — applied as a scan-side
     * anti-mask on (file, row_index). The sidecar is delete-set-sized
-    * and broadcast, so the mask adds no shuffle over the table. */
+    * and broadcast, so the mask adds no shuffle over the table — up to
+    * [[maxBroadcastDvRows]]; beyond it the mask degrades to a
+    * memory-safe shuffle anti-join (run [[compactVersion]] to fold the
+    * vectors and restore the broadcast regime). */
   def read(spark: SparkSession, outDir: String): DataFrame = {
     val paths = spark.read.parquet(manifestDir(outDir))
       .select("path").collect().map(_.getString(0)).toSeq
@@ -297,16 +334,7 @@ object DeleteWhere {
     val base = spark.read.parquet(paths: _*)
     dvReadIfExists(spark, dvDirOf(outDir)) match {
       case None => base
-      case Some(dv) =>
-        val mask = dv.select(col("path").as("_gf_dv_path"),
-          col("row_idx").as("_gf_dv_idx"))
-        base.select(col("*"),
-            normPathCol(col("_metadata.file_path")).as("_gf_path"),
-            col("_metadata.row_index").as("_gf_idx"))
-          .join(broadcast(mask),
-            col("_gf_path") === col("_gf_dv_path") &&
-              col("_gf_idx") === col("_gf_dv_idx"), "left_anti")
-          .drop("_gf_path", "_gf_idx")
+      case Some(dv) => applyDvMask(spark, base, dv)
     }
   }
 }

@@ -64,6 +64,22 @@ object Fixtures {
     dstRoot
   }
 
+  /** Bench/Verify pre-pass registry: fixture kind → (gate names that
+    * consume it, builder). [[graft.Bench]] builds each kind a selected
+    * query consumes OUTSIDE every timed window and reports the cost as
+    * its own `fixture_build_s` field — otherwise the one-per-JVM build
+    * lands in whichever consuming gate runs first alphabetically and
+    * reads as a regression of unchanged operator code (the r16
+    * artifact charged the bm25 build to `t_bm25_delete`). Keep in sync
+    * when adding a fixture consumer. */
+  val prebuilders: Map[String, (Set[String], (SparkSession, String) => String)] =
+    Map(
+      "zevents" -> ((Set("s20_delete_where", "s29_delete_vectors"),
+        zEvents _)),
+      "bm25" -> ((Set("t_bm25_indexed", "t_bm25_delete"), bm25 _)),
+      "ivf" -> ((Set("ann_ivf_persist", "ann_ivf_retrain",
+        "ann_ivf_delete"), ivf _)))
+
   /** Z-ordered events tree with a zone-map stats manifest — the shared
     * READ-ONLY base of the delete gates: deleteRange/deleteVectors
     * never write into their source tree (new versions land in each

@@ -128,6 +128,31 @@ object JoinQueries extends QueryPack {
         .orderBy("custkey")
     }),
 
+    // J16: MISMATCHED-bucket-count join — the graceful degradation of
+    // j15: the dim side was bucketed at 8, the fact side at 16, so
+    // co-location cannot hold as-stored. bucketedJoin shuffles ONLY
+    // the smaller (8-bucket) side into the larger side's murmur3
+    // bucketing — one exchange, the 16-bucket side stays zero-shuffle
+    // (BucketedJoinSpec pins the one-exchange plan and which side
+    // moved). Same oracle as a plain join: the rebucket is invisible
+    // in results.
+    "j16_rebucket_join" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-rbjoin-q").toString
+      val l = s"$base/profile"; val r = s"$base/stats"
+      graft.lake.BucketedUpsert.applyBatch(
+        t(s, d, "customer").select(col("c_custkey").as("custkey"),
+          col("c_name"), col("c_mktsegment"), lit(1L).as("ver")),
+        l, "custkey", "ver", nBuckets = 8, tag = 1)
+      graft.lake.BucketedUpsert.applyBatch(
+        t(s, d, "orders").groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("n_orders")).withColumn("ver", lit(1L)),
+        r, "custkey", "ver", nBuckets = 16, tag = 1)
+      graft.lake.BucketedUpsert.bucketedJoin(s, l, r, "custkey")
+        .select("custkey", "c_name", "c_mktsegment", "n_orders")
+        .orderBy("custkey")
+    }),
+
     // J9: RANGE join — pairs of events of the same user within 5
     // minutes. The scale-safe Spark shape is interval bucketing: each
     // left row equi-joins on (user, bucket) against right rows
@@ -285,6 +310,13 @@ object JoinQueries extends QueryPack {
     "j3_anti_join" ->
       "SELECT o_orderkey, o_custkey FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey) ORDER BY o_orderkey",
     "j15_bucketed_join" ->
+      """SELECT c_custkey AS custkey, c_name, c_mktsegment, n_orders
+         FROM customer JOIN (SELECT o_custkey, count(*) AS n_orders
+                             FROM orders GROUP BY o_custkey) o
+           ON c_custkey = o.o_custkey
+         ORDER BY custkey""",
+    // the rebucket is invisible in results — same plain-join oracle
+    "j16_rebucket_join" ->
       """SELECT c_custkey AS custkey, c_name, c_mktsegment, n_orders
          FROM customer JOIN (SELECT o_custkey, count(*) AS n_orders
                              FROM orders GROUP BY o_custkey) o

@@ -95,18 +95,36 @@ class BucketedJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("mismatched bucket counts fail fast; unstamped legacy files fail fast") {
+  test("mismatched bucket counts rebucket ONLY the smaller side (one exchange); unstamped legacy files fail fast") {
     val base = tmp()
     val l = s"$base/left"; val r = s"$base/right"
     BucketedUpsert.applyBatch(
-      (1L to 100L).map(k => (k, 1L)).toDF("k", "ver"), l, "k", "ver",
-      nBuckets = 4, tag = 1)
+      (1L to 100L).map(k => (k, s"l-$k", 1L)).toDF("k", "lv", "ver"),
+      l, "k", "ver", nBuckets = 4, tag = 1)
     BucketedUpsert.applyBatch(
-      (1L to 100L).map(k => (k, 1L)).toDF("k", "ver"), r, "k", "ver",
-      nBuckets = 8, tag = 1)
-    val ex = intercept[IllegalArgumentException](
-      BucketedUpsert.bucketedJoin(spark, l, r, "k"))
-    assert(ex.getMessage.contains("bucket counts must match"))
+      (2L to 200L).map(k => (k, k * 7, 1L)).toDF("k", "rv", "ver"),
+      r, "k", "ver", nBuckets = 8, tag = 1)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = BucketedUpsert.bucketedJoin(spark, l, r, "k")
+        .select("k", "lv", "rv")
+      val got = joined.collect().map(x => (x.getLong(0),
+        (x.getString(1), x.getLong(2)))).toMap
+      assert(got.size == 99 && got(42L) == (("l-42", 294L)),
+        s"rebucket join wrong: ${got.size}")
+      // exactly ONE exchange, and it moves the SMALLER (4-bucket) side
+      // into the larger side's bucketing — the 8-bucket side stays
+      // zero-shuffle (the caller-level fallback shuffled BOTH sides)
+      val sh = graft.plans.PlanInspect.shuffles(
+        joined.queryExecution.executedPlan)
+      assert(sh.size == 1, s"expected exactly one exchange, got ${sh.size}")
+      val shuffledRoots = graft.plans.PlanInspect.fileScans(sh.head)
+        .flatMap(_.relation.location.rootPaths.map(_.toString))
+      assert(shuffledRoots.nonEmpty && shuffledRoots.forall(_.contains("/left/")),
+        s"the exchange must carry only the smaller side's scan: $shuffledRoots")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
     // strip the stamps from one file → bucketedRead must refuse, not
     // silently mis-bucket
     val dir = new java.io.File(l)

@@ -120,6 +120,43 @@ class DeleteWhereSpec extends SparkSpec {
     assert(res.rowsDeleted == ev.count() - want.length)
   }
 
+  test("an over-bound DV degrades to a shuffle anti-join with identical results") {
+    val base = tmp()
+    val ev = graft.Tables.t(spark, sf("sf0.01"), "events")
+      .withColumn("bucket", expr("ts div 3600000000000"))
+    ZOrder.writeZOrdered(ev, s"$base/data", 16, "user_id", "bucket")
+    FileStats.writeStats(spark, s"$base/data", s"$base/stats", Seq("user_id"))
+    DeleteWhere.deleteVectors(spark, s"$base/stats",
+      "user_id", lit(80L), lit(110L), s"$base/v2")
+
+    val want = spark.read.parquet(s"$base/data")
+      .filter(!col("user_id").between(80L, 110L))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    // normal regime: broadcast mask, ZERO shuffle over the table
+    val fast = DeleteWhere.read(spark, s"$base/v2").select("event_id")
+    assert(fast.collect().map(_.getLong(0)).sorted.sameElements(want))
+    assert(graft.plans.PlanInspect.shuffles(
+      fast.queryExecution.executedPlan).isEmpty,
+      "the in-bound DV mask must broadcast (no table shuffle)")
+    // force the over-bound regime: mask must NOT broadcast (an
+    // unbounded broadcast of a table-scale DV would OOM the driver);
+    // the shuffle anti-join is slower but memory-safe and IDENTICAL
+    spark.conf.set("graft.dv.maxBroadcastRows", "1")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // AQE must not re-broadcast
+    try {
+      val safe = DeleteWhere.read(spark, s"$base/v2").select("event_id")
+      assert(safe.collect().map(_.getLong(0)).sorted.sameElements(want),
+        "the shuffle-regime mask must equal the broadcast-regime result")
+      assert(graft.plans.PlanInspect.shuffles(
+        safe.queryExecution.executedPlan).nonEmpty,
+        "over-bound DV must take the shuffle anti-join, not broadcast")
+    } finally {
+      spark.conf.unset("graft.dv.maxBroadcastRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
+  }
+
   test("DV deletes chain, and a later rewrite FOLDS touched files' vectors") {
     val base = tmp()
     val ev = graft.Tables.t(spark, sf("sf0.01"), "events")
