@@ -56,7 +56,7 @@ object BucketedUpsert {
     * before this column existed fall back to the path's tag. */
   private[lake] case class Entry(bucket: Int, path: String, nBuckets: Int,
                                  dataTag: Long, keyCol: String,
-                                 sorted: Boolean)
+                                 sorted: Boolean, verCol: String = "")
 
   private[lake] def manifestEntries(spark: SparkSession, root: String): Seq[Entry] =
     Snapshot.resolve(spark, root) match {
@@ -77,17 +77,20 @@ object BucketedUpsert {
     val hasTag = df.columns.contains("data_tag")
     val hasKey = df.columns.contains("key_col")
     val hasSorted = df.columns.contains("sorted_by_key")
+    val hasVer = df.columns.contains("version_col")
     val cols = Seq("bucket", "path", "n_buckets") ++
       (if (hasTag) Seq("data_tag") else Nil) ++
       (if (hasKey) Seq("key_col") else Nil) ++
-      (if (hasSorted) Seq("sorted_by_key") else Nil)
+      (if (hasSorted) Seq("sorted_by_key") else Nil) ++
+      (if (hasVer) Seq("version_col") else Nil)
     df.select(cols.head, cols.tail: _*).collect().map { r =>
       var i = 3
       val dt = if (hasTag) { val v = r.getLong(i); i += 1; v }
                else entryTag(r.getString(1))
       val kc = if (hasKey) { val v = r.getString(i); i += 1; v } else ""
-      val so = if (hasSorted) r.getBoolean(i) else false
-      Entry(r.getInt(0), r.getString(1), r.getInt(2), dt, kc, so)
+      val so = if (hasSorted) { val v = r.getBoolean(i); i += 1; v } else false
+      val vc = if (hasVer) r.getString(i) else ""
+      Entry(r.getInt(0), r.getString(1), r.getInt(2), dt, kc, so, vc)
     }.toSeq
   }
 
@@ -96,9 +99,9 @@ object BucketedUpsert {
     import spark.implicits._
     Snapshot.publish(
       entries.map(e => (e.bucket, e.path, e.nBuckets, e.dataTag, e.keyCol,
-          e.sorted))
+          e.sorted, e.verCol))
         .toDF("bucket", "path", "n_buckets", "data_tag", "key_col",
-          "sorted_by_key").coalesce(1),
+          "sorted_by_key", "version_col").coalesce(1),
       root, tag, keep)
   }
 
@@ -476,7 +479,7 @@ object BucketedUpsert {
         stampBucketFiles(spark, dataDir)
         touched.toSeq.sorted.map(b =>
           Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag, key,
-            sorted = true))
+            sorted = true, verCol = versionCol))
       }
     val entries = prev.filterNot(e => touched(e.bucket)) ++ touchedEntries
     publishEntries(spark, entries, root, tag, keep)
@@ -502,7 +505,8 @@ object BucketedUpsert {
     * nothing, empty later batch re-publishes to advance the tag).
     */
   def appendFragment(batch: DataFrame, root: String, key: String,
-                     nBuckets: Int, tag: Long, keep: Int = 2): Unit = {
+                     nBuckets: Int, tag: Long, keep: Int = 2,
+                     versionCol: String = ""): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val spark = batch.sparkSession
     requireTagAbove(spark, root, tag, "fragment")
@@ -528,8 +532,14 @@ object BucketedUpsert {
         .map(_.stripPrefix("graft_bucket=").toInt).toSeq.sorted
     // empty FIRST batch creates nothing (same wedge guard as applyBatch)
     if (written.isEmpty && prev.isEmpty) return
+    // the recorded version column: an explicit one wins; otherwise
+    // inherit the table's standing record so one annotated writer is
+    // enough for transparent merge-on-read everywhere
+    val vc = if (versionCol.nonEmpty) versionCol
+             else prev.headOption.map(_.verCol).getOrElse("")
     val entries = prev ++ written.map(b =>
-      Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag, key, sorted = true))
+      Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag, key,
+        sorted = true, verCol = vc))
     publishEntries(spark, entries, root, tag, keep)
     gcData(spark, root)
   }
@@ -542,16 +552,44 @@ object BucketedUpsert {
     * the shuffle story. On a fragment-free table this equals [[read]].
     */
   def readResolved(spark: SparkSession, root: String, key: String,
-                   versionCol: String): DataFrame = {
-    val resolved = bucketedRead(spark, root, key)
-      .withColumn("graft_frag_tag",
+                   versionCol: String): DataFrame =
+    resolveScan(bucketedRead(spark, root, key), key, versionCol)
+
+  /** The resolve window over any direct SCAN of table fragment paths
+    * (input_file_name must name the fragment files — apply BEFORE any
+    * join/filter that could drop the latest version of a key). Shared
+    * by [[readResolved]] and [[Routing]]'s merge-on-read routes, which
+    * scan bucket SUBSETS: still exact, because every fragment of a key
+    * lives in the key's own bucket. */
+  private[lake] def resolveScan(df: DataFrame, key: String,
+                                versionCol: String): DataFrame =
+    df.withColumn("graft_frag_tag",
         regexp_extract(normFilePath, "/v(\\d+)/graft_bucket=", 1).cast("long"))
       .withColumn("graft_rn", row_number().over(
         Window.partitionBy(col(key))
           .orderBy(desc(versionCol), desc("graft_frag_tag"))))
-    resolved.filter(col("graft_rn") === 1)
+      .filter(col("graft_rn") === 1)
       .drop("graft_rn", "graft_frag_tag")
-  }
+
+  /** The version column the table's writers recorded, if any — lets
+    * readers resolve merge-on-read WITHOUT being re-told the table's
+    * semantics at every call site ([[Routing.readWhere]]'s contract). */
+  def versionColOf(spark: SparkSession, root: String): Option[String] =
+    manifestEntries(spark, root).map(_.verCol).find(_.nonEmpty)
+
+  /** The bucket-key column name the table's writers recorded. */
+  private[lake] def keyColOf(spark: SparkSession, root: String): String =
+    manifestEntries(spark, root).headOption.map(_.keyCol)
+      .filter(_.nonEmpty).getOrElse(throw new IllegalStateException(
+        s"table at $root records no key column — rewritten by a pre-key-" +
+          "recording writer; any upsert re-records it"))
+
+  /** `true` when some bucket holds more than one fragment — the only
+    * state in which superseded rows can exist (applyBatch rewrites
+    * whole buckets resolving; a single fragment per bucket holds each
+    * of its keys at most once). */
+  private[lake] def isFragmented(spark: SparkSession, root: String): Boolean =
+    manifestEntries(spark, root).groupBy(_.bucket).exists(_._2.size > 1)
 
   private def normFilePath: Column =
     regexp_replace(input_file_name(), "^[a-z][a-zA-Z0-9+.-]*:/+", "/")
@@ -594,7 +632,7 @@ object BucketedUpsert {
     stampBucketFiles(spark, dataDir)
     val merged = fragmented.map { case (b, frags) =>
       Entry(b, s"$dataDir/graft_bucket=$b", n, frags.map(_.dataTag).max, key,
-        sorted = true)
+        sorted = true, verCol = versionCol)
     }.toSeq
     val entries = prev.filterNot(e => fragmented.contains(e.bucket)) ++ merged
     publishEntries(spark, entries, root, tag, keep)
@@ -778,9 +816,12 @@ object BucketedUpsert {
         removed = base.count() - after
         // distinct: a FRAGMENTED bucket has several prev entries — its
         // rewrite must publish exactly one
+        // the rewrite has no version-column param of its own — carry
+        // the table's standing record forward
+        val vc = prev.map(_.verCol).find(_.nonEmpty).getOrElse("")
         prevTouched.map(_.bucket).distinct.sorted.filter(present)
           .map(b => Entry(b, s"$dataDir/graft_bucket=$b", n, tag, key,
-            sorted = true))
+            sorted = true, verCol = vc))
       }
     val entries = prev.filterNot(e => touched(e.bucket)) ++ touchedEntries
     publishEntries(spark, entries, root, tag, keep)

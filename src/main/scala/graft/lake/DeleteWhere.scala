@@ -331,10 +331,30 @@ object DeleteWhere {
     val paths = spark.read.parquet(manifestDir(outDir))
       .select("path").collect().map(_.getString(0)).toSeq
     require(paths.nonEmpty, s"empty delete manifest at $outDir")
+    readFiles(spark, outDir, paths)
+  }
+
+  /** [[read]] restricted to `paths` — a subset of the version's
+    * manifest, e.g. zone-pruned by [[Routing.readWhere]]. Identical DV
+    * semantics: mask rows naming unopened files simply never match the
+    * anti-join. */
+  private[lake] def readFiles(spark: SparkSession, outDir: String,
+                              paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, s"no paths to read under $outDir")
     val base = spark.read.parquet(paths: _*)
     dvReadIfExists(spark, dvDirOf(outDir)) match {
       case None => base
       case Some(dv) => applyDvMask(spark, base, dv)
     }
+  }
+
+  /** `true` when `dir` is a published delete VERSION (manifest + stats
+    * present) — how [[Routing]] recognizes the shape. */
+  private[lake] def isVersionDir(spark: SparkSession, dir: String): Boolean = {
+    def ex(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    ex(manifestDir(dir)) && ex(statsDirOf(dir))
   }
 }

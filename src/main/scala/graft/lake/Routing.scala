@@ -160,6 +160,37 @@ object Routing {
     }
   }
 
+  /** Zone-map bounds per column, merged across conjuncts: every eq (as
+    * a [v,v] range), every CLOSED range (x >= lo AND x <= hi parses as
+    * two Bounds — merged per column), and every IN list by its
+    * [min,max] ENVELOPE — a valid over-approximation (files outside it
+    * cannot hold any listed value); the exact membership re-applies
+    * post-scan. Shared by the plain-tree route and the delete-version
+    * merge-on-read route. */
+  private def mergedBounds(cs: Seq[Conjunct])
+      : Seq[(String, Column, Column)] = {
+    val colBridge = org.apache.spark.sql.graft.ColumnBridge.column _
+    val merged = scala.collection.mutable.LinkedHashMap[String,
+      (Option[expressions.Literal], Option[expressions.Literal])]()
+    cs.foreach {
+      case EqIn(c, Seq(v)) =>
+        merged(c) = (Some(v), Some(v))
+      case EqIn(c, vs) if vs.map(_.dataType).distinct.size == 1 =>
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(vs.head.dataType)
+          .asInstanceOf[Ordering[Any]]
+        val sortedVals = vs.sortBy(_.value)(ord)
+        merged(c) = (Some(sortedVals.head), Some(sortedVals.last))
+      case Bound(c, lo, hi) =>
+        val (l0, h0) = merged.getOrElse(c, (None, None))
+        merged(c) = (lo.orElse(l0), hi.orElse(h0))
+      case _ => ()
+    }
+    merged.collect {
+      case (c, (Some(lo), Some(hi))) => (c, colBridge(lo), colBridge(hi))
+    }.toSeq
+  }
+
   /** What the router decided: the files (or buckets) it will open and
     * the manifests that pruned them — the spec's files-opened oracle. */
   final case class Route(files: Seq[String], via: Seq[String])
@@ -178,34 +209,14 @@ object Routing {
     if (haveStats) FileStats.requireFresh(spark, dataDir(root), statsDir(root))
     var via = Seq.empty[String]
 
-    // zone maps: every eq (as a [v,v] range) and every CLOSED range.
-    // A column may carry its bounds across SEVERAL conjuncts
-    // (x >= lo AND x <= hi parses as two Bounds) — merge per column.
-    val colBridge = org.apache.spark.sql.graft.ColumnBridge.column _
-    val merged = scala.collection.mutable.LinkedHashMap[String,
-      (Option[expressions.Literal], Option[expressions.Literal])]()
-    cs.foreach {
-      case EqIn(c, Seq(v)) =>
-        merged(c) = (Some(v), Some(v))
-      case EqIn(c, vs) if vs.map(_.dataType).distinct.size == 1 =>
-        // an IN list prunes by its [min, max] ENVELOPE — a valid
-        // over-approximation (files outside it cannot hold any listed
-        // value); the exact membership re-applies post-scan
-        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
-          .getInterpretedOrdering(vs.head.dataType)
-          .asInstanceOf[Ordering[Any]]
-        val sortedVals = vs.sortBy(_.value)(ord)
-        merged(c) = (Some(sortedVals.head), Some(sortedVals.last))
-      case Bound(c, lo, hi) =>
-        val (l0, h0) = merged.getOrElse(c, (None, None))
-        merged(c) = (lo.orElse(l0), hi.orElse(h0))
-      case _ => ()
-    }
-    val bounds = merged.collect {
-      case (c, (Some(lo), Some(hi))) => (c, colBridge(lo), colBridge(hi))
-    }.toSeq.filter { case (c, _, _) =>
-      haveStats && spark.read.parquet(statsDir(root)).columns.contains(s"min_$c")
-    }
+    val bounds =
+      if (!haveStats) Seq.empty
+      else {
+        val statsCols = spark.read.parquet(statsDir(root)).columns
+        mergedBounds(cs).filter { case (c, _, _) =>
+          statsCols.contains(s"min_$c")
+        }
+      }
     var files: Option[Set[String]] = None
     def intersect(s: Seq[String], tag: String): Unit = {
       files = Some(files.map(_.intersect(s.toSet)).getOrElse(s.toSet))
@@ -240,7 +251,21 @@ object Routing {
 
   /** Read the table at `root` with `pred`, opening only what the
     * discovered indexes admit; the FULL predicate is re-applied, so
-    * the result equals the plain filtered scan on any index state. */
+    * the result equals the plain filtered scan on any index state.
+    *
+    * MERGE-ON-READ is transparent (VERDICT r16 #4) — one read API for
+    * every table shape, fast path routed:
+    *  - a FRAGMENTED bucketed table resolves current-rows-per-key
+    *    through the version column its writers recorded in the
+    *    manifest (fail-fast if fragments exist but none was recorded —
+    *    a raw read would return superseded rows);
+    *  - a [[DeleteWhere]] VERSION dir prunes through the version's
+    *    MAINTAINED stats manifest and applies its deletion vectors
+    *    (manifest-is-truth: the delete maintains stats+manifest
+    *    transactionally over immutable files, so no tree fingerprint
+    *    applies — a vanished file fails loudly at scan);
+    *  - plain trees route exactly as before.
+    */
   def readWhere(spark: SparkSession, root: String, pred: Column): DataFrame = {
     if (isBucketed(spark, root)) {
       // bucketed table, best route first:
@@ -249,8 +274,22 @@ object Routing {
       //     value, no index required at any table size.
       //  2. eq/IN on a secondary-indexed column — bucket-pruned lookup.
       //  3. otherwise the full resolved table.
-      // The full predicate re-applies in every case.
+      // The full predicate re-applies in every case; fragment
+      // resolution applies BEFORE it (filtering first could drop a
+      // key's latest version and resurrect a superseded row).
       val cs = conjunctsOf(BucketedUpsert.read(spark, root), pred)
+      val resolve: DataFrame => DataFrame =
+        if (!BucketedUpsert.isFragmented(spark, root)) identity
+        else {
+          val vc = BucketedUpsert.versionColOf(spark, root).getOrElse(
+            throw new IllegalStateException(
+              s"table at $root is fragmented but its manifest records no " +
+                "version column — a raw read would return superseded rows; " +
+                "write batches with versionCol set, or read explicitly via " +
+                "BucketedUpsert.readResolved"))
+          val key = BucketedUpsert.keyColOf(spark, root)
+          df => BucketedUpsert.resolveScan(df, key, vc)
+        }
       val keyEq = cs.collectFirst {
         case EqIn(c, vs) if BucketedUpsert.isBucketKey(spark, root, c) =>
           (c, vs)
@@ -262,12 +301,29 @@ object Routing {
       }
       val base = (keyEq, six) match {
         case (Some((c, vs)), _) =>
-          BucketedUpsert.readKeyBuckets(spark, root, c,
-            vs.map(l => org.apache.spark.sql.graft.ColumnBridge.column(l)))
+          resolve(BucketedUpsert.readKeyBuckets(spark, root, c,
+            vs.map(l => org.apache.spark.sql.graft.ColumnBridge.column(l))))
         case (None, Some((c, vs))) =>
-          SecondaryIndex.lookup(spark, root, sixDir(root, c), c, vs)
-        case _ => BucketedUpsert.read(spark, root)
+          SecondaryIndex.lookup(spark, root, sixDir(root, c), c, vs, resolve)
+        case _ => resolve(BucketedUpsert.read(spark, root))
       }
+      base.filter(pred)
+    } else if (DeleteWhere.isVersionDir(spark, root)) {
+      // delete version: zone-prune through the version's maintained
+      // stats, open only survivors, apply the DV mask, re-filter
+      val statsDir = DeleteWhere.statsDirOf(root)
+      val cs = conjunctsOf(DeleteWhere.read(spark, root), pred)
+      val statsCols = spark.read.parquet(statsDir).columns
+      val bounds = mergedBounds(cs).filter { case (c, _, _) =>
+        statsCols.contains(s"min_$c") }
+      val files =
+        if (bounds.isEmpty)
+          spark.read.parquet(statsDir).select("path")
+            .collect().map(_.getString(0)).toSeq
+        else FileStats.prunedFilesAnd(spark, statsDir, bounds)
+      val base =
+        if (files.isEmpty) DeleteWhere.read(spark, root).limit(0)
+        else DeleteWhere.readFiles(spark, root, files)
       base.filter(pred)
     } else {
       val r = route(spark, root, pred)

@@ -84,9 +84,18 @@ object SecondaryIndex {
 
   /** Equality/IN lookup by the indexed column: open only admitted
     * buckets, re-apply the exact predicate. Fail-fasts if the index
-    * has not been refreshed to the table's current tag. */
+    * has not been refreshed to the table's current tag.
+    *
+    * `resolve` (default: none) is applied between the bucket scan and
+    * the value filter — [[Routing]] passes the fragment merge-on-read
+    * window here. The ORDER is load-bearing: filtering first could
+    * drop a key's latest (non-matching) version and resurrect a
+    * superseded row that matches the probe. Admission stays exact on
+    * fragmented tables because the index is refreshed at the table's
+    * tag and every fragment of a key lives in the key's own bucket. */
   def lookup(spark: SparkSession, tableRoot: String, ixRoot: String,
-             column: String, values: Seq[String]): DataFrame = {
+             column: String, values: Seq[String],
+             resolve: DataFrame => DataFrame = identity): DataFrame = {
     val allEntries = BucketedUpsert.manifestEntries(spark, tableRoot)
     // an empty table (zero-row first batch, or emptied completely) can
     // hold no value — correct for any index state. The result must still
@@ -113,6 +122,6 @@ object SecondaryIndex {
       // DROPPED column must fail loudly, not resurrect hidden values
       // from the raw files
       else BucketedUpsert.readPaths(spark, tableRoot, entries.map(_.path))
-    base.filter(col(column).cast("string").isin(values: _*))
+    resolve(base).filter(col(column).cast("string").isin(values: _*))
   }
 }

@@ -614,6 +614,46 @@ object CoreQueries extends QueryPack {
         .orderBy("o_orderkey")
     }),
 
+    // S33: UNIFIED merge-on-read routing — ONE read API
+    // (Routing.readWhere) over both deferred-work table shapes:
+    //  (a) a FRAGMENTED bucketed table (LSM regime) resolves
+    //      current-rows-per-key through the version column its WRITERS
+    //      recorded in the manifest — the caller states nothing; the
+    //      key IN probe routes to the probed buckets only and the
+    //      resolve window runs before the value filter;
+    //  (b) a DELETION-VECTOR version dir zone-prunes through the
+    //      version's maintained stats manifest, applies the DV mask,
+    //      and re-filters (RoutingSpec pins the files-opened counts).
+    // Hash-green proves both deferred regimes are invisible in
+    // results behind the one routed entry point.
+    "s33_read_where_mor" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-mor-q").toString + "/t"
+      val orders = t(s, d, "orders")
+      val b1 = orders.select(col("o_orderkey"),
+        col("o_orderstatus").as("status"), lit(1L).as("ver"))
+      val b2 = orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("X").as("status"), lit(2L).as("ver"))
+      graft.lake.BucketedUpsert.appendFragment(b1, root, "o_orderkey", 16,
+        tag = 1, versionCol = "ver")
+      graft.lake.BucketedUpsert.appendFragment(b2, root, "o_orderkey", 16,
+        tag = 2, versionCol = "ver")
+      val frag = graft.lake.Routing.readWhere(s, root,
+          col("o_orderkey").isin(7L, 10L, 20L, 21L, 35L, 49L, 70L))
+        .select(col("o_orderkey").as("k"), col("status").as("v"),
+          lit("frag").as("src"))
+      val src = Fixtures.zEvents(s, d)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-mor-dv-q").toString
+      graft.lake.DeleteWhere.deleteVectors(s, s"$src/stats",
+        "user_id", lit(100L), lit(120L), s"$out/v2")
+      val dv = graft.lake.Routing.readWhere(s, s"$out/v2",
+          col("user_id").between(lit(80L), lit(130L)))
+        .select(col("event_id").as("k"), col("event_type").as("v"),
+          lit("dv").as("src"))
+      frag.unionByName(dv).orderBy("src", "k")
+    }),
+
     // S29: DELETION-VECTOR sparse delete — same DELETE semantics as
     // s20, but the version rewrites NOTHING: every original file is
     // referenced verbatim and the deleted rows hide behind a
@@ -890,6 +930,21 @@ object CoreQueries extends QueryPack {
       """SELECT event_id, user_id, event_type FROM events
          WHERE user_id NOT BETWEEN 100 AND 120
            AND user_id NOT BETWEEN 40 AND 45 ORDER BY event_id""",
+    // both merge-on-read regimes resolve invisibly behind readWhere:
+    // the fragment side is the CASE-expressed latest-version state,
+    // the DV side the mask-surviving slice
+    "s33_read_where_mor" ->
+      """SELECT k, v, src FROM (
+           SELECT o_orderkey AS k,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+                       ELSE o_orderstatus END AS v,
+                  'frag' AS src
+           FROM orders WHERE o_orderkey IN (7,10,20,21,35,49,70)
+           UNION ALL
+           SELECT event_id AS k, event_type AS v, 'dv' AS src
+           FROM events WHERE user_id BETWEEN 80 AND 130
+             AND user_id NOT BETWEEN 100 AND 120)
+         ORDER BY src, k""",
     "s30_schema_widen" ->
       """SELECT c_custkey,
                 CASE WHEN c_custkey % 10 = 0

@@ -244,11 +244,12 @@ object EventStreams {
     * bound shape); choose applyBatch when reads dominate writes. */
   def streamingAppendBucketed(spark: SparkSession, updates: DataFrame,
                               key: String, tableRoot: String,
-                              checkpointDir: String, nBuckets: Int): Unit =
+                              checkpointDir: String, nBuckets: Int,
+                              versionCol: String = ""): Unit =
     runLedgeredUpsert(spark, updates, tableRoot, checkpointDir) {
       (batch, batchId) =>
         graft.lake.BucketedUpsert.appendFragment(
-          batch, tableRoot, key, nBuckets, batchId)
+          batch, tableRoot, key, nBuckets, batchId, versionCol = versionCol)
     }
 
   /** [[streamingUpsertBucketed]] with a CONTINUOUSLY-MAINTAINED

@@ -135,6 +135,79 @@ class RoutingSpec extends SparkSpec {
     assert(ex3.getMessage.contains("no tree fingerprint"), ex3.getMessage)
   }
 
+  test("merge-on-read: a fragmented table resolves through its recorded version column") {
+    import spark.implicits._
+    val root = tmp() + "/t"
+    val b1 = (1L to 2000L).map(k => (k, s"v1-$k", 1L)).toDF("k", "s", "ver")
+    val b2 = (1L to 2000L by 10).map(k => (k, s"v2-$k", 2L)).toDF("k", "s", "ver")
+    BucketedUpsert.appendFragment(b1, root, "k", 16, tag = 1, versionCol = "ver")
+    BucketedUpsert.appendFragment(b2, root, "k", 16, tag = 2, versionCol = "ver")
+    // bucket-key probe: only the probed buckets open, and the resolve
+    // window runs BEFORE the filter — k=11 was updated, k=12 was not
+    val probe = Routing.readWhere(spark, root, col("k").isin(11L, 12L))
+    val rows = probe.select("k", "s").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(11L -> "v2-11", 12L -> "v1-12"), s"probe: $rows")
+    assert(probe.inputFiles.length <
+      graft.lake.BucketedUpsert.read(spark, root).inputFiles.length,
+      "the key probe must open a bucket subset")
+    // a probe matching only a SUPERSEDED value must return nothing —
+    // filtering before resolution would resurrect the old row
+    assert(Routing.readWhere(spark, root, col("s") === lit("v1-21")).count() == 0,
+      "superseded row resurrected: the resolve must run before the filter")
+    // same property through the secondary-index route
+    Routing.indexSecondary(spark, root, "k", "s")
+    assert(Routing.readWhere(spark, root, col("s") === lit("v1-31")).count() == 0,
+      "six route resurrected a superseded row")
+    assert(Routing.readWhere(spark, root, col("s") === lit("v2-31"))
+      .select("k").head().getLong(0) == 31L)
+    // an unroutable predicate: full resolved table, equals readResolved
+    val all = Routing.readWhere(spark, root, col("k") % 2 === 1)
+      .select("k", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = BucketedUpsert.readResolved(spark, root, "k", "ver")
+      .filter(col("k") % 2 === 1)
+      .select("k", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(all == want)
+  }
+
+  test("merge-on-read: a fragmented table with NO recorded version column fails fast") {
+    import spark.implicits._
+    val root = tmp() + "/t"
+    val b1 = (1L to 100L).map(k => (k, 1L)).toDF("k", "ver")
+    BucketedUpsert.appendFragment(b1, root, "k", 4, tag = 1) // no versionCol
+    BucketedUpsert.appendFragment(b1, root, "k", 4, tag = 2)
+    val ex = intercept[IllegalStateException](
+      Routing.readWhere(spark, root, col("k") === lit(7L)).count())
+    assert(ex.getMessage.contains("no version column"), ex.getMessage)
+  }
+
+  test("merge-on-read: a delete version routes through its maintained stats and applies the DV") {
+    val base = tmp()
+    val ev = graft.Tables.t(spark, sf("sf0.01"), "events")
+      .select("event_id", "user_id", "event_type")
+    graft.lake.ZOrder.writeZOrdered(ev, s"$base/data", 16, "user_id", "event_id")
+    FileStats.writeStats(spark, s"$base/data", s"$base/stats", Seq("user_id"))
+    graft.lake.DeleteWhere.deleteVectors(spark, s"$base/stats",
+      "user_id", lit(80L), lit(110L), s"$base/v2")
+    val pred = col("user_id").between(100L, 140L)
+    val got = Routing.readWhere(spark, s"$base/v2", pred)
+    val gotIds = got.select("event_id").collect().map(_.getLong(0)).sorted
+    val wantIds = spark.read.parquet(s"$base/data")
+      .filter(pred && !col("user_id").between(80L, 110L))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(gotIds.sameElements(wantIds) && wantIds.nonEmpty,
+      s"DV-version routing changed results: ${gotIds.length} vs ${wantIds.length}")
+    // files-opened pinned: exactly the zone-pruned set, a strict subset
+    val manual = FileStats.prunedFiles(spark,
+      graft.lake.DeleteWhere.statsDirOf(s"$base/v2"),
+      "user_id", lit(100L), lit(140L)).toSet
+    val opened = got.inputFiles.filter(_.contains("/data/")).toSet
+    assert(opened.size == manual.size,
+      s"DV-version route must open exactly the pruned set: ${opened.size} vs ${manual.size}")
+    assert(opened.size < spark.read.parquet(s"$base/data").inputFiles.length,
+      "the DV-version route must actually prune")
+  }
+
   test("bucketed tables route equality through the secondary index") {
     import spark.implicits._
     val root = tmp()
