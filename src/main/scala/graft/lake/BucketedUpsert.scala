@@ -589,7 +589,14 @@ object BucketedUpsert {
     * whole buckets resolving; a single fragment per bucket holds each
     * of its keys at most once). */
   private[lake] def isFragmented(spark: SparkSession, root: String): Boolean =
-    manifestEntries(spark, root).groupBy(_.bucket).exists(_._2.size > 1)
+    fragmentCounts(spark, root).values.exists(_ > 1)
+
+  /** Fragments per bucket in the current manifest — the merge-on-read
+    * cost driver a maintenance policy bounds (the soak asserts the
+    * bound holds at every batch). */
+  def fragmentCounts(spark: SparkSession, root: String): Map[Int, Int] =
+    manifestEntries(spark, root).groupBy(_.bucket)
+      .map { case (b, es) => b -> es.size }
 
   private def normFilePath: Column =
     regexp_replace(input_file_name(), "^[a-z][a-zA-Z0-9+.-]*:/+", "/")
@@ -691,8 +698,20 @@ object BucketedUpsert {
     * reason). Readers see the live table through this filter; rows
     * where `tombstone` is NULL (pre-CDC legacy rows) are kept.
     */
-  def readLive(spark: SparkSession, root: String, tombstone: Column): DataFrame =
-    read(spark, root).filter(!coalesce(tombstone, lit(false)))
+  def readLive(spark: SparkSession, root: String, tombstone: Column): DataFrame = {
+    // FRAGMENT-aware: on a fragmented table the raw rows still hold
+    // older versions of tombstoned keys — filtering raw would leak a
+    // superseded "live" row past its key's tombstone. Resolve first
+    // through the writer-recorded version column (same transparent
+    // merge-on-read contract as Routing.readWhere).
+    val base =
+      if (!isFragmented(spark, root)) read(spark, root)
+      else readResolved(spark, root, keyColOf(spark, root),
+        versionColOf(spark, root).getOrElse(throw new IllegalStateException(
+          s"table at $root is fragmented but records no version column — " +
+            "readLive cannot resolve; write batches with versionCol set")))
+    base.filter(!coalesce(tombstone, lit(false)))
+  }
 
   /** Tombstone retention GC: physically drop tombstone rows whose
     * `versionCol` is at or below `horizon`, rewriting ONLY the buckets
@@ -714,6 +733,18 @@ object BucketedUpsert {
                       tag: Long, keep: Int = 2): Long = {
     val prev = manifestEntries(spark, root)
     require(prev.nonEmpty, s"no published bucketed table under $root")
+    // FRAGMENT-REGIME GUARD: the purge filter drops tombstone ROWS from
+    // the raw files; on a fragmented table a purged key's SUPERSEDED
+    // versions still exist physically in older fragments, so dropping
+    // the tombstone (the resolve winner) would silently RESURRECT the
+    // previous version — the exact failure a tombstone exists to
+    // prevent. A single fragment per bucket holds each key at most
+    // once (raw == resolved), so post-merge purging is exact.
+    require(!isFragmented(spark, root),
+      s"purgeTombstones on the FRAGMENTED table at $root would resurrect " +
+        "superseded versions (older fragments still hold them) — run " +
+        "mergeFragments first (streamingIngestMaintained does this " +
+        "automatically)")
     val n = prev.head.nBuckets
     // NULL-safe on BOTH sides: a NULL version cannot prove the horizon
     // passed, and three-valued logic would otherwise let filter(!e)

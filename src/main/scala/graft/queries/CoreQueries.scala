@@ -39,6 +39,23 @@ object CoreQueries extends QueryPack {
         .orderBy("o_orderpriority")
     }),
 
+    // S34: Feather (Arrow IPC) read parity — closes the last
+    // oracle-reachable spec-only surface (S4): the SAME logical table
+    // exists as the feather fixture (read by the hand-rolled
+    // Feather.read) and a pyarrow-minted parquet twin (read by the
+    // DuckDB oracle). Hash-green proves the Arrow decode — nulls,
+    // list<float>, list<string>, bool, timestamp[us,UTC] — value-exact
+    // against an independent reader. Arrays serialize via to_json and
+    // the timestamp compares as epoch micros (cross-engine canon).
+    "s34_feather_parity" -> ((s, d) => {
+      graft.lake.Feather.read(s, "/root/repo/src/test/resources/fixture.feather")
+        .select(col("id"), col("name"), col("score"),
+          to_json(col("seg")).as("seg_json"),
+          to_json(col("tags")).as("tags_json"),
+          col("ok"), unix_micros(col("ts")).as("ts_us"))
+        .orderBy("id")
+    }),
+
     // S5: partition-manifest shape — distinct key tuples (metadata-scale).
     "s5_partition_manifest" -> ((s, d) =>
       t(s, d, "orders")
@@ -930,6 +947,14 @@ object CoreQueries extends QueryPack {
       """SELECT event_id, user_id, event_type FROM events
          WHERE user_id NOT BETWEEN 100 AND 120
            AND user_id NOT BETWEEN 40 AND 45 ORDER BY event_id""",
+    // the oracle reads the parquet TWIN of the feather fixture — two
+    // independent decoders of one logical table must agree exactly
+    "s34_feather_parity" ->
+      """SELECT id, name, score,
+                to_json(seg) AS seg_json, to_json(tags) AS tags_json,
+                ok, epoch_us(ts) AS ts_us
+         FROM read_parquet('/root/repo/src/test/resources/fixture_twin.parquet')
+         ORDER BY id""",
     // both merge-on-read regimes resolve invisibly behind readWhere:
     // the fragment side is the CASE-expressed latest-version state,
     // the DV side the mask-surviving slice

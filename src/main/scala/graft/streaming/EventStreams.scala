@@ -252,6 +252,89 @@ object EventStreams {
           batch, tableRoot, key, nBuckets, batchId, versionCol = versionCol)
     }
 
+  /** MAINTAINED streaming fragment ingest — the production posture of
+    * the LSM regime: every micro-batch lands as O(batch) fragments
+    * ([[streamingAppendBucketed]]'s write cost), and the SAME ledgered
+    * sink runs the table's maintenance inside the stream's own
+    * tag-space, so the out-of-band-maintenance hazard (`deleteKeys`'s
+    * ownership contract — a foreign tag wedges or silently skips the
+    * stream) never arises:
+    *  - threshold compaction ([[graft.lake.BucketedUpsert.mergeFragmentsIfNeeded]])
+    *    keeps the worst bucket's fragment count bounded, so
+    *    merge-on-read latency stays FLAT at any batch count;
+    *  - optional tombstone retention GC: every `purgeEvery` batches,
+    *    fragments are FIRST fully merged (purging a fragmented table
+    *    would resurrect superseded versions — fail-fast pinned in
+    *    BucketedUpsert), then expired tombstones
+    *    (`versionCol <= purgeHorizon(batchId)`) drop physically.
+    *
+    * Tag protocol: batch `b` OWNS the window [4b+1, 4b+3] — data lands
+    * at 4b+1, compaction at 4b+2, purge at 4b+3 (a no-op consumes no
+    * tag). Crash-replay: a replayed batch whose published tag is at or
+    * beyond ITS window is skipped whole — skipped maintenance
+    * self-heals because the threshold re-fires on the next batch. A
+    * published tag beyond the replayed batch's window is a rewound
+    * checkpoint → fail fast, as [[streamingUpsert]] does.
+    */
+  def streamingIngestMaintained(spark: SparkSession, updates: DataFrame,
+                                key: String, versionCol: String,
+                                tableRoot: String, checkpointDir: String,
+                                nBuckets: Int, maxFragments: Int = 8,
+                                tombstoneCol: Option[String] = None,
+                                purgeEvery: Int = 16,
+                                purgeHorizon: Long => Long = _ => Long.MinValue): Unit = {
+    val q = updates.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maintainedBatch(spark, batch, batchId, key, versionCol, tableRoot,
+          nBuckets, maxFragments, tombstoneCol, purgeEvery, purgeHorizon)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One maintained-ingest batch — the per-batch body of
+    * [[streamingIngestMaintained]], exposed so the soak spec and
+    * benches exercise the SHIPPED ledger+maintenance logic instead of
+    * a copy that could drift. */
+  private[graft] def maintainedBatch(spark: SparkSession, batch: DataFrame,
+                                     batchId: Long, key: String,
+                                     versionCol: String, tableRoot: String,
+                                     nBuckets: Int, maxFragments: Int,
+                                     tombstoneCol: Option[String],
+                                     purgeEvery: Int,
+                                     purgeHorizon: Long => Long): Unit = {
+    val dataTag = 4 * batchId + 1
+    val published = graft.lake.Snapshot.currentTag(spark, tableRoot)
+    published.filter(_ > 4 * batchId + 3).foreach(cur =>
+      throw new IllegalStateException(
+        s"batch $batchId arrived below the published snapshot v$cur of " +
+          s"$tableRoot — the checkpoint was rewound or replaced; clear the " +
+          "table root for a new pipeline or resume the matching checkpoint"))
+    if (published.forall(_ < dataTag)) {
+      graft.lake.BucketedUpsert.appendFragment(batch, tableRoot, key,
+        nBuckets, dataTag, versionCol = versionCol)
+      // maintenance only once the table exists (an empty FIRST batch
+      // publishes nothing)
+      if (graft.lake.Snapshot.currentTag(spark, tableRoot).nonEmpty) {
+        val purgeDue = tombstoneCol.nonEmpty && purgeEvery > 0 &&
+          (batchId + 1) % purgeEvery == 0
+        if (purgeDue) {
+          // purge requires raw == resolved: merge ALL fragments first
+          graft.lake.BucketedUpsert.mergeFragments(spark, tableRoot, key,
+            versionCol, 4 * batchId + 2)
+          graft.lake.BucketedUpsert.purgeTombstones(spark, tableRoot, key,
+            versionCol, col(tombstoneCol.get), purgeHorizon(batchId),
+            4 * batchId + 3)
+        } else
+          graft.lake.BucketedUpsert.mergeFragmentsIfNeeded(spark, tableRoot,
+            key, versionCol, 4 * batchId + 2, maxFragments)
+      }
+    }
+  }
+
   /** [[streamingUpsertBucketed]] with a CONTINUOUSLY-MAINTAINED
     * incremental aggregate ([[graft.lake.IncrAgg]]): each micro-batch
     * folds into the bucketed table and then refreshes the MV to the

@@ -190,6 +190,42 @@ class FragmentSpec extends SparkSpec {
     assert(got.length == 100 && got.forall(_._2 == 4L))
   }
 
+  test("purgeTombstones refuses a fragmented table (would resurrect superseded versions)") {
+    val base = tmp()
+    // v1: key 7 live; v2 fragment: key 7 tombstoned. The raw files hold
+    // BOTH rows — purging the tombstone row alone would leave v1's live
+    // row as the resolve winner, resurrecting the deleted key.
+    BucketedUpsert.appendFragment(
+      Seq((7L, 1L, false), (8L, 1L, false)).toDF("k", "ver", "del"),
+      base, "k", 4, tag = 1, versionCol = "ver")
+    BucketedUpsert.appendFragment(
+      Seq((7L, 2L, true)).toDF("k", "ver", "del"),
+      base, "k", 4, tag = 2, versionCol = "ver")
+    val ex = intercept[IllegalArgumentException](
+      BucketedUpsert.purgeTombstones(spark, base, "k", "ver",
+        col("del"), horizon = 5L, tag = 3))
+    assert(ex.getMessage.contains("resurrect"), ex.getMessage)
+    // post-merge the table is fragment-free: the purge is exact
+    BucketedUpsert.mergeFragments(spark, base, "k", "ver", tag = 3)
+    val dropped = BucketedUpsert.purgeTombstones(spark, base, "k", "ver",
+      col("del"), horizon = 5L, tag = 4)
+    assert(dropped == 1L)
+    assert(BucketedUpsert.read(spark, base).select("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(8L),
+      "after merge+purge only the live key remains — no resurrection")
+    // and readLive on a FRAGMENTED table resolves before filtering
+    // (the raw filter would leak the superseded live row of k=7)
+    val base2 = tmp()
+    BucketedUpsert.appendFragment(
+      Seq((7L, 1L, false)).toDF("k", "ver", "del"),
+      base2, "k", 4, tag = 1, versionCol = "ver")
+    BucketedUpsert.appendFragment(
+      Seq((7L, 2L, true)).toDF("k", "ver", "del"),
+      base2, "k", 4, tag = 2, versionCol = "ver")
+    assert(BucketedUpsert.readLive(spark, base2, col("del")).count() == 0,
+      "readLive leaked a superseded live row past its key's tombstone")
+  }
+
   test("appendFragment guards the ledger: empty first batch creates nothing, reused tags fail") {
     val base = tmp()
     BucketedUpsert.appendFragment(
