@@ -659,12 +659,19 @@ object BucketedUpsert {
                            joinType: String = "inner"): DataFrame = {
     val nL = bucketCount(spark, leftRoot)
     val nR = bucketCount(spark, rightRoot)
-    require(nL == nR,
-      s"cannot co-bucket join: $leftRoot has $nL buckets, $rightRoot has " +
-        s"$nR — bucket counts must match (rebucket one side)")
-    readResolved(spark, leftRoot, key, leftVersionCol)
-      .join(readResolved(spark, rightRoot, key, rightVersionCol),
-        Seq(key), joinType)
+    val l0 = readResolved(spark, leftRoot, key, leftVersionCol)
+    val r0 = readResolved(spark, rightRoot, key, rightVersionCol)
+    // mismatched bucket counts: same graceful one-sided rebucket as
+    // [[bucketedJoin]] — the resolve window preserved the smaller
+    // side's scan partitioning, so the single repartition is the only
+    // exchange anywhere in resolve-resolve-join
+    val (l, r) =
+      if (nL == nR) (l0, r0)
+      else if (nL > nR)
+        (l0, r0.repartition(nL, org.apache.spark.sql.functions.col(key)))
+      else
+        (l0.repartition(nR, org.apache.spark.sql.functions.col(key)), r0)
+    l.join(r, Seq(key), joinType)
   }
 
   /** Threshold-gated [[mergeFragments]] — the AUTO-compaction policy a

@@ -74,8 +74,8 @@ object Fixtures {
     * when adding a fixture consumer. */
   val prebuilders: Map[String, (Set[String], (SparkSession, String) => String)] =
     Map(
-      "zevents" -> ((Set("s20_delete_where", "s29_delete_vectors"),
-        zEvents _)),
+      "zevents" -> ((Set("s20_delete_where", "s29_delete_vectors",
+        "s33_read_where_mor"), zEvents _)),
       "bm25" -> ((Set("t_bm25_indexed", "t_bm25_delete"), bm25 _)),
       "ivf" -> ((Set("ann_ivf_persist", "ann_ivf_retrain",
         "ann_ivf_delete"), ivf _)))

@@ -165,6 +165,20 @@ class FragmentSpec extends SparkSpec {
       // whole resolve-then-join pipeline adds no exchange
       val sh = graft.plans.PlanInspect.shufflesOf(joined)
       assert(sh.isEmpty, s"resolved join must stay exchange-free: ${sh.map(_.nodeName)}")
+      // MISMATCHED counts degrade to ONE exchange (smaller side only),
+      // same as bucketedJoin — the resolve windows stay exchange-free
+      val r2 = s"$base/right2"
+      BucketedUpsert.appendFragment(
+        (1L to 500L).map(k => (k, k * 3, 1L)).toDF("k", "rv", "ver"),
+        r2, "k", nBuckets = 8, tag = 1)
+      val j2 = BucketedUpsert.bucketedJoinResolved(spark, l, r2, "k",
+        "ver", "ver").select("k", "lv", "rv")
+      val rows2 = j2.collect().map(x => (x.getLong(0), x.getLong(2))).toMap
+      assert(rows2.size == 500 && rows2(9L) == 27L)
+      val sh2 = graft.plans.PlanInspect.shuffles(
+        j2.queryExecution.executedPlan)
+      assert(sh2.size == 1,
+        s"mismatched resolved join must carry exactly one exchange: ${sh2.size}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
