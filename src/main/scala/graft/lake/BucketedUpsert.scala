@@ -161,7 +161,12 @@ object BucketedUpsert {
     val hit = entries.filter(e => buckets(e.bucket))
     if (hit.isEmpty) emptyWithSchema(spark, root)
       .getOrElse(readPaths(spark, root, Seq(entries.head.path)).limit(0))
-    else readPaths(spark, root, hit.map(_.path))
+    // the probed slice as a BUCKETED relation (one RDD partition per
+    // bucket id, absent buckets empty — the partitioning claim holds on
+    // any bucket subset), so downstream key-clustered work — the
+    // fragment resolve window, a groupBy on the key, a join — runs with
+    // ZERO exchange over the slice instead of shuffling it
+    else bucketedReadEntries(spark, root, hit, key)
   }
 
   /** A zero-row frame carrying the table's schema, derivable even for a

@@ -97,12 +97,16 @@ object FileStats {
     * silently missing rows. Manifests predating the fingerprint (no
     * sidecar) also fail: their freshness is unknowable. */
   def requireFresh(spark: SparkSession, dataDir: String,
-                   manifestDir: String): Unit = {
+                   manifestDir: String,
+                   currentFp: Option[String] = None): Unit = {
     val rec = recordedTreeFp(spark, manifestDir).getOrElse(
       throw new IllegalStateException(
         s"manifest at $manifestDir carries no tree fingerprint — " +
           s"rebuild it (Routing.indexStats / indexBloom) over $dataDir"))
-    val cur = treeFingerprint(spark, dataDir)
+    // callers checking several manifests of ONE tree pass the
+    // fingerprint once — the recursive listing is metadata-scale but
+    // not free at millions of files
+    val cur = currentFp.getOrElse(treeFingerprint(spark, dataDir))
     if (rec != cur) throw new IllegalStateException(
       s"manifest at $manifestDir is STALE: built over tree state $rec, " +
         s"data tree at $dataDir is now $cur — rebuild the index before " +

@@ -199,14 +199,20 @@ object Routing {
   def route(spark: SparkSession, root: String, pred: Column): Route = {
     require(!isBucketed(spark, root),
       s"$root is a bucketed table — readWhere routes it via its secondary index")
+    require(!DeleteWhere.isVersionDir(spark, root),
+      s"$root is a delete version — readWhere routes it through its " +
+        "maintained stats manifest and deletion vectors")
     val cs = conjunctsOf(spark.read.parquet(dataDir(root)), pred)
     val haveStats = exists(spark, statsDir(root))
     // Freshness gate (ADVICE r16): a manifest consulted below — or used
     // as the full-scan fallback's file list — must have been built over
     // the CURRENT data tree; otherwise fail loudly here instead of
     // silently dropping files added after the build. Mirrors
-    // SecondaryIndex.lookup's tag-parity check.
-    if (haveStats) FileStats.requireFresh(spark, dataDir(root), statsDir(root))
+    // SecondaryIndex.lookup's tag-parity check. ONE listing serves
+    // every manifest of this tree (stats + each Bloom).
+    lazy val curFp = FileStats.treeFingerprint(spark, dataDir(root))
+    if (haveStats)
+      FileStats.requireFresh(spark, dataDir(root), statsDir(root), Some(curFp))
     var via = Seq.empty[String]
 
     val bounds =
@@ -231,7 +237,8 @@ object Routing {
     cs.foreach {
       case EqIn(c, vs) if exists(spark, bloomDir(root, c)) &&
           vs.forall(v => stringStable(v.dataType)) =>
-        FileStats.requireFresh(spark, dataDir(root), bloomDir(root, c))
+        FileStats.requireFresh(spark, dataDir(root), bloomDir(root, c),
+          Some(curFp))
         intersect(BloomIndex.survivors(spark, bloomDir(root, c),
           vs.map(_.value.toString)), s"bloom[$c]")
       case _ => ()
