@@ -130,6 +130,74 @@ class FileStreamSpec extends SparkSpec {
     assert(got == want, "replay must not double-apply")
   }
 
+  test("maintained ingest: restart is exactly-once, mid-window replays skip, rewinds fail fast") {
+    val src = tmp("mi-src"); val table = tmp("mi-table") + "/t"; val ckp = tmp("mi-ckp")
+    val f1 = spark.range(0, 40)
+      .select(col("id").as("k"), lit(1L).as("ver"), lit(false).as("del"))
+    val f2 = spark.range(0, 20)
+      .select(col("id").as("k"), lit(2L).as("ver"),
+        (col("id") % 10 === 7).as("del"))
+    graft.queries.writeOrderedBatches(src, Seq(f1, f2))
+    def stream() = spark.readStream.schema(f1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    def run(): Unit = EventStreams.streamingIngestMaintained(spark, stream(),
+      "k", "ver", table, ckp, nBuckets = 4, maxFragments = 2,
+      tombstoneCol = Some("del"), purgeEvery = 0)
+    run()
+    def liveKeys() = graft.lake.BucketedUpsert
+      .readLive(spark, table, col("del"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    // f2 tombstoned k=7,17; everything else live at its latest version
+    val want12 = (0L until 40L).toSet -- Set(7L, 17L)
+    assert(liveKeys() == want12, s"after run 1: ${liveKeys().size}")
+    // maintenance ran inside the stream: threshold 2 forces a merge, so
+    // the table is fragment-free after the run
+    assert(graft.lake.BucketedUpsert.fragmentCounts(spark, table)
+      .values.max == 1, "in-stream compaction must have fired")
+    // RESTART with a new file: batch 2 processes exactly once
+    val f3 = spark.range(7, 8)
+      .select(col("id").as("k"), lit(3L).as("ver"), lit(false).as("del"))
+    f3.coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert(liveKeys() == (0L until 40L).toSet - 17L,
+      "k=7 must resurrect via its NEWER live version, k=17 stay deleted")
+    // an idle restart processes nothing and moves no tag
+    val tagBefore = graft.lake.Snapshot.currentTag(spark, table)
+    run()
+    assert(graft.lake.Snapshot.currentTag(spark, table) == tagBefore,
+      "idle restart must not advance the ledger")
+
+    // MID-WINDOW replay: batch 0's data landed (tag 4·0+1) but the
+    // checkpoint never committed — the replayed batch must be skipped
+    // WHOLE (no double-append), later batches apply normally
+    val table2 = tmp("mi-table2") + "/t"; val ckp2 = tmp("mi-ckp2")
+    graft.lake.BucketedUpsert.appendFragment(f1, table2, "k", 4, tag = 1,
+      versionCol = "ver")
+    EventStreams.streamingIngestMaintained(spark, stream(), "k", "ver",
+      table2, ckp2, nBuckets = 4, maxFragments = 8,
+      tombstoneCol = Some("del"), purgeEvery = 0)
+    // RAW row count distinguishes (resolved would hide a double-apply):
+    // k=3 appears once in f1 and once in f2 — a replayed f1 would add a
+    // third physical row
+    val rows2 = graft.lake.BucketedUpsert.read(spark, table2)
+      .filter(col("k") === 3L).count()
+    assert(rows2 == 2L,
+      s"a mid-window replayed batch must not double-apply (raw rows: $rows2)")
+
+    // REWOUND checkpoint: published tag beyond batch 0's window → loud
+    val table3 = tmp("mi-table3") + "/t"; val ckp3 = tmp("mi-ckp3")
+    graft.lake.BucketedUpsert.appendFragment(f1, table3, "k", 4, tag = 40,
+      versionCol = "ver")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      EventStreams.streamingIngestMaintained(spark, stream(), "k", "ver",
+        table3, ckp3, nBuckets = 4, maxFragments = 8))
+    def anyCauseSays(t: Throwable, s: String): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains(s)) ||
+        anyCauseSays(t.getCause, s))
+    assert(anyCauseSays(ex, "rewound"),
+      s"rewind must fail fast: ${ex.getMessage}")
+  }
+
   test("streaming MV sink: apply-then-crash window is healed on restart") {
     // crash model: batch 0's applyBatch landed (table at tag 0) but the
     // refresh never ran and the checkpoint never committed — on restart
