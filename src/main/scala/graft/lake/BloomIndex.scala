@@ -75,6 +75,67 @@ object BloomIndex {
     FileStats.writeTreeFp(spark, dataDir, bloomDir)
   }
 
+  /** INCREMENTAL Bloom refresh — same delta contract as
+    * [[FileStats.refreshStats]]: only files added since the build are
+    * scanned (their filter rows APPEND to the relational manifest);
+    * rows for vanished files are dropped via a staged rewrite of the
+    * manifest (metadata-scale) that only runs when something vanished.
+    * Filter parameters are the MANIFEST's own — a refresh can never
+    * silently mix hash geometries (the mixed-params fail-fast in
+    * [[survivors]] is the backstop). Returns (filesScanned,
+    * filesDropped).
+    */
+  def refreshBloom(spark: SparkSession, dataDir: String,
+                   bloomDir: String, column: String): (Long, Long) = {
+    val meta = spark.read.parquet(bloomDir)
+      .select("m_log2", "k").distinct().collect()
+    require(meta.length == 1,
+      s"bloom index at $bloomDir mixes filter params " +
+        s"${meta.mkString(",")} — rebuild it")
+    val (mLog2, k) = (meta.head.getInt(0), meta.head.getInt(1))
+    def norm(s: String) = s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+    val hp = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = scala.collection.mutable.Set[String]()
+    if (fs.exists(hp)) {
+      val it = fs.listFiles(hp, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val nm = f.getPath.getName
+        if (!nm.startsWith("_") && !nm.startsWith("."))
+          current += norm(f.getPath.toString)
+      }
+    }
+    val oldNorm = spark.read.parquet(bloomDir).select("path").distinct()
+      .collect().map(r => norm(r.getString(0))).toSet
+    val added = (current -- oldNorm).toSeq.sorted
+    val dropped = oldNorm -- current
+    if (dropped.nonEmpty) {
+      // staged rewrite: filter the manifest into a sibling, swap dirs
+      val staging = new org.apache.hadoop.fs.Path(bloomDir + "-refresh")
+      val target = new org.apache.hadoop.fs.Path(bloomDir)
+      spark.read.parquet(bloomDir)
+        .filter(!regexp_replace(col("path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+          .isInCollection(dropped.toSeq))
+        .write.mode("overwrite").parquet(staging.toString)
+      if (!fs.delete(target, true) || !fs.rename(staging, target))
+        throw new java.io.IOException(
+          s"bloom refresh swap failed for $bloomDir — rebuild via writeBloom")
+    }
+    if (added.nonEmpty)
+      spark.read.parquet(added: _*)
+        .filter(col(column).isNotNull)
+        .select(input_file_name().as("path"),
+          explode(posArray(col(column).cast("string"), mLog2, k)).as("pos"))
+        .groupBy(col("path"), (col("pos") / 64).cast("int").as("w"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
+          .as("bits"))
+        .withColumn("m_log2", lit(mLog2)).withColumn("k", lit(k))
+        .write.mode("append").parquet(bloomDir)
+    FileStats.writeTreeFp(spark, dataDir, bloomDir)
+    (added.size.toLong, dropped.size.toLong)
+  }
+
   /** The words `values` hash to — the only manifest rows a probe reads. */
   private[lake] def wantedWords(values: Seq[String], mLog2: Int,
                                 k: Int): Seq[Int] =

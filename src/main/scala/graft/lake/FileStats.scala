@@ -132,6 +132,69 @@ object FileStats {
     writeTreeFp(spark, dataDir, statsDir)
   }
 
+  /** INCREMENTAL stats refresh — the companion of the freshness
+    * fail-fast: a stale manifest is LOUD ([[requireFresh]]), and
+    * re-freshing it costs the DELTA, not the table. Files added since
+    * the build are scanned (only them); rows for vanished files drop;
+    * everything else carries verbatim. At 100 TB a full
+    * [[writeStats]] re-scan per ingest cycle would negate the index's
+    * economics — this is O(changed files), driven by the same listing
+    * the fingerprint already takes. The indexed column set is the
+    * MANIFEST's own (a refresh can never silently change what the
+    * index covers). Returns (filesScanned, rowsDropped).
+    */
+  def refreshStats(spark: SparkSession, dataDir: String,
+                   statsDir: String): (Long, Long) = {
+    val old = spark.read.parquet(statsDir)
+    val cols = old.columns.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_")
+    }.toSeq
+    require(cols.nonEmpty, s"manifest at $statsDir indexes no columns")
+    def norm(s: String) = s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+    // current tree listing — the same walk the fingerprint takes
+    val hp = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = scala.collection.mutable.Set[String]()
+    if (fs.exists(hp)) {
+      val it = fs.listFiles(hp, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val nm = f.getPath.getName
+        if (!nm.startsWith("_") && !nm.startsWith("."))
+          current += norm(f.getPath.toString)
+      }
+    }
+    val oldPaths = old.select("path").collect().map(_.getString(0))
+    val oldNorm = oldPaths.map(norm).toSet
+    val added = (current -- oldNorm).toSeq.sorted
+    val droppedNorm = oldNorm -- current
+    val kept = old.filter(!udfFreeNormIsIn(col("path"), droppedNorm))
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(minName(c)),
+        max(col(c)).as(maxName(c))))
+    val merged =
+      if (added.isEmpty) kept
+      else kept.unionByName(
+        spark.read.parquet(added: _*)
+          .groupBy(input_file_name().as("path"))
+          .agg(aggs.head, aggs.tail: _*))
+    // overwrite via a staging read: the manifest cannot be read and
+    // overwritten in one plan
+    val rows = merged.collect()
+    val schema = merged.schema
+    spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+      .coalesce(1).write.mode("overwrite").parquet(statsDir)
+    writeTreeFp(spark, dataDir, statsDir)
+    (added.size.toLong, droppedNorm.size.toLong)
+  }
+
+  /** scheme-normalized membership test as a Column (no UDF). */
+  private def udfFreeNormIsIn(c: Column, normSet: Set[String]): Column =
+    if (normSet.isEmpty) lit(false)
+    else regexp_replace(c, "^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+      .isInCollection(normSet.toSeq)
+
   /** The manifest paths whose [min,max] on `column` intersects
     * [lo, hi] — the files a range query must read. Null bounds (an
     * all-null file) never intersect. */

@@ -73,6 +73,29 @@ object Routing {
     BloomIndex.writeBloom(spark, dataDir(root), bloomDir(root, column),
       column, mLog2, k)
 
+  /** DELTA refresh of every index manifest the table carries — the
+    * ingest-cycle companion of the freshness fail-fast: after files
+    * land (or vanish), one call re-validates routing at O(changed
+    * files) instead of a full rebuild. Returns (filesScanned,
+    * rowsDropped) summed over the refreshed manifests. */
+  def refreshIndexes(spark: SparkSession, root: String): (Long, Long) = {
+    var scanned = 0L; var dropped = 0L
+    if (exists(spark, statsDir(root))) {
+      val (s, d) = FileStats.refreshStats(spark, dataDir(root), statsDir(root))
+      scanned += s; dropped += d
+    }
+    val bloomRoot = new Path(s"$root/ix/bloom")
+    val fs = bloomRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(bloomRoot))
+      fs.listStatus(bloomRoot).filter(_.isDirectory).foreach { d0 =>
+        val c = d0.getPath.getName
+        val (s, d) = BloomIndex.refreshBloom(spark, dataDir(root),
+          bloomDir(root, c), c)
+        scanned += s; dropped += d
+      }
+    (scanned, dropped)
+  }
+
   /** Build/refresh the secondary index on `column` of the bucketed
     * table at `root` (keyed by `key`). */
   def indexSecondary(spark: SparkSession, root: String, key: String,

@@ -671,6 +671,32 @@ object CoreQueries extends QueryPack {
       frag.unionByName(dv).orderBy("src", "k")
     }),
 
+    // S35: DELTA index refresh — the ingest-cycle loop closed: build
+    // stats+bloom, land churn (a late-arriving slice as NEW files,
+    // which makes every manifest stale and routing fail-fast), ONE
+    // refreshIndexes call at O(changed files), then a routed read over
+    // the post-churn truth. Hash-green proves the refreshed manifests
+    // route exactly (including the new files both in pruned reads and
+    // in the manifest-derived full-scan fallback).
+    "s35_incr_refresh" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-refresh-q").toString
+      val ev = t(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      graft.lake.ZOrder.writeZOrdered(ev, s"$root/data", 16,
+        "user_id", "event_id")
+      graft.lake.Routing.indexStats(s, root, Seq("user_id"))
+      graft.lake.Routing.indexBloom(s, root, "event_id")
+      ev.filter(col("event_id") % 97 === 0)
+        .write.mode("append").parquet(s"$root/data")
+      graft.lake.Routing.refreshIndexes(s, root)
+      graft.lake.Routing.readWhere(s, root,
+          col("user_id").between(lit(50L), lit(250L)) &&
+            col("event_id") % 3 =!= 1)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id", "user_id")
+    }),
+
     // S29: DELETION-VECTOR sparse delete — same DELETE semantics as
     // s20, but the version rewrites NOTHING: every original file is
     // referenced verbatim and the deleted rows hide behind a
@@ -955,6 +981,16 @@ object CoreQueries extends QueryPack {
                 ok, epoch_us(ts) AS ts_us
          FROM read_parquet('/root/repo/src/test/resources/fixture_twin.parquet')
          ORDER BY id""",
+    // the churned slice is the %97 twin landed as new files; refreshed
+    // routing must serve exactly the augmented table
+    "s35_incr_refresh" ->
+      """WITH aug AS (SELECT event_id, user_id, event_type FROM events
+                      UNION ALL
+                      SELECT event_id, user_id, event_type FROM events
+                      WHERE event_id % 97 = 0)
+         SELECT event_id, user_id, event_type FROM aug
+         WHERE user_id BETWEEN 50 AND 250 AND event_id % 3 <> 1
+         ORDER BY event_id, user_id""",
     // both merge-on-read regimes resolve invisibly behind readWhere:
     // the fragment side is the CASE-expressed latest-version state,
     // the DV side the mask-surviving slice

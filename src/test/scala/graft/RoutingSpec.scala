@@ -135,6 +135,44 @@ class RoutingSpec extends SparkSpec {
     assert(ex3.getMessage.contains("no tree fingerprint"), ex3.getMessage)
   }
 
+  test("refreshIndexes re-validates routing at delta cost after appends and deletions") {
+    import spark.implicits._
+    val root = buildTree()
+    val originals = plain(root).inputFiles
+    val totalBefore = originals.length
+    // land TWO new files and remove one ORIGINAL file — the exact churn
+    // an ingest cycle produces
+    Seq((999999L, 42L, "click", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$root/data")
+    Seq((999998L, 77000L, "view", 2.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$root/data")
+    val victimPath = originals.min // deterministic ORIGINAL pick
+    val victimRows = spark.read.parquet(victimPath)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(new java.io.File(new java.net.URI(victimPath).getPath).delete())
+    // stale → loud (the fail-fast), then ONE delta refresh restores it
+    intercept[IllegalStateException](
+      Routing.route(spark, root, col("user_id").between(100L, 140L)))
+    val (scanned, droppedRows) = Routing.refreshIndexes(spark, root)
+    // delta cost: 2 new files scanned per manifest (stats + 1 bloom),
+    // the vanished file's rows dropped from both
+    assert(scanned == 4, s"refresh must scan only the delta: $scanned")
+    assert(droppedRows >= 2, s"vanished file must leave both manifests: $droppedRows")
+    // routing is live again and sees EXACTLY the post-churn truth
+    sameAs(root, col("user_id").between(100L, 140L))
+    assert(Routing.readWhere(spark, root,
+      col("event_id") === lit(999999L)).count() == 1)
+    assert(Routing.readWhere(spark, root,
+      col("event_id").isin(victimRows.take(3).toSeq: _*)).count() == 0,
+      "rows of the deleted file must be gone from routed reads")
+    // the full-scan fallback's manifest file list matches the tree
+    val r = Routing.route(spark, root, upper(col("event_type")) === lit("X"))
+    assert(r.files.size == totalBefore + 2 - 1,
+      s"fallback list must track the churn: ${r.files.size} vs ${totalBefore + 1}")
+  }
+
   test("merge-on-read: a fragmented table resolves through its recorded version column") {
     import spark.implicits._
     val root = tmp() + "/t"
