@@ -96,20 +96,22 @@ object BloomIndex {
     def norm(s: String) = s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
     val hp = new org.apache.hadoop.fs.Path(dataDir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val current = scala.collection.mutable.Set[String]()
+    // normalized form ONLY for set comparison; reads keep the original
+    // scheme-carrying path (stripping it would break non-local FSes)
+    val current = scala.collection.mutable.Map[String, String]() // norm -> orig
     if (fs.exists(hp)) {
       val it = fs.listFiles(hp, true)
       while (it.hasNext) {
         val f = it.next()
         val nm = f.getPath.getName
         if (!nm.startsWith("_") && !nm.startsWith("."))
-          current += norm(f.getPath.toString)
+          current(norm(f.getPath.toString)) = f.getPath.toString
       }
     }
     val oldNorm = spark.read.parquet(bloomDir).select("path").distinct()
       .collect().map(r => norm(r.getString(0))).toSet
-    val added = (current -- oldNorm).toSeq.sorted
-    val dropped = oldNorm -- current
+    val added = (current.keySet -- oldNorm).toSeq.sorted.map(current)
+    val dropped = oldNorm -- current.keySet
     if (dropped.nonEmpty) {
       // staged rewrite: filter the manifest into a sibling, swap dirs
       val staging = new org.apache.hadoop.fs.Path(bloomDir + "-refresh")

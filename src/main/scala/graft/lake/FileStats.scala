@@ -154,20 +154,22 @@ object FileStats {
     // current tree listing — the same walk the fingerprint takes
     val hp = new org.apache.hadoop.fs.Path(dataDir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val current = scala.collection.mutable.Set[String]()
+    // normalized form ONLY for set comparison; reads keep the original
+    // scheme-carrying path (stripping it would break non-local FSes)
+    val current = scala.collection.mutable.Map[String, String]() // norm -> orig
     if (fs.exists(hp)) {
       val it = fs.listFiles(hp, true)
       while (it.hasNext) {
         val f = it.next()
         val nm = f.getPath.getName
         if (!nm.startsWith("_") && !nm.startsWith("."))
-          current += norm(f.getPath.toString)
+          current(norm(f.getPath.toString)) = f.getPath.toString
       }
     }
     val oldPaths = old.select("path").collect().map(_.getString(0))
     val oldNorm = oldPaths.map(norm).toSet
-    val added = (current -- oldNorm).toSeq.sorted
-    val droppedNorm = oldNorm -- current
+    val added = (current.keySet -- oldNorm).toSeq.sorted.map(current)
+    val droppedNorm = oldNorm -- current.keySet
     val kept = old.filter(!udfFreeNormIsIn(col("path"), droppedNorm))
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(minName(c)),

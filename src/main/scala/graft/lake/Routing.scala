@@ -214,6 +214,21 @@ object Routing {
     }.toSeq
   }
 
+  /** METADATA-ONLY count/min/max over the indexed columns, behind the
+    * same freshness gate as routed reads: [[FileStats.aggFromStats]]
+    * answers from the manifest alone (zero data files opened) and its
+    * docs demand a current manifest — here that demand is ENFORCED, so
+    * a stale answer is impossible rather than merely discouraged. The
+    * 100 TB payoff: "how many rows / what key range" — the question
+    * every planner and monitor asks first — stays a manifest read. */
+  def aggStats(spark: SparkSession, root: String,
+               cols: Seq[String]): DataFrame = {
+    require(exists(spark, statsDir(root)),
+      s"no stats manifest under $root — build one with indexStats")
+    FileStats.requireFresh(spark, dataDir(root), statsDir(root))
+    FileStats.aggFromStats(spark, statsDir(root), cols)
+  }
+
   /** What the router decided: the files (or buckets) it will open and
     * the manifests that pruned them — the spec's files-opened oracle. */
   final case class Route(files: Seq[String], via: Seq[String])

@@ -171,6 +171,16 @@ class RoutingSpec extends SparkSpec {
     val r = Routing.route(spark, root, upper(col("event_type")) === lit("X"))
     assert(r.files.size == totalBefore + 2 - 1,
       s"fallback list must track the churn: ${r.files.size} vs ${totalBefore + 1}")
+    // metadata-only agg behind the SAME gate: exact post-churn counts
+    // from the manifest alone, and stale → loud (not a wrong number)
+    val agg = Routing.aggStats(spark, root, Seq("user_id")).head()
+    assert(agg.getLong(0) == plain(root).count(),
+      s"aggStats must equal the live count: $agg")
+    Seq((999997L, 1L, "x", 0.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$root/data")
+    intercept[IllegalStateException](
+      Routing.aggStats(spark, root, Seq("user_id")))
   }
 
   test("merge-on-read: a fragmented table resolves through its recorded version column") {
