@@ -180,13 +180,16 @@ object FileStats {
         spark.read.parquet(added: _*)
           .groupBy(input_file_name().as("path"))
           .agg(aggs.head, aggs.tail: _*))
-    // overwrite via a staging read: the manifest cannot be read and
-    // overwritten in one plan
-    val rows = merged.collect()
-    val schema = merged.schema
-    spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), schema)
-      .coalesce(1).write.mode("overwrite").parquet(statsDir)
+    // staged swap (the manifest cannot be read and overwritten in one
+    // plan, and a driver-side collect would not survive million-file
+    // manifests): write the merged manifest beside, then swap dirs
+    val staging = new org.apache.hadoop.fs.Path(statsDir + "-refresh")
+    val target = new org.apache.hadoop.fs.Path(statsDir)
+    val mfs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    merged.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    if (!mfs.delete(target, true) || !mfs.rename(staging, target))
+      throw new java.io.IOException(
+        s"stats refresh swap failed for $statsDir — rebuild via writeStats")
     writeTreeFp(spark, dataDir, statsDir)
     (added.size.toLong, droppedNorm.size.toLong)
   }
