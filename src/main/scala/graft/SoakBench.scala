@@ -47,11 +47,14 @@ object SoakBench {
     val horizonLag = 30L
 
     // ~10% tombstones; keys churn over a 2M-key space so batches both
-    // insert and update (the CDC shape)
+    // insert and update (the CDC shape). The per-batch key map is
+    // BIJECTIVE (id·P + t mod 2M with P coprime to 2M): in-batch key
+    // collisions would tie on (ver, fragment) and resolve by physical
+    // row order, which differs between the two pipelines — the
+    // live-state oracle would then fire on noise, not on a bug.
     def batchDf(t: Int) = spark.range(0, rowsPerBatch)
       .select(
-        (hash(col("id"), lit(t)).cast("long").bitwiseAND(lit(Long.MaxValue))
-          % 2000000L).as("k"),
+        ((col("id") * 982451653L + t) % 2000000L).as("k"),
         lit(t.toLong).as("ver"),
         (hash(col("id"), lit(t), lit(7)) % 10 === 0).as("del"),
         concat(lit("p"), col("id"), lit("x" * 60)).as("payload"))
@@ -80,9 +83,13 @@ object SoakBench {
     val tM0 = System.nanoTime()
     for (t <- 1 to batches) {
       val b = (t - 1).toLong // batchId
+      // keep=3: a purge batch publishes three manifests (4b+1..4b+3);
+      // with the default keep=2 the data batch's own version dir is
+      // GC'd inside maintainedBatch BEFORE dirBytes can read it, and
+      // both write-amp terms undercount every purgeEvery-th batch
       graft.streaming.EventStreams.maintainedBatch(spark, batchDf(t), b,
         "k", "ver", maintained, nBuckets, maxFragments, Some("del"),
-        purgeEvery, bid => bid + 1 - horizonLag)
+        purgeEvery, bid => bid + 1 - horizonLag, keep = 3)
       // bytes landed THIS batch: the data fragment + any maintenance
       // rewrites, measured before GC can rotate the dirs out
       val dataB = dirBytes(s"$maintained/data/v${4 * b + 1}")

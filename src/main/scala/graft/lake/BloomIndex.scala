@@ -55,7 +55,28 @@ object BloomIndex {
                  column: String, mLog2: Int = 16, k: Int = 3): Unit = {
     require(mLog2 >= 6 && mLog2 <= 30, s"mLog2 out of range: $mLog2")
     require(k >= 1 && k <= 8, s"k out of range: $k")
-    spark.read.parquet(dataDir)
+    // listing BEFORE the scan: the recorded fingerprint must describe
+    // what the build could have seen (FileStats.writeTreeFp rationale)
+    val listing = FileStats.walkTree(spark, dataDir)
+    filterRows(spark, dataDir, column, mLog2, k, listing)
+      .write.mode("overwrite").parquet(bloomDir)
+    FileStats.writeTreeFp(spark, bloomDir, FileStats.fpOf(listing))
+  }
+
+  /** The manifest rows for `paths`-restricted (or full-tree) builds:
+    * per-(file, word) filter bits plus the build params and the
+    * per-file (len, mtime) meta [[refreshBloom]] uses to certify kept
+    * files against in-place content changes. */
+  private def filterRows(spark: SparkSession, source: String, column: String,
+                         mLog2: Int, k: Int,
+                         listing: Seq[FileStats.FileMeta],
+                         paths: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val base = if (paths.isEmpty) spark.read.parquet(source)
+               else spark.read.parquet(paths: _*)
+    val meta = listing.map(m => (m.norm, m.len, m.mtime))
+      .toDF("_gf_norm", "f_len", "f_mtime")
+    base
       .filter(col(column).isNotNull)
       .select(input_file_name().as("path"),
         explode(posArray(col(column).cast("string"), mLog2, k)).as("pos"))
@@ -66,13 +87,17 @@ object BloomIndex {
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
         .as("bits"))
       .withColumn("m_log2", lit(mLog2)).withColumn("k", lit(k))
+      // per-file meta columns: constant per path, dictionary/RLE-encoded
+      // to near-zero bytes by parquet
+      .join(broadcast(meta),
+        regexp_replace(col("path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/") ===
+          col("_gf_norm"), "left")
+      .drop("_gf_norm")
       // NOT coalesced to one file: the manifest scales with FILE COUNT
       // (unlike the bucket-bounded index manifests), and a single-task
       // write would serialize the bit_or of a million files' words
       // through one executor; probes filter by word, so a multi-file
       // manifest costs readers nothing
-      .write.mode("overwrite").parquet(bloomDir)
-    FileStats.writeTreeFp(spark, dataDir, bloomDir)
   }
 
   /** INCREMENTAL Bloom refresh — same delta contract as
@@ -87,54 +112,52 @@ object BloomIndex {
     */
   def refreshBloom(spark: SparkSession, dataDir: String,
                    bloomDir: String, column: String): (Long, Long) = {
-    val meta = spark.read.parquet(bloomDir)
+    val params = spark.read.parquet(bloomDir)
       .select("m_log2", "k").distinct().collect()
-    require(meta.length == 1,
+    require(params.length == 1,
       s"bloom index at $bloomDir mixes filter params " +
-        s"${meta.mkString(",")} — rebuild it")
-    val (mLog2, k) = (meta.head.getInt(0), meta.head.getInt(1))
-    def norm(s: String) = s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
-    val hp = new org.apache.hadoop.fs.Path(dataDir)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // normalized form ONLY for set comparison; reads keep the original
-    // scheme-carrying path (stripping it would break non-local FSes)
-    val current = scala.collection.mutable.Map[String, String]() // norm -> orig
-    if (fs.exists(hp)) {
-      val it = fs.listFiles(hp, true)
-      while (it.hasNext) {
-        val f = it.next()
-        val nm = f.getPath.getName
-        if (!nm.startsWith("_") && !nm.startsWith("."))
-          current(norm(f.getPath.toString)) = f.getPath.toString
-      }
+        s"${params.mkString(",")} - rebuild it")
+    val (mLog2, k) = (params.head.getInt(0), params.head.getInt(1))
+    val listing = FileStats.walkTree(spark, dataDir)
+    val current = listing.map(m => m.norm -> m).toMap
+    // per-file (len, mtime) recorded at build time certifies kept files
+    // against IN-PLACE content changes; manifests predating the meta
+    // columns rescan every kept file once (then carry meta)
+    val oldDf = spark.read.parquet(bloomDir)
+    val hasMeta = oldDf.columns.contains("f_len")
+    val oldMeta: Map[String, Option[(Long, Long)]] =
+      oldDf.select(Seq(col("path")) ++
+          (if (hasMeta) Seq(col("f_len"), col("f_mtime")) else Nil): _*)
+        .distinct().collect().map { r =>
+          FileStats.normPath(r.getString(0)) -> (if (hasMeta && !r.isNullAt(1))
+            Some((r.getLong(1), r.getLong(2))) else None)
+        }.toMap
+    val oldNorm = oldMeta.keySet
+    val changedNorm = oldNorm.intersect(current.keySet).filter { n =>
+      val m = current(n)
+      !oldMeta(n).contains((m.len, m.mtime))
     }
-    val oldNorm = spark.read.parquet(bloomDir).select("path").distinct()
-      .collect().map(r => norm(r.getString(0))).toSet
-    val added = (current.keySet -- oldNorm).toSeq.sorted.map(current)
-    val dropped = oldNorm -- current.keySet
+    val added = ((current.keySet -- oldNorm) ++ changedNorm)
+      .toSeq.sorted.map(n => current(n).path)
+    val dropped = (oldNorm -- current.keySet) ++ changedNorm
+    val fs = new org.apache.hadoop.fs.Path(bloomDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (dropped.nonEmpty) {
       // staged rewrite: filter the manifest into a sibling, swap dirs
       val staging = new org.apache.hadoop.fs.Path(bloomDir + "-refresh")
       val target = new org.apache.hadoop.fs.Path(bloomDir)
-      spark.read.parquet(bloomDir)
+      oldDf
         .filter(!regexp_replace(col("path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/")
           .isInCollection(dropped.toSeq))
         .write.mode("overwrite").parquet(staging.toString)
       if (!fs.delete(target, true) || !fs.rename(staging, target))
         throw new java.io.IOException(
-          s"bloom refresh swap failed for $bloomDir — rebuild via writeBloom")
+          s"bloom refresh swap failed for $bloomDir - rebuild via writeBloom")
     }
     if (added.nonEmpty)
-      spark.read.parquet(added: _*)
-        .filter(col(column).isNotNull)
-        .select(input_file_name().as("path"),
-          explode(posArray(col(column).cast("string"), mLog2, k)).as("pos"))
-        .groupBy(col("path"), (col("pos") / 64).cast("int").as("w"))
-        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))")
-          .as("bits"))
-        .withColumn("m_log2", lit(mLog2)).withColumn("k", lit(k))
+      filterRows(spark, dataDir, column, mLog2, k, listing, paths = added)
         .write.mode("append").parquet(bloomDir)
-    FileStats.writeTreeFp(spark, dataDir, bloomDir)
+    FileStats.writeTreeFp(spark, bloomDir, FileStats.fpOf(listing))
     (added.size.toLong, dropped.size.toLong)
   }
 

@@ -539,9 +539,10 @@ object BucketedUpsert {
     if (written.isEmpty && prev.isEmpty) return
     // the recorded version column: an explicit one wins; otherwise
     // inherit the table's standing record so one annotated writer is
-    // enough for transparent merge-on-read everywhere
+    // enough for transparent merge-on-read everywhere (search ALL
+    // entries — the head may predate version recording)
     val vc = if (versionCol.nonEmpty) versionCol
-             else prev.headOption.map(_.verCol).getOrElse("")
+             else prev.map(_.verCol).find(_.nonEmpty).getOrElse("")
     val entries = prev ++ written.map(b =>
       Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag, key,
         sorted = true, verCol = vc))
@@ -715,13 +716,24 @@ object BucketedUpsert {
     // older versions of tombstoned keys — filtering raw would leak a
     // superseded "live" row past its key's tombstone. Resolve first
     // through the writer-recorded version column (same transparent
-    // merge-on-read contract as Routing.readWhere).
+    // merge-on-read contract as Routing.readWhere). ONE manifest fetch
+    // serves fragmentation/key/version discovery and the read itself
+    // (each manifestEntries call is a driver-side job).
+    val entries = manifestEntries(spark, root)
+    require(entries.nonEmpty, s"no published bucketed table under $root")
+    val fragmented = entries.groupBy(_.bucket).exists(_._2.size > 1)
     val base =
-      if (!isFragmented(spark, root)) read(spark, root)
-      else readResolved(spark, root, keyColOf(spark, root),
-        versionColOf(spark, root).getOrElse(throw new IllegalStateException(
-          s"table at $root is fragmented but records no version column — " +
-            "readLive cannot resolve; write batches with versionCol set")))
+      if (!fragmented) readPaths(spark, root, entries.map(_.path))
+      else {
+        val key = entries.map(_.keyCol).find(_.nonEmpty).getOrElse(
+          throw new IllegalStateException(
+            s"table at $root records no key column"))
+        val vc = entries.map(_.verCol).find(_.nonEmpty).getOrElse(
+          throw new IllegalStateException(
+            s"table at $root is fragmented but records no version column — " +
+              "readLive cannot resolve; write batches with versionCol set"))
+        resolveScan(bucketedReadEntries(spark, root, entries, key), key, vc)
+      }
     base.filter(!coalesce(tombstone, lit(false)))
   }
 

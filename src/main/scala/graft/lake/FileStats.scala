@@ -30,50 +30,92 @@ object FileStats {
   private def minName(c: String) = s"min_$c"
   private def maxName(c: String) = s"max_$c"
 
-  /** Deterministic fingerprint of the data tree a manifest was built
-    * over: data-file count, total bytes, max modification time
-    * (side files with `_`/`.` prefixes excluded — the same set a
-    * parquet scan reads). Recorded as a `_tree_fp` sidecar beside
-    * every stats/Bloom manifest at build time so [[Routing]] can fail
-    * FAST on staleness: without it, files landed after the build are
-    * excluded both from routed reads and from the manifest-derived
-    * full-scan fallback — silently missing rows, the one failure the
-    * docs promise cannot happen. Cost at read time is one recursive
-    * listing, metadata-scale (and already paid by any un-indexed scan).
-    */
-  def treeFingerprint(spark: SparkSession, dataDir: String): String = {
+  // Tree fingerprints: a deterministic digest (file count, total
+  // bytes, max mtime) of the data tree a manifest was built over,
+  // recorded as a `_tree_fp` sidecar beside every stats/Bloom manifest
+  // so [[Routing]] can fail FAST on staleness — without it, files
+  // landed after the build are silently excluded from routed reads AND
+  // the manifest-derived full-scan fallback. Read-time cost is one
+  // recursive listing: metadata-scale, already paid by un-indexed scans.
+
+  /** One data file as the tree walk sees it: original (scheme-carrying)
+    * path for I/O, scheme-normalized path for joins/sets (the form
+    * `input_file_name` comparisons use), plus the (len, mtime) pair
+    * that detects in-place content changes. */
+  private[lake] final case class FileMeta(path: String, norm: String,
+                                          len: Long, mtime: Long)
+
+  private[lake] def normPath(s: String): String =
+    s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+
+  /** Recursive listing of the data files under `dataDir` (side files
+    * with `_`/`.` prefixes excluded — the set a parquet scan reads). */
+  private[lake] def walkTree(spark: SparkSession,
+                             dataDir: String): Seq[FileMeta] = {
     val hp = new org.apache.hadoop.fs.Path(dataDir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var n = 0L; var bytes = 0L; var maxM = 0L
+    val out = scala.collection.mutable.ArrayBuffer[FileMeta]()
     if (fs.exists(hp)) {
       val it = fs.listFiles(hp, true)
       while (it.hasNext) {
         val f = it.next()
         val nm = f.getPath.getName
-        if (!nm.startsWith("_") && !nm.startsWith(".")) {
-          n += 1; bytes += f.getLen
-          if (f.getModificationTime > maxM) maxM = f.getModificationTime
-        }
+        if (!nm.startsWith("_") && !nm.startsWith("."))
+          out += FileMeta(f.getPath.toString, normPath(f.getPath.toString),
+            f.getLen, f.getModificationTime)
       }
     }
-    s"v1:$n:$bytes:$maxM"
+    out.toSeq
   }
+
+  private[lake] def fpOf(files: Seq[FileMeta]): String =
+    s"v1:${files.size}:${files.map(_.len).sum}:" +
+      files.map(_.mtime).maxOption.getOrElse(0L)
+
+  def treeFingerprint(spark: SparkSession, dataDir: String): String =
+    fpOf(walkTree(spark, dataDir))
 
   private def fpPath(manifestDir: String) =
     new org.apache.hadoop.fs.Path(manifestDir, "_tree_fp")
 
-  /** Record the CURRENT fingerprint of `dataDir` beside the manifest
-    * at `manifestDir`. Computed fresh (after the manifest lands), so a
-    * tree mutated DURING the build mismatches at read time — fail-safe
-    * in the racy direction. The `_` prefix keeps parquet readers of
-    * the manifest itself blind to the sidecar. */
-  private[lake] def writeTreeFp(spark: SparkSession, dataDir: String,
-                                manifestDir: String): Unit = {
+  /** Record `fp` beside the manifest at `manifestDir`. The fingerprint
+    * must come from the SAME listing the build consumed — stamping a
+    * listing taken AFTER the build would record files the build never
+    * saw, and requireFresh would then pass on a manifest that is
+    * missing them (the inverted-race hole a review found). With the
+    * build's own listing, a file landing mid-build makes the read-time
+    * fingerprint differ → loud, the fail-safe direction. The `_`
+    * prefix keeps parquet readers of the manifest blind to the
+    * sidecar. */
+  private[lake] def writeTreeFp(spark: SparkSession, manifestDir: String,
+                                fp: String): Unit = {
     val p = fpPath(manifestDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(treeFingerprint(spark, dataDir).getBytes("UTF-8"))
+    try out.write(fp.getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Broadcastable (norm-path → len/mtime) frame of a listing, joined
+    * onto manifest rows at build time so a later [[refreshStats]] can
+    * detect IN-PLACE content changes (same path, different bytes) —
+    * without it a path-set-only delta would "heal" the fingerprint
+    * while keeping stale bounds. */
+  private def metaDf(spark: SparkSession,
+                     listing: Seq[FileMeta]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    listing.map(m => (m.norm, m.len, m.mtime))
+      .toDF("_gf_norm", "f_len", "f_mtime")
+  }
+
+  private def withFileMeta(stats: DataFrame,
+                           listing: Seq[FileMeta]): DataFrame = {
+    val spark = stats.sparkSession
+    stats.join(
+        broadcast(metaDf(spark, listing)),
+        regexp_replace(col("path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/") ===
+          col("_gf_norm"), "left")
+      .drop("_gf_norm")
   }
 
   /** The fingerprint recorded at build time, if any. */
@@ -122,14 +164,19 @@ object FileStats {
   def writeStats(spark: SparkSession, dataDir: String, statsDir: String,
                  cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "at least one column to index")
+    // listing taken BEFORE the scan: the recorded fingerprint must
+    // describe what the build could have seen (see writeTreeFp)
+    val listing = walkTree(spark, dataDir)
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(minName(c)), max(col(c)).as(maxName(c))))
-    spark.read.parquet(dataDir)
-      .groupBy(input_file_name().as("path"))
-      .agg(aggs.head, aggs.tail: _*)
+    withFileMeta(
+        spark.read.parquet(dataDir)
+          .groupBy(input_file_name().as("path"))
+          .agg(aggs.head, aggs.tail: _*),
+        listing)
       .coalesce(1) // manifest is file-count-sized
       .write.mode("overwrite").parquet(statsDir)
-    writeTreeFp(spark, dataDir, statsDir)
+    writeTreeFp(spark, statsDir, fpOf(listing))
   }
 
   /** INCREMENTAL stats refresh — the companion of the freshness
@@ -141,7 +188,7 @@ object FileStats {
     * economics — this is O(changed files), driven by the same listing
     * the fingerprint already takes. The indexed column set is the
     * MANIFEST's own (a refresh can never silently change what the
-    * index covers). Returns (filesScanned, rowsDropped).
+    * index covers). Returns (filesScanned, filesDropped).
     */
   def refreshStats(spark: SparkSession, dataDir: String,
                    statsDir: String): (Long, Long) = {
@@ -150,36 +197,48 @@ object FileStats {
       case c if c.startsWith("min_") => c.stripPrefix("min_")
     }.toSeq
     require(cols.nonEmpty, s"manifest at $statsDir indexes no columns")
-    def norm(s: String) = s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
-    // current tree listing — the same walk the fingerprint takes
-    val hp = new org.apache.hadoop.fs.Path(dataDir)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // normalized form ONLY for set comparison; reads keep the original
-    // scheme-carrying path (stripping it would break non-local FSes)
-    val current = scala.collection.mutable.Map[String, String]() // norm -> orig
-    if (fs.exists(hp)) {
-      val it = fs.listFiles(hp, true)
-      while (it.hasNext) {
-        val f = it.next()
-        val nm = f.getPath.getName
-        if (!nm.startsWith("_") && !nm.startsWith("."))
-          current(norm(f.getPath.toString)) = f.getPath.toString
-      }
+    val listing = walkTree(spark, dataDir)
+    val current = listing.map(m => m.norm -> m).toMap
+    // the recorded per-file (len, mtime) detects IN-PLACE content
+    // changes: same path, different bytes -> the file rescans like an
+    // add (a path-set-only delta would "heal" the fingerprint while
+    // keeping stale bounds). Manifests predating the meta columns
+    // cannot certify their kept files - every kept file rescans
+    // (one-time full-rebuild cost; the refreshed manifest then carries
+    // the meta).
+    val hasMeta = old.columns.contains("f_len")
+    val oldMeta: Map[String, Option[(Long, Long)]] =
+      old.select(Seq(col("path")) ++
+          (if (hasMeta) Seq(col("f_len"), col("f_mtime")) else Nil): _*)
+        .collect().map { r =>
+          normPath(r.getString(0)) -> (if (hasMeta && !r.isNullAt(1))
+            Some((r.getLong(1), r.getLong(2))) else None)
+        }.toMap
+    val oldNorm = oldMeta.keySet
+    val changedNorm = oldNorm.intersect(current.keySet).filter { n =>
+      val m = current(n)
+      !oldMeta(n).contains((m.len, m.mtime))
     }
-    val oldPaths = old.select("path").collect().map(_.getString(0))
-    val oldNorm = oldPaths.map(norm).toSet
-    val added = (current.keySet -- oldNorm).toSeq.sorted.map(current)
-    val droppedNorm = oldNorm -- current.keySet
+    val rescanNorm = (current.keySet -- oldNorm) ++ changedNorm
+    val added = rescanNorm.toSeq.sorted.map(n => current(n).path)
+    val droppedNorm = (oldNorm -- current.keySet) ++ changedNorm
+    if (added.isEmpty && droppedNorm.isEmpty) {
+      // nothing changed: restamp (covers pure mtime-of-dir drift) and go
+      writeTreeFp(spark, statsDir, fpOf(listing))
+      return (0L, 0L)
+    }
     val kept = old.filter(!udfFreeNormIsIn(col("path"), droppedNorm))
+      .drop("f_len", "f_mtime")
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(minName(c)),
         max(col(c)).as(maxName(c))))
-    val merged =
+    val merged0 =
       if (added.isEmpty) kept
       else kept.unionByName(
         spark.read.parquet(added: _*)
           .groupBy(input_file_name().as("path"))
           .agg(aggs.head, aggs.tail: _*))
+    val merged = withFileMeta(merged0, listing)
     // staged swap (the manifest cannot be read and overwritten in one
     // plan, and a driver-side collect would not survive million-file
     // manifests): write the merged manifest beside, then swap dirs
@@ -189,8 +248,8 @@ object FileStats {
     merged.coalesce(1).write.mode("overwrite").parquet(staging.toString)
     if (!mfs.delete(target, true) || !mfs.rename(staging, target))
       throw new java.io.IOException(
-        s"stats refresh swap failed for $statsDir — rebuild via writeStats")
-    writeTreeFp(spark, dataDir, statsDir)
+        s"stats refresh swap failed for $statsDir - rebuild via writeStats")
+    writeTreeFp(spark, statsDir, fpOf(listing))
     (added.size.toLong, droppedNorm.size.toLong)
   }
 

@@ -56,12 +56,23 @@ object IncrAgg {
   }
 
   /** Shared bucket-granular maintenance skeleton: figure out which
-    * buckets the base table rewrote since the MV's tag, recompute THEIR
-    * partial rows via `partialsOf` (over the change feed, which returns
-    * a rewritten bucket's full current rows), carry every other
-    * bucket's partial row over untouched, and publish at the table's
-    * tag. `partialsOf` must emit a `graft_bucket` column — it is the
-    * carry-over key. Returns the number of buckets recomputed. */
+    * buckets the base table changed since the MV's tag, recompute THEIR
+    * partial rows via `partialsOf` over the buckets' FULL CURRENT
+    * CONTENT (every fragment, resolved to current rows where the table
+    * is fragmented), carry every other bucket's partial row over
+    * untouched, and publish at the table's tag. `partialsOf` must emit
+    * a `graft_bucket` column — it is the carry-over key. Returns the
+    * number of buckets recomputed.
+    *
+    * NOT the change feed: `changesSince` returns only entries newer
+    * than the MV's tag, which on a FRAGMENTED bucket is the new
+    * fragment alone — replacing the bucket's partials with that would
+    * silently lose every older fragment's values (Bloom false
+    * negatives, under-counted aggregates) and, for numeric partials,
+    * double-count rows a fragment superseded. Recomputing from the
+    * whole bucket is identical in cost and content on applyBatch
+    * tables (a rewritten bucket IS its one changed entry) and exact on
+    * fragmented ones. */
   private[lake] def maintain(spark: SparkSession, tableRoot: String,
                              mvRoot: String, keep: Int)(
       partialsOf: (DataFrame, Int) => DataFrame): Int = {
@@ -107,8 +118,32 @@ object IncrAgg {
       .filter(_.dataTag > since)
       .map(_.bucket).toSet ++ vanished
 
-    val changedPartials =
-      partialsOf(BucketedUpsert.changesSince(spark, tableRoot, since), nBuckets)
+    val changedEntries = entries.filter(e => changedBuckets(e.bucket))
+    val feed0 =
+      if (changedEntries.isEmpty)
+        BucketedUpsert.readPaths(spark, tableRoot, Seq(entries.head.path))
+          .limit(0)
+      else BucketedUpsert.readPaths(spark, tableRoot,
+        changedEntries.map(_.path))
+    val fragmentedChange = changedEntries.groupBy(_.bucket).exists(_._2.size > 1)
+    val feed =
+      if (!fragmentedChange) feed0
+      else {
+        // superseded rows exist physically — partials must see the
+        // RESOLVED bucket (restricted resolution is exact: a key's
+        // fragments all live in its own bucket)
+        val vc = entries.map(_.verCol).find(_.nonEmpty).getOrElse(
+          throw new IllegalStateException(
+            s"table at $tableRoot has fragmented buckets in the refresh " +
+              "window but records no version column — partials over raw " +
+              "fragments would double-count superseded rows; write batches " +
+              "with versionCol set or mergeFragments first"))
+        val kc = entries.map(_.keyCol).find(_.nonEmpty).getOrElse(
+          throw new IllegalStateException(
+            s"table at $tableRoot records no key column"))
+        BucketedUpsert.resolveScan(feed0, kc, vc)
+      }
+    val changedPartials = partialsOf(feed, nBuckets)
 
     val mv = mvTag match {
       case None => changedPartials

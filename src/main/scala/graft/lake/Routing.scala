@@ -77,8 +77,12 @@ object Routing {
     * ingest-cycle companion of the freshness fail-fast: after files
     * land (or vanish), one call re-validates routing at O(changed
     * files) instead of a full rebuild. Returns (filesScanned,
-    * rowsDropped) summed over the refreshed manifests. */
+    * filesDropped) summed over the refreshed manifests. */
   def refreshIndexes(spark: SparkSession, root: String): (Long, Long) = {
+    // the caller is telling us the tree changed: drop Spark's cached
+    // file statuses for it, or the delta scan (and every later read)
+    // can fail on stale lengths of in-place-replaced files
+    spark.catalog.refreshByPath(dataDir(root))
     var scanned = 0L; var dropped = 0L
     if (exists(spark, statsDir(root))) {
       val (s, d) = FileStats.refreshStats(spark, dataDir(root), statsDir(root))
@@ -322,22 +326,27 @@ object Routing {
       // The full predicate re-applies in every case; fragment
       // resolution applies BEFORE it (filtering first could drop a
       // key's latest version and resurrect a superseded row).
+      // ONE manifest fetch answers fragmentation, the key column, and
+      // the version column (each manifestEntries call is a driver job)
+      val entries = BucketedUpsert.manifestEntries(spark, root)
+      val keyCol = entries.headOption.map(_.keyCol).filter(_.nonEmpty)
+      val fragmented = entries.groupBy(_.bucket).exists(_._2.size > 1)
       val cs = conjunctsOf(BucketedUpsert.read(spark, root), pred)
       val resolve: DataFrame => DataFrame =
-        if (!BucketedUpsert.isFragmented(spark, root)) identity
+        if (!fragmented) identity
         else {
-          val vc = BucketedUpsert.versionColOf(spark, root).getOrElse(
+          val vc = entries.map(_.verCol).find(_.nonEmpty).getOrElse(
             throw new IllegalStateException(
               s"table at $root is fragmented but its manifest records no " +
                 "version column — a raw read would return superseded rows; " +
                 "write batches with versionCol set, or read explicitly via " +
                 "BucketedUpsert.readResolved"))
-          val key = BucketedUpsert.keyColOf(spark, root)
+          val key = keyCol.getOrElse(throw new IllegalStateException(
+            s"table at $root records no key column"))
           df => BucketedUpsert.resolveScan(df, key, vc)
         }
       val keyEq = cs.collectFirst {
-        case EqIn(c, vs) if BucketedUpsert.isBucketKey(spark, root, c) =>
-          (c, vs)
+        case EqIn(c, vs) if keyCol.contains(c) => (c, vs)
       }
       val six = cs.collectFirst {
         case EqIn(c, vs) if exists(spark, sixDir(root, c)) &&
@@ -355,19 +364,24 @@ object Routing {
       base.filter(pred)
     } else if (DeleteWhere.isVersionDir(spark, root)) {
       // delete version: zone-prune through the version's maintained
-      // stats, open only survivors, apply the DV mask, re-filter
+      // stats, open only survivors, apply the DV mask, re-filter.
+      // The stats manifest is read ONCE, and the conjunct analysis
+      // uses a single file's footer — constructing the full DV-masked
+      // frame just for analysis would run its sidecar count job and a
+      // manifest read before any real work.
       val statsDir = DeleteWhere.statsDirOf(root)
-      val cs = conjunctsOf(DeleteWhere.read(spark, root), pred)
-      val statsCols = spark.read.parquet(statsDir).columns
+      val stats = spark.read.parquet(statsDir)
+      val all = stats.select("path").collect().map(_.getString(0)).toSeq
+      require(all.nonEmpty, s"empty stats manifest under $root")
+      val cs = conjunctsOf(spark.read.parquet(all.head), pred)
+      val statsCols = stats.columns
       val bounds = mergedBounds(cs).filter { case (c, _, _) =>
         statsCols.contains(s"min_$c") }
       val files =
-        if (bounds.isEmpty)
-          spark.read.parquet(statsDir).select("path")
-            .collect().map(_.getString(0)).toSeq
+        if (bounds.isEmpty) all
         else FileStats.prunedFilesAnd(spark, statsDir, bounds)
       val base =
-        if (files.isEmpty) DeleteWhere.read(spark, root).limit(0)
+        if (files.isEmpty) spark.read.parquet(all.head).limit(0)
         else DeleteWhere.readFiles(spark, root, files)
       base.filter(pred)
     } else {

@@ -282,11 +282,13 @@ object EventStreams {
                                 nBuckets: Int, maxFragments: Int = 8,
                                 tombstoneCol: Option[String] = None,
                                 purgeEvery: Int = 16,
-                                purgeHorizon: Long => Long = _ => Long.MinValue): Unit = {
+                                purgeHorizon: Long => Long = _ => Long.MinValue,
+                                keep: Int = 2): Unit = {
     val q = updates.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         maintainedBatch(spark, batch, batchId, key, versionCol, tableRoot,
-          nBuckets, maxFragments, tombstoneCol, purgeEvery, purgeHorizon)
+          nBuckets, maxFragments, tombstoneCol, purgeEvery, purgeHorizon,
+          keep)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -305,7 +307,8 @@ object EventStreams {
                                      nBuckets: Int, maxFragments: Int,
                                      tombstoneCol: Option[String],
                                      purgeEvery: Int,
-                                     purgeHorizon: Long => Long): Unit = {
+                                     purgeHorizon: Long => Long,
+                                     keep: Int = 2): Unit = {
     val dataTag = 4 * batchId + 1
     val published = graft.lake.Snapshot.currentTag(spark, tableRoot)
     published.filter(_ > 4 * batchId + 3).foreach(cur =>
@@ -315,7 +318,7 @@ object EventStreams {
           "table root for a new pipeline or resume the matching checkpoint"))
     if (published.forall(_ < dataTag)) {
       graft.lake.BucketedUpsert.appendFragment(batch, tableRoot, key,
-        nBuckets, dataTag, versionCol = versionCol)
+        nBuckets, dataTag, keep = keep, versionCol = versionCol)
       // maintenance only once the table exists (an empty FIRST batch
       // publishes nothing)
       if (graft.lake.Snapshot.currentTag(spark, tableRoot).nonEmpty) {
@@ -324,13 +327,13 @@ object EventStreams {
         if (purgeDue) {
           // purge requires raw == resolved: merge ALL fragments first
           graft.lake.BucketedUpsert.mergeFragments(spark, tableRoot, key,
-            versionCol, 4 * batchId + 2)
+            versionCol, 4 * batchId + 2, keep)
           graft.lake.BucketedUpsert.purgeTombstones(spark, tableRoot, key,
             versionCol, col(tombstoneCol.get), purgeHorizon(batchId),
-            4 * batchId + 3)
+            4 * batchId + 3, keep)
         } else
           graft.lake.BucketedUpsert.mergeFragmentsIfNeeded(spark, tableRoot,
-            key, versionCol, 4 * batchId + 2, maxFragments)
+            key, versionCol, 4 * batchId + 2, maxFragments, keep)
       }
     }
   }

@@ -122,4 +122,25 @@ class IncrAggSpec extends SparkSpec {
       IncrAgg.refresh(spark, root2, mv, "k", Seq("g"), Seq("v")))
     assert(e.getMessage.contains("ahead"))
   }
+
+  test("refresh over a fragmented bucket aggregates the RESOLVED bucket, not the new fragment") {
+    val base = tmp()
+    val root = s"$base/t"; val mv = s"$base/mv"
+    import spark.implicits._
+    // one bucket; fragment 1 holds keys A(v=10) and B(v=5); fragment 2
+    // UPDATES A to 20. The feed-fed refresh aggregated fragment 2 alone
+    // (B lost, sum=20); raw-union partials would double-count A (35).
+    // Exact is the resolved bucket: A=20 + B=5.
+    BucketedUpsert.appendFragment(
+      Seq((1L, "g", 10.0, 1L), (2L, "g", 5.0, 1L)).toDF("k", "g", "v", "ver"),
+      root, "k", nBuckets = 1, tag = 1, versionCol = "ver")
+    IncrAgg.refresh(spark, root, mv, "k", Seq("g"), Seq("v"))
+    BucketedUpsert.appendFragment(
+      Seq((1L, "g", 20.0, 2L)).toDF("k", "g", "v", "ver"),
+      root, "k", nBuckets = 1, tag = 2, versionCol = "ver")
+    IncrAgg.refresh(spark, root, mv, "k", Seq("g"), Seq("v"))
+    val got = IncrAgg.read(spark, mv, Seq("g"), Seq("v")).head()
+    assert(got.getLong(1) == 2L && got.getDouble(2) == 25.0,
+      s"fragmented refresh must equal the resolved aggregate: $got")
+  }
 }

@@ -183,6 +183,42 @@ class RoutingSpec extends SparkSpec {
       Routing.aggStats(spark, root, Seq("user_id")))
   }
 
+  test("an in-place content change is rescanned by refresh, never healed") {
+    import spark.implicits._
+    val root = buildTree()
+    // overwrite one original file IN PLACE (same path, different rows):
+    // the path-set delta is empty, so a path-only refresh would restamp
+    // the fingerprint while keeping the old file's bounds — silently
+    // wrong pruning; the recorded per-file (len, mtime) must catch it
+    val victim = plain(root).inputFiles.min
+    val vFile = java.nio.file.Paths.get(new java.net.URI(victim).getPath)
+    val stage = tmp() + "/stage"
+    (1 to 500).map(i => (888000L + i, 42L, "click", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(stage)
+    val newPart = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    java.nio.file.Files.copy(newPart, vFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the raw copy leaves Hadoop's local-FS .crc sidecar stale — drop it
+    // (a real writer would rewrite it with the file)
+    java.nio.file.Files.deleteIfExists(
+      vFile.getParent.resolve("." + vFile.getFileName.toString + ".crc"))
+    spark.catalog.refreshByPath(s"$root/data") // drop cached file statuses
+    intercept[IllegalStateException](
+      Routing.route(spark, root, col("user_id").between(100L, 140L)))
+    val (scanned, dropped) = Routing.refreshIndexes(spark, root)
+    // the changed file rescans in BOTH manifests (stats + bloom)
+    assert(scanned == 2 && dropped == 2,
+      s"in-place change must rescan, got scanned=$scanned dropped=$dropped")
+    // the new content routes, and routing equals the plain scan again
+    assert(Routing.readWhere(spark, root,
+      col("event_id") === lit(888001L)).count() == 1,
+      "refreshed index must see the overwritten file's NEW rows")
+    sameAs(root, col("user_id").between(30L, 60L))
+    sameAs(root, col("event_id").isin(888100L, 17L))
+  }
+
   test("merge-on-read: a fragmented table resolves through its recorded version column") {
     import spark.implicits._
     val root = tmp() + "/t"

@@ -131,4 +131,29 @@ class SecondaryIndexSpec extends SparkSpec {
     assert(got.columns.toSet == Set("k", "s", "ver"),
       s"empty-table lookup must carry the table schema: ${got.columns.toSeq}")
   }
+
+  test("refresh on a FRAGMENTED table indexes every fragment, not only the newest") {
+    val base = tmp()
+    val root = s"$base/t"; val ix = s"$base/ix"
+    import spark.implicits._
+    // one bucket: every fragment lands in it. The OLD fragment holds
+    // 'alpha'; the NEW fragment (the only thing the change feed would
+    // report) holds 'beta'. A feed-fed refresh replaced the bucket's
+    // filter with beta-only bits and lookup('alpha') false-negated —
+    // the one failure the index forbids.
+    BucketedUpsert.appendFragment(
+      Seq((1L, "alpha", 1L)).toDF("k", "s", "ver"),
+      root, "k", nBuckets = 1, tag = 1, versionCol = "ver")
+    BucketedUpsert.appendFragment(
+      Seq((2L, "beta", 2L)).toDF("k", "s", "ver"),
+      root, "k", nBuckets = 1, tag = 2, versionCol = "ver")
+    SecondaryIndex.refresh(spark, root, ix, "k", "s")
+    assert(SecondaryIndex.lookup(spark, root, ix, "s", Seq("alpha"))
+      .select("k").collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "older fragments' values must survive an incremental refresh")
+    // and the routed read agrees (resolve hook + exact filter)
+    graft.lake.Routing.indexSecondary(spark, root, "k", "s")
+    assert(graft.lake.Routing.readWhere(spark, root, col("s") === lit("alpha"))
+      .select("k").head().getLong(0) == 1L)
+  }
 }
