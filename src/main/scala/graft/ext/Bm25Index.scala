@@ -51,11 +51,22 @@ object Bm25Index {
       .withColumn("dl", size(col("toks")).cast("double"))
 
   private def postingsOf(docs: DataFrame): DataFrame =
-    tokenize(docs)
+    postingsFrom(tokenize(docs))
+
+  private def postingsFrom(tokens: DataFrame): DataFrame =
+    tokens
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
       .groupBy("tok", "doc_id", "dl")
       .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("pk", concat(col("tok"), lit("#"), col("doc_id")))
+      // LENGTH-PREFIXED key: plain tok||'#'||doc_id is ambiguous when a
+      // token contains '#' and ids are strings — (tok="x", id="a#b")
+      // and (tok="x#a", id="b") would collide on one pk, the per-key
+      // resolve would silently drop one posting's tf, and deleteDocs
+      // would remove the surviving impostor. The token-length prefix
+      // makes the encoding a prefix code: unambiguous for ANY token
+      // and id rendering.
+      .withColumn("pk", concat(length(col("tok")), lit(":"),
+        col("tok"), lit("#"), col("doc_id")))
 
   /** Build the index from scratch over `docs` (doc_id, text). */
   def build(spark: SparkSession, root: String, docs: DataFrame,
@@ -81,13 +92,23 @@ object Bm25Index {
 
   private def ingest(spark: SparkSession, root: String, docs: DataFrame,
                      nBuckets: Int, tag: Long): Unit = {
-    BucketedUpsert.applyBatch(
-      postingsOf(docs).withColumn("graft_ver", lit(tag)),
-      postingsRoot(root), "pk", "graft_ver", nBuckets, tag)
-    BucketedUpsert.applyBatch(
-      tokenize(docs).select(col("doc_id"), col("dl"))
-        .withColumn("graft_ver", lit(tag)),
-      docstatsRoot(root), "doc_id", "graft_ver", nBuckets, tag)
+    // tokenize ONCE per batch (the module contract): postings and
+    // docstats each execute their plan — and applyBatch's touched-
+    // bucket collect executes the input again — so without the pin the
+    // scan+distinct+split pipeline ran ~4× per batch. Scoped release:
+    // the streaming sink runs this body per micro-batch with no
+    // releaseAll between batches.
+    val m = graft.operators.SeqIds.mark()
+    try {
+      val tokens = graft.operators.SeqIds.pin(tokenize(docs))
+      BucketedUpsert.applyBatch(
+        postingsFrom(tokens).withColumn("graft_ver", lit(tag)),
+        postingsRoot(root), "pk", "graft_ver", nBuckets, tag)
+      BucketedUpsert.applyBatch(
+        tokens.select(col("doc_id"), col("dl"))
+          .withColumn("graft_ver", lit(tag)),
+        docstatsRoot(root), "doc_id", "graft_ver", nBuckets, tag)
+    } finally graft.operators.SeqIds.releaseSince(m)
   }
 
   /** STREAMING index maintenance: fold a checkpointed stream of
@@ -117,15 +138,21 @@ object Bm25Index {
         .getOrElse(nBuckets)
       def behind(tableRoot: String) =
         !graft.lake.Snapshot.currentTag(bs, tableRoot).exists(_ >= batchId)
-      if (behind(postingsRoot(root)))
-        BucketedUpsert.applyBatch(
-          postingsOf(batch).withColumn("graft_ver", lit(batchId)),
-          postingsRoot(root), "pk", "graft_ver", n, batchId)
-      if (behind(docstatsRoot(root)))
-        BucketedUpsert.applyBatch(
-          tokenize(batch).select(col("doc_id"), col("dl"))
-            .withColumn("graft_ver", lit(batchId)),
-          docstatsRoot(root), "doc_id", "graft_ver", n, batchId)
+      // tokenize once per micro-batch, scoped release (same rationale
+      // as the batch ingest — no releaseAll runs between batches)
+      val m = graft.operators.SeqIds.mark()
+      try {
+        val tokens = graft.operators.SeqIds.pin(tokenize(batch))
+        if (behind(postingsRoot(root)))
+          BucketedUpsert.applyBatch(
+            postingsFrom(tokens).withColumn("graft_ver", lit(batchId)),
+            postingsRoot(root), "pk", "graft_ver", n, batchId)
+        if (behind(docstatsRoot(root)))
+          BucketedUpsert.applyBatch(
+            tokens.select(col("doc_id"), col("dl"))
+              .withColumn("graft_ver", lit(batchId)),
+            docstatsRoot(root), "doc_id", "graft_ver", n, batchId)
+      } finally graft.operators.SeqIds.releaseSince(m)
     }
 
   /** Remove documents from the index (takedown / mutate-as-

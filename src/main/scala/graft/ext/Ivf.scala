@@ -151,6 +151,11 @@ object Ivf {
         prevBc.foreach(_.destroy())
         prevBc = bc
         cents = assigned
+          // a row whose embedding carries a NULL element assigns to
+          // cell NULL (documented in assign); it must not form a bogus
+          // null-cell centroid group — the next iteration's centroid
+          // collect would NPE on the null key
+          .filter(col("cell").isNotNull)
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
           .groupBy("cell")
@@ -286,7 +291,12 @@ object Ivf {
         Window.partitionBy("qid").orderBy(col("score").desc, col("cell"))))
       .filter(col("rn") <= nProbe)
       .select(col("qid"), col("qemb"), col("cell"))
-    corpusWithCells.join(probes, Seq("cell"))
+    // probes is query-batch-sized × nProbe — ALWAYS the small side, but
+    // Catalyst's estimate for crossJoin+window output can exceed the
+    // auto-broadcast threshold and silently plan a sort-merge join that
+    // shuffles the whole corpus on cell; the hint pins the designed
+    // map-side probe (searchPq already carried it)
+    corpusWithCells.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos",
         expr("graft_dot(qemb, embedding)")
@@ -351,23 +361,28 @@ object Ivf {
 
   /** Fold an append batch into the index: assign the batch against the
     * stored centroids (no re-train), upsert by vec_id. Only the
-    * buckets the batch hashes into are rewritten. */
+    * buckets the batch hashes into are rewritten. `nBucketsIfEmpty`
+    * applies only when the corpus was emptied of every vector by
+    * takedowns (a fully-emptied bucketed table forgets its bucket
+    * count) — same fallback contract as [[Bm25Index.append]]. */
   def appendToIndex(spark: SparkSession, root: String, batch: DataFrame,
-                    tag: Long): Unit =
-    appendToIndexHooked(spark, root, batch, tag, () => ())
+                    tag: Long, nBucketsIfEmpty: Int = 16): Unit =
+    appendToIndexHooked(spark, root, batch, tag, () => (), nBucketsIfEmpty)
 
   /** [[appendToIndex]] with a test seam fired before the generation
     * re-check (see [[retrainIndexHooked]]). */
   private[graft] def appendToIndexHooked(spark: SparkSession, root: String,
                                          batch: DataFrame, tag: Long,
-                                         beforeCheck: () => Unit): Unit = {
+                                         beforeCheck: () => Unit,
+                                         nBucketsIfEmpty: Int = 16): Unit = {
     val (cent, corp) = livePaths(spark, root)
     val centroids = Snapshot.read(spark, cent)
     val assigned = assign(spark, batch, centroids)
     BucketedUpsert.applyBatch(
       assigned.withColumn("graft_ver", lit(tag)),
       corp, "vec_id", "graft_ver",
-      BucketedUpsert.bucketCount(spark, corp), tag)
+      BucketedUpsert.bucketCountOption(spark, corp).getOrElse(nBucketsIfEmpty),
+      tag)
     Snapshot.publish(centroids.coalesce(1), cent, tag)
     beforeCheck()
     // fail-fast on a retrain that swapped generations mid-append: this
@@ -408,36 +423,59 @@ object Ivf {
     // pre-start registration seeds the clone, the per-batch one guards
     // restarts that clone from a fresh state)
     GraftFunctions.register(spark)
-    graft.streaming.EventStreams.runLedgeredUpsert(
-      spark, updates, corpusRoot(root), checkpointDir) { (batch, batchId) =>
-      val bs = batch.sparkSession
-      GraftFunctions.register(bs)
-      if (Snapshot.resolve(bs, corpusRoot(root)).isEmpty && batch.isEmpty) {
-        // a zero-row leading file: seeding the quantizer from nothing
-        // would publish an EMPTY centroid table and wedge every later
-        // batch (assign requires centroids; the tag guard would forbid
-        // re-seeding). Skip entirely — the first NON-empty batch
-        // builds; a replay of this batch re-skips identically.
+    // The ledger anchors on the LIVE corpus (resolved per batch), not
+    // the fixed original layout: after a retrainIndex swaps the
+    // generation pointer, tags advance in the NEW generation's corpus
+    // while the retired one is frozen — a ledger reading the retired
+    // table would let a crash-replay re-apply its batch (requireTagAbove
+    // then wedges the stream forever) and would never see a rewind.
+    val q = updates.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = batch.sparkSession
+        GraftFunctions.register(bs)
+        val (liveCent, liveCorp) = livePaths(bs, root)
+        val published = Snapshot.currentTag(bs, liveCorp)
+        published.filter(_ > batchId).foreach(cur =>
+          throw new IllegalStateException(
+            s"batch $batchId arrived below the published snapshot v$cur of " +
+              s"$liveCorp — the checkpoint was rewound/replaced, or a " +
+              "retrain ran mid-stream with a tag above the stream's batch " +
+              "ids (coordinate retrains with the checkpoint, or retire the " +
+              "pipeline first)"))
+        if (!published.contains(batchId)) {
+          if (Snapshot.resolve(bs, liveCorp).isEmpty && batch.isEmpty) {
+            // a zero-row leading file: seeding the quantizer from nothing
+            // would publish an EMPTY centroid table and wedge every later
+            // batch (assign requires centroids; the tag guard would forbid
+            // re-seeding). Skip entirely — the first NON-empty batch
+            // builds; a replay of this batch re-skips identically.
+            ()
+          } else if (Snapshot.resolve(bs, liveCorp).isEmpty) {
+            // replay-safe build (not buildIndex verbatim): a crash between
+            // the centroid publish and the corpus publish re-delivers the
+            // batch, and Snapshot.publish forbids same-tag re-publish — so
+            // the centroid step is guarded and the replay lands only the
+            // missing corpus half, assigned against the STORED quantizer.
+            if (!Snapshot.currentTag(bs, liveCent).exists(_ >= batchId))
+              Snapshot.publish(seedCentroids(batch, k).coalesce(1),
+                liveCent, batchId)
+            val assigned = assign(bs, batch, Snapshot.read(bs, liveCent))
+            BucketedUpsert.applyBatch(
+              assigned.withColumn("graft_ver", lit(batchId)),
+              liveCorp, "vec_id", "graft_ver", nBuckets, batchId)
+          } else
+            // append publishes corpus FIRST, so a crash before the centroid
+            // freshness re-publish leaves only a stale centroid tag (same
+            // generation, content unchanged) — healed by the next batch
+            appendToIndex(bs, root, batch, tag = batchId,
+              nBucketsIfEmpty = nBuckets)
+        }
         ()
-      } else if (Snapshot.resolve(bs, corpusRoot(root)).isEmpty) {
-        // replay-safe build (not buildIndex verbatim): a crash between
-        // the centroid publish and the corpus publish re-delivers the
-        // batch, and Snapshot.publish forbids same-tag re-publish — so
-        // the centroid step is guarded and the replay lands only the
-        // missing corpus half, assigned against the STORED quantizer.
-        if (!Snapshot.currentTag(bs, centRoot(root)).exists(_ >= batchId))
-          Snapshot.publish(seedCentroids(batch, k).coalesce(1),
-            centRoot(root), batchId)
-        val assigned = assign(bs, batch, Snapshot.read(bs, centRoot(root)))
-        BucketedUpsert.applyBatch(
-          assigned.withColumn("graft_ver", lit(batchId)),
-          corpusRoot(root), "vec_id", "graft_ver", nBuckets, batchId)
-      } else
-        // append publishes corpus FIRST, so a crash before the centroid
-        // freshness re-publish leaves only a stale centroid tag (same
-        // generation, content unchanged) — healed by the next batch
-        appendToIndex(bs, root, batch, tag = batchId)
-    }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** Remove vectors from the index by id (takedown / re-embed): a

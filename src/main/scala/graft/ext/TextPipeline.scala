@@ -36,7 +36,13 @@ object TextPipeline {
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("tf").setBinary(true)
       .setNumFeatures(1 << 16)
       .transform(new RegexTokenizer().setInputCol("text").setOutputCol("tokens")
-        .setPattern("\\s+").transform(docs))
+        .setPattern("\\s+").transform(
+          // a null/empty/whitespace-only document tokenizes to nothing
+          // and MinHashLSH REJECTS all-zero vectors ('must have at
+          // least 1 non zero entry') — one degenerate crawl row would
+          // kill the whole job. Zero-token docs can't be near-dups of
+          // anything under Jaccard anyway: drop them up front.
+          docs.filter(col("text").isNotNull && col("text").rlike("\\S"))))
     val model = new MinHashLSH().setInputCol("tf").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(seed).fit(tf)
     model.approxSimilarityJoin(tf, tf, maxDistance, "jaccard_dist")

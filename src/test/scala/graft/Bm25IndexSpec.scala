@@ -128,7 +128,10 @@ class Bm25IndexSpec extends SparkSpec {
     // the doc-stats half did not (replicate the pk derivation inline)
     val pks = doomed.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(concat(col("tok"), lit("#"), col("doc_id")).as("pk")).distinct()
+      // the index's length-prefixed pk encoding (prefix code — see
+      // Bm25Index.postingsFrom)
+      .select(concat(length(col("tok")), lit(":"), col("tok"),
+        lit("#"), col("doc_id")).as("pk")).distinct()
     graft.lake.BucketedUpsert.deleteKeys(spark, s"$root/postings", "pk", pks, tag = 2)
     // the retry with the SAME tag must land only the missing doc-stats
     // half — not throw on the already-landed postings
@@ -206,5 +209,18 @@ class Bm25IndexSpec extends SparkSpec {
   test("append before build fails fast") {
     intercept[IllegalArgumentException](
       Bm25Index.append(spark, tmp(), docs.limit(3), tag = 1))
+  }
+
+  test("string ids and '#'-bearing tokens cannot collide postings keys (prefix code)") {
+    import spark.implicits._
+    val root = tmp(); 
+    // under the old tok||'#'||id encoding these two postings collided
+    // on ONE pk ("x#a#b") and the per-key resolve silently dropped one
+    val tricky = Seq(("a#b", "x"), ("b", "x#a")).toDF("doc_id", "text")
+    Bm25Index.build(spark, root, tricky, nBuckets = 4, tag = 1)
+    val p = graft.lake.BucketedUpsert.read(spark, s"$root/postings")
+    assert(p.select("pk").distinct().count() == 2,
+      "distinct (tok, doc) postings must keep distinct keys")
+    assert(p.select("doc_id").distinct().count() == 2)
   }
 }

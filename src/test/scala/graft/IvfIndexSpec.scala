@@ -145,4 +145,47 @@ class IvfIndexSpec extends SparkSpec {
     assert(Snapshot.currentTag(spark, s"$root/centroids").contains(2L))
     assert(Snapshot.currentTag(spark, s"$root/corpus").contains(2L))
   }
+
+  test("an index emptied by takedowns accepts the next append (bucket-count fallback)") {
+    val root = tmp()
+    Ivf.buildIndex(spark, root, emb.limit(50), k = 4, nBuckets = 8, tag = 1)
+    // takedown-all: the zero-entry manifest forgets its bucket count
+    Ivf.deleteFromIndex(spark, root,
+      emb.limit(50).select("vec_id"), tag = 2)
+    // fully emptied: the manifest resolves but has zero entries (read
+    // itself refuses an empty table — the tag proves the publish)
+    assert(Snapshot.currentTag(spark, s"$root/corpus").contains(2L))
+    assert(BucketedUpsert.bucketCountOption(spark, s"$root/corpus").isEmpty,
+      "an emptied table must have forgotten its bucket count")
+    // the next append must NOT throw 'no published bucketed table' —
+    // same emptied-table fallback contract as Bm25Index.append
+    Ivf.appendToIndex(spark, root,
+      emb.filter(col("vec_id") % 4 === 1).limit(30), tag = 3,
+      nBucketsIfEmpty = 8)
+    assert(BucketedUpsert.read(spark, s"$root/corpus").count() == 30)
+  }
+
+  test("a retrain mid-stream fails the resumed stream fast (ledger reads the LIVE generation)") {
+    val base = java.nio.file.Files.createTempDirectory("ivfretrain-spec").toString
+    val src = s"$base/src"; val root = s"$base/idx"; val ckp = s"$base/ckp"
+    val b1 = emb.filter(col("vec_id") % 3 === 0)
+      .select("vec_id", "embedding", "label")
+    graft.queries.writeOrderedBatches(src, Seq(b1))
+    def stream() = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    Ivf.streamingIngest(spark, stream(), root, ckp, k = 4, nBuckets = 8)
+    // out-of-band retrain with a tag far above the stream's batch ids:
+    // the NEW generation's ledger starts there
+    Ivf.retrainIndex(spark, root, k = 4, tag = 100)
+    // resume with a new file: the ledger must consult the LIVE corpus
+    // (published v100+) and fail fast — reading the retired original
+    // corpus (frozen at the old tag) would silently re-apply and wedge
+    b1.limit(5).coalesce(1).write.mode("append").parquet(src)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      Ivf.streamingIngest(spark, stream(), root, ckp, k = 4, nBuckets = 8))
+    def says(t: Throwable, w: String): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains(w)) ||
+        says(t.getCause, w))
+    assert(says(ex, "retrain"), s"must name the retrain hazard: ${ex.getMessage}")
+  }
 }

@@ -33,4 +33,17 @@ class TextPipelineSpec extends SparkSpec {
     // self-similar docs exist in the synthetic corpus at this threshold
     assert(pairsA.nonEmpty)
   }
+
+  test("a whitespace-only or null document does not kill the near-dup join") {
+    import spark.implicits._
+    // MinHashLSH rejects all-zero vectors; one degenerate crawl row
+    // used to fail the whole job instead of being skipped
+    val docs = Seq((1L, "spark dedup pipeline"), (2L, "spark dedup pipeline"),
+      (3L, ""), (4L, "   "), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val pairs = TextPipeline.minhashNearDups(docs, maxDistance = 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)),
+      s"degenerate docs must be skipped, real dups kept: ${pairs.toSeq}")
+  }
 }
