@@ -83,13 +83,13 @@ object SoakBench {
     val tM0 = System.nanoTime()
     for (t <- 1 to batches) {
       val b = (t - 1).toLong // batchId
-      // keep=3: a purge batch publishes three manifests (4b+1..4b+3);
-      // with the default keep=2 the data batch's own version dir is
-      // GC'd inside maintainedBatch BEFORE dirBytes can read it, and
-      // both write-amp terms undercount every purgeEvery-th batch
+      // maintainedBatch scales retention internally (+2 for its up to
+      // three publishes per batch), so the data batch's own version
+      // dir survives until dirBytes reads it below — the write-amp
+      // terms measure every purgeEvery-th batch exactly
       graft.streaming.EventStreams.maintainedBatch(spark, batchDf(t), b,
         "k", "ver", maintained, nBuckets, maxFragments, Some("del"),
-        purgeEvery, bid => bid + 1 - horizonLag, keep = 3)
+        purgeEvery, bid => bid + 1 - horizonLag)
       // bytes landed THIS batch: the data fragment + any maintenance
       // rewrites, measured before GC can rotate the dirs out
       val dataB = dirBytes(s"$maintained/data/v${4 * b + 1}")

@@ -429,8 +429,8 @@ object Ivf {
     // while the retired one is frozen — a ledger reading the retired
     // table would let a crash-replay re-apply its batch (requireTagAbove
     // then wedges the stream forever) and would never see a rewind.
-    val q = updates.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    graft.streaming.EventStreams.runStreamShell(updates, checkpointDir) {
+      (batch, batchId) =>
         val bs = batch.sparkSession
         GraftFunctions.register(bs)
         val (liveCent, liveCorp) = livePaths(bs, root)
@@ -470,12 +470,7 @@ object Ivf {
             appendToIndex(bs, root, batch, tag = batchId,
               nBucketsIfEmpty = nBuckets)
         }
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    }
   }
 
   /** Remove vectors from the index by id (takedown / re-embed): a

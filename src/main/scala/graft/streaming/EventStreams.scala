@@ -271,10 +271,23 @@ object EventStreams {
     * Tag protocol: batch `b` OWNS the window [4b+1, 4b+3] — data lands
     * at 4b+1, compaction at 4b+2, purge at 4b+3 (a no-op consumes no
     * tag). Crash-replay: a replayed batch whose published tag is at or
-    * beyond ITS window is skipped whole — skipped maintenance
-    * self-heals because the threshold re-fires on the next batch. A
-    * published tag beyond the replayed batch's window is a rewound
-    * checkpoint → fail fast, as [[streamingUpsert]] does.
+    * beyond ITS window is skipped whole — skipped threshold compaction
+    * self-heals on the NEXT batch (the threshold re-fires), but a
+    * skipped PURGE defers a full `purgeEvery` cycle; size retention
+    * horizons with one extra cycle of slack. A published tag beyond the
+    * replayed batch's window is a rewound checkpoint → fail fast, as
+    * [[streamingUpsert]] does.
+    *
+    * `keep` is the IN-FLIGHT-READER retention in units of BATCHES: a
+    * maintenance batch publishes up to three manifests, so the
+    * requested figure is internally scaled (+2) — without that, the
+    * pre-batch manifest and its data dirs would be GC'd MID-BATCH and
+    * a reader that resolved just before the batch would lose its files
+    * under it.
+    *
+    * `purgeHorizon(batchId)` (REQUIRED when `tombstoneCol` is set with
+    * `purgeEvery > 0`) gives the version at-or-below which an aged
+    * tombstone may drop — the caller's out-of-order bound.
     */
   def streamingIngestMaintained(spark: SparkSession, updates: DataFrame,
                                 key: String, versionCol: String,
@@ -282,19 +295,18 @@ object EventStreams {
                                 nBuckets: Int, maxFragments: Int = 8,
                                 tombstoneCol: Option[String] = None,
                                 purgeEvery: Int = 16,
-                                purgeHorizon: Long => Long = _ => Long.MinValue,
+                                purgeHorizon: Long => Long = null,
                                 keep: Int = 2): Unit = {
-    val q = updates.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        maintainedBatch(spark, batch, batchId, key, versionCol, tableRoot,
-          nBuckets, maxFragments, tombstoneCol, purgeEvery, purgeHorizon,
-          keep)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    require(tombstoneCol.isEmpty || purgeEvery <= 0 || purgeHorizon != null,
+      "tombstoneCol is set with purgeEvery > 0 but no purgeHorizon — the " +
+        "GC would be a silent no-op that still pays a FULL fragment merge " +
+        "every cycle; pass the retention horizon, or purgeEvery = 0 to " +
+        "disable the GC")
+    runStreamShell(updates, checkpointDir) { (batch, batchId) =>
+      maintainedBatch(spark, batch, batchId, key, versionCol, tableRoot,
+        nBuckets, maxFragments, tombstoneCol, purgeEvery, purgeHorizon,
+        keep)
+    }
   }
 
   /** One maintained-ingest batch — the per-batch body of
@@ -309,6 +321,11 @@ object EventStreams {
                                      purgeEvery: Int,
                                      purgeHorizon: Long => Long,
                                      keep: Int = 2): Unit = {
+    // `keep` is denominated in BATCHES; a maintenance batch publishes
+    // up to THREE manifests, so retention is scaled here — otherwise
+    // the pre-batch manifest (and the data dirs only it references)
+    // would rotate out MID-BATCH under an in-flight reader
+    val keepPub = keep + 2
     val dataTag = 4 * batchId + 1
     val published = graft.lake.Snapshot.currentTag(spark, tableRoot)
     published.filter(_ > 4 * batchId + 3).foreach(cur =>
@@ -318,7 +335,7 @@ object EventStreams {
           "table root for a new pipeline or resume the matching checkpoint"))
     if (published.forall(_ < dataTag)) {
       graft.lake.BucketedUpsert.appendFragment(batch, tableRoot, key,
-        nBuckets, dataTag, keep = keep, versionCol = versionCol)
+        nBuckets, dataTag, keep = keepPub, versionCol = versionCol)
       // maintenance only once the table exists (an empty FIRST batch
       // publishes nothing)
       if (graft.lake.Snapshot.currentTag(spark, tableRoot).nonEmpty) {
@@ -327,13 +344,13 @@ object EventStreams {
         if (purgeDue) {
           // purge requires raw == resolved: merge ALL fragments first
           graft.lake.BucketedUpsert.mergeFragments(spark, tableRoot, key,
-            versionCol, 4 * batchId + 2, keep)
+            versionCol, 4 * batchId + 2, keepPub)
           graft.lake.BucketedUpsert.purgeTombstones(spark, tableRoot, key,
             versionCol, col(tombstoneCol.get), purgeHorizon(batchId),
-            4 * batchId + 3, keep)
+            4 * batchId + 3, keepPub)
         } else
           graft.lake.BucketedUpsert.mergeFragmentsIfNeeded(spark, tableRoot,
-            key, versionCol, 4 * batchId + 2, maxFragments, keep)
+            key, versionCol, 4 * batchId + 2, maxFragments, keepPub)
       }
     }
   }
@@ -374,6 +391,23 @@ object EventStreams {
         groupCols, sumCols)
   }
 
+  /** Shared stream SHELL (foreachBatch + checkpoint + AvailableNow +
+    * awaitTermination) for every ledgered sink — the ledger guard
+    * itself stays in each sink's body (the exact-tag ledger and the
+    * maintained tag-window ledger are deliberately different), but the
+    * trigger/checkpoint plumbing must not fork: a review found the
+    * skeleton copy-pasted three times and already drifting. */
+  private[graft] def runStreamShell(updates: DataFrame,
+                                    checkpointDir: String)(
+      body: (DataFrame, Long) => Unit): Unit = {
+    val q = updates.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) => body(b, id); () }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Shared foreachBatch skeleton of the two upsert sinks: the
     * batch-id/snapshot-tag ledger (crash-replay skip at tag == id,
     * rewound-checkpoint fail-fast below it — see [[streamingUpsert]]'s
@@ -382,51 +416,61 @@ object EventStreams {
   private[graft] def runLedgeredUpsert(spark: SparkSession, updates: DataFrame,
                                 tableRoot: String, checkpointDir: String)
                                (apply: (DataFrame, Long) => Unit): Unit = {
-    val q = updates.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Crash-replay idempotence: the one batch a restart can
-        // legitimately re-deliver is the last uncommitted one
-        // (tag == batchId) — skipped, because re-running it would both
-        // re-apply the data and make publish read v<batchId> through
-        // the pointer while overwriting the same directory. A batchId
-        // BELOW the tag is a rewound checkpoint — fail fast (see
-        // scaladoc) rather than silently discarding updates.
-        val published = graft.lake.Snapshot.currentTag(spark, tableRoot)
-        published.filter(_ > batchId).foreach(cur =>
-          throw new IllegalStateException(
-            s"batch $batchId arrived below the published snapshot v$cur of " +
-              s"$tableRoot — the checkpoint was rewound or replaced; clear the " +
-              "table root for a new pipeline or resume the matching checkpoint"))
-        if (!published.contains(batchId)) apply(batch, batchId)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runStreamShell(updates, checkpointDir) { (batch, batchId) =>
+      // Crash-replay idempotence: the one batch a restart can
+      // legitimately re-deliver is the last uncommitted one
+      // (tag == batchId) — skipped, because re-running it would both
+      // re-apply the data and make publish read v<batchId> through
+      // the pointer while overwriting the same directory. A batchId
+      // BELOW the tag is a rewound checkpoint — fail fast (see
+      // scaladoc) rather than silently discarding updates.
+      val published = graft.lake.Snapshot.currentTag(spark, tableRoot)
+      published.filter(_ > batchId).foreach(cur =>
+        throw new IllegalStateException(
+          s"batch $batchId arrived below the published snapshot v$cur of " +
+            s"$tableRoot — the checkpoint was rewound or replaced; clear the " +
+            "table root for a new pipeline or resume the matching checkpoint"))
+      if (!published.contains(batchId)) apply(batch, batchId)
+    }
   }
 
   final case class Event(user_id: Long, event_time: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, start: java.sql.Timestamp,
                            end: java.sql.Timestamp, n_events: Long, sum_value: Double)
-  /** Internal per-key state (public: the state encoder codegens against it). */
+  /** Internal per-key state (public: the state encoder codegens against it).
+    * `sum` folds as raw Double — a DOCUMENTED deviation from the
+    * moneySum DECIMAL policy the frame-level aggregates follow: state
+    * encoders favor flat primitives, sessionize is spec-verified (not
+    * cross-engine hash-gated), and per-session event counts are small
+    * enough that the fold error stays in the last ulps. */
   final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  /** Per-key state: every session the watermark has not yet certified
+    * FINAL, oldest first. More than one pends whenever the batch's
+    * events span several gaps — emitting all-but-the-latest eagerly
+    * was wrong: with gap=delay=100s, events {0s, 150s} then a later
+    * batch's in-watermark 80s must bridge everything into ONE session
+    * [0,150], but an eagerly-emitted [0,0] fragment cannot be
+    * retracted (a review found the concrete split). */
+  final case class SessionsState(pending: Seq[SessionState])
 
-  /** Gap-based sessionization via flatMapGroupsWithState: a session
-    * closes when no event arrives for `gapMillis` (event-time timeout).
-    * Emits closed sessions only.
+  /** Gap-based sessionization via flatMapGroupsWithState. Emits a
+    * session exactly when the WATERMARK certifies it final:
+    * `end + gap < watermark` — only then can no admissible event
+    * (every future event time is >= watermark) merge into it or
+    * bridge below it (an event below `start` that merges satisfies
+    * time >= start - gap > end + gap - ... < watermark, inadmissible).
+    * Everything not yet certified stays in state, and the event-time
+    * timeout re-certifies at `min(end) + gap` so closed sessions emit
+    * as soon as the watermark passes them, without waiting for the
+    * key's next event.
     *
-    * PRECONDITION (enforced): `watermarkDelayMillis <= gapMillis`.
-    * Only the single open session survives in state, so the finality
-    * rule below ("everything but the latest merged session is final")
-    * holds exactly when no in-watermark event can arrive BELOW an
-    * already-emitted session without being within gap of the open one
-    * — true iff the watermark delay does not exceed the gap. With
-    * delay > gap, a late event landing in a later micro-batch before
-    * an emitted session would re-emit it as a duplicate fragment
-    * (ADVICE r16); callers needing a laxer watermark must keep
-    * recently-closed sessions in state instead, which this
-    * implementation deliberately does not pay for.
+    * PRECONDITION (enforced): `watermarkDelayMillis <= gapMillis` —
+    * with delay > gap an admissible event could land below an
+    * ALREADY-FINAL session (end + gap < watermark <= time possible
+    * when delay > gap), re-emitting it as a duplicate fragment.
+    * Finality itself no longer leans on the precondition (pending
+    * sessions are retained until certified), but uniqueness of
+    * emission does.
     */
   def sessionize(spark: SparkSession, events: Dataset[Event],
                  gapMillis: Long = 30 * 60 * 1000L,
@@ -435,54 +479,48 @@ object EventStreams {
     require(watermarkDelayMillis <= gapMillis,
       s"watermark delay ($watermarkDelayMillis ms) must not exceed the " +
         s"session gap ($gapMillis ms): an in-watermark event older than " +
-        "the gap could attach below an already-emitted session, which " +
-        "single-open-session state would re-emit as a duplicate fragment")
+        "the gap could attach below an already-FINAL emitted session and " +
+        "re-emit it as a duplicate fragment")
+    def toSession(userId: Long)(s: SessionState) =
+      Session(userId, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.end), s.n, s.sum)
     events
       .withWatermark("event_time", s"$watermarkDelayMillis milliseconds")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionsState, Session](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n, s.sum))
-          } else {
-            // Gap-merge the restored session and ALL of the batch's
-            // events as one sorted timeline. Late in-watermark events
-            // that precede the restored session's start must first
-            // merge with EACH OTHER (and with any event bridging them
-            // toward the session) before anything closes — the earlier
-            // per-event fold closed each pre-session late event as its
-            // own singleton, splitting one true session into fragments
-            // whenever gapMillis < the watermark delay. Every merged
-            // session except the latest is final — GIVEN the enforced
-            // watermark-delay <= gap precondition, nothing still in
-            // flight can attach below the latest session's start
-            // without being within gap of it; the latest stays open.
-            val protos = scala.collection.mutable.ArrayBuffer[SessionState]()
-            state.getOption.foreach(protos += _)
-            rows.foreach { e =>
-              val t = e.event_time.getTime
-              protos += SessionState(t, t, 1, e.value)
-            }
-            val merged = scala.collection.mutable.ArrayBuffer[SessionState]()
-            for (p <- protos.sortBy(_.start)) {
-              if (merged.nonEmpty && p.start - merged.last.end <= gapMillis) {
-                val l = merged.last
-                merged(merged.size - 1) = SessionState(l.start,
-                  math.max(l.end, p.end), l.n + p.n, l.sum + p.sum)
-              } else merged += p
-            }
-            val open = merged.remove(merged.size - 1)
-            state.update(open)
-            state.setTimeoutTimestamp(open.end + gapMillis)
-            merged.iterator.map(s => Session(userId,
-              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
-              s.n, s.sum))
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionsState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          // gap-merge the retained sessions and the batch's events as
+          // ONE sorted timeline (late in-watermark events must merge
+          // with each other and may bridge retained sessions)
+          val protos = scala.collection.mutable.ArrayBuffer[SessionState]()
+          state.getOption.foreach(protos ++= _.pending)
+          rows.foreach { e =>
+            val t = e.event_time.getTime
+            protos += SessionState(t, t, 1, e.value)
           }
+          val merged = scala.collection.mutable.ArrayBuffer[SessionState]()
+          for (p <- protos.sortBy(_.start)) {
+            if (merged.nonEmpty && p.start - merged.last.end <= gapMillis) {
+              val l = merged.last
+              merged(merged.size - 1) = SessionState(l.start,
+                math.max(l.end, p.end), l.n + p.n, l.sum + p.sum)
+            } else merged += p
+          }
+          // FINAL iff the watermark has passed end + gap (an event at
+          // exactly end + gap would still merge, so strict <)
+          val (fin, pending) = merged.partition(_.end + gapMillis < wm)
+          if (pending.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(pending.toSeq))
+            // re-certify when the watermark passes the EARLIEST pending
+            // close; must sit strictly above the current watermark
+            state.setTimeoutTimestamp(
+              math.max(pending.map(_.end + gapMillis).min, wm + 1))
+          }
+          fin.iterator.map(toSession(userId))
       }
   }
 }

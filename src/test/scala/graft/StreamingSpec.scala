@@ -112,6 +112,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionize never splits a session the watermark has not certified (late bridge)") {
+    // gap = delay = 100s (legal). Batch 1: events at 0s and 150s —
+    // 150s is beyond the gap, so the OLD eager logic emitted [0,0] as
+    // final immediately. But the watermark after batch 1 is only 50s:
+    // an event at 80s is still admissible, within gap of BOTH, and
+    // bridges everything into ONE session [0,150]. Emission must wait
+    // for watermark > end + gap.
+    val input = MemoryStream[Event](spark, 23)
+    val sessions = EventStreams.sessionize(spark, input.toDS(),
+      gapMillis = 100 * 1000L, watermarkDelayMillis = 100 * 1000L)
+    val query = sessions.writeStream.format("memory").queryName("sess_bridge")
+      .outputMode("append").start()
+    // offset from epoch 0: an event tying the INITIAL watermark (0)
+    // is dropped as late before it reaches the operator
+    def at(sec: Long) = new java.sql.Timestamp((1000 + sec) * 1000L)
+    try {
+      input.addData(Event(1L, at(0), 1.0), Event(1L, at(150), 2.0))
+      query.processAllAvailable() // watermark → 1050s; NOTHING final yet
+      assert(spark.table("sess_bridge").count() == 0,
+        "no session may emit before the watermark certifies it")
+      input.addData(Event(1L, at(80), 4.0)) // in-watermark bridge
+      query.processAllAvailable()
+      // push the watermark far past 150s + gap via another user
+      input.addData(Event(2L, at(1000), 1.0))
+      query.processAllAvailable()
+      input.addData(Event(2L, at(2000), 1.0))
+      query.processAllAvailable()
+      val u1 = spark.table("sess_bridge").as[Session].collect()
+        .filter(_.user_id == 1L)
+      assert(u1.length == 1, s"the bridge must yield ONE session: ${u1.toSeq}")
+      assert(u1.head.start == at(0) && u1.head.end == at(150) &&
+        u1.head.n_events == 3 && u1.head.sum_value == 7.0,
+        s"bridged session wrong: ${u1.head}")
+    } finally query.stop()
+  }
+
   test("sessionize gap-merges an out-of-order batch into multiple sessions, not singletons") {
     // one micro-batch delivering a user's events OUT OF ORDER and
     // spanning more than one session: the sorted-timeline merge must
