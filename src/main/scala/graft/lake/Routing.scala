@@ -133,20 +133,38 @@ object Routing {
       case _ => None
     }
 
-  /** Split the predicate on AND and classify each conjunct. The
-    * predicate is ANALYZED against the table's schema first (a lazy
-    * filter plan — no data read), so attributes resolve and literal
-    * types match the columns they bound. */
-  private[lake] def conjunctsOf(table: DataFrame, pred: Column): Seq[Conjunct] = {
-    val cond = table.filter(pred).queryExecution.analyzed.collectFirst {
+  /** The predicate ANALYZED against the table's schema (a lazy filter
+    * plan — no data read), so attributes resolve and literal types
+    * match the columns they bound. */
+  private def analyzedCondition(table: DataFrame,
+                                pred: Column): Option[expressions.Expression] =
+    table.filter(pred).queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
-    if (cond.isEmpty) return Seq(Opaque)
-    def split(e: expressions.Expression): Seq[expressions.Expression] = e match {
-      case expressions.And(l, r) => split(l) ++ split(r)
+
+  private def splitAnd(e: expressions.Expression): Seq[expressions.Expression] =
+    e match {
+      case expressions.And(l, r) => splitAnd(l) ++ splitAnd(r)
       case other => Seq(other)
     }
-    split(cond.get).map {
+
+  /** TOP-LEVEL disjuncts (VERDICT r17 #2): `a OR b` routes as the
+    * UNION of the per-disjunct file sets — each set over-approximates
+    * its disjunct's matches, so the union over-approximates the OR. */
+  private def splitOr(e: expressions.Expression): Seq[expressions.Expression] =
+    e match {
+      case expressions.Or(l, r) => splitOr(l) ++ splitOr(r)
+      case other => Seq(other)
+    }
+
+  /** Split the predicate on AND and classify each conjunct. */
+  private[lake] def conjunctsOf(table: DataFrame, pred: Column): Seq[Conjunct] = {
+    val cond = analyzedCondition(table, pred)
+    if (cond.isEmpty) return Seq(Opaque)
+    splitAnd(cond.get).map(classify)
+  }
+
+  private def classify(e: expressions.Expression): Conjunct = e match {
       case expressions.EqualTo(a, v) if attrName(a).isDefined && litValue(v).isDefined =>
         EqIn(attrName(a).get, Seq(litValue(v).get))
       case expressions.EqualTo(v, a) if attrName(a).isDefined && litValue(v).isDefined =>
@@ -168,7 +186,6 @@ object Routing {
           if attrName(a).isDefined && litValue(v).isDefined =>
         Bound(attrName(a).get, None, Some(litValue(v).get))
       case _ => Opaque
-    }
   }
 
   /** Types whose `Literal.value.toString` provably equals the engine's
@@ -188,14 +205,15 @@ object Routing {
   }
 
   /** Zone-map bounds per column, merged across conjuncts: every eq (as
-    * a [v,v] range), every CLOSED range (x >= lo AND x <= hi parses as
-    * two Bounds — merged per column), and every IN list by its
-    * [min,max] ENVELOPE — a valid over-approximation (files outside it
-    * cannot hold any listed value); the exact membership re-applies
+    * a [v,v] range), every range — CLOSED or HALF-OPEN (`ts >= X`, the
+    * retention-scan shape, prunes on its one end alone: files with
+    * `max_ts < X` cannot match — VERDICT r17 #1), and every IN list by
+    * its [min,max] ENVELOPE — a valid over-approximation (files outside
+    * it cannot hold any listed value); the exact membership re-applies
     * post-scan. Shared by the plain-tree route and the delete-version
     * merge-on-read route. */
   private def mergedBounds(cs: Seq[Conjunct])
-      : Seq[(String, Column, Column)] = {
+      : Seq[(String, Option[Column], Option[Column])] = {
     val colBridge = org.apache.spark.sql.graft.ColumnBridge.column _
     val merged = scala.collection.mutable.LinkedHashMap[String,
       (Option[expressions.Literal], Option[expressions.Literal])]()
@@ -214,7 +232,8 @@ object Routing {
       case _ => ()
     }
     merged.collect {
-      case (c, (Some(lo), Some(hi))) => (c, colBridge(lo), colBridge(hi))
+      case (c, (lo, hi)) if lo.isDefined || hi.isDefined =>
+        (c, lo.map(colBridge), hi.map(colBridge))
     }.toSeq
   }
 
@@ -244,7 +263,7 @@ object Routing {
     require(!DeleteWhere.isVersionDir(spark, root),
       s"$root is a delete version — readWhere routes it through its " +
         "maintained stats manifest and deletion vectors")
-    val cs = conjunctsOf(spark.read.parquet(dataDir(root)), pred)
+    val cond = analyzedCondition(spark.read.parquet(dataDir(root)), pred)
     val haveStats = exists(spark, statsDir(root))
     // Freshness gate (ADVICE r16): a manifest consulted below — or used
     // as the full-scan fallback's file list — must have been built over
@@ -255,38 +274,58 @@ object Routing {
     lazy val curFp = FileStats.treeFingerprint(spark, dataDir(root))
     if (haveStats)
       FileStats.requireFresh(spark, dataDir(root), statsDir(root), Some(curFp))
-    var via = Seq.empty[String]
-
-    val bounds =
+    lazy val statsCols: Seq[String] =
       if (!haveStats) Seq.empty
-      else {
-        val statsCols = spark.read.parquet(statsDir(root)).columns
-        mergedBounds(cs).filter { case (c, _, _) =>
-          statsCols.contains(s"min_$c")
-        }
-      }
-    var files: Option[Set[String]] = None
-    def intersect(s: Seq[String], tag: String): Unit = {
-      files = Some(files.map(_.intersect(s.toSet)).getOrElse(s.toSet))
-      via = via :+ tag
-    }
-    if (bounds.nonEmpty)
-      intersect(FileStats.prunedFilesAnd(spark, statsDir(root), bounds),
-        s"stats[${bounds.map(_._1).mkString(",")}]")
+      else spark.read.parquet(statsDir(root)).columns.toSeq
 
-    // Bloom: every eq/IN conjunct whose column has a filter (each
-    // consulted manifest passes the same freshness gate as stats)
-    cs.foreach {
-      case EqIn(c, vs) if exists(spark, bloomDir(root, c)) &&
-          vs.forall(v => stringStable(v.dataType)) =>
-        FileStats.requireFresh(spark, dataDir(root), bloomDir(root, c),
-          Some(curFp))
-        intersect(BloomIndex.survivors(spark, bloomDir(root, c),
-          vs.map(_.value.toString)), s"bloom[$c]")
-      case _ => ()
+    /** Route ONE disjunct's conjuncts through every applicable
+      * manifest; None when nothing routed (the disjunct is opaque to
+      * all indexes). */
+    def routeConjuncts(cs: Seq[Conjunct]): Option[(Set[String], Seq[String])] = {
+      var via = Seq.empty[String]
+      var files: Option[Set[String]] = None
+      def intersect(s: Seq[String], tag: String): Unit = {
+        files = Some(files.map(_.intersect(s.toSet)).getOrElse(s.toSet))
+        via = via :+ tag
+      }
+      val bounds = mergedBounds(cs).filter { case (c, _, _) =>
+        statsCols.contains(s"min_$c")
+      }
+      if (bounds.nonEmpty)
+        intersect(FileStats.prunedFilesOpt(spark, statsDir(root), bounds),
+          s"stats[${bounds.map(_._1).mkString(",")}]")
+      // Bloom: every eq/IN conjunct whose column has a filter (each
+      // consulted manifest passes the same freshness gate as stats)
+      cs.foreach {
+        case EqIn(c, vs) if exists(spark, bloomDir(root, c)) &&
+            vs.forall(v => stringStable(v.dataType)) =>
+          FileStats.requireFresh(spark, dataDir(root), bloomDir(root, c),
+            Some(curFp))
+          intersect(BloomIndex.survivors(spark, bloomDir(root, c),
+            vs.map(_.value.toString)), s"bloom[$c]")
+        case _ => ()
+      }
+      files.map((_, via))
     }
-    files match {
-      case Some(f) => Route(f.toSeq.sorted, via)
+
+    // OR routing (VERDICT r17 #2): when EVERY top-level disjunct routes
+    // through some index, the OR's file set is their UNION — each
+    // disjunct's set over-approximates its own matches, so the union
+    // over-approximates the OR (the full predicate still re-applies).
+    // One unroutable disjunct poisons the union (its matches could live
+    // anywhere) → full scan.
+    val routed: Option[(Set[String], Seq[String])] = cond.flatMap { e =>
+      splitOr(e) match {
+        case Seq(one) => routeConjuncts(splitAnd(one).map(classify))
+        case ds =>
+          val per = ds.map(d => routeConjuncts(splitAnd(d).map(classify)))
+          if (per.exists(_.isEmpty)) None
+          else Some((per.flatMap(_.get._1).toSet,
+            Seq(s"or[${per.map(_.get._2.mkString("&")).mkString(" | ")}]")))
+      }
+    }
+    routed match {
+      case Some((f, via)) => Route(f.toSeq.sorted, via)
       case None =>
         // nothing routable: every file (through the stats manifest when
         // present — exact file list without a directory walk)
@@ -379,7 +418,7 @@ object Routing {
         statsCols.contains(s"min_$c") }
       val files =
         if (bounds.isEmpty) all
-        else FileStats.prunedFilesAnd(spark, statsDir, bounds)
+        else FileStats.prunedFilesOpt(spark, statsDir, bounds)
       val base =
         if (files.isEmpty) spark.read.parquet(all.head).limit(0)
         else DeleteWhere.readFiles(spark, root, files)

@@ -586,13 +586,7 @@ object CoreQueries extends QueryPack {
     // filter: pruning must be invisible in results (RoutingSpec pins
     // the files-opened counts against each manual route).
     "s32_read_where" -> ((s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-route-q").toString
-      val ev = t(s, d, "events")
-        .select("event_id", "user_id", "event_type", "value")
-      graft.lake.ZOrder.writeZOrdered(ev, s"$root/data", 16, "user_id", "event_id")
-      graft.lake.Routing.indexStats(s, root, Seq("user_id"))
-      graft.lake.Routing.indexBloom(s, root, "event_id")
+      val root = Fixtures.revents(s, d)
       val pred = col("user_id").between(lit(50L), lit(250L)) &&
         col("event_id") % 3 =!= 1 // routable range + opaque residual
       val eqPred = col("user_id").between(lit(50L), lit(250L)) &&
@@ -601,6 +595,63 @@ object CoreQueries extends QueryPack {
         .unionByName(graft.lake.Routing.readWhere(s, root, eqPred))
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id", "user_id")
+    }),
+
+    // S36: ONE-SIDED range routing (VERDICT r17 #1) — the
+    // retention-scan shape: `c >= lo` prunes files with max_c < lo,
+    // `c <= hi` prunes min_c > hi, through the same zone-map manifest
+    // closed ranges use (previously these parsed but routed nothing →
+    // full scan). Exercised over BOTH routed shapes: the plain indexed
+    // tree (>=, <=, strict > with an eq residual) and a deletion-vector
+    // version whose one-sided read overlaps the DV mask (RoutingSpec
+    // pins files-opened to the manual one-sided prune on each).
+    // Hash-green proves one-sided pruning is invisible in results.
+    "s36_range_route" -> ((s, d) => {
+      val root = Fixtures.revents(s, d)
+      val hi = graft.lake.Routing.readWhere(s, root,
+          col("user_id") >= lit(120L))
+        .select(lit("hi").as("src"), col("event_id"), col("user_id"),
+          col("event_type"))
+      val lo = graft.lake.Routing.readWhere(s, root,
+          col("user_id") <= lit(25L))
+        .select(lit("lo").as("src"), col("event_id"), col("user_id"),
+          col("event_type"))
+      val st = graft.lake.Routing.readWhere(s, root,
+          col("user_id") > lit(140L) && col("event_type") === lit("click"))
+        .select(lit("st").as("src"), col("event_id"), col("user_id"),
+          col("event_type"))
+      val src = Fixtures.zEvents(s, d)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-range-dv-q").toString
+      graft.lake.DeleteWhere.deleteVectors(s, s"$src/stats",
+        "user_id", lit(100L), lit(120L), s"$out/v2")
+      val dv = graft.lake.Routing.readWhere(s, s"$out/v2",
+          col("user_id") >= lit(110L))
+        .select(lit("dv").as("src"), col("event_id"), col("user_id"),
+          col("event_type"))
+      hi.unionByName(lo).unionByName(st).unionByName(dv)
+        .orderBy("src", "event_id")
+    }),
+
+    // S37: OR-DISJUNCT routing (VERDICT r17 #2) — `a OR b` routes as
+    // the UNION of the per-disjunct file sets when every disjunct is
+    // routable (each set over-approximates its disjunct, so the union
+    // over-approximates the OR; the full predicate re-applies). One
+    // unroutable disjunct → full scan (RoutingSpec pins both the union
+    // file set and the poisoned fallback). The gate runs a
+    // range-OR-bloom mix and a two-sided one-sided-range OR.
+    "s37_or_route" -> ((s, d) => {
+      val root = Fixtures.revents(s, d)
+      val mixed = graft.lake.Routing.readWhere(s, root,
+          col("user_id").between(lit(50L), lit(60L)) ||
+            col("event_id").isin(17L, 4217L, 999999L))
+        .select(lit("mix").as("src"), col("event_id"), col("user_id"),
+          col("event_type"))
+      val tails = graft.lake.Routing.readWhere(s, root,
+          col("user_id") <= lit(10L) || col("user_id") >= lit(140L))
+        .select(lit("tails").as("src"), col("event_id"), col("user_id"),
+          col("event_type"))
+      mixed.unionByName(tails).orderBy("src", "event_id")
     }),
 
     // S31: LSM-style FRAGMENT ingest on the bucketed table — the
@@ -1024,6 +1075,34 @@ object CoreQueries extends QueryPack {
          SELECT * FROM base UNION ALL SELECT * FROM eqs
          ORDER BY event_id, user_id"""
     },
+    // one-sided pruning must be invisible to results: the oracle runs
+    // the same four predicates unpruned (the dv leg excludes the DV
+    // mask's [100,120] range)
+    "s36_range_route" ->
+      """SELECT * FROM (
+           SELECT 'hi' AS src, event_id, user_id, event_type FROM events
+           WHERE user_id >= 120
+           UNION ALL
+           SELECT 'lo', event_id, user_id, event_type FROM events
+           WHERE user_id <= 25
+           UNION ALL
+           SELECT 'st', event_id, user_id, event_type FROM events
+           WHERE user_id > 140 AND event_type = 'click'
+           UNION ALL
+           SELECT 'dv', event_id, user_id, event_type FROM events
+           WHERE user_id >= 110 AND user_id NOT BETWEEN 100 AND 120)
+         ORDER BY src, event_id""",
+    // OR routing must be invisible to results: the oracle is the plain
+    // disjunctive filter on the source table
+    "s37_or_route" ->
+      """SELECT * FROM (
+           SELECT 'mix' AS src, event_id, user_id, event_type FROM events
+           WHERE user_id BETWEEN 50 AND 60
+              OR event_id IN (17, 4217, 999999)
+           UNION ALL
+           SELECT 'tails', event_id, user_id, event_type FROM events
+           WHERE user_id <= 10 OR user_id >= 140)
+         ORDER BY src, event_id""",
     "s31_fragment_ingest" ->
       """SELECT o_orderkey,
                 CASE WHEN o_orderkey % 7 = 3 THEN 'Y'

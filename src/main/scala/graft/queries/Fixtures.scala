@@ -75,7 +75,9 @@ object Fixtures {
   val prebuilders: Map[String, (Set[String], (SparkSession, String) => String)] =
     Map(
       "zevents" -> ((Set("s20_delete_where", "s29_delete_vectors",
-        "s33_read_where_mor"), zEvents _)),
+        "s33_read_where_mor", "s36_range_route"), zEvents _)),
+      "revents" -> ((Set("s32_read_where", "s36_range_route",
+        "s37_or_route"), revents _)),
       "bm25" -> ((Set("t_bm25_indexed", "t_bm25_delete"), bm25 _)),
       "ivf" -> ((Set("ann_ivf_persist", "ann_ivf_retrain",
         "ann_ivf_delete"), ivf _)))
@@ -92,6 +94,20 @@ object Fixtures {
       graft.lake.ZOrder.writeZOrdered(ev, s"$root/data", 16, "user_id", "bucket")
       graft.lake.FileStats.writeStats(s, s"$root/data", s"$root/stats",
         Seq("user_id"))
+    }
+
+  /** Z-ordered events tree in the [[graft.lake.Routing]] layout
+    * (`data/` + `ix/stats` + `ix/bloom/event_id`) — the shared
+    * READ-ONLY base of the routed-read gates (readWhere never writes
+    * into its tree). */
+  def revents(s: SparkSession, d: String): String =
+    shared("revents", d) { root =>
+      val ev = graft.Tables.t(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      graft.lake.ZOrder.writeZOrdered(ev, s"$root/data", 16,
+        "user_id", "event_id")
+      graft.lake.Routing.indexStats(s, root, Seq("user_id"))
+      graft.lake.Routing.indexBloom(s, root, "event_id")
     }
 
   /** BM25 index over `documents`, built from the base slice and

@@ -84,6 +84,107 @@ class RoutingSpec extends SparkSpec {
     sameAs(root, col("user_id").isin(101L, 103L, 108L))
   }
 
+  test("one-sided ranges route through the zone maps (VERDICT r17 #1)") {
+    val root = buildTree()
+    val total = plain(root).inputFiles.length
+    // >= lo prunes exactly the files with max_user_id < lo
+    val r = Routing.route(spark, root, col("user_id") >= lit(120L))
+    val manual = spark.read.parquet(s"$root/ix/stats")
+      .filter(col("max_user_id") >= 120L)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(r.files.toSet == manual && r.via.exists(_.startsWith("stats")),
+      s"one-sided >= route mismatch: ${r.via}")
+    assert(r.files.size < total, "the >= route must actually prune")
+    sameAs(root, col("user_id") >= lit(120L))
+    // <= hi prunes exactly the files with min_user_id > hi
+    val r2 = Routing.route(spark, root, col("user_id") <= lit(10L))
+    val manual2 = spark.read.parquet(s"$root/ix/stats")
+      .filter(col("min_user_id") <= 10L)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(r2.files.toSet == manual2 && r2.files.size < total,
+      s"one-sided <= route mismatch: ${r2.via}")
+    sameAs(root, col("user_id") <= lit(10L))
+    // strict bounds prune through the same inclusive-safe path
+    val r3 = Routing.route(spark, root, col("user_id") > lit(140L))
+    assert(r3.via.exists(_.startsWith("stats")) && r3.files.size < total)
+    sameAs(root, col("user_id") > lit(140L))
+    // a one-sided bound INTERSECTS with other routed conjuncts
+    val r4 = Routing.route(spark, root,
+      col("user_id") >= lit(120L) && col("event_id") === lit(4217L))
+    assert(r4.files.toSet.subsetOf(manual) && r4.via.size == 2)
+    sameAs(root, col("user_id") >= lit(120L) && col("event_id") === lit(4217L))
+  }
+
+  test("one-sided ranges prune a delete version's maintained stats") {
+    val base = tmp()
+    val ev = graft.Tables.t(spark, sf("sf0.01"), "events")
+      .select("event_id", "user_id", "event_type")
+    graft.lake.ZOrder.writeZOrdered(ev, s"$base/data", 16, "user_id", "event_id")
+    FileStats.writeStats(spark, s"$base/data", s"$base/stats", Seq("user_id"))
+    graft.lake.DeleteWhere.deleteVectors(spark, s"$base/stats",
+      "user_id", lit(80L), lit(110L), s"$base/v2")
+    val pred = col("user_id") >= lit(100L)
+    val got = Routing.readWhere(spark, s"$base/v2", pred)
+    val gotIds = got.select("event_id").collect().map(_.getLong(0)).sorted
+    val wantIds = spark.read.parquet(s"$base/data")
+      .filter(pred && !col("user_id").between(80L, 110L))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(gotIds.sameElements(wantIds) && wantIds.nonEmpty,
+      s"one-sided DV routing changed results: ${gotIds.length} vs ${wantIds.length}")
+    // files-opened pinned to the manual one-sided prune, a strict subset
+    val manual = FileStats.prunedFilesOpt(spark,
+      graft.lake.DeleteWhere.statsDirOf(s"$base/v2"),
+      Seq(("user_id", Some(lit(100L)), None))).toSet
+    val opened = got.inputFiles.filter(_.contains("/data/")).toSet
+    assert(opened.size == manual.size,
+      s"DV one-sided route must open exactly the pruned set: " +
+        s"${opened.size} vs ${manual.size}")
+    assert(opened.size < spark.read.parquet(s"$base/data").inputFiles.length,
+      "the DV one-sided route must actually prune")
+  }
+
+  test("OR of routable disjuncts opens the union; an opaque disjunct poisons it") {
+    val root = buildTree()
+    val total = plain(root).inputFiles.length
+    // range OR bloom-eq → union of the two manual routes
+    val pred = col("user_id").between(100L, 140L) ||
+      col("event_id") === lit(4217L)
+    val r = Routing.route(spark, root, pred)
+    val m1 = FileStats.prunedFiles(spark, s"$root/ix/stats",
+      "user_id", lit(100L), lit(140L)).toSet
+    val m2 = BloomIndex.survivors(spark, s"$root/ix/bloom/event_id",
+      Seq("4217")).toSet
+    assert(r.files.toSet == (m1 ++ m2),
+      s"OR route must union the disjunct verdicts: ${r.via}")
+    assert(r.via.size == 1 && r.via.head.startsWith("or["), r.via.toString)
+    assert(r.files.size < total, "the OR union must still prune")
+    sameAs(root, pred)
+    // one-sided tails: <= lo OR >= hi (the anti-range shape)
+    val tails = col("user_id") <= lit(10L) || col("user_id") >= lit(140L)
+    val rt = Routing.route(spark, root, tails)
+    val stats = spark.read.parquet(s"$root/ix/stats")
+    val mt = stats.filter(col("min_user_id") <= 10L)
+      .select("path").collect().map(_.getString(0)).toSet ++
+      stats.filter(col("max_user_id") >= 140L)
+        .select("path").collect().map(_.getString(0)).toSet
+    assert(rt.files.toSet == mt && rt.files.size < total,
+      s"tails OR route mismatch: ${rt.via}")
+    sameAs(root, tails)
+    // a disjunct with an AND inside routes through its own conjuncts
+    val mixed = (col("user_id").between(100L, 140L) &&
+      col("event_id") === lit(4217L)) || col("user_id") <= lit(5L)
+    val rm = Routing.route(spark, root, mixed)
+    assert(rm.via.head.startsWith("or[") && rm.files.size < total)
+    sameAs(root, mixed)
+    // one unroutable disjunct poisons the union → full scan
+    val poisoned = col("user_id").between(100L, 140L) ||
+      upper(col("event_type")) === lit("CLICK")
+    val rp = Routing.route(spark, root, poisoned)
+    assert(rp.via == Seq("full-scan") && rp.files.size == total,
+      s"opaque disjunct must poison the OR: ${rp.via}")
+    sameAs(root, poisoned)
+  }
+
   test("a date-typed predicate never routes through a string-hashed index") {
     import spark.implicits._
     val root = tmp()
