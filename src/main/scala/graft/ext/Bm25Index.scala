@@ -38,6 +38,53 @@ object Bm25Index {
   private def postingsRoot(root: String) = s"$root/postings"
   private def docstatsRoot(root: String) = s"$root/docstats"
 
+  /** On-disk posting-key format tag (ADVICE r17, medium): "lp1" =
+    * length-prefixed `len(tok):tok#doc_id`. The r17 key change from
+    * plain `tok#doc_id` was silent on disk — against an index persisted
+    * before it, ingest would write new-format pks BESIDE old-format
+    * rows (duplicate (tok,doc) postings double-count tf) and deleteDocs
+    * would derive only new-format pks, so old postings SURVIVE
+    * takedowns. The marker makes the encoding explicit; any
+    * write/delete against an index that lacks it (or carries a
+    * different tag) fails fast demanding a rebuild. */
+  private val PkFormat = "lp1"
+
+  private def fmtPath(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/_pk_format")
+
+  private def stampFormat(spark: SparkSession, root: String): Unit = {
+    val p = fmtPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write(PkFormat.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Fail fast before any write/delete against an index whose posting
+    * keys were minted under a different (or unknown) encoding. Reads
+    * are exempt: they consume (tok, doc_id, tf) columns directly and
+    * never reconstruct pks. */
+  private def requireFormat(spark: SparkSession, root: String): Unit =
+    if (graft.lake.Snapshot.resolve(spark, postingsRoot(root)).nonEmpty) {
+      val p = fmtPath(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rec =
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try Some(new String(in.readAllBytes(), "UTF-8").trim)
+          finally in.close()
+        }
+      require(rec.contains(PkFormat),
+        s"BM25 index at $root carries posting-key format " +
+          s"${rec.getOrElse("<none — predates the format marker>")}, " +
+          s"this build writes $PkFormat — mixing encodings would " +
+          "double-count tf on duplicate (tok,doc) postings and let " +
+          "deleted docs' old-format postings survive takedowns; " +
+          "rebuild the index before writing or deleting against it")
+    }
+
   private def tokenize(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
       // at-least-once upstreams can land the SAME (doc_id, text) twice
@@ -92,6 +139,8 @@ object Bm25Index {
 
   private def ingest(spark: SparkSession, root: String, docs: DataFrame,
                      nBuckets: Int, tag: Long): Unit = {
+    requireFormat(spark, root)
+    stampFormat(spark, root)
     // tokenize ONCE per batch (the module contract): postings and
     // docstats each execute their plan — and applyBatch's touched-
     // bucket collect executes the input again — so without the pin the
@@ -134,6 +183,8 @@ object Bm25Index {
       // Option form: a resolvable-but-empty manifest (zero-row first
       // batch, or an index emptied by takedowns) must fall back to the
       // configured count instead of throwing forever
+      requireFormat(bs, root)
+      stampFormat(bs, root)
       val n = BucketedUpsert.bucketCountOption(bs, postingsRoot(root))
         .getOrElse(nBuckets)
       def behind(tableRoot: String) =
@@ -178,6 +229,7 @@ object Bm25Index {
     * window, or retire the pipeline first. */
   def deleteDocs(spark: SparkSession, root: String, docs: DataFrame,
                  tag: Long): Long = {
+    requireFormat(spark, root)
     def behind(tableRoot: String) =
       !graft.lake.Snapshot.currentTag(spark, tableRoot).exists(_ >= tag)
     // the >= skip exists ONLY for same-tag crash replays; a tag

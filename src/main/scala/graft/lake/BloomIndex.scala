@@ -67,15 +67,23 @@ object BloomIndex {
     * per-(file, word) filter bits plus the build params and the
     * per-file (len, mtime) meta [[refreshBloom]] uses to certify kept
     * files against in-place content changes. */
+  /** `covered` is EXACTLY the files this build scans (the full listing
+    * for a build, the added subset for a refresh): the meta join is
+    * FULL OUTER against it, so a covered file that contributed no
+    * filter row (all-NULL indexed column) still gets a META-ONLY
+    * MARKER row — `w`/`bits` NULL, params and (len, mtime) real.
+    * Without it, every later refresh classified such files as 'added'
+    * and rescanned them forever (ADVICE r17). Probes are blind to
+    * markers (they filter on `w`); refreshes certify them as kept. */
   private def filterRows(spark: SparkSession, source: String, column: String,
                          mLog2: Int, k: Int,
-                         listing: Seq[FileStats.FileMeta],
+                         covered: Seq[FileStats.FileMeta],
                          paths: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val base = if (paths.isEmpty) spark.read.parquet(source)
                else spark.read.parquet(paths: _*)
-    val meta = listing.map(m => (m.norm, m.len, m.mtime))
-      .toDF("_gf_norm", "f_len", "f_mtime")
+    val meta = covered.map(m => (m.norm, m.path, m.len, m.mtime))
+      .toDF("_gf_norm", "_gf_orig", "f_len", "f_mtime")
     base
       .filter(col(column).isNotNull)
       .select(input_file_name().as("path"),
@@ -91,8 +99,11 @@ object BloomIndex {
       // to near-zero bytes by parquet
       .join(broadcast(meta),
         regexp_replace(col("path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/") ===
-          col("_gf_norm"), "left")
-      .drop("_gf_norm")
+          col("_gf_norm"), "full")
+      .withColumn("path", coalesce(col("path"), col("_gf_orig")))
+      .withColumn("m_log2", coalesce(col("m_log2"), lit(mLog2)))
+      .withColumn("k", coalesce(col("k"), lit(k)))
+      .drop("_gf_norm", "_gf_orig")
       // NOT coalesced to one file: the manifest scales with FILE COUNT
       // (unlike the bucket-bounded index manifests), and a single-task
       // write would serialize the bit_or of a million files' words
@@ -112,7 +123,7 @@ object BloomIndex {
     */
   def refreshBloom(spark: SparkSession, dataDir: String,
                    bloomDir: String, column: String): (Long, Long) = {
-    val params = spark.read.parquet(bloomDir)
+    val params = FileStats.manifestDf(spark, bloomDir)
       .select("m_log2", "k").distinct().collect()
     require(params.length == 1,
       s"bloom index at $bloomDir mixes filter params " +
@@ -123,7 +134,7 @@ object BloomIndex {
     // per-file (len, mtime) recorded at build time certifies kept files
     // against IN-PLACE content changes; manifests predating the meta
     // columns rescan every kept file once (then carry meta)
-    val oldDf = spark.read.parquet(bloomDir)
+    val oldDf = FileStats.manifestDf(spark, bloomDir)
     val hasMeta = oldDf.columns.contains("f_len")
     val oldMeta: Map[String, Option[(Long, Long)]] =
       oldDf.select(Seq(col("path")) ++
@@ -137,27 +148,36 @@ object BloomIndex {
       val m = current(n)
       !oldMeta(n).contains((m.len, m.mtime))
     }
-    val added = ((current.keySet -- oldNorm) ++ changedNorm)
-      .toSeq.sorted.map(n => current(n).path)
+    val addedNorm = (current.keySet -- oldNorm) ++ changedNorm
+    val added = addedNorm.toSeq.sorted.map(n => current(n).path)
+    val addedCovered = listing.filter(m => addedNorm.contains(m.norm))
     val dropped = (oldNorm -- current.keySet) ++ changedNorm
-    val fs = new org.apache.hadoop.fs.Path(bloomDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp = FileStats.fpOf(listing)
     if (dropped.nonEmpty) {
-      // staged rewrite: filter the manifest into a sibling, swap dirs
-      val staging = new org.apache.hadoop.fs.Path(bloomDir + "-refresh")
-      val target = new org.apache.hadoop.fs.Path(bloomDir)
-      oldDf
-        .filter(!regexp_replace(col("path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/")
-          .isInCollection(dropped.toSeq))
-        .write.mode("overwrite").parquet(staging.toString)
-      if (!fs.delete(target, true) || !fs.rename(staging, target))
-        throw new java.io.IOException(
-          s"bloom refresh swap failed for $bloomDir - rebuild via writeBloom")
-    }
-    if (added.nonEmpty)
-      filterRows(spark, dataDir, column, mLog2, k, listing, paths = added)
-        .write.mode("append").parquet(bloomDir)
-    FileStats.writeTreeFp(spark, bloomDir, FileStats.fpOf(listing))
+      // files vanished: the surviving rows (plus the added files' new
+      // rows) land as the NEXT immutable manifest version and the
+      // pointer flips atomically — the live manifest is never deleted
+      // before its replacement is readable (ADVICE r17)
+      FileStats.publishManifest(spark, bloomDir, fp) { dest =>
+        oldDf
+          .filter(!regexp_replace(col("path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+            .isInCollection(dropped.toSeq))
+          .write.mode("overwrite").parquet(dest)
+        if (added.nonEmpty)
+          filterRows(spark, dataDir, column, mLog2, k, addedCovered,
+            paths = added).write.mode("append").parquet(dest)
+      }
+    } else if (added.nonEmpty) {
+      // append-only churn: new files' rows APPEND into the live
+      // version (no existing row is touched), then the fingerprint
+      // restamps — a crash in between leaves the stamp stale → loud
+      val dest = FileStats.resolveManifest(spark, bloomDir)
+      filterRows(spark, dataDir, column, mLog2, k, addedCovered,
+        paths = added).write.mode("append").parquet(dest)
+      FileStats.writeTreeFp(spark, dest, fp)
+    } else
+      FileStats.writeTreeFp(spark,
+        FileStats.resolveManifest(spark, bloomDir), fp)
     (added.size.toLong, dropped.size.toLong)
   }
 
@@ -192,7 +212,7 @@ object BloomIndex {
     // silently false-negate — the one failure the index forbids. Same
     // uniformity check as SecondaryIndex.lookupBuckets; distinct is
     // manifest-sized (metadata).
-    val meta = spark.read.parquet(bloomDir)
+    val meta = FileStats.manifestDf(spark, bloomDir)
       .select("m_log2", "k").distinct().collect()
     if (meta.isEmpty) return Seq.empty // empty table indexed → no files
     require(meta.length == 1,
@@ -200,7 +220,8 @@ object BloomIndex {
         s"${meta.mkString(",")} — rebuild it")
     val (mLog2, k) = (meta.head.getInt(0), meta.head.getInt(1))
     // probe-set-sized collect: only the words the values hash to
-    val words = spark.read.parquet(bloomDir)
+    // (marker rows of all-NULL files carry NULL w and never match)
+    val words = FileStats.manifestDf(spark, bloomDir)
       .filter(col("w").isin(wantedWords(values, mLog2, k): _*))
       .select("path", "w", "bits").collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap

@@ -126,7 +126,7 @@ object DeleteWhere {
     * read or written — including their replacement stats rows. */
   def deleteRange(spark: SparkSession, statsDir: String, column: String,
                   lo: Column, hi: Column, outDir: String): DeleteStats = {
-    val oldStats = spark.read.parquet(statsDir)
+    val oldStats = FileStats.manifestDf(spark, statsDir)
     require(oldStats.columns.contains(s"min_$column"),
       s"stats manifest at $statsDir does not index column '$column'")
     // every column the old manifest indexes (min_x/max_x pairs) is
@@ -173,7 +173,7 @@ object DeleteWhere {
       // post-delete row count, so stats maintenance adds no extra pass
       FileStats.writeStats(spark, filesDir(outDir),
         s"${statsDirOf(outDir)}-new", indexed)
-      val after = spark.read.parquet(s"${statsDirOf(outDir)}-new")
+      val after = FileStats.manifestDf(spark, s"${statsDirOf(outDir)}-new")
         .agg(coalesce(sum("n_rows"), lit(0L))).head.getLong(0)
       rowsDeleted = before - after
     }
@@ -190,7 +190,8 @@ object DeleteWhere {
     val newStats =
       if (touched.isEmpty) keptStats
       else keptStats.unionByName(
-        spark.read.parquet(s"${statsDirOf(outDir)}-new"), allowMissingColumns = false)
+        FileStats.manifestDf(spark, s"${statsDirOf(outDir)}-new"),
+        allowMissingColumns = false)
     newStats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDirOf(outDir))
     if (touched.nonEmpty) { // drop the fresh-stats staging dir
       val p = new org.apache.hadoop.fs.Path(s"${statsDirOf(outDir)}-new")
@@ -236,7 +237,7 @@ object DeleteWhere {
     */
   def deleteVectors(spark: SparkSession, statsDir: String, column: String,
                     lo: Column, hi: Column, outDir: String): DeleteStats = {
-    val oldStats = spark.read.parquet(statsDir)
+    val oldStats = FileStats.manifestDf(spark, statsDir)
     require(oldStats.columns.contains(s"min_$column"),
       s"stats manifest at $statsDir does not index column '$column'")
     val touched = FileStats.prunedFiles(spark, statsDir, column, lo, hi)
@@ -292,7 +293,7 @@ object DeleteWhere {
                      outDir: String,
                      targetBytes: Long = 128L << 20): (Long, Long, Long) = {
     val statsDir = statsDirOf(versionDir)
-    val oldStats = spark.read.parquet(statsDir)
+    val oldStats = FileStats.manifestDf(spark, statsDir)
     val indexed = oldStats.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_")
     }.toSeq
@@ -315,7 +316,7 @@ object DeleteWhere {
     import spark.implicits._
     Seq(filesDir(outDir)).toDF("path").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(manifestDir(outDir))
-    val filesAfter = spark.read.parquet(statsDirOf(outDir)).count()
+    val filesAfter = FileStats.manifestDf(spark, statsDirOf(outDir)).count()
     (filesBefore, filesAfter, dvFolded)
   }
 

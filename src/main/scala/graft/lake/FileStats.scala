@@ -68,15 +68,108 @@ object FileStats {
     out.toSeq
   }
 
-  private[lake] def fpOf(files: Seq[FileMeta]): String =
-    s"v1:${files.size}:${files.map(_.len).sum}:" +
-      files.map(_.mtime).maxOption.getOrElse(0L)
+  /** ORDER-INDEPENDENT per-file digest (ADVICE r17): the old aggregate
+    * (count, total bytes, max mtime) missed a same-size in-place
+    * overwrite whose mtime did not advance past the tree max, and any
+    * rename preserving count/bytes/mtime — stale bounds then silently
+    * excluded files from routed reads, the exact hazard the gate
+    * exists to prevent. Here every file's (normalized path, len,
+    * mtime) hashes individually into 64 bits; SUM and XOR of the
+    * per-file hashes commute, so listing order cannot matter, and any
+    * single-file change moves both accumulators with overwhelming
+    * probability. */
+  private[lake] def fpOf(files: Seq[FileMeta]): String = {
+    var sum = 0L; var xor = 0L
+    files.foreach { m =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(
+        s"${m.norm}|${m.len}|${m.mtime}")
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(
+        s"${m.mtime}|${m.len}|${m.norm}", 0x9747b28c)
+      val h64 = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      sum += h64; xor ^= h64
+    }
+    f"v2:${files.size}:$sum%016x:$xor%016x"
+  }
 
   def treeFingerprint(spark: SparkSession, dataDir: String): String =
     fpOf(walkTree(spark, dataDir))
 
   private def fpPath(manifestDir: String) =
     new org.apache.hadoop.fs.Path(manifestDir, "_tree_fp")
+
+  // ---- ATOMIC manifest publish (ADVICE r17): a refresh must never
+  // delete the live manifest before its replacement is readable (the
+  // old delete-then-rename left a crash window with NO manifest —
+  // routing silently degrading to full scan — and a torn-listing
+  // window for concurrent readers). Refreshed manifests land as a NEW
+  // immutable `m<N>/` version INSIDE the manifest dir and readers
+  // resolve through the `_mp` pointer file, flipped by the same
+  // single-file rename-with-overwrite primitive [[Snapshot.publish]]
+  // uses. The tree fingerprint lives INSIDE each version dir, so data
+  // and freshness stamp flip together. Manifests built by
+  // [[writeStats]]/[[BloomIndex.writeBloom]] stay flat (no pointer);
+  // the resolver falls back to the dir itself, which also covers
+  // [[DeleteWhere]]'s version-immutable maintained manifests.
+
+  private val MPtr = "_mp"
+
+  /** The directory holding the manifest's CURRENT parquet data: the
+    * `_mp`-named version subdir when published through
+    * [[publishManifest]], else the manifest dir itself (flat build).
+    * Public — external consumers of a manifest must resolve through
+    * this, never read the dir raw. */
+  def resolveManifest(spark: SparkSession,
+                      manifestDir: String): String = {
+    val ptr = new org.apache.hadoop.fs.Path(manifestDir, MPtr)
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ptr)) manifestDir
+    else {
+      val in = fs.open(ptr)
+      val name = try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+      s"$manifestDir/$name"
+    }
+  }
+
+  /** The manifest's current parquet data as a frame — EVERY manifest
+    * read goes through this, so a pointer flip is invisible to
+    * consumers. */
+  private[lake] def manifestDf(spark: SparkSession,
+                               manifestDir: String): DataFrame =
+    spark.read.parquet(resolveManifest(spark, manifestDir))
+
+  /** Publish the next manifest version: `write` lands parquet into the
+    * new immutable `m<N>` dir, `fp` is stamped inside it, then the
+    * pointer flips atomically. The PREVIOUS version is retained (an
+    * in-flight reader that resolved it keeps a valid path,
+    * Snapshot-style); anything older — including flat legacy parquet
+    * and the root-level fingerprint of the pre-pointer layout — is
+    * collected. A crash before the flip leaves the old version live
+    * and the tree fingerprint stale → loud, the fail-safe direction. */
+  private[lake] def publishManifest(spark: SparkSession, manifestDir: String,
+                                    fp: String)(write: String => Unit): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = resolveManifest(spark, manifestDir)
+    val curName = if (cur == manifestDir) None
+      else Some(new org.apache.hadoop.fs.Path(cur).getName)
+    val nextName = "m" + (curName.flatMap(_.stripPrefix("m").toLongOption)
+      .map(_ + 1).getOrElse(0L))
+    write(s"$manifestDir/$nextName")
+    writeTreeFp(spark, s"$manifestDir/$nextName", fp)
+    val tmp = new org.apache.hadoop.fs.Path(manifestDir, MPtr + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(nextName.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dir.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(manifestDir, MPtr),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.listStatus(dir).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm != nextName && !curName.contains(nm) && nm != MPtr)
+        fs.delete(st.getPath, true)
+    }
+  }
 
   /** Record `fp` beside the manifest at `manifestDir`. The fingerprint
     * must come from the SAME listing the build consumed — stamping a
@@ -104,18 +197,28 @@ object FileStats {
   private def metaDf(spark: SparkSession,
                      listing: Seq[FileMeta]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    listing.map(m => (m.norm, m.len, m.mtime))
-      .toDF("_gf_norm", "f_len", "f_mtime")
+    listing.map(m => (m.norm, m.path, m.len, m.mtime))
+      .toDF("_gf_norm", "_gf_orig", "f_len", "f_mtime")
   }
 
+  /** Join the per-file (len, mtime) meta onto `stats` — FULL OUTER
+    * against the listing, so a listed file that contributed NO stats
+    * row (zero-row file) still gets a META-ONLY MARKER row (ADVICE
+    * r17: without one, every later refresh classifies such files as
+    * 'added' and rescans them forever, defeating the O(changed files)
+    * contract). Marker rows carry `n_rows = 0` and NULL bounds — NULL
+    * bounds never satisfy a prune predicate, so bounded reads skip the
+    * file, correctly. */
   private def withFileMeta(stats: DataFrame,
                            listing: Seq[FileMeta]): DataFrame = {
     val spark = stats.sparkSession
     stats.join(
         broadcast(metaDf(spark, listing)),
         regexp_replace(col("path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/") ===
-          col("_gf_norm"), "left")
-      .drop("_gf_norm")
+          col("_gf_norm"), "full")
+      .withColumn("path", coalesce(col("path"), col("_gf_orig")))
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+      .drop("_gf_norm", "_gf_orig")
   }
 
   /** The fingerprint recorded at build time, if any. */
@@ -141,7 +244,8 @@ object FileStats {
   def requireFresh(spark: SparkSession, dataDir: String,
                    manifestDir: String,
                    currentFp: Option[String] = None): Unit = {
-    val rec = recordedTreeFp(spark, manifestDir).getOrElse(
+    val rec = recordedTreeFp(spark,
+      resolveManifest(spark, manifestDir)).getOrElse(
       throw new IllegalStateException(
         s"manifest at $manifestDir carries no tree fingerprint — " +
           s"rebuild it (Routing.indexStats / indexBloom) over $dataDir"))
@@ -192,7 +296,7 @@ object FileStats {
     */
   def refreshStats(spark: SparkSession, dataDir: String,
                    statsDir: String): (Long, Long) = {
-    val old = spark.read.parquet(statsDir)
+    val old = manifestDf(spark, statsDir)
     val cols = old.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_")
     }.toSeq
@@ -224,7 +328,7 @@ object FileStats {
     val droppedNorm = (oldNorm -- current.keySet) ++ changedNorm
     if (added.isEmpty && droppedNorm.isEmpty) {
       // nothing changed: restamp (covers pure mtime-of-dir drift) and go
-      writeTreeFp(spark, statsDir, fpOf(listing))
+      writeTreeFp(spark, resolveManifest(spark, statsDir), fpOf(listing))
       return (0L, 0L)
     }
     val kept = old.filter(!udfFreeNormIsIn(col("path"), droppedNorm))
@@ -239,17 +343,14 @@ object FileStats {
           .groupBy(input_file_name().as("path"))
           .agg(aggs.head, aggs.tail: _*))
     val merged = withFileMeta(merged0, listing)
-    // staged swap (the manifest cannot be read and overwritten in one
-    // plan, and a driver-side collect would not survive million-file
-    // manifests): write the merged manifest beside, then swap dirs
-    val staging = new org.apache.hadoop.fs.Path(statsDir + "-refresh")
-    val target = new org.apache.hadoop.fs.Path(statsDir)
-    val mfs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    merged.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-    if (!mfs.delete(target, true) || !mfs.rename(staging, target))
-      throw new java.io.IOException(
-        s"stats refresh swap failed for $statsDir - rebuild via writeStats")
-    writeTreeFp(spark, statsDir, fpOf(listing))
+    // the manifest cannot be read and overwritten in one plan (and a
+    // driver-side collect would not survive million-file manifests):
+    // the merged manifest lands as the NEXT immutable version and the
+    // pointer flips atomically — the live manifest is never deleted
+    // before its replacement is readable (ADVICE r17)
+    publishManifest(spark, statsDir, fpOf(listing)) { dest =>
+      merged.coalesce(1).write.mode("overwrite").parquet(dest)
+    }
     (added.size.toLong, droppedNorm.size.toLong)
   }
 
@@ -264,7 +365,7 @@ object FileStats {
     * all-null file) never intersect. */
   def prunedFiles(spark: SparkSession, statsDir: String, column: String,
                   lo: Column, hi: Column): Seq[String] =
-    spark.read.parquet(statsDir)
+    manifestDf(spark, statsDir)
       .filter(col(maxName(column)) >= lo && col(minName(column)) <= hi)
       .select("path").collect().map(_.getString(0)).toSeq
 
@@ -303,7 +404,7 @@ object FileStats {
       (lo.map(col(maxName(c)) >= _).toSeq ++
         hi.map(col(minName(c)) <= _).toSeq).reduce(_ && _)
     }.reduce(_ && _)
-    spark.read.parquet(statsDir).filter(pred)
+    manifestDf(spark, statsDir).filter(pred)
       .select("path").collect().map(_.getString(0)).toSeq
   }
 
@@ -325,7 +426,7 @@ object FileStats {
     val aggs = coalesce(sum(col("n_rows")), lit(0L)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(minName(c))).as(minName(c)),
         max(col(maxName(c))).as(maxName(c))))
-    spark.read.parquet(statsDir).agg(aggs.head, aggs.tail: _*)
+    manifestDf(spark, statsDir).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Multi-bound range read: open only files surviving every bound,

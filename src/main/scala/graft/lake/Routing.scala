@@ -276,7 +276,7 @@ object Routing {
       FileStats.requireFresh(spark, dataDir(root), statsDir(root), Some(curFp))
     lazy val statsCols: Seq[String] =
       if (!haveStats) Seq.empty
-      else spark.read.parquet(statsDir(root)).columns.toSeq
+      else FileStats.manifestDf(spark, statsDir(root)).columns.toSeq
 
     /** Route ONE disjunct's conjuncts through every applicable
       * manifest; None when nothing routed (the disjunct is opaque to
@@ -330,7 +330,7 @@ object Routing {
         // nothing routable: every file (through the stats manifest when
         // present — exact file list without a directory walk)
         val all =
-          if (haveStats) spark.read.parquet(statsDir(root))
+          if (haveStats) FileStats.manifestDf(spark, statsDir(root))
             .select("path").collect().map(_.getString(0)).toSeq.sorted
           else Seq(dataDir(root))
         Route(all, Seq("full-scan"))
@@ -409,7 +409,7 @@ object Routing {
       // frame just for analysis would run its sidecar count job and a
       // manifest read before any real work.
       val statsDir = DeleteWhere.statsDirOf(root)
-      val stats = spark.read.parquet(statsDir)
+      val stats = FileStats.manifestDf(spark, statsDir)
       val all = stats.select("path").collect().map(_.getString(0)).toSeq
       require(all.nonEmpty, s"empty stats manifest under $root")
       val cs = conjunctsOf(spark.read.parquet(all.head), pred)

@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object CoreQueries extends QueryPack {
 
+  /** A checked-in test fixture, resolved portably (ADVICE r17): the
+    * `GRAFT_TEST_RESOURCES` env var when set, else the checkout's
+    * `src/test/resources` relative to the working directory — never a
+    * hardcoded absolute path that breaks on other checkouts. */
+  private def testResource(name: String): String =
+    sys.env.get("GRAFT_TEST_RESOURCES")
+      .getOrElse(s"${sys.props("user.dir")}/src/test/resources")
+      .stripSuffix("/") + s"/$name"
+
   val defs: Map[String, QueryFn] = Map(
     // S1: scan + bare projection (column pruning reaches the reader).
     "s1_scan_project" -> ((s, d) =>
@@ -48,7 +57,7 @@ object CoreQueries extends QueryPack {
     // against an independent reader. Arrays serialize via to_json and
     // the timestamp compares as epoch micros (cross-engine canon).
     "s34_feather_parity" -> ((s, d) => {
-      graft.lake.Feather.read(s, "/root/repo/src/test/resources/fixture.feather")
+      graft.lake.Feather.read(s, testResource("fixture.feather"))
         .select(col("id"), col("name"), col("score"),
           to_json(col("seg")).as("seg_json"),
           to_json(col("tags")).as("tags_json"),
@@ -1027,10 +1036,10 @@ object CoreQueries extends QueryPack {
     // the oracle reads the parquet TWIN of the feather fixture — two
     // independent decoders of one logical table must agree exactly
     "s34_feather_parity" ->
-      """SELECT id, name, score,
+      s"""SELECT id, name, score,
                 to_json(seg) AS seg_json, to_json(tags) AS tags_json,
                 ok, epoch_us(ts) AS ts_us
-         FROM read_parquet('/root/repo/src/test/resources/fixture_twin.parquet')
+         FROM read_parquet('${testResource("fixture_twin.parquet")}')
          ORDER BY id""",
     // the churned slice is the %97 twin landed as new files; refreshed
     // routing must serve exactly the augmented table

@@ -223,4 +223,31 @@ class Bm25IndexSpec extends SparkSpec {
       "distinct (tok, doc) postings must keep distinct keys")
     assert(p.select("doc_id").distinct().count() == 2)
   }
+
+  test("writes and deletes against a pre-marker index fail fast demanding a rebuild") {
+    import spark.implicits._
+    val root = tmp()
+    Bm25Index.build(spark, root, docs.limit(20), nBuckets = 4, tag = 1)
+    // ingest stamps the format marker; deleting it simulates an index
+    // persisted before the length-prefixed key change (or any unknown
+    // encoding) — every write/delete must refuse, naming the rebuild
+    val fmt = new org.apache.hadoop.fs.Path(s"$root/_pk_format")
+    val fs = fmt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(fmt), "ingest must stamp the posting-key format")
+    assert(fs.delete(fmt, false))
+    val exA = intercept[IllegalArgumentException](
+      Bm25Index.append(spark, root, docs.limit(3), tag = 2))
+    assert(exA.getMessage.contains("rebuild"), exA.getMessage)
+    val exD = intercept[IllegalArgumentException](
+      Bm25Index.deleteDocs(spark, root, docs.limit(3), tag = 2))
+    assert(exD.getMessage.contains("rebuild"), exD.getMessage)
+    // a mismatched tag (future/unknown encoding) refuses identically
+    val out = fs.create(fmt, true)
+    out.write("lp9".getBytes("UTF-8")); out.close()
+    val exF = intercept[IllegalArgumentException](
+      Bm25Index.append(spark, root, docs.limit(3), tag = 2))
+    assert(exF.getMessage.contains("lp9"), exF.getMessage)
+    // reads stay exempt: they never reconstruct pks
+    assert(Bm25Index.topK(spark, root, Seq("the"), 5).count() <= 5)
+  }
 }

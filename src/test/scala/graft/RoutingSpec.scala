@@ -320,6 +320,106 @@ class RoutingSpec extends SparkSpec {
     sameAs(root, col("event_id").isin(888100L, 17L))
   }
 
+  test("a metadata-preserving rename is caught by the per-file fingerprint") {
+    val root = buildTree()
+    // rename one data file: count, total bytes, and max mtime all
+    // survive — the old aggregate fingerprint passed this as fresh and
+    // stale bounds then silently excluded the file from routed reads
+    val victim = plain(root).inputFiles.min
+    val vPath = java.nio.file.Paths.get(new java.net.URI(victim).getPath)
+    val renamed = vPath.getParent.resolve("zz-" + vPath.getFileName)
+    val crc = vPath.getParent.resolve("." + vPath.getFileName + ".crc")
+    java.nio.file.Files.move(vPath, renamed)
+    if (java.nio.file.Files.exists(crc))
+      java.nio.file.Files.move(crc,
+        vPath.getParent.resolve("." + renamed.getFileName + ".crc"))
+    spark.catalog.refreshByPath(s"$root/data")
+    val ex = intercept[IllegalStateException](
+      Routing.route(spark, root, col("user_id").between(100L, 140L)))
+    assert(ex.getMessage.contains("STALE"), ex.getMessage)
+    // one delta refresh heals it: the rename is one drop + one rescan
+    // per manifest, and routing equals the plain scan again
+    val (scanned, dropped) = Routing.refreshIndexes(spark, root)
+    assert(scanned == 2 && dropped == 2,
+      s"rename must rescan under the new name: scanned=$scanned dropped=$dropped")
+    sameAs(root, col("user_id").between(100L, 140L))
+  }
+
+  test("zero-contribution files certify as kept instead of rescanning forever") {
+    import spark.implicits._
+    val root = tmp()
+    // one real file + one zero-row file + one all-NULL-column file:
+    // neither of the latter two yields a stats/bloom row, so without
+    // meta-only markers every refresh would classify them as 'added'
+    Seq[(Long, java.lang.Long)]((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("k", "v").coalesce(1).write.mode("append").parquet(s"$root/data")
+    Seq.empty[(Long, java.lang.Long)]
+      .toDF("k", "v").coalesce(1).write.mode("append").parquet(s"$root/data")
+    Seq[(Long, java.lang.Long)]((4L, null), (5L, null))
+      .toDF("k", "v").coalesce(1).write.mode("append").parquet(s"$root/data")
+    Routing.indexStats(spark, root, Seq("v"))
+    Routing.indexBloom(spark, root, "v")
+    // no churn → a refresh must scan NOTHING (the markers certify)
+    val (scanned, dropped) = Routing.refreshIndexes(spark, root)
+    assert(scanned == 0 && dropped == 0,
+      s"marker rows must certify no-row files as kept: $scanned/$dropped")
+    // routing still works and the all-NULL file never matches a probe
+    val r = Routing.route(spark, root, col("v") === lit(10L))
+    assert(r.files.size == 1, s"probe must open only the real file: ${r.files}")
+    sameAs2(root, col("v") === lit(10L))
+    // real churn still registers at delta cost
+    Seq[(Long, java.lang.Long)]((6L, 60L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$root/data")
+    val (s2, d2) = Routing.refreshIndexes(spark, root)
+    assert(s2 == 2 && d2 == 0, s"churn must scan only the new file: $s2/$d2")
+    sameAs2(root, col("v") >= lit(20L))
+  }
+
+  /** sameAs over the (k, v) mini-table. */
+  private def sameAs2(root: String, pred: org.apache.spark.sql.Column): Unit = {
+    val got = Routing.readWhere(spark, root, pred)
+      .select("k").collect().map(_.getLong(0)).sorted
+    val want = plain(root).filter(pred)
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want),
+      s"routing changed results for $pred: ${got.length} vs ${want.length}")
+  }
+
+  test("refreshes publish through an atomic pointer flip, never deleting the live manifest") {
+    import spark.implicits._
+    val root = buildTree()
+    val originals = plain(root).inputFiles // BEFORE the append: the
+    // victim must be an original file, not the batch we just landed
+    // churn that forces BOTH refresh regimes: a new file (append) and a
+    // vanished file (staged rewrite of the dropped rows)
+    Seq((999999L, 42L, "click", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$root/data")
+    val victim = originals.min
+    assert(new java.io.File(new java.net.URI(victim).getPath).delete())
+    Routing.refreshIndexes(spark, root)
+    // the stats manifest now lives in a pointer-resolved version dir
+    val resolved = FileStats.resolveManifest(spark, s"$root/ix/stats")
+    assert(resolved != s"$root/ix/stats",
+      "a refreshed stats manifest must resolve through the pointer")
+    assert(new java.io.File(s"$root/ix/stats/_mp").exists())
+    sameAs(root, col("user_id").between(100L, 140L))
+    // a second refresh cycle flips to the next version and retains only
+    // the previous one (in-flight readers keep a valid path)
+    Seq((999998L, 43L, "view", 2.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$root/data")
+    Routing.refreshIndexes(spark, root)
+    val resolved2 = FileStats.resolveManifest(spark, s"$root/ix/stats")
+    assert(resolved2 != resolved, "second rewrite must land a NEW version")
+    assert(new java.io.File(resolved).exists(),
+      "the previous version must survive one publish for in-flight readers")
+    sameAs(root, col("user_id").between(100L, 140L))
+    sameAs(root, col("event_id").isin(999999L, 999998L))
+    assert(Routing.readWhere(spark, root,
+      col("event_id").isin(999999L, 999998L)).count() == 2)
+  }
+
   test("merge-on-read: a fragmented table resolves through its recorded version column") {
     import spark.implicits._
     val root = tmp() + "/t"
