@@ -111,6 +111,32 @@ object BloomIndex {
       // manifest costs readers nothing
   }
 
+  /** Build a Bloom manifest over an EXPLICIT path list (files or
+    * directories) — the immutable-version shape ([[DeleteWhere]]): the
+    * caller's own manifest is the truth about membership, so no tree
+    * fingerprint is recorded and no refresh applies; a version's index
+    * is built once and lives exactly as long as the version. */
+  def writeBloomFiles(spark: SparkSession, paths: Seq[String],
+                      bloomDir: String, column: String,
+                      mLog2: Int = 16, k: Int = 3): Unit = {
+    require(mLog2 >= 6 && mLog2 <= 30, s"mLog2 out of range: $mLog2")
+    require(k >= 1 && k <= 8, s"k out of range: $k")
+    require(paths.nonEmpty, "at least one path to index")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val covered = paths.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      if (fs.getFileStatus(hp).isDirectory) FileStats.walkTree(spark, p)
+      else {
+        val st = fs.getFileStatus(hp)
+        Seq(FileStats.FileMeta(p, FileStats.normPath(p), st.getLen,
+          st.getModificationTime))
+      }
+    }
+    filterRows(spark, paths.head, column, mLog2, k, covered, paths = paths)
+      .write.mode("overwrite").parquet(bloomDir)
+  }
+
   /** INCREMENTAL Bloom refresh — same delta contract as
     * [[FileStats.refreshStats]]: only files added since the build are
     * scanned (their filter rows APPEND to the relational manifest);

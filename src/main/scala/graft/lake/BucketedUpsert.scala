@@ -680,13 +680,105 @@ object BucketedUpsert {
     l.join(r, Seq(key), joinType)
   }
 
-  /** Threshold-gated [[mergeFragments]] — the AUTO-compaction policy a
-    * maintenance job polls: compacts only when some bucket has
-    * accumulated at least `maxFragments` fragments (merge-on-read cost
-    * grows with fragment count; below the threshold compaction would
-    * burn a rewrite for nothing). Returns buckets compacted, 0 when
-    * below threshold — and a no-op consumes NO tag, so the caller can
-    * poll with the same reserved tag until it fires. Same ownership
+  /** SIZE-TIERED compaction (VERDICT r17 #3): per fragmented bucket,
+    * merge only the newest CONTIGUOUS run of fragments whose sizes tier
+    * together, leaving a dominant base fragment untouched — the LSM
+    * economics [[mergeFragments]]'s rewrite-everything policy cannot
+    * offer. The run extends from the newest fragment backward,
+    * absorbing an older fragment only while its bytes stay within
+    * `tierRatio` × the run's accumulated bytes: many small deltas
+    * merge for O(deltas) write cost; the base joins (a FULL merge)
+    * only once the deltas have grown comparable — exactly the
+    * size-tiered promotion rule. At 100 TB this is the difference
+    * between a compaction cycle that rewrites the table every firing
+    * and one that rewrites the churn.
+    *
+    * CORRECTNESS of partial merges: a run is always a TAG-CONTIGUOUS
+    * SUFFIX of its bucket's fragments, and the merged fragment carries
+    * the run's max tag. Version-tie resolution orders by fragment tag;
+    * for any row surviving the run-internal resolve (done with the
+    * TRUE per-row fragment tags), every non-merged fragment of the
+    * bucket is strictly OLDER than the whole run — so comparisons
+    * against it are unchanged by the tag relabeling. A mid-list merge
+    * would break this (a relabeled old row could outrank a newer
+    * unmerged fragment on a version tie); the suffix shape is load-
+    * bearing, pinned in FragmentSpec.
+    *
+    * `boundFragments`: buckets at or over this count FORCE their run
+    * to at least (count − boundFragments + 2) fragments even where the
+    * tier rule would stall (e.g. a huge just-landed batch behind a tiny
+    * one) — the fragment-count bound that keeps merge-on-read latency
+    * flat must always make progress. Returns buckets compacted.
+    */
+  def mergeFragmentsTiered(spark: SparkSession, root: String, key: String,
+                           versionCol: String, tag: Long,
+                           tierRatio: Double = 2.0,
+                           boundFragments: Int = Int.MaxValue,
+                           keep: Int = 2): Int = {
+    require(tierRatio > 0, s"tierRatio must be positive: $tierRatio")
+    requireTagAbove(spark, root, tag, "compaction")
+    val prev = manifestEntries(spark, root)
+    require(prev.nonEmpty, s"no published bucketed table under $root")
+    val n = prev.head.nBuckets
+    val conf = spark.sparkContext.hadoopConfiguration
+    def bytesOf(p: String): Long = {
+      val hp = new Path(p)
+      hp.getFileSystem(conf).getContentSummary(hp).getLength
+    }
+    val runs: Map[Int, Seq[Entry]] = prev.groupBy(_.bucket)
+      .filter(_._2.size > 1)
+      .flatMap { case (b, es) =>
+        val sorted = es.sortBy(_.dataTag)
+        val sizes = sorted.map(e => bytesOf(e.path))
+        var start = sorted.size - 1
+        var acc = sizes(start)
+        while (start > 0 && sizes(start - 1) <= (acc max 1L) * tierRatio) {
+          start -= 1; acc += sizes(start)
+        }
+        // progress floor for over-bound buckets: shrink below the bound
+        // regardless of the tier rule (suffix shape preserved)
+        if (sorted.size >= boundFragments)
+          start = start min (boundFragments - 2) min (sorted.size - 2)
+        val run = sorted.drop(start)
+        if (run.size >= 2) Some(b -> run) else None
+      }
+    if (runs.isEmpty) return 0
+    val dataDir = s"$root/data/v$tag"
+    // same zero-exchange resolve-and-rewrite as mergeFragments, over
+    // the run fragments only (run-internal resolution uses the TRUE
+    // per-row fragment tags)
+    bucketedReadEntries(spark, root, runs.values.flatten.toSeq, key)
+      .withColumn("graft_frag_tag",
+        regexp_extract(normFilePath, "/v(\\d+)/graft_bucket=", 1).cast("long"))
+      .withColumn("graft_rn", row_number().over(
+        Window.partitionBy(col(key))
+          .orderBy(desc(versionCol), desc("graft_frag_tag"))))
+      .filter(col("graft_rn") === 1).drop("graft_rn", "graft_frag_tag")
+      .withColumn("graft_bucket", bucketOf(col(key), n))
+      .sortWithinPartitions(col("graft_bucket"), col(key))
+      .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
+    stampBucketFiles(spark, dataDir)
+    val merged = runs.map { case (b, frags) =>
+      Entry(b, s"$dataDir/graft_bucket=$b", n, frags.map(_.dataTag).max, key,
+        sorted = true, verCol = versionCol)
+    }.toSeq
+    val mergedPaths = runs.values.flatten.map(_.path).toSet
+    val entries = prev.filterNot(e => mergedPaths.contains(e.path)) ++ merged
+    publishEntries(spark, entries, root, tag, keep)
+    gcData(spark, root)
+    runs.size
+  }
+
+  /** Threshold-gated auto-compaction — the policy a maintenance job
+    * polls: fires only when some bucket has accumulated at least
+    * `maxFragments` fragments (merge-on-read cost grows with fragment
+    * count; below the threshold compaction would burn a rewrite for
+    * nothing), and then merges SIZE-TIERED ([[mergeFragmentsTiered]]):
+    * small fragments first, the base only when the bucket's sizes have
+    * stopped skewing — with a progress floor that always brings
+    * over-threshold buckets back under. Returns buckets compacted, 0
+    * when below threshold — and a no-op consumes NO tag, so the caller
+    * can poll with the same reserved tag until it fires. Same ownership
     * contract as every maintenance verb (batch-owned tables, or a
     * stream's pause window).
     */
@@ -697,7 +789,8 @@ object BucketedUpsert {
     val worst = manifestEntries(spark, root)
       .groupBy(_.bucket).values.map(_.size).maxOption.getOrElse(0)
     if (worst < maxFragments) 0
-    else mergeFragments(spark, root, key, versionCol, tag, keep)
+    else mergeFragmentsTiered(spark, root, key, versionCol, tag,
+      boundFragments = maxFragments, keep = keep)
   }
 
   /** CDC live view: the table minus tombstone rows. A CDC feed's

@@ -320,6 +320,33 @@ object DeleteWhere {
     (filesBefore, filesAfter, dvFolded)
   }
 
+  /** Per-VERSION Bloom file index on `column` (VERDICT r17 #4): built
+    * over the version's manifest paths, landed at
+    * `versionDir/bloom/<column>`, and consulted by
+    * [[Routing.readWhere]]'s delete-version arm for equality/IN
+    * conjuncts — the pruning axis the maintained zone maps cannot
+    * serve (an unsorted id column spans every file's [min,max]).
+    * The version is IMMUTABLE, so the index needs no freshness gate
+    * and no refresh; it lives exactly as long as the version. A
+    * chained delete's NEW version does not inherit it (rewritten
+    * files change membership) — rebuild against the new version when
+    * its read traffic warrants one. DV masks compose transparently:
+    * the Bloom admits files, the mask still hides rows. */
+  def indexBloom(spark: SparkSession, versionDir: String, column: String,
+                 mLog2: Int = 16, k: Int = 3): Unit = {
+    val paths = spark.read.parquet(manifestDir(versionDir))
+      .select("path").collect().map(_.getString(0)).toSeq
+    require(paths.nonEmpty, s"empty delete manifest at $versionDir")
+    BloomIndex.writeBloomFiles(spark, paths,
+      s"$versionDir/bloom/$column", column, mLog2, k)
+  }
+
+  /** Rows the version's deletion-vector sidecar hides (0 without one) —
+    * the exact correction [[Routing.aggStats]] applies to the
+    * maintained manifest's n_rows. */
+  private[lake] def dvCount(spark: SparkSession, versionDir: String): Long =
+    dvReadIfExists(spark, dvDirOf(versionDir)).map(_.count()).getOrElse(0L)
+
   /** Read the post-delete version: the manifest's paths (kept original
     * files + any rewritten dir), opened as one frame, with the
     * version's deletion vectors — if any — applied as a scan-side

@@ -663,6 +663,45 @@ object CoreQueries extends QueryPack {
       mixed.unionByName(tails).orderBy("src", "event_id")
     }),
 
+    // S38: VALUE-COLUMN routing on the deferred-work shapes (VERDICT
+    // r17 #4) — the two index families the plain tree already had,
+    // extended to where they were missing:
+    //  (a) a BUCKETED table routes a range on a bucket-stats-indexed
+    //      value column (BucketStats: bucket-granular resolved-row
+    //      zone maps behind tag parity; admitted buckets read WHOLE so
+    //      fragment resolution stays exact — RoutingSpec pins
+    //      files-opened and the resurrection guard);
+    //  (b) a DELETE VERSION routes equality through its per-version
+    //      Bloom file index, composed with the DV mask (the Bloom
+    //      admits files, the mask still hides rows).
+    // Hash-green proves both routes are invisible in results.
+    "s38_value_route" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-vroute-q").toString + "/t"
+      val orders = t(s, d, "orders")
+      graft.lake.BucketedUpsert.applyBatch(
+        orders.select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("price"),
+          col("o_orderstatus").as("status"), lit(1L).as("ver")),
+        root, "o_orderkey", "ver", nBuckets = 16, tag = 1)
+      graft.lake.Routing.indexBucketStats(s, root, "o_orderkey", Seq("price"))
+      val bucketed = graft.lake.Routing.readWhere(s, root,
+          col("price") <= lit(1200.0))
+        .select(lit("b").as("src"), col("o_orderkey").as("k"),
+          col("price").cast("string").as("v"))
+      val src = Fixtures.zEvents(s, d)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-vroute-dv-q").toString
+      graft.lake.DeleteWhere.deleteVectors(s, s"$src/stats",
+        "user_id", lit(100L), lit(120L), s"$out/v2")
+      graft.lake.DeleteWhere.indexBloom(s, s"$out/v2", "event_id")
+      val dv = graft.lake.Routing.readWhere(s, s"$out/v2",
+          col("event_id").isin((0 until 400).map(i => i * 25L): _*))
+        .select(lit("dv").as("src"), col("event_id").as("k"),
+          col("event_type").as("v"))
+      bucketed.unionByName(dv).orderBy("src", "k")
+    }),
+
     // S31: LSM-style FRAGMENT ingest on the bucketed table — the
     // write-cheap upsert regime: each batch lands as per-bucket
     // fragments (O(batch) write, no bucket rewrite), versions resolve
@@ -1101,6 +1140,21 @@ object CoreQueries extends QueryPack {
            SELECT 'dv', event_id, user_id, event_type FROM events
            WHERE user_id >= 110 AND user_id NOT BETWEEN 100 AND 120)
          ORDER BY src, event_id""",
+    // value-column routing must be invisible to results on both
+    // shapes: the oracle is the plain filter (the dv leg excludes the
+    // DV mask's [100,120] user range)
+    "s38_value_route" -> {
+      val inList = (0 until 400).map(i => i * 25L).mkString(",")
+      s"""SELECT * FROM (
+           SELECT 'b' AS src, o_orderkey AS k,
+                  CAST(CAST(o_totalprice AS DOUBLE) AS VARCHAR) AS v
+           FROM orders WHERE CAST(o_totalprice AS DOUBLE) <= 1200.0
+           UNION ALL
+           SELECT 'dv', event_id, event_type FROM events
+           WHERE event_id IN ($inList)
+             AND user_id NOT BETWEEN 100 AND 120)
+         ORDER BY src, k"""
+    },
     // OR routing must be invisible to results: the oracle is the plain
     // disjunctive filter on the source table
     "s37_or_route" ->

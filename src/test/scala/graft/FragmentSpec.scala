@@ -204,6 +204,99 @@ class FragmentSpec extends SparkSpec {
     assert(got.length == 100 && got.forall(_._2 == 4L))
   }
 
+  test("tiered compaction merges the delta tier, leaves the dominant base verbatim, and promotes") {
+    val base = tmp()
+    // dominant base (20k rows) + four small deltas (200 rows each):
+    // the tier run must cover exactly the deltas
+    BucketedUpsert.appendFragment(
+      (1L to 20000L).map(k => (k, s"base-$k", 1L)).toDF("k", "s", "ver"),
+      base, "k", nBuckets = 4, tag = 1, keep = 3)
+    for (t <- 2 to 5)
+      BucketedUpsert.appendFragment(
+        (1L to 200L).map(k => (k * t, s"d$t-${k * t}", t.toLong))
+          .toDF("k", "s", "ver"),
+        base, "k", nBuckets = 4, tag = t.toLong, keep = 3)
+    val before = BucketedUpsert.readResolved(spark, base, "k", "ver")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val basePathsBefore = Snapshot.read(spark, base)
+      .filter(col("data_tag") === 1L)
+      .select("path").collect().map(_.getString(0)).toSet
+    val n = BucketedUpsert.mergeFragmentsTiered(spark, base, "k", "ver",
+      tag = 50, keep = 3)
+    assert(n == 4, s"all 4 buckets had a delta tier: $n")
+    val mf = Snapshot.read(spark, base)
+    // per bucket: the untouched base + ONE merged delta fragment
+    assert(mf.count() == 8, s"expected base+merged per bucket: ${mf.count()}")
+    val basePathsAfter = mf.filter(col("data_tag") === 1L)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(basePathsAfter == basePathsBefore,
+      "the dominant base fragments must be referenced VERBATIM, not rewritten")
+    val after = BucketedUpsert.readResolved(spark, base, "k", "ver")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(after == before, "tiered compaction must not change resolved data")
+    // invisible to the change feed, like every compaction
+    assert(BucketedUpsert.changesSince(spark, base, sinceTag = 5).count() == 0)
+    // PROMOTION: once deltas grow comparable to the base, the run
+    // covers everything and the merge is full (single entry per bucket)
+    for (t <- 51L to 54L)
+      BucketedUpsert.appendFragment(
+        (1L to 8000L).map(k => (k + 100000L * t, s"g$t", t))
+          .toDF("k", "s", "ver"),
+        base, "k", nBuckets = 4, tag = t, keep = 3)
+    BucketedUpsert.mergeFragmentsTiered(spark, base, "k", "ver",
+      tag = 60, keep = 3)
+    assert(Snapshot.read(spark, base).count() == 4,
+      "comparable sizes must promote to a full merge")
+  }
+
+  test("tiered merge keeps version-tie resolution exact across the merge boundary") {
+    val base = tmp()
+    // base holds (42, ver=5, old); a NEWER delta holds (42, ver=5, new2):
+    // the tie broke to the delta before the merge, and must still break
+    // to the MERGED fragment after (its tag is the run's max — every
+    // unmerged fragment is strictly older, so relabeling cannot flip
+    // any comparison; the run is a tag-contiguous suffix by design)
+    BucketedUpsert.appendFragment(
+      ((1L to 5000L).map(k => (k + 100L, s"fill-$k", 1L)) :+
+        ((42L, "old", 5L))).toDF("k", "s", "ver"),
+      base, "k", nBuckets = 2, tag = 1)
+    BucketedUpsert.appendFragment(
+      Seq((42L, "new2", 5L)).toDF("k", "s", "ver"), base, "k", 2, tag = 2)
+    BucketedUpsert.appendFragment(
+      Seq((43L, "x", 1L)).toDF("k", "s", "ver"), base, "k", 2, tag = 3)
+    BucketedUpsert.mergeFragmentsTiered(spark, base, "k", "ver", tag = 50)
+    val got = BucketedUpsert.readResolved(spark, base, "k", "ver")
+      .filter(col("k") === 42L).select("s").head.getString(0)
+    assert(got == "new2",
+      s"version tie must still break to the newer (merged) fragment: $got")
+  }
+
+  test("the progress floor forces over-bound buckets under even when the tier rule stalls") {
+    val base = tmp()
+    // sizes newest-backward in EVERY bucket: tiny(4) behind huge(1-3)
+    // — the tier rule stalls at a run of one; with boundFragments the
+    // run is forced to a suffix long enough to shrink below the bound
+    for (t <- 1L to 3L)
+      BucketedUpsert.appendFragment(
+        (1L to 30000L).map(k => (k, t)).toDF("k", "ver"),
+        base, "k", 2, tag = t)
+    BucketedUpsert.appendFragment(
+      (1L to 8L).map(k => (k, 4L)).toDF("k", "ver"), base, "k", 2, tag = 4)
+    // without the bound: the huge fragment blocks the run → no merge
+    assert(BucketedUpsert.mergeFragmentsTiered(spark, base, "k", "ver",
+      tag = 50) == 0, "the stalled tier shape must not merge unbounded")
+    // threshold-gated poll at maxFragments=4 must still make progress
+    val merged = BucketedUpsert.mergeFragmentsIfNeeded(spark, base, "k", "ver",
+      tag = 50, maxFragments = 4)
+    assert(merged >= 1, s"over-bound buckets must compact: $merged")
+    val worst = BucketedUpsert.fragmentCounts(spark, base)
+      .values.maxOption.getOrElse(0)
+    assert(worst < 4, s"the bound must hold after the forced merge: $worst")
+    val got = BucketedUpsert.readResolved(spark, base, "k", "ver")
+      .filter(col("k") === 1L).select("ver").head.getLong(0)
+    assert(got == 4L, "resolution must survive the forced partial merge")
+  }
+
   test("purgeTombstones refuses a fragmented table (would resurrect superseded versions)") {
     val base = tmp()
     // v1: key 7 live; v2 fragment: key 7 tombstoned. The raw files hold

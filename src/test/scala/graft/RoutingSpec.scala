@@ -493,6 +493,111 @@ class RoutingSpec extends SparkSpec {
       "the DV-version route must actually prune")
   }
 
+  test("bucketed tables route ranges through the bucket-stats zone maps") {
+    import spark.implicits._
+    val root = tmp() + "/t"
+    // a value column CORRELATED with buckets (v = bucket*100 + jitter):
+    // the shape zone maps exist for — each bucket's v-range is narrow
+    val keys = spark.range(1, 4001).select(col("id").as("k"))
+    val batch = keys.select(col("k"),
+      (BucketedUpsert.bucketOf(col("k"), 8) * 100L + col("k") % 50L).as("v"),
+      lit(1L).as("ver"))
+    BucketedUpsert.applyBatch(batch, root, "k", "ver", nBuckets = 8, tag = 1)
+    Routing.indexBucketStats(spark, root, "k", Seq("v"))
+    def sameAsB(pred: org.apache.spark.sql.Column): Unit = {
+      val got = Routing.readWhere(spark, root, pred)
+        .select("k").collect().map(_.getLong(0)).sorted
+      val want = BucketedUpsert.read(spark, root).filter(pred)
+        .select("k").collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(want) && want.nonEmpty,
+        s"bucket-stats routing changed results for $pred")
+    }
+    val total = BucketedUpsert.read(spark, root).inputFiles.length
+    // closed range inside ONE bucket's band → only that bucket opens
+    val probe = Routing.readWhere(spark, root, col("v").between(210L, 240L))
+    assert(probe.inputFiles.length < total,
+      s"value range must open a bucket subset: ${probe.inputFiles.length} of $total")
+    sameAsB(col("v").between(210L, 240L))
+    // one-sided bound routes too (the retention shape)
+    val hi = Routing.readWhere(spark, root, col("v") >= lit(700L))
+    assert(hi.inputFiles.length < total, "one-sided bound must prune buckets")
+    sameAsB(col("v") >= lit(700L))
+    // stale index fails fast after a new batch, refresh heals
+    BucketedUpsert.applyBatch(
+      Seq((1L, 9999L, 2L)).toDF("k", "v", "ver"), root, "k", "ver", 8, tag = 2)
+    val ex = intercept[IllegalArgumentException](
+      Routing.readWhere(spark, root, col("v").between(210L, 240L)).count())
+    assert(ex.getMessage.contains("refresh"), ex.getMessage)
+    Routing.indexBucketStats(spark, root, "k", Seq("v"))
+    sameAsB(col("v").between(210L, 240L))
+    // resolution safety on a FRAGMENTED table: k=5's latest version
+    // moves v OUT of the probed range — the superseded in-range row
+    // must NOT resurrect (stats are over RESOLVED rows; admitted
+    // buckets are read whole and resolved before the filter)
+    val froot = tmp() + "/f"
+    BucketedUpsert.appendFragment(
+      Seq((5L, 100L, 1L), (6L, 110L, 1L)).toDF("k", "v", "ver"),
+      froot, "k", 4, tag = 1, versionCol = "ver")
+    BucketedUpsert.appendFragment(
+      Seq((5L, 900L, 2L)).toDF("k", "v", "ver"),
+      froot, "k", 4, tag = 2, versionCol = "ver")
+    Routing.indexBucketStats(spark, froot, "k", Seq("v"))
+    assert(Routing.readWhere(spark, froot, col("v") === lit(100L)).count() == 0,
+      "superseded in-range row resurrected through the bucket-stats route")
+    assert(Routing.readWhere(spark, froot, col("v") === lit(110L))
+      .select("k").head.getLong(0) == 6L)
+    // metadata-only aggregate: exact over resolved rows, tag-gated
+    val agg = Routing.aggStats(spark, froot, Seq("v")).head
+    assert(agg.getLong(0) == 2L && agg.getLong(1) == 110L &&
+      agg.getLong(2) == 900L, s"bucketed aggStats wrong: $agg")
+    BucketedUpsert.appendFragment(
+      Seq((7L, 1L, 3L)).toDF("k", "v", "ver"),
+      froot, "k", 4, tag = 3, versionCol = "ver")
+    intercept[IllegalArgumentException](
+      Routing.aggStats(spark, froot, Seq("v")))
+  }
+
+  test("a delete version routes equality through its per-version Bloom index") {
+    val base = tmp()
+    val ev = graft.Tables.t(spark, sf("sf0.01"), "events")
+      .select("event_id", "user_id", "event_type")
+    graft.lake.ZOrder.writeZOrdered(ev, s"$base/data", 16, "user_id", "event_id")
+    FileStats.writeStats(spark, s"$base/data", s"$base/stats", Seq("user_id"))
+    graft.lake.DeleteWhere.deleteVectors(spark, s"$base/stats",
+      "user_id", lit(80L), lit(110L), s"$base/v2")
+    graft.lake.DeleteWhere.indexBloom(spark, s"$base/v2", "event_id")
+    // a present id opens only the Bloom survivors
+    val anId = graft.lake.DeleteWhere.read(spark, s"$base/v2")
+      .select("event_id").head.getLong(0)
+    val got = Routing.readWhere(spark, s"$base/v2",
+      col("event_id") === lit(anId))
+    assert(got.count() == 1)
+    val survivors = BloomIndex.survivors(spark, s"$base/v2/bloom/event_id",
+      Seq(anId.toString)).toSet
+    val opened = got.inputFiles.filter(_.contains("/data/")).toSet
+    assert(opened.size == survivors.size && opened.size <
+      spark.read.parquet(s"$base/data").inputFiles.length,
+      s"DV bloom route must open exactly the survivors: " +
+        s"${opened.size} vs ${survivors.size}")
+    // a DV-MASKED row's id: the Bloom admits its file, the mask hides
+    // the row — composition must return nothing
+    val maskedId = spark.read.parquet(s"$base/data")
+      .filter(col("user_id").between(80L, 110L))
+      .select("event_id").head.getLong(0)
+    assert(Routing.readWhere(spark, s"$base/v2",
+      col("event_id") === lit(maskedId)).count() == 0,
+      "the DV mask must still hide rows the Bloom admits")
+    // metadata-only aggregate on the version: count EXACT (mask
+    // subtracted), min/max conservative bounds containing the truth
+    val agg = Routing.aggStats(spark, s"$base/v2", Seq("user_id")).head
+    val truth = graft.lake.DeleteWhere.read(spark, s"$base/v2")
+      .agg(count(lit(1)), min("user_id"), max("user_id")).head
+    assert(agg.getLong(0) == truth.getLong(0),
+      s"DV aggStats count must be exact: ${agg.getLong(0)} vs ${truth.getLong(0)}")
+    assert(agg.getLong(1) <= truth.getLong(1) && agg.getLong(2) >= truth.getLong(2),
+      "DV aggStats bounds must contain the true extrema")
+  }
+
   test("bucketed tables route equality through the secondary index") {
     import spark.implicits._
     val root = tmp()
