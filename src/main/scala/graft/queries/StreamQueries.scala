@@ -51,6 +51,48 @@ object StreamQueries extends QueryPack {
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start_us")),
 
+    // The STATEFUL sessionizer itself under the oracle gate (VERDICT
+    // r17 #6 — previously the one streaming op without a DuckDB
+    // oracle): EventStreams.sessionize (flatMapGroupsWithState +
+    // event-time timeout) runs through a real checkpointed file
+    // stream. Values are folded as integer CENTS carried in Double
+    // (exact to 2^53 — the state encoder favors flat primitives, and
+    // integer-valued doubles make the fold cross-engine hashable, the
+    // spec-pinned-rounding variant the verdict asked for). Two
+    // sentinel batches (user -1, filtered from the output) push the
+    // watermark past every real session's end+gap so the operator
+    // CERTIFIES them final and the timeout path flushes them — the
+    // gate covers the certify-and-emit machinery, not a batch twin.
+    "st_sessionize_state" -> ((s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-sess-q").toString
+      val src = s"$base/src"; val sink = s"$base/sink"; val ckp = s"$base/ckp"
+      val gap = 30 * 60 * 1000L; val delay = 10 * 60 * 1000L
+      val ev = t(s, d, "events").select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"),
+        col("value").cast("decimal(12,2)").*(lit(100))
+          .cast("long").cast("double").as("value"))
+      val maxMs = ev.agg(max(unix_millis(col("event_time")))).head.getLong(0)
+      def sentinel(at: Long) = s.range(1).select(lit(-1L).as("user_id"),
+        timestamp_millis(lit(at)).as("event_time"), lit(0.0).as("value"))
+      writeOrderedBatches(src, Seq(ev,
+        sentinel(maxMs + gap + delay + 5000L),
+        sentinel(maxMs + 2 * (gap + delay) + 10000L)))
+      EventStreams.runFileToParquet(s, src, s.read.parquet(src).schema,
+        df => {
+          import s.implicits._
+          EventStreams.sessionize(s, df.as[EventStreams.Event]).toDF
+        }, sink, ckp, maxFilesPerTrigger = 1)
+      s.read.parquet(sink)
+        .filter(col("user_id") >= 0) // drop the watermark sentinels
+        .select(col("user_id"),
+          unix_millis(col("start")).as("start_ms"),
+          unix_millis(col("end")).as("end_ms"),
+          col("n_events"),
+          col("sum_value").cast("long").as("sum_cents"))
+        .orderBy("user_id", "start_ms")
+    }),
+
     // Moving frame aggregate: exact DECIMAL sum over the last 4 events
     // per user (rows frame — deterministic content, engine-exact).
     "st_moving_sum" -> ((s, d) => {
@@ -261,6 +303,29 @@ object StreamQueries extends QueryPack {
                 CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          FROM sess GROUP BY user_id, sid
          ORDER BY user_id, session_start_us""",
+    // gaps-and-islands at MILLISECOND resolution (sessionize folds
+    // java.sql.Timestamp.getTime = ns // 1e6): break at gap > 30 min,
+    // session end = last event (no +gap, unlike the native operator);
+    // cents derive through the same DECIMAL(12,2) cast as moneySum
+    "st_sessionize_state" ->
+      """WITH g AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+                  lag(epoch_ns(ts) // 1000000) OVER (PARTITION BY user_id
+                    ORDER BY epoch_ns(ts) // 1000000, event_id) AS prev
+           FROM events),
+         b AS (
+           SELECT user_id, tms, cents,
+                  CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END AS brk
+           FROM g),
+         sess AS (
+           SELECT user_id, tms, cents,
+                  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           FROM b)
+         SELECT user_id, min(tms) AS start_ms, max(tms) AS end_ms,
+                count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, start_ms""",
     "st_moving_sum" ->
       """SELECT event_id, user_id,
          CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id
