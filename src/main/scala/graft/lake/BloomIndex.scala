@@ -96,8 +96,9 @@ object BloomIndex {
         .as("bits"))
       .withColumn("m_log2", lit(mLog2)).withColumn("k", lit(k))
       // per-file meta columns: constant per path, dictionary/RLE-encoded
-      // to near-zero bytes by parquet
-      .join(broadcast(meta),
+      // to near-zero bytes by parquet. No broadcast hint: full outer
+      // cannot build either side, and both inputs are manifest-sized
+      .join(meta,
         regexp_replace(col("path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/") ===
           col("_gf_norm"), "full")
       .withColumn("path", coalesce(col("path"), col("_gf_orig")))

@@ -212,8 +212,11 @@ object FileStats {
   private def withFileMeta(stats: DataFrame,
                            listing: Seq[FileMeta]): DataFrame = {
     val spark = stats.sparkSession
+    // no broadcast hint: full outer cannot build either side, and both
+    // inputs are file-count-sized (manifest scale) — the shuffle is
+    // metadata-priced at any table size
     stats.join(
-        broadcast(metaDf(spark, listing)),
+        metaDf(spark, listing),
         regexp_replace(col("path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/") ===
           col("_gf_norm"), "full")
       .withColumn("path", coalesce(col("path"), col("_gf_orig")))

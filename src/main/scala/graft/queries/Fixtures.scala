@@ -75,7 +75,8 @@ object Fixtures {
   val prebuilders: Map[String, (Set[String], (SparkSession, String) => String)] =
     Map(
       "zevents" -> ((Set("s20_delete_where", "s29_delete_vectors",
-        "s33_read_where_mor", "s36_range_route"), zEvents _)),
+        "s33_read_where_mor", "s36_range_route", "s38_value_route"),
+        zEvents _)),
       "revents" -> ((Set("s32_read_where", "s36_range_route",
         "s37_or_route"), revents _)),
       "bm25" -> ((Set("t_bm25_indexed", "t_bm25_delete"), bm25 _)),
