@@ -148,6 +148,23 @@ object BloomIndex {
     * [[survivors]] is the backstop). Returns (filesScanned,
     * filesDropped).
     */
+  private def pendingPath(bloomDir: String) =
+    new org.apache.hadoop.fs.Path(bloomDir, "_pending_append")
+
+  /** Data-file norms named by an interrupted append-only refresh (the
+    * crash-heal guard below), empty when none is pending. */
+  private def pendingAppend(fs: org.apache.hadoop.fs.FileSystem,
+                            bloomDir: String): Set[String] = {
+    val p = pendingPath(bloomDir)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8")
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
   def refreshBloom(spark: SparkSession, dataDir: String,
                    bloomDir: String, column: String): (Long, Long) = {
     val params = FileStats.manifestDf(spark, bloomDir)
@@ -158,6 +175,17 @@ object BloomIndex {
     val (mLog2, k) = (params.head.getInt(0), params.head.getInt(1))
     val listing = FileStats.walkTree(spark, dataDir)
     val current = listing.map(m => m.norm -> m).toMap
+    val bfs = new org.apache.hadoop.fs.Path(bloomDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash-heal guard (review r18): an interrupted APPEND may have
+    // landed a SUBSET of a new file's word rows — with correct
+    // (len, mtime) meta, so a naive rerun would certify the file as
+    // kept and its incomplete filter would silently FALSE-NEGATE (the
+    // one failure the index forbids). The append branch records its
+    // target norms in `_pending_append` first; a rerun that finds the
+    // marker treats those norms as suspect — dropped and rescanned
+    // through the atomic staged publish.
+    val suspect = pendingAppend(bfs, bloomDir)
     // per-file (len, mtime) recorded at build time certifies kept files
     // against IN-PLACE content changes; manifests predating the meta
     // columns rescan every kept file once (then carry meta)
@@ -174,7 +202,7 @@ object BloomIndex {
     val changedNorm = oldNorm.intersect(current.keySet).filter { n =>
       val m = current(n)
       !oldMeta(n).contains((m.len, m.mtime))
-    }
+    } ++ suspect.intersect(current.keySet)
     val addedNorm = (current.keySet -- oldNorm) ++ changedNorm
     val added = addedNorm.toSeq.sorted.map(n => current(n).path)
     val addedCovered = listing.filter(m => addedNorm.contains(m.norm))
@@ -194,17 +222,27 @@ object BloomIndex {
           filterRows(spark, dataDir, column, mLog2, k, addedCovered,
             paths = added).write.mode("append").parquet(dest)
       }
+      bfs.delete(pendingPath(bloomDir), false) // publish was atomic
     } else if (added.nonEmpty) {
       // append-only churn: new files' rows APPEND into the live
-      // version (no existing row is touched), then the fingerprint
-      // restamps — a crash in between leaves the stamp stale → loud
+      // version (no existing row is touched). The pending marker lands
+      // FIRST: a crash mid-append leaves the stamp stale (→ routed
+      // reads fail loud) AND the marker naming the suspect files, so
+      // the healing rerun rescans them instead of certifying a
+      // partially-appended filter (silent false negatives).
+      val out = bfs.create(pendingPath(bloomDir), true)
+      try out.write(addedNorm.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
       val dest = FileStats.resolveManifest(spark, bloomDir)
       filterRows(spark, dataDir, column, mLog2, k, addedCovered,
         paths = added).write.mode("append").parquet(dest)
       FileStats.writeTreeFp(spark, dest, fp)
-    } else
+      bfs.delete(pendingPath(bloomDir), false)
+    } else {
       FileStats.writeTreeFp(spark,
         FileStats.resolveManifest(spark, bloomDir), fp)
+      bfs.delete(pendingPath(bloomDir), false)
+    }
     (added.size.toLong, dropped.size.toLong)
   }
 

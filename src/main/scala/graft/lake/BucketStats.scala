@@ -76,16 +76,10 @@ object BucketStats {
     * bounds (all-NULL column in the bucket) never intersect. */
   def prunedBuckets(spark: SparkSession, ixRoot: String,
                     bounds: Seq[(String, Option[Column], Option[Column])])
-      : Seq[Int] = {
-    require(bounds.nonEmpty, "at least one pruning bound")
-    val pred = bounds.map { case (c, lo, hi) =>
-      require(lo.isDefined || hi.isDefined, s"bound on $c has no ends")
-      (lo.map(col(maxName(c)) >= _).toSeq ++
-        hi.map(col(minName(c)) <= _).toSeq).reduce(_ && _)
-    }.reduce(_ && _)
-    Snapshot.read(spark, ixRoot).filter(pred)
+      : Seq[Int] =
+    Snapshot.read(spark, ixRoot)
+      .filter(FileStats.boundsIntersect(bounds)) // one builder, two pruners
       .select("graft_bucket").collect().map(_.getInt(0)).toSeq
-  }
 
   /** METADATA-ONLY count/min/max over the indexed columns of the
     * BUCKETED table — exact, because the partials are exact over each

@@ -721,15 +721,34 @@ object BucketedUpsert {
     require(prev.nonEmpty, s"no published bucketed table under $root")
     val n = prev.head.nBuckets
     val conf = spark.sparkContext.hadoopConfiguration
+    // fragment sizes in ONE parallel metadata pass (review r18: a
+    // serial getContentSummary per fragment stalled the driver for
+    // minutes on thousand-bucket tables — and fragment dirs are flat,
+    // so a single listStatus per dir is enough)
     def bytesOf(p: String): Long = {
       val hp = new Path(p)
-      hp.getFileSystem(conf).getContentSummary(hp).getLength
+      val fs = hp.getFileSystem(conf)
+      fs.listStatus(hp).iterator.map(s =>
+        if (s.isFile) s.getLen
+        else fs.getContentSummary(s.getPath).getLength).sum
+    }
+    val fragmentedEntries = prev.groupBy(_.bucket)
+      .filter(_._2.size > 1).values.flatten.toSeq
+    val sizeByPath: Map[String, Long] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        16 min (fragmentedEntries.size max 1))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.traverse(fragmentedEntries)(e => Future(e.path -> bytesOf(e.path))),
+        scala.concurrent.duration.Duration.Inf).toMap
+      finally pool.shutdown()
     }
     val runs: Map[Int, Seq[Entry]] = prev.groupBy(_.bucket)
       .filter(_._2.size > 1)
       .flatMap { case (b, es) =>
         val sorted = es.sortBy(_.dataTag)
-        val sizes = sorted.map(e => bytesOf(e.path))
+        val sizes = sorted.map(e => sizeByPath(e.path))
         var start = sorted.size - 1
         var acc = sizes(start)
         while (start > 0 && sizes(start - 1) <= (acc max 1L) * tierRatio) {

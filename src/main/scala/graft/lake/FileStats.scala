@@ -164,10 +164,19 @@ object FileStats {
       dir.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, new org.apache.hadoop.fs.Path(manifestDir, MPtr),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // GC honors the retention promise on the FIRST flip too (review
+    // r18): when the previous version was the FLAT layout, its parquet
+    // files are the in-flight readers' "previous version" — retained
+    // for this publish cycle (only stale m<N> dirs and the tmp pointer
+    // collect); the NEXT publish, whose curName is a version dir,
+    // sweeps the flat legacy files.
     fs.listStatus(dir).foreach { st =>
       val nm = st.getPath.getName
-      if (nm != nextName && !curName.contains(nm) && nm != MPtr)
-        fs.delete(st.getPath, true)
+      val stale =
+        if (curName.isDefined) nm != nextName && !curName.contains(nm) &&
+          nm != MPtr
+        else (nm.matches("m\\d+") && nm != nextName) || nm == MPtr + ".tmp"
+      if (stale) fs.delete(st.getPath, true)
     }
   }
 
@@ -400,15 +409,24 @@ object FileStats {
     * opening all of history. Each bound needs at least one end. */
   def prunedFilesOpt(spark: SparkSession, statsDir: String,
                      bounds: Seq[(String, Option[Column], Option[Column])])
-      : Seq[String] = {
+      : Seq[String] =
+    manifestDf(spark, statsDir).filter(boundsIntersect(bounds))
+      .select("path").collect().map(_.getString(0)).toSeq
+
+  /** The zone-map intersection predicate over `min_<c>`/`max_<c>`
+    * columns for (possibly half-open) `bounds` — ONE builder shared by
+    * file-level ([[prunedFilesOpt]]) and bucket-level
+    * ([[BucketStats.prunedBuckets]]) pruning, so the two pruners'
+    * bound semantics can never diverge. NULL manifest bounds (all-NULL
+    * column) never satisfy it. */
+  private[lake] def boundsIntersect(
+      bounds: Seq[(String, Option[Column], Option[Column])]): Column = {
     require(bounds.nonEmpty, "at least one pruning bound")
-    val pred = bounds.map { case (c, lo, hi) =>
+    bounds.map { case (c, lo, hi) =>
       require(lo.isDefined || hi.isDefined, s"bound on $c has no ends")
       (lo.map(col(maxName(c)) >= _).toSeq ++
         hi.map(col(minName(c)) <= _).toSeq).reduce(_ && _)
     }.reduce(_ && _)
-    manifestDf(spark, statsDir).filter(pred)
-      .select("path").collect().map(_.getString(0)).toSeq
   }
 
   /** METADATA-ONLY aggregate: global count / min / max answered purely

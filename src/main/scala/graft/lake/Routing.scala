@@ -114,6 +114,20 @@ object Routing {
                        cols: Seq[String]): Int =
     BucketStats.refresh(spark, root, bstatsDir(root), key, cols)
 
+  /** Tag parity, as SecondaryIndex.lookup: a stale bucket-stats zone
+    * map could admit too few buckets → silently missing rows. One
+    * check for both consumers ([[readWhere]], [[aggStats]]). */
+  private def requireBucketStatsFresh(spark: SparkSession, root: String,
+                                      use: String): Unit = {
+    val tTag = Snapshot.currentTag(spark, root)
+    val iTag = Snapshot.currentTag(spark, bstatsDir(root))
+    def show(t: Option[Long]) = t.map("v" + _).getOrElse("unbuilt")
+    require(iTag == tTag,
+      s"bucket-stats index at ${bstatsDir(root)} is at ${show(iTag)} but " +
+        s"the table is at ${show(tTag)} — refresh " +
+        s"(Routing.indexBucketStats) before $use")
+  }
+
   // ---- predicate introspection: conjuncts a manifest can act on.
 
   private[lake] sealed trait Conjunct
@@ -225,18 +239,35 @@ object Routing {
     val colBridge = org.apache.spark.sql.graft.ColumnBridge.column _
     val merged = scala.collection.mutable.LinkedHashMap[String,
       (Option[expressions.Literal], Option[expressions.Literal])]()
+    // conjuncts INTERSECT, so per column the merged range is the
+    // TIGHTEST: max of lower bounds, min of upper bounds (review r18 —
+    // keeping the last-seen bound was valid over-approximation but
+    // `ts >= 100 AND ts >= 10` then pruned with 10, opening most of a
+    // time-clustered tree instead of the tail). Mixed literal types on
+    // one column cannot survive analysis, so the ordering is total.
+    def pick(a: Option[expressions.Literal], b: Option[expressions.Literal],
+             takeMax: Boolean): Option[expressions.Literal] = (a, b) match {
+      case (Some(x), Some(y)) if x.dataType == y.dataType =>
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(x.dataType).asInstanceOf[Ordering[Any]]
+        Some(if (ord.compare(x.value, y.value) >= 0 == takeMax) x else y)
+      case (Some(x), Some(_)) => Some(x) // type drift: either is sound
+      case _ => a.orElse(b)
+    }
+    def tighten(c: String, lo: Option[expressions.Literal],
+                hi: Option[expressions.Literal]): Unit = {
+      val (l0, h0) = merged.getOrElse(c, (None, None))
+      merged(c) = (pick(lo, l0, takeMax = true), pick(hi, h0, takeMax = false))
+    }
     cs.foreach {
-      case EqIn(c, Seq(v)) =>
-        merged(c) = (Some(v), Some(v))
+      case EqIn(c, Seq(v)) => tighten(c, Some(v), Some(v))
       case EqIn(c, vs) if vs.map(_.dataType).distinct.size == 1 =>
         val ord = org.apache.spark.sql.catalyst.util.TypeUtils
           .getInterpretedOrdering(vs.head.dataType)
           .asInstanceOf[Ordering[Any]]
         val sortedVals = vs.sortBy(_.value)(ord)
-        merged(c) = (Some(sortedVals.head), Some(sortedVals.last))
-      case Bound(c, lo, hi) =>
-        val (l0, h0) = merged.getOrElse(c, (None, None))
-        merged(c) = (lo.orElse(l0), hi.orElse(h0))
+        tighten(c, Some(sortedVals.head), Some(sortedVals.last))
+      case Bound(c, lo, hi) => tighten(c, lo, hi)
       case _ => ()
     }
     merged.collect {
@@ -265,13 +296,7 @@ object Routing {
     if (isBucketed(spark, root)) {
       require(exists(spark, bstatsDir(root)),
         s"no bucket-stats index under $root — build with indexBucketStats")
-      val tTag = Snapshot.currentTag(spark, root)
-      val iTag = Snapshot.currentTag(spark, bstatsDir(root))
-      require(iTag == tTag,
-        s"bucket-stats index at ${bstatsDir(root)} is at " +
-          s"${iTag.map("v" + _).getOrElse("unbuilt")} but the table is at " +
-          s"${tTag.map("v" + _).getOrElse("unbuilt")} — refresh " +
-          "(Routing.indexBucketStats) before aggregating from it")
+      requireBucketStatsFresh(spark, root, "aggregating from it")
       BucketStats.aggFromStats(spark, bstatsDir(root), cols)
     } else if (DeleteWhere.isVersionDir(spark, root)) {
       import org.apache.spark.sql.functions.{col, lit}
@@ -311,6 +336,10 @@ object Routing {
     lazy val statsCols: Seq[String] =
       if (!haveStats) Seq.empty
       else FileStats.manifestDf(spark, statsDir(root)).columns.toSeq
+    // each consulted Bloom manifest is freshness-checked ONCE per
+    // route() call, not once per disjunct (review r18: an OR fan
+    // re-read the same _tree_fp per disjunct)
+    val freshBloom = scala.collection.mutable.Set.empty[String]
 
     /** Route ONE disjunct's conjuncts through every applicable
       * manifest; None when nothing routed (the disjunct is opaque to
@@ -333,8 +362,9 @@ object Routing {
       cs.foreach {
         case EqIn(c, vs) if exists(spark, bloomDir(root, c)) &&
             vs.forall(v => stringStable(v.dataType)) =>
-          FileStats.requireFresh(spark, dataDir(root), bloomDir(root, c),
-            Some(curFp))
+          if (freshBloom.add(c))
+            FileStats.requireFresh(spark, dataDir(root), bloomDir(root, c),
+              Some(curFp))
           intersect(BloomIndex.survivors(spark, bloomDir(root, c),
             vs.map(_.value.toString)), s"bloom[$c]")
         case _ => ()
@@ -445,15 +475,7 @@ object Routing {
         case (None, Some((c, vs))) =>
           SecondaryIndex.lookup(spark, root, sixDir(root, c), c, vs, resolve)
         case _ if bBounds.nonEmpty =>
-          // tag parity, as SecondaryIndex.lookup: a stale zone map
-          // could admit too few buckets → silently missing rows
-          val tTag = Snapshot.currentTag(spark, root)
-          val iTag = Snapshot.currentTag(spark, bstatsDir(root))
-          def show(t: Option[Long]) = t.map("v" + _).getOrElse("unbuilt")
-          require(iTag == tTag,
-            s"bucket-stats index at ${bstatsDir(root)} is at ${show(iTag)} " +
-              s"but the table is at ${show(tTag)} — refresh " +
-              "(Routing.indexBucketStats) before routing through it")
+          requireBucketStatsFresh(spark, root, "routing through it")
           val admitted = BucketStats
             .prunedBuckets(spark, bstatsDir(root), bBounds).toSet
           val hit = entries.filter(e => admitted(e.bucket))

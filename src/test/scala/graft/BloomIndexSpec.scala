@@ -90,4 +90,37 @@ class BloomIndexSpec extends SparkSpec {
     assert(BloomIndex.prunedReadIn(spark, dataDir, bloomDir, "k", Seq("2"))
       .select("s").head.getString(0) == "c")
   }
+
+  test("an interrupted append-only refresh rescans its suspect files instead of certifying them") {
+    val base = tmp()
+    val dataDir = s"$base/data"; val bloomDir = s"$base/bloom"
+    writeShuffled(dataDir, 2000, 4)
+    BloomIndex.writeBloom(spark, dataDir, bloomDir, "k")
+    // a successful append-only refresh leaves NO pending marker
+    spark.range(2000, 2100).select(col("id").as("k"), (col("id") * 7).as("v"))
+      .coalesce(1).write.mode("append").parquet(dataDir)
+    assert(BloomIndex.refreshBloom(spark, dataDir, bloomDir, "k") == ((1L, 0L)))
+    assert(!new java.io.File(s"$bloomDir/_pending_append").exists(),
+      "a completed refresh must clear its pending marker")
+    // simulate a crash mid-append: the marker names a current file
+    // whose rows may be INCOMPLETE (all its meta is correct, so a
+    // naive delta would certify it as kept — silent false negatives).
+    // The healing rerun must DROP and RESCAN exactly the suspect file.
+    val victim = spark.read.parquet(dataDir).inputFiles.min
+      .replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$bloomDir/_pending_append"), victim)
+    val (scanned, dropped) = BloomIndex.refreshBloom(spark, dataDir, bloomDir, "k")
+    assert(scanned == 1 && dropped == 1,
+      s"the suspect file must rescan, got scanned=$scanned dropped=$dropped")
+    assert(!new java.io.File(s"$bloomDir/_pending_append").exists())
+    // probes over the healed index stay exact, including in the victim
+    val vKeys = spark.read.parquet(victim).select("k").limit(3)
+      .collect().map(_.getLong(0).toString).toSeq
+    val got = BloomIndex.prunedReadIn(spark, dataDir, bloomDir, "k", vKeys)
+      .count()
+    val want = spark.read.parquet(dataDir)
+      .filter(col("k").cast("string").isin(vKeys: _*)).count()
+    assert(got == want && want > 0, s"healed index lost rows: $got vs $want")
+  }
 }

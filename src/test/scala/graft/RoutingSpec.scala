@@ -113,6 +113,15 @@ class RoutingSpec extends SparkSpec {
       col("user_id") >= lit(120L) && col("event_id") === lit(4217L))
     assert(r4.files.toSet.subsetOf(manual) && r4.via.size == 2)
     sameAs(root, col("user_id") >= lit(120L) && col("event_id") === lit(4217L))
+    // redundant bounds on one column merge to the TIGHTEST (review
+    // r18: keeping the last-seen bound pruned `>= 120 AND >= 10` with
+    // 10 — valid but most of the tree)
+    val r5 = Routing.route(spark, root,
+      col("user_id") >= lit(10L) && col("user_id") >= lit(120L))
+    assert(r5.files.toSet == manual,
+      s"redundant bounds must prune with the tightest: ${r5.files.size} " +
+        s"vs ${manual.size}")
+    sameAs(root, col("user_id") >= lit(10L) && col("user_id") >= lit(120L))
   }
 
   test("one-sided ranges prune a delete version's maintained stats") {
@@ -403,6 +412,12 @@ class RoutingSpec extends SparkSpec {
     assert(resolved != s"$root/ix/stats",
       "a refreshed stats manifest must resolve through the pointer")
     assert(new java.io.File(s"$root/ix/stats/_mp").exists())
+    // FIRST-flip retention: the flat layout was the previous version —
+    // an in-flight reader that resolved it must keep valid paths for
+    // one publish cycle (review r18)
+    assert(new java.io.File(s"$root/ix/stats").listFiles()
+      .exists(_.getName.endsWith(".parquet")),
+      "the first pointer flip must retain the flat manifest files")
     sameAs(root, col("user_id").between(100L, 140L))
     // a second refresh cycle flips to the next version and retains only
     // the previous one (in-flight readers keep a valid path)
@@ -414,6 +429,11 @@ class RoutingSpec extends SparkSpec {
     assert(resolved2 != resolved, "second rewrite must land a NEW version")
     assert(new java.io.File(resolved).exists(),
       "the previous version must survive one publish for in-flight readers")
+    // ...and the SECOND publish sweeps the flat legacy files (their
+    // readers had a full cycle)
+    assert(!new java.io.File(s"$root/ix/stats").listFiles()
+      .exists(_.getName.endsWith(".parquet")),
+      "the second publish must sweep the flat legacy files")
     sameAs(root, col("user_id").between(100L, 140L))
     sameAs(root, col("event_id").isin(999999L, 999998L))
     assert(Routing.readWhere(spark, root,
