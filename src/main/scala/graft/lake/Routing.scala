@@ -187,6 +187,17 @@ object Routing {
   }
 
   private def classify(e: expressions.Expression): Conjunct = e match {
+    // same-column OR-of-equalities IS an IN list (`k = 5 OR k = 9` ≡
+    // `k IN (5, 9)`) — normalized here so the shape routes everywhere
+    // EqIn routes: the bucketed key probe, the secondary index, Bloom,
+    // and the zone-map envelope. The analyzer does not rewrite it and
+    // conjunctsOf sees the ANALYZED plan, so without this the most
+    // natural point-lookup spelling full-scanned bucketed tables.
+    case expressions.Or(l, r) =>
+      (classify(l), classify(r)) match {
+        case (EqIn(c1, v1), EqIn(c2, v2)) if c1 == c2 => EqIn(c1, v1 ++ v2)
+        case _ => Opaque
+      }
       case expressions.EqualTo(a, v) if attrName(a).isDefined && litValue(v).isDefined =>
         EqIn(attrName(a).get, Seq(litValue(v).get))
       case expressions.EqualTo(v, a) if attrName(a).isDefined && litValue(v).isDefined =>

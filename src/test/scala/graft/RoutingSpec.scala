@@ -645,6 +645,19 @@ class RoutingSpec extends SparkSpec {
     val multi = Routing.readWhere(spark, root, col("k").isin(1L, 2L, 777L))
     assert(multi.select("k").collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 777L))
+    // OR-of-equalities on the key IS an IN (review r18 normalization):
+    // the most natural point-lookup spelling must route identically
+    val orEq = Routing.readWhere(spark, root,
+      col("k") === lit(1L) || col("k") === lit(777L))
+    assert(orEq.select("k").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 777L))
+    assert(orEq.inputFiles.length < total,
+      "OR-of-key-equalities must open a bucket subset, not full-scan")
+    // ...including under a conjunction with an opaque residual
+    val orEq2 = Routing.readWhere(spark, root,
+      (col("k") === lit(1L) || col("k") === lit(777L)) && col("k") > lit(10L))
+    assert(orEq2.select("k").collect().map(_.getLong(0)).toSet == Set(777L))
+    assert(orEq2.inputFiles.length < total)
     // a mis-typed direct probe fails fast instead of silently missing
     val ex = intercept[IllegalArgumentException](
       BucketedUpsert.readKeyBuckets(spark, root, "k",
