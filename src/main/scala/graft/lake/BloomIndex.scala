@@ -56,11 +56,15 @@ object BloomIndex {
     require(mLog2 >= 6 && mLog2 <= 30, s"mLog2 out of range: $mLog2")
     require(k >= 1 && k <= 8, s"k out of range: $k")
     // listing BEFORE the scan: the recorded fingerprint must describe
-    // what the build could have seen (FileStats.writeTreeFp rationale)
+    // what the build could have seen (FileStats.writeTreeFp rationale).
+    // Pointer-published from day one, like writeStats — no flat→pointer
+    // transition window, atomic rebuilds.
     val listing = FileStats.walkTree(spark, dataDir)
-    filterRows(spark, dataDir, column, mLog2, k, listing)
-      .write.mode("overwrite").parquet(bloomDir)
-    FileStats.writeTreeFp(spark, bloomDir, FileStats.fpOf(listing))
+    FileStats.publishManifest(spark, bloomDir, FileStats.fpOf(listing)) {
+      dest =>
+        filterRows(spark, dataDir, column, mLog2, k, listing)
+          .write.mode("overwrite").parquet(dest)
+    }
   }
 
   /** The manifest rows for `paths`-restricted (or full-tree) builds:
@@ -154,16 +158,10 @@ object BloomIndex {
   /** Data-file norms named by an interrupted append-only refresh (the
     * crash-heal guard below), empty when none is pending. */
   private def pendingAppend(fs: org.apache.hadoop.fs.FileSystem,
-                            bloomDir: String): Set[String] = {
-    val p = pendingPath(bloomDir)
-    if (!fs.exists(p)) Set.empty
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), "UTF-8")
-        .linesIterator.map(_.trim).filter(_.nonEmpty).toSet
-      finally in.close()
-    }
-  }
+                            bloomDir: String): Set[String] =
+    FileStats.readSidecar(fs, pendingPath(bloomDir))
+      .map(_.linesIterator.map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
 
   def refreshBloom(spark: SparkSession, dataDir: String,
                    bloomDir: String, column: String): (Long, Long) = {
@@ -222,7 +220,6 @@ object BloomIndex {
           filterRows(spark, dataDir, column, mLog2, k, addedCovered,
             paths = added).write.mode("append").parquet(dest)
       }
-      bfs.delete(pendingPath(bloomDir), false) // publish was atomic
     } else if (added.nonEmpty) {
       // append-only churn: new files' rows APPEND into the live
       // version (no existing row is touched). The pending marker lands
@@ -237,12 +234,11 @@ object BloomIndex {
       filterRows(spark, dataDir, column, mLog2, k, addedCovered,
         paths = added).write.mode("append").parquet(dest)
       FileStats.writeTreeFp(spark, dest, fp)
-      bfs.delete(pendingPath(bloomDir), false)
-    } else {
+    } else
       FileStats.writeTreeFp(spark,
         FileStats.resolveManifest(spark, bloomDir), fp)
-      bfs.delete(pendingPath(bloomDir), false)
-    }
+    // the marker clears LAST in every branch — publish/stamp complete
+    bfs.delete(pendingPath(bloomDir), false)
     (added.size.toLong, dropped.size.toLong)
   }
 

@@ -732,8 +732,8 @@ object BucketedUpsert {
         if (s.isFile) s.getLen
         else fs.getContentSummary(s.getPath).getLength).sum
     }
-    val fragmentedEntries = prev.groupBy(_.bucket)
-      .filter(_._2.size > 1).values.flatten.toSeq
+    val fragmented = prev.groupBy(_.bucket).filter(_._2.size > 1)
+    val fragmentedEntries = fragmented.values.flatten.toSeq
     val sizeByPath: Map[String, Long] = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -744,8 +744,7 @@ object BucketedUpsert {
         scala.concurrent.duration.Duration.Inf).toMap
       finally pool.shutdown()
     }
-    val runs: Map[Int, Seq[Entry]] = prev.groupBy(_.bucket)
-      .filter(_._2.size > 1)
+    val runs: Map[Int, Seq[Entry]] = fragmented
       .flatMap { case (b, es) =>
         val sorted = es.sortBy(_.dataTag)
         val sizes = sorted.map(e => sizeByPath(e.path))

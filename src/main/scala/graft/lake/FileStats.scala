@@ -113,6 +113,18 @@ object FileStats {
 
   private val MPtr = "_mp"
 
+  /** One reader for the tiny control files beside manifests (pointer,
+    * fingerprint, pending-append marker) — three hand-rolled
+    * open/read/close blocks had already grown (review r18). */
+  private[lake] def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                                p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8"))
+      finally in.close()
+    }
+
   /** The directory holding the manifest's CURRENT parquet data: the
     * `_mp`-named version subdir when published through
     * [[publishManifest]], else the manifest dir itself (flat build).
@@ -122,13 +134,8 @@ object FileStats {
                       manifestDir: String): String = {
     val ptr = new org.apache.hadoop.fs.Path(manifestDir, MPtr)
     val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(ptr)) manifestDir
-    else {
-      val in = fs.open(ptr)
-      val name = try new String(in.readAllBytes(), "UTF-8").trim
-        finally in.close()
-      s"$manifestDir/$name"
-    }
+    readSidecar(fs, ptr).map(n => s"$manifestDir/${n.trim}")
+      .getOrElse(manifestDir)
   }
 
   /** The manifest's current parquet data as a frame — EVERY manifest
@@ -237,14 +244,7 @@ object FileStats {
   private[lake] def recordedTreeFp(spark: SparkSession,
                                    manifestDir: String): Option[String] = {
     val p = fpPath(manifestDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
-      finally in.close()
-    }
+    readSidecar(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
   /** Fail-fast freshness gate (ADVICE r16, medium): the manifest at
@@ -285,14 +285,21 @@ object FileStats {
     val listing = walkTree(spark, dataDir)
     val aggs = count(lit(1)).as("n_rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(minName(c)), max(col(c)).as(maxName(c))))
-    withFileMeta(
-        spark.read.parquet(dataDir)
-          .groupBy(input_file_name().as("path"))
-          .agg(aggs.head, aggs.tail: _*),
-        listing)
-      .coalesce(1) // manifest is file-count-sized
-      .write.mode("overwrite").parquet(statsDir)
-    writeTreeFp(spark, statsDir, fpOf(listing))
+    // pointer-published from DAY ONE (review r18): a flat first build
+    // would make the first refresh a flat→pointer transition with a
+    // mixed-depth window (a reader that resolved the flat dir pre-flip
+    // and lists post-flip sees parquet at two depths); and a REBUILD
+    // over a live manifest lands as the next version instead of
+    // mode("overwrite")'s delete-then-write of the live dir.
+    publishManifest(spark, statsDir, fpOf(listing)) { dest =>
+      withFileMeta(
+          spark.read.parquet(dataDir)
+            .groupBy(input_file_name().as("path"))
+            .agg(aggs.head, aggs.tail: _*),
+          listing)
+        .coalesce(1) // manifest is file-count-sized
+        .write.mode("overwrite").parquet(dest)
+    }
   }
 
   /** INCREMENTAL stats refresh — the companion of the freshness

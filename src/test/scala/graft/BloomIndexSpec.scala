@@ -72,7 +72,10 @@ class BloomIndexSpec extends SparkSpec {
     val extraData = s"$base/data2"
     writeShuffled(extraData, 100, 1)
     BloomIndex.writeBloom(spark, extraData, s"$base/bloom2", "k", mLog2 = 14, k = 2)
-    spark.read.parquet(s"$base/bloom2").write.mode("append").parquet(bloomDir)
+    spark.read.parquet(
+        graft.lake.FileStats.resolveManifest(spark, s"$base/bloom2"))
+      .write.mode("append").parquet(
+        graft.lake.FileStats.resolveManifest(spark, bloomDir))
     val ex = intercept[IllegalArgumentException] {
       BloomIndex.survivors(spark, bloomDir, Seq("17"))
     }

@@ -35,7 +35,8 @@ class DeleteWhereSpec extends SparkSpec {
     // appears in the new manifest unchanged
     val touched = FileStats.prunedFiles(spark, s"$base/stats",
       "user_id", lit(80L), lit(110L)).toSet
-    val originals = spark.read.parquet(s"$base/stats")
+    val originals = spark.read.parquet(
+      graft.lake.FileStats.resolveManifest(spark, s"$base/stats"))
       .select("path").collect().map(_.getString(0)).toSet
     val manifest = spark.read.parquet(s"$base/v2/manifest")
       .select("path").collect().map(_.getString(0)).toSet
@@ -82,7 +83,8 @@ class DeleteWhereSpec extends SparkSpec {
 
     // the maintained stats describe exactly the version's rows: total
     // n_rows in v3's stats equals the surviving row count
-    val statRows = spark.read.parquet(DeleteWhere.statsDirOf(s"$base/v3"))
+    val statRows = spark.read.parquet(graft.lake.FileStats
+      .resolveManifest(spark, DeleteWhere.statsDirOf(s"$base/v3")))
       .agg(sum("n_rows")).head.getLong(0)
     assert(statRows == want.length,
       s"maintained stats row count $statRows != surviving rows ${want.length}")
@@ -105,7 +107,8 @@ class DeleteWhereSpec extends SparkSpec {
     assert(!new java.io.File(s"$base/v2/files").exists(),
       "DV delete must not write data files")
     // every original path referenced verbatim
-    val originals = spark.read.parquet(s"$base/stats")
+    val originals = spark.read.parquet(
+      graft.lake.FileStats.resolveManifest(spark, s"$base/stats"))
       .select("path").collect().map(_.getString(0)).toSet
     val manifest = spark.read.parquet(s"$base/v2/manifest")
       .select("path").collect().map(_.getString(0)).toSet
@@ -235,7 +238,8 @@ class DeleteWhereSpec extends SparkSpec {
     assert(got.sameElements(want), "compaction must not change visible rows")
     // maintained stats describe exactly the surviving rows and CHAIN:
     // a further delete consumes the compacted version's stats
-    assert(spark.read.parquet(DeleteWhere.statsDirOf(s"$base/v4"))
+    assert(spark.read.parquet(graft.lake.FileStats
+        .resolveManifest(spark, DeleteWhere.statsDirOf(s"$base/v4")))
       .agg(sum("n_rows")).head.getLong(0) == want.length)
     val r = DeleteWhere.deleteRange(spark, DeleteWhere.statsDirOf(s"$base/v4"),
       "user_id", lit(130L), lit(140L), s"$base/v5")

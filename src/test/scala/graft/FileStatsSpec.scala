@@ -21,7 +21,8 @@ class FileStatsSpec extends SparkSpec {
     ZOrder.writeZOrdered(ev, s"$base/data", 16, "user_id", "bucket")
     FileStats.writeStats(spark, s"$base/data", s"$base/stats", Seq("user_id"))
 
-    val nFiles = spark.read.parquet(s"$base/stats").count()
+    val nFiles = spark.read.parquet(
+      FileStats.resolveManifest(spark, s"$base/stats")).count()
     assert(nFiles >= 8, s"expected a fragmented tree, got $nFiles files")
     // 16 files give the curve 2 bits per dimension (user quarters at
     // 37.5/75/112.5 of the [0,149] span): a range INSIDE one quarter is
@@ -96,7 +97,8 @@ class FileStatsSpec extends SparkSpec {
       .toDF("k", "s", "v").repartitionByRange(3, col("k"))
       .write.parquet(s"$base/data")
     FileStats.writeStats(spark, s"$base/data", s"$base/stats", Seq("k", "v"))
-    val st = spark.read.parquet(s"$base/stats")
+    val st = spark.read.parquet(
+      FileStats.resolveManifest(spark, s"$base/stats"))
     assert(st.schema("min_k").dataType.typeName == "long")
     assert(st.schema("max_v").dataType.typeName == "double")
     // prune on the second indexed column
@@ -125,7 +127,8 @@ class FileStatsSpec extends SparkSpec {
     // drift run to run because the range partitioner's sampling is
     // seeded by RDD id — the per-dimension sets can collapse onto the
     // intersection on a lucky layout.)
-    val nFiles = spark.read.parquet(s"$base/stats").count()
+    val nFiles = spark.read.parquet(
+      FileStats.resolveManifest(spark, s"$base/stats")).count()
     assert(both.size < math.max(u1.size, t1.size),
       s"2D prune must beat the weaker dimension: |both|=${both.size} |user|=${u1.size} |time|=${t1.size}")
     assert(both.size <= nFiles / 2,

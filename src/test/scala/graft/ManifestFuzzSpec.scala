@@ -85,28 +85,44 @@ class ManifestFuzzSpec extends SparkSpec {
     }
 
     verifyExact("seed")
-    var expectRescan = 0 // files the next refresh must scan per manifest
-    var expectDrop = 0
+    // delta-cost oracle from raw FILESYSTEM snapshots, not per-op
+    // counters (review r18: counters over-count when two churn ops hit
+    // the same file between refreshes — e.g. append-then-delete nets to
+    // zero). The expectation is computed exactly as a correct refresh
+    // must behave: rescan = new-or-changed vs the last certified
+    // snapshot, drop = vanished-or-changed.
+    def snapshot(): Map[String, (Long, Long)] = dataFiles().map { p =>
+      p.toString -> (java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    }.toMap
+    var certified = snapshot() // state the indexes currently certify
+    def expected(): (Long, Long) = {
+      val cur = snapshot()
+      val changed = certified.keySet.intersect(cur.keySet)
+        .filter(k => certified(k) != cur(k))
+      (((cur.keySet -- certified.keySet) ++ changed).size.toLong,
+        ((certified.keySet -- cur.keySet) ++ changed).size.toLong)
+    }
     for (step <- 1 to 18) {
       val op = rnd.nextInt(6)
       val churned = op match {
         case 0 => // append a real batch as one new file
           batch(80).coalesce(1).write.mode("append").parquet(s"$root/data")
-          expectRescan += 1; true
+          true
         case 1 => // append a ZERO-ROW file (the marker-rows shape)
           batch(1).limit(0).coalesce(1)
             .write.mode("append").parquet(s"$root/data")
-          expectRescan += 1; true
+          true
         case 2 if dataFiles().size > 1 => // delete a file
           val victim = dataFiles()(rnd.nextInt(dataFiles().size))
           dropCrc(victim); java.nio.file.Files.delete(victim)
-          expectDrop += 1; true
+          true
         case 3 => // rename a file (metadata-preserving — the v2-fp case)
           val victim = dataFiles()(rnd.nextInt(dataFiles().size))
           val dst = victim.getParent.resolve("zz" + step + "-" +
             victim.getFileName)
           dropCrc(victim); java.nio.file.Files.move(victim, dst)
-          expectRescan += 1; expectDrop += 1; true
+          true
         case 4 => // overwrite a file IN PLACE (same path, new content)
           val victim = dataFiles()(rnd.nextInt(dataFiles().size))
           val stage = tmp() + "/stage"
@@ -116,11 +132,12 @@ class ManifestFuzzSpec extends SparkSpec {
           java.nio.file.Files.copy(part, victim,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           dropCrc(victim)
-          expectRescan += 1; expectDrop += 1; true
+          true
         case _ => false // maintenance-only step
       }
       spark.catalog.refreshByPath(s"$root/data")
-      if (churned) verifyLoud(s"step $step (op $op)")
+      val (wantScan, wantDrop) = expected()
+      if (wantScan + wantDrop > 0) verifyLoud(s"step $step (op $op)")
       if (rnd.nextBoolean() || step == 18) {
         // maintenance: mostly delta refresh, occasionally full rebuild
         if (rnd.nextInt(4) == 0) {
@@ -129,14 +146,14 @@ class ManifestFuzzSpec extends SparkSpec {
         } else {
           val (s2, d2) = Routing.refreshIndexes(spark, root)
           // two manifests (stats + bloom): delta cost is exactly the churn
-          assert(s2 == 2L * expectRescan && d2 == 2L * expectDrop,
+          assert(s2 == 2L * wantScan && d2 == 2L * wantDrop,
             s"step $step refresh must cost the delta: scanned=$s2 " +
-              s"(want ${2 * expectRescan}) dropped=$d2 (want ${2 * expectDrop})")
+              s"(want ${2 * wantScan}) dropped=$d2 (want ${2 * wantDrop})")
           // a refresh straight after a refresh certifies everything kept
           assert(Routing.refreshIndexes(spark, root) == ((0L, 0L)),
             s"step $step: post-refresh refresh must be a certified no-op")
         }
-        expectRescan = 0; expectDrop = 0
+        certified = snapshot()
         verifyExact(s"step $step (op $op, maintained)")
       }
     }

@@ -89,7 +89,8 @@ class RoutingSpec extends SparkSpec {
     val total = plain(root).inputFiles.length
     // >= lo prunes exactly the files with max_user_id < lo
     val r = Routing.route(spark, root, col("user_id") >= lit(120L))
-    val manual = spark.read.parquet(s"$root/ix/stats")
+    val manual = spark.read.parquet(
+      FileStats.resolveManifest(spark, s"$root/ix/stats"))
       .filter(col("max_user_id") >= 120L)
       .select("path").collect().map(_.getString(0)).toSet
     assert(r.files.toSet == manual && r.via.exists(_.startsWith("stats")),
@@ -98,7 +99,8 @@ class RoutingSpec extends SparkSpec {
     sameAs(root, col("user_id") >= lit(120L))
     // <= hi prunes exactly the files with min_user_id > hi
     val r2 = Routing.route(spark, root, col("user_id") <= lit(10L))
-    val manual2 = spark.read.parquet(s"$root/ix/stats")
+    val manual2 = spark.read.parquet(
+      FileStats.resolveManifest(spark, s"$root/ix/stats"))
       .filter(col("min_user_id") <= 10L)
       .select("path").collect().map(_.getString(0)).toSet
     assert(r2.files.toSet == manual2 && r2.files.size < total,
@@ -171,7 +173,8 @@ class RoutingSpec extends SparkSpec {
     // one-sided tails: <= lo OR >= hi (the anti-range shape)
     val tails = col("user_id") <= lit(10L) || col("user_id") >= lit(140L)
     val rt = Routing.route(spark, root, tails)
-    val stats = spark.read.parquet(s"$root/ix/stats")
+    val stats = spark.read.parquet(
+      FileStats.resolveManifest(spark, s"$root/ix/stats"))
     val mt = stats.filter(col("min_user_id") <= 10L)
       .select("path").collect().map(_.getString(0)).toSet ++
       stats.filter(col("max_user_id") >= 140L)
@@ -237,7 +240,8 @@ class RoutingSpec extends SparkSpec {
       col("event_id") === lit(999999L)).count() == 1L)
     // a manifest with no fingerprint (predating the sidecar) is
     // unknowable-freshness — loud too, naming the rebuild
-    val fp = new org.apache.hadoop.fs.Path(s"$root/ix/stats/_tree_fp")
+    val fp = new org.apache.hadoop.fs.Path(
+      FileStats.resolveManifest(spark, s"$root/ix/stats") + "/_tree_fp")
     fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(fp, false)
     val ex3 = intercept[IllegalStateException](
@@ -394,9 +398,19 @@ class RoutingSpec extends SparkSpec {
       s"routing changed results for $pred: ${got.length} vs ${want.length}")
   }
 
-  test("refreshes publish through an atomic pointer flip, never deleting the live manifest") {
+  test("manifests are pointer-published from day one, refreshes flip atomically with retention") {
     import spark.implicits._
     val root = buildTree()
+    // NO flat layout ever exists (review r18: a flat first build made
+    // the first refresh a mixed-depth transition window): the BUILD
+    // itself lands a pointer-resolved version dir
+    val resolved0 = FileStats.resolveManifest(spark, s"$root/ix/stats")
+    assert(resolved0 != s"$root/ix/stats",
+      "the initial build must already resolve through the pointer")
+    assert(new java.io.File(s"$root/ix/stats/_mp").exists())
+    assert(!new java.io.File(s"$root/ix/stats").listFiles()
+      .exists(_.getName.endsWith(".parquet")),
+      "no flat parquet may ever sit in the manifest root")
     val originals = plain(root).inputFiles // BEFORE the append: the
     // victim must be an original file, not the batch we just landed
     // churn that forces BOTH refresh regimes: a new file (append) and a
@@ -407,20 +421,13 @@ class RoutingSpec extends SparkSpec {
     val victim = originals.min
     assert(new java.io.File(new java.net.URI(victim).getPath).delete())
     Routing.refreshIndexes(spark, root)
-    // the stats manifest now lives in a pointer-resolved version dir
     val resolved = FileStats.resolveManifest(spark, s"$root/ix/stats")
-    assert(resolved != s"$root/ix/stats",
-      "a refreshed stats manifest must resolve through the pointer")
-    assert(new java.io.File(s"$root/ix/stats/_mp").exists())
-    // FIRST-flip retention: the flat layout was the previous version —
-    // an in-flight reader that resolved it must keep valid paths for
-    // one publish cycle (review r18)
-    assert(new java.io.File(s"$root/ix/stats").listFiles()
-      .exists(_.getName.endsWith(".parquet")),
-      "the first pointer flip must retain the flat manifest files")
+    assert(resolved != resolved0, "a refresh must land a NEW version")
+    assert(new java.io.File(resolved0).exists(),
+      "the build's version must survive one publish for in-flight readers")
     sameAs(root, col("user_id").between(100L, 140L))
-    // a second refresh cycle flips to the next version and retains only
-    // the previous one (in-flight readers keep a valid path)
+    // a second refresh cycle flips to the next version, retains only
+    // the previous one, and sweeps the oldest
     Seq((999998L, 43L, "view", 2.0))
       .toDF("event_id", "user_id", "event_type", "value")
       .write.mode("append").parquet(s"$root/data")
@@ -429,11 +436,8 @@ class RoutingSpec extends SparkSpec {
     assert(resolved2 != resolved, "second rewrite must land a NEW version")
     assert(new java.io.File(resolved).exists(),
       "the previous version must survive one publish for in-flight readers")
-    // ...and the SECOND publish sweeps the flat legacy files (their
-    // readers had a full cycle)
-    assert(!new java.io.File(s"$root/ix/stats").listFiles()
-      .exists(_.getName.endsWith(".parquet")),
-      "the second publish must sweep the flat legacy files")
+    assert(!new java.io.File(resolved0).exists(),
+      "the oldest version must be swept after a full retention cycle")
     sameAs(root, col("user_id").between(100L, 140L))
     sameAs(root, col("event_id").isin(999999L, 999998L))
     assert(Routing.readWhere(spark, root,
