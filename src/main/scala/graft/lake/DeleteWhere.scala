@@ -377,8 +377,9 @@ object DeleteWhere {
   }
 
   /** `true` when `dir` is a published delete VERSION (manifest + stats
-    * present) — how [[Routing]] recognizes the shape. */
-  private[lake] def isVersionDir(spark: SparkSession, dir: String): Boolean = {
+    * present) — how [[Routing]] (and the DSv2 shape guard) recognizes
+    * the shape. */
+  private[graft] def isVersionDir(spark: SparkSession, dir: String): Boolean = {
     def ex(p: String) = {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)

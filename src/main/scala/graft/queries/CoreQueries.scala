@@ -663,6 +663,33 @@ object CoreQueries extends QueryPack {
       mixed.unionByName(tails).orderBy("src", "event_id")
     }),
 
+    // S39: DSv2 ENGINE-GRADE routing (VERDICT r18 #1) — the indexes
+    // reach plain spark.sql with no library call anywhere: the tree
+    // registers as a `graft`-format view and three SQL shapes (Bloom
+    // eq/IN, one-sided range, OR-of-routables) run through Catalyst's
+    // own filter pushdown into GraftScanBuilder, which delegates the
+    // file decision to Routing.route and feeds the survivors to
+    // Spark's vectorized parquet scan. Every pushed filter re-applies
+    // post-scan, so hash-green proves the DSv2 path is result-
+    // transparent; RoutingSpec pins files-opened == Routing.route for
+    // each shape and PushedFilters visibility in the plan.
+    "s39_dsv2_route" -> ((s, d) => {
+      val root = Fixtures.revents(s, d)
+      s.read.format("graft").load(root)
+        .createOrReplaceTempView("graft_events_v")
+      s.sql("""
+        SELECT * FROM (
+          SELECT 'eq' AS src, event_id, user_id, event_type
+          FROM graft_events_v WHERE event_id IN (17, 4217, 999999)
+          UNION ALL
+          SELECT 'os', event_id, user_id, event_type
+          FROM graft_events_v WHERE user_id >= 120
+          UNION ALL
+          SELECT 'or', event_id, user_id, event_type
+          FROM graft_events_v WHERE user_id <= 10 OR event_id = 4217)
+        ORDER BY src, event_id""")
+    }),
+
     // S38: VALUE-COLUMN routing on the deferred-work shapes (VERDICT
     // r17 #4) — the two index families the plain tree already had,
     // extended to where they were missing:
@@ -1155,6 +1182,19 @@ object CoreQueries extends QueryPack {
              AND user_id NOT BETWEEN 100 AND 120)
          ORDER BY src, k"""
     },
+    // DSv2 routing must be invisible to results: the oracle runs the
+    // same three SQL shapes straight over the source table
+    "s39_dsv2_route" ->
+      """SELECT * FROM (
+           SELECT 'eq' AS src, event_id, user_id, event_type FROM events
+           WHERE event_id IN (17, 4217, 999999)
+           UNION ALL
+           SELECT 'os', event_id, user_id, event_type FROM events
+           WHERE user_id >= 120
+           UNION ALL
+           SELECT 'or', event_id, user_id, event_type FROM events
+           WHERE user_id <= 10 OR event_id = 4217)
+         ORDER BY src, event_id""",
     // OR routing must be invisible to results: the oracle is the plain
     // disjunctive filter on the source table
     "s37_or_route" ->

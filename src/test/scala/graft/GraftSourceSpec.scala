@@ -1,0 +1,179 @@
+package graft
+
+import graft.lake.{BucketedUpsert, FileStats, Routing, ZOrder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** The DSv2 face of the routed lake ([[graft.sources.GraftSource]]):
+  * `spark.read.format("graft")` / plain `spark.sql` must get the SAME
+  * index pruning as the `Routing.readWhere` library call, with
+  * identical results, loud shape guards, and the pushed-filter list
+  * visible in the physical plan.
+  */
+class GraftSourceSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("gsrc-spec").toString
+
+  private def norm(s: String): String =
+    s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+
+  /** events tree z-ordered on user_id with stats(user_id) +
+    * bloom(event_id) — the RoutingSpec fixture shape. */
+  private def buildTree(): String = {
+    val root = tmp()
+    val ev = graft.Tables.t(spark, sf("sf0.01"), "events")
+      .select("event_id", "user_id", "event_type", "value")
+    ZOrder.writeZOrdered(ev, s"$root/data", 16, "user_id", "event_id")
+    Routing.indexStats(spark, root, Seq("user_id"))
+    Routing.indexBloom(spark, root, "event_id")
+    root
+  }
+
+  /** The files the executed plan's parquet batch scan actually reads
+    * (AQE-transparent) — the physical files-opened oracle. */
+  private def scannedFiles(df: DataFrame): Set[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+    def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case other => other.collect { case b: BatchScanExec => b }
+    }
+    scans(df.queryExecution.executedPlan).map(_.scan).flatMap {
+      case f: FileScan => f.fileIndex.inputFiles.toSeq
+      case _ => Seq.empty
+    }.map(norm).toSet
+  }
+
+  private def load(root: String): DataFrame =
+    spark.read.format("graft").load(root)
+
+  test("results equal the plain filtered scan on every predicate class") {
+    val root = buildTree()
+    val plain = spark.read.parquet(s"$root/data")
+    for (pred <- Seq(
+        col("user_id").between(100L, 140L),
+        col("event_id") === lit(4217L),
+        col("user_id") >= lit(120L),
+        col("user_id") <= lit(10L) || col("user_id") >= lit(140L),
+        col("event_type") === lit("click") && col("user_id") <= lit(30L),
+        upper(col("event_type")) === lit("CLICK"), // opaque: full scan
+        col("user_id").between(99999L, 100001L))) { // empty result
+      val got = load(root).filter(pred)
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      val want = plain.filter(pred)
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(want),
+        s"DSv2 changed results for $pred: ${got.length} vs ${want.length}")
+    }
+    // no filter at all: the full tree, no manifest consulted
+    assert(load(root).count() == plain.count())
+  }
+
+  test("plain spark.sql over a graft view gets index pruning") {
+    val root = buildTree()
+    val total = spark.read.parquet(s"$root/data").inputFiles.length
+    load(root).createOrReplaceTempView("g_events")
+    val df = spark.sql(
+      "SELECT event_id, user_id FROM g_events WHERE user_id >= 120")
+    val want = spark.read.parquet(s"$root/data")
+      .filter(col("user_id") >= 120L).count()
+    assert(df.count() == want && want > 0)
+    val opened = scannedFiles(df)
+    assert(opened.nonEmpty && opened.size < total,
+      s"SQL over the view must prune: ${opened.size} of $total files")
+    // and the routed set IS Routing.route's
+    val r = Routing.route(spark, root, col("user_id") >= lit(120L))
+    assert(opened == r.files.map(norm).toSet,
+      "SQL pruning must equal the library route")
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val root = buildTree()
+    val df = load(root).filter(col("user_id") >= lit(120L))
+      .select("event_id")
+    df.collect()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).collect { case b: BatchScanExec => b }.head.scan
+    val read = scan.readSchema().fieldNames.toSet
+    assert(read.subsetOf(Set("event_id", "user_id")) && read("event_id"),
+      s"scan must read only the needed columns, got $read")
+    assert(!read("value") && !read("event_type"),
+      "unused columns must be pruned from the parquet read")
+  }
+
+  test("the pushed-filter list is visible in the physical plan") {
+    val root = buildTree()
+    val df = load(root).filter(col("user_id") >= lit(120L) &&
+      col("event_id") === lit(4217L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(user_id,120)") &&
+      plan.contains("EqualTo(event_id,4217)"),
+      s"both pushed filters must show in the plan:\n${plan.take(2000)}")
+  }
+
+  test("a hive-partitioned tree keeps its partition columns and routes data filters") {
+    import spark.implicits._
+    val root = tmp()
+    (1 to 2000).map(i => (i.toLong, i.toLong % 500L, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "uid", "part")
+      .write.partitionBy("part").parquet(s"$root/data")
+    val schema = load(root).schema
+    assert(schema.fieldNames.contains("part"),
+      s"partition column must survive: ${schema.fieldNames.mkString(",")}")
+    val got = load(root).filter(col("part") === "a" && col("uid") <= 5L)
+      .select("id", "part").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = spark.read.parquet(s"$root/data")
+      .filter(col("part") === "a" && col("uid") <= 5L)
+      .select("id", "part").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sorted.sameElements(want.sorted) && want.nonEmpty,
+      s"partitioned read mismatch: ${got.length} vs ${want.length}")
+  }
+
+  test("merge-on-read shapes refuse loudly, naming the API that serves them") {
+    import spark.implicits._
+    // bucketed upsert table → resolution cannot be a scan
+    val broot = tmp() + "/t"
+    BucketedUpsert.applyBatch(
+      (1L to 100L).map(k => (k, s"v$k", 1L)).toDF("k", "s", "ver"),
+      broot, "k", "ver", nBuckets = 4, tag = 1)
+    val ex = intercept[IllegalArgumentException](load(broot).count())
+    assert(ex.getMessage.contains("readWhere"), ex.getMessage)
+    // delete version → the DV mask cannot be a scan
+    val base = tmp()
+    val ev = graft.Tables.t(spark, sf("sf0.01"), "events")
+      .select("event_id", "user_id", "event_type")
+    ZOrder.writeZOrdered(ev, s"$base/data", 8, "user_id", "event_id")
+    FileStats.writeStats(spark, s"$base/data", s"$base/stats", Seq("user_id"))
+    graft.lake.DeleteWhere.deleteVectors(spark, s"$base/stats",
+      "user_id", lit(80L), lit(110L), s"$base/v2")
+    val ex2 = intercept[IllegalArgumentException](load(s"$base/v2").count())
+    assert(ex2.getMessage.contains("readWhere"), ex2.getMessage)
+    // not a graft root at all
+    val ex3 = intercept[IllegalArgumentException](load(tmp()).count())
+    assert(ex3.getMessage.contains("data"), ex3.getMessage)
+  }
+
+  test("a stale manifest fails fast through the DSv2 path too") {
+    import spark.implicits._
+    val root = buildTree()
+    val df = load(root) // table resolves against the CURRENT tree
+    Seq((999999L, 42L, "click", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$root/data")
+    // a routed predicate consults the stats manifest → loud
+    val ex = intercept[IllegalStateException](
+      df.filter(col("user_id") >= lit(120L)).count())
+    assert(ex.getMessage.contains("STALE"), ex.getMessage)
+    // an unfiltered read consults NO manifest → plain scan, sees all
+    // rows including the new one (exactly spark.read.parquet semantics)
+    assert(load(root).count() ==
+      spark.read.parquet(s"$root/data").count())
+  }
+}

@@ -444,6 +444,48 @@ class RoutingSpec extends SparkSpec {
       col("event_id").isin(999999L, 999998L)).count() == 2)
   }
 
+  test("the DSv2 scan opens the same file set as Routing.route (VERDICT r18 #1)") {
+    val root = buildTree()
+    def norm(s: String) = s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+    /** files the executed DSv2 plan's parquet scan reads. */
+    def dsv2Files(pred: org.apache.spark.sql.Column): Set[String] = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+      val df = spark.read.format("graft").load(root).filter(pred)
+      df.collect()
+      def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case other => other.collect { case b: BatchScanExec => b }
+      }
+      scans(df.queryExecution.executedPlan).map(_.scan).flatMap {
+        case f: FileScan => f.fileIndex.inputFiles.toSeq
+        case _ => Seq.empty
+      }.map(norm).toSet
+    }
+    val total = plain(root).inputFiles.length
+    // eq on the Bloom-indexed column
+    val eq = col("event_id") === lit(4217L)
+    val rEq = Routing.route(spark, root, eq).files.map(norm).toSet
+    assert(dsv2Files(eq) == rEq && rEq.size < total,
+      "DSv2 eq scan must open exactly the routed set")
+    // one-sided range on the zone-mapped column
+    val oneSided = col("user_id") >= lit(120L)
+    val rOs = Routing.route(spark, root, oneSided).files.map(norm).toSet
+    assert(dsv2Files(oneSided) == rOs && rOs.size < total,
+      "DSv2 one-sided scan must open exactly the routed set")
+    // OR of routable disjuncts
+    val or = col("user_id").between(100L, 140L) || col("event_id") === lit(4217L)
+    val rOr = Routing.route(spark, root, or).files.map(norm).toSet
+    assert(dsv2Files(or) == rOr && rOr.size < total,
+      "DSv2 OR scan must open exactly the routed union")
+    // and the pushed-filter list is visible in the physical plan
+    val plan = spark.read.format("graft").load(root).filter(oneSided)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(user_id,120)"), plan.take(1500))
+  }
+
   test("merge-on-read: a fragmented table resolves through its recorded version column") {
     import spark.implicits._
     val root = tmp() + "/t"
