@@ -118,9 +118,18 @@ object BloomIndex {
 
   /** Build a Bloom manifest over an EXPLICIT path list (files or
     * directories) — the immutable-version shape ([[DeleteWhere]]): the
-    * caller's own manifest is the truth about membership, so no tree
-    * fingerprint is recorded and no refresh applies; a version's index
-    * is built once and lives exactly as long as the version. */
+    * caller's own manifest is the truth about membership, so no
+    * refresh applies; a version's index is built once and lives
+    * exactly as long as the version.
+    *
+    * ATOMIC (ADVICE r18, medium): the build lands through
+    * [[FileStats.publishManifest]] — staged write, rename, pointer
+    * flip — so a crash mid-build can never leave a torn index whose
+    * missing word rows silently exclude files from reads. Consumers
+    * gate on the POINTER ([[FileStats.isPublished]]), not on directory
+    * existence: no pointer → the index does not exist yet. The
+    * recorded fingerprint digests the covered files (diagnostic only —
+    * the version is immutable, so no freshness gate consults it). */
   def writeBloomFiles(spark: SparkSession, paths: Seq[String],
                       bloomDir: String, column: String,
                       mLog2: Int = 16, k: Int = 3): Unit = {
@@ -138,8 +147,11 @@ object BloomIndex {
           st.getModificationTime))
       }
     }
-    filterRows(spark, paths.head, column, mLog2, k, covered, paths = paths)
-      .write.mode("overwrite").parquet(bloomDir)
+    FileStats.publishManifest(spark, bloomDir, FileStats.fpOf(covered)) {
+      dest =>
+        filterRows(spark, paths.head, column, mLog2, k, covered,
+          paths = paths).write.mode("overwrite").parquet(dest)
+    }
   }
 
   /** INCREMENTAL Bloom refresh — same delta contract as
@@ -172,7 +184,6 @@ object BloomIndex {
         s"${params.mkString(",")} - rebuild it")
     val (mLog2, k) = (params.head.getInt(0), params.head.getInt(1))
     val listing = FileStats.walkTree(spark, dataDir)
-    val current = listing.map(m => m.norm -> m).toMap
     val bfs = new org.apache.hadoop.fs.Path(bloomDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // crash-heal guard (review r18): an interrupted APPEND may have
@@ -186,25 +197,18 @@ object BloomIndex {
     val suspect = pendingAppend(bfs, bloomDir)
     // per-file (len, mtime) recorded at build time certifies kept files
     // against IN-PLACE content changes; manifests predating the meta
-    // columns rescan every kept file once (then carry meta)
+    // columns rescan every kept file once (then carry meta). The
+    // classification is a distributed join ([[FileStats.deltaOf]],
+    // VERDICT r18 #2) over the manifest's DISTINCT per-file rows —
+    // only the delta reaches the driver.
     val oldDf = FileStats.manifestDf(spark, bloomDir)
-    val hasMeta = oldDf.columns.contains("f_len")
-    val oldMeta: Map[String, Option[(Long, Long)]] =
+    val (added, dropped) = FileStats.deltaOf(spark,
       oldDf.select(Seq(col("path")) ++
-          (if (hasMeta) Seq(col("f_len"), col("f_mtime")) else Nil): _*)
-        .distinct().collect().map { r =>
-          FileStats.normPath(r.getString(0)) -> (if (hasMeta && !r.isNullAt(1))
-            Some((r.getLong(1), r.getLong(2))) else None)
-        }.toMap
-    val oldNorm = oldMeta.keySet
-    val changedNorm = oldNorm.intersect(current.keySet).filter { n =>
-      val m = current(n)
-      !oldMeta(n).contains((m.len, m.mtime))
-    } ++ suspect.intersect(current.keySet)
-    val addedNorm = (current.keySet -- oldNorm) ++ changedNorm
-    val added = addedNorm.toSeq.sorted.map(n => current(n).path)
+        (if (oldDf.columns.contains("f_len"))
+           Seq(col("f_len"), col("f_mtime")) else Nil): _*).distinct(),
+      listing, suspect)
+    val addedNorm = added.map(FileStats.normPath).toSet
     val addedCovered = listing.filter(m => addedNorm.contains(m.norm))
-    val dropped = (oldNorm -- current.keySet) ++ changedNorm
     val fp = FileStats.fpOf(listing)
     if (dropped.nonEmpty) {
       // files vanished: the surviving rows (plus the added files' new
@@ -227,6 +231,20 @@ object BloomIndex {
       // reads fail loud) AND the marker naming the suspect files, so
       // the healing rerun rescans them instead of certifying a
       // partially-appended filter (silent false negatives).
+      //
+      // CONTRACT (ADVICE r18): this branch makes Bloom version dirs
+      // APPEND-MUTABLE — a deliberate exception to publishManifest's
+      // version-immutability, because rewriting the whole relational
+      // manifest per ingest cycle would cost O(files × words) where
+      // the append costs O(batch). The exposure is bounded: appends
+      // only ADD rows for NEW data files, never touch existing rows,
+      // so a reader that resolved the version mid-append sees a torn
+      // listing ONLY for files it could not have known about. Routed
+      // reads re-validate through the tree fingerprint (stale until
+      // the append completes → loud); DIRECT survivors/prunedReadIn
+      // callers must not run concurrently with refreshBloom of the
+      // same index — the same single-maintainer window the compaction
+      // path documents (BucketedUpsert.mergeFragmentsIfNeeded).
       val out = bfs.create(pendingPath(bloomDir), true)
       try out.write(addedNorm.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
       finally out.close()

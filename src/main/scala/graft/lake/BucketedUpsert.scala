@@ -739,9 +739,22 @@ object BucketedUpsert {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         16 min (fragmentedEntries.size max 1))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      // bounded wait (ADVICE r18): one hung FileSystem RPC must fail
+      // the compaction LOUDLY, not stall the driver forever. The bound
+      // is generous — listStatus of flat dirs is milliseconds each —
+      // and the failure names the listing so an operator can find the
+      // stuck store path.
       try Await.result(
         Future.traverse(fragmentedEntries)(e => Future(e.path -> bytesOf(e.path))),
-        scala.concurrent.duration.Duration.Inf).toMap
+        scala.concurrent.duration.Duration(10, "min")).toMap
+      catch {
+        case e: java.util.concurrent.TimeoutException =>
+          throw new IllegalStateException(
+            s"fragment-size listing stalled >10 min over " +
+              s"${fragmentedEntries.size} fragment dirs under $root — a " +
+              "FileSystem listStatus is hung; compaction aborted (no " +
+              "state was modified)", e)
+      }
       finally pool.shutdown()
     }
     val runs: Map[Int, Seq[Entry]] = fragmented

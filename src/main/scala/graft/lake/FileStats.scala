@@ -42,30 +42,58 @@ object FileStats {
     * path for I/O, scheme-normalized path for joins/sets (the form
     * `input_file_name` comparisons use), plus the (len, mtime) pair
     * that detects in-place content changes. */
-  private[lake] final case class FileMeta(path: String, norm: String,
+  private[graft] final case class FileMeta(path: String, norm: String,
                                           len: Long, mtime: Long)
 
   private[lake] def normPath(s: String): String =
     s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
 
-  /** Recursive listing of the data files under `dataDir` (side files
-    * with `_`/`.` prefixes excluded — the set a parquet scan reads). */
-  private[lake] def walkTree(spark: SparkSession,
+  /** Recursive listing of the data files under `dataDir` (hidden
+    * `_`/`.`-prefixed files AND directories excluded — the set a
+    * parquet scan reads; the old serial walk descended into hidden
+    * dirs like `_spark_metadata`, which a scan never reads).
+    *
+    * PARALLEL (VERDICT r18 #6): directories at each depth list
+    * concurrently on a bounded pool — the fingerprint is
+    * order-independent ([[fpOf]]) and every consumer treats the
+    * listing as a set, so concurrency is free, and at millions of
+    * files the serial per-dir RPC walk was the fingerprint's real
+    * cost. Bounded wait per level: a hung FileSystem RPC fails the
+    * walk loudly instead of stalling the driver. */
+  private[graft] def walkTree(spark: SparkSession,
                              dataDir: String): Seq[FileMeta] = {
     val hp = new org.apache.hadoop.fs.Path(dataDir)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = scala.collection.mutable.ArrayBuffer[FileMeta]()
-    if (fs.exists(hp)) {
-      val it = fs.listFiles(hp, true)
-      while (it.hasNext) {
-        val f = it.next()
-        val nm = f.getPath.getName
-        if (!nm.startsWith("_") && !nm.startsWith("."))
-          out += FileMeta(f.getPath.toString, normPath(f.getPath.toString),
-            f.getLen, f.getModificationTime)
+    if (!fs.exists(hp)) return Seq.empty
+    def hidden(p: org.apache.hadoop.fs.Path): Boolean =
+      p.getName.startsWith("_") || p.getName.startsWith(".")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val out = scala.collection.mutable.ArrayBuffer[FileMeta]()
+      var dirs: Seq[org.apache.hadoop.fs.Path] = Seq(hp)
+      while (dirs.nonEmpty) {
+        val listed =
+          try Await.result(
+            Future.traverse(dirs)(d => Future(fs.listStatus(d).toSeq)),
+            scala.concurrent.duration.Duration(10, "min")).flatten
+          catch {
+            case e: java.util.concurrent.TimeoutException =>
+              throw new IllegalStateException(
+                s"tree listing stalled >10 min across ${dirs.size} dirs " +
+                  s"under $dataDir — a FileSystem listStatus is hung", e)
+          }
+        val (sub, files) = listed.partition(_.isDirectory)
+        files.foreach { f =>
+          if (!hidden(f.getPath))
+            out += FileMeta(f.getPath.toString, normPath(f.getPath.toString),
+              f.getLen, f.getModificationTime)
+        }
+        dirs = sub.map(_.getPath).filterNot(hidden)
       }
-    }
-    out.toSeq
+      out.toSeq
+    } finally pool.shutdown()
   }
 
   /** ORDER-INDEPENDENT per-file digest (ADVICE r17): the old aggregate
@@ -138,6 +166,18 @@ object FileStats {
       .getOrElse(manifestDir)
   }
 
+  /** `true` when the manifest at `manifestDir` has a COMPLETED
+    * pointer publish — the completeness gate for indexes whose
+    * versions carry no freshness fingerprint ([[DeleteWhere]]'s
+    * per-version Bloom): a dir that exists without a pointer is an
+    * interrupted build and must be treated as ABSENT, never consulted
+    * (ADVICE r18, medium — a torn Bloom silently false-negates). */
+  private[lake] def isPublished(spark: SparkSession,
+                                manifestDir: String): Boolean = {
+    val ptr = new org.apache.hadoop.fs.Path(manifestDir, MPtr)
+    ptr.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(ptr)
+  }
+
   /** The manifest's current parquet data as a frame — EVERY manifest
     * read goes through this, so a pointer flip is invisible to
     * consumers. */
@@ -145,44 +185,78 @@ object FileStats {
                                manifestDir: String): DataFrame =
     spark.read.parquet(resolveManifest(spark, manifestDir))
 
-  /** Publish the next manifest version: `write` lands parquet into the
-    * new immutable `m<N>` dir, `fp` is stamped inside it, then the
-    * pointer flips atomically. The PREVIOUS version is retained (an
-    * in-flight reader that resolved it keeps a valid path,
-    * Snapshot-style); anything older — including flat legacy parquet
-    * and the root-level fingerprint of the pre-pointer layout — is
-    * collected. A crash before the flip leaves the old version live
-    * and the tree fingerprint stale → loud, the fail-safe direction. */
-  private[lake] def publishManifest(spark: SparkSession, manifestDir: String,
+  /** Publish the next manifest version: `write` lands parquet into a
+    * PRIVATE staging dir, `fp` is stamped inside it, the stage renames
+    * to the immutable `m<N>` dir, then the pointer flips atomically.
+    * The PREVIOUS version is retained (an in-flight reader that
+    * resolved it keeps a valid path, Snapshot-style); anything older —
+    * including flat legacy parquet, crashed stages, and the root-level
+    * fingerprint of the pre-pointer layout — is collected. A crash
+    * before the flip leaves the old version live and the tree
+    * fingerprint stale → loud, the fail-safe direction.
+    *
+    * CONCURRENCY (VERDICT r18 #3) — optimistic commit, winner takes
+    * the version name: both racers compute `m<N>` from the same
+    * pointer, both stage privately, but the stage→`m<N>` rename takes
+    * NO overwrite option, so exactly one claim succeeds; the loser
+    * fails LOUDLY (its stage is cleaned, the live manifest untouched)
+    * and re-runs against the winner's state. A racer that starts
+    * after the winner's flip computes `m<N+1>` and the pair simply
+    * serializes. The live manifest can never be clobbered: no publish
+    * path ever writes into an existing version dir. (The winner's GC
+    * may sweep a still-writing loser's stage — that loser then fails
+    * its write or rename, the same loud outcome.) */
+  private[graft] def publishManifest(spark: SparkSession, manifestDir: String,
                                     fp: String)(write: String => Unit): Unit = {
     val dir = new org.apache.hadoop.fs.Path(manifestDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
     val cur = resolveManifest(spark, manifestDir)
     val curName = if (cur == manifestDir) None
       else Some(new org.apache.hadoop.fs.Path(cur).getName)
-    val nextName = "m" + (curName.flatMap(_.stripPrefix("m").toLongOption)
-      .map(_ + 1).getOrElse(0L))
-    write(s"$manifestDir/$nextName")
-    writeTreeFp(spark, s"$manifestDir/$nextName", fp)
+    // a pointer resolving to a non-m<N> name is CORRUPTION (ADVICE
+    // r18): the old `toLongOption.getOrElse(0)` fallback minted m0 and
+    // the GC pass then swept every other version — including the live
+    // one. Demand a rebuild instead.
+    curName.foreach(n => require(n.matches("m\\d+"),
+      s"manifest pointer at $manifestDir/$MPtr resolves to '$n', not an " +
+        "m<N> version — the pointer is corrupted; rebuild the index " +
+        "(Routing.indexStats / indexBloom)"))
+    val nextName = "m" + (curName.map(_.stripPrefix("m").toLong + 1)
+      .getOrElse(0L))
+    val stageName = ".stage_" + java.util.UUID.randomUUID().toString.take(12)
+    val stage = s"$manifestDir/$stageName"
+    write(stage)
+    writeTreeFp(spark, stage, fp)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+    try fc.rename(new org.apache.hadoop.fs.Path(stage),
+      new org.apache.hadoop.fs.Path(manifestDir, nextName))
+    catch {
+      case e: java.io.IOException =>
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        throw new IllegalStateException(
+          s"concurrent manifest publish detected at $manifestDir: version " +
+            s"$nextName could not be claimed (another refresh likely won " +
+            "the race) — re-run this refresh against the current state", e)
+    }
     val tmp = new org.apache.hadoop.fs.Path(manifestDir, MPtr + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(nextName.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      dir.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, new org.apache.hadoop.fs.Path(manifestDir, MPtr),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // GC honors the retention promise on the FIRST flip too (review
     // r18): when the previous version was the FLAT layout, its parquet
     // files are the in-flight readers' "previous version" — retained
-    // for this publish cycle (only stale m<N> dirs and the tmp pointer
-    // collect); the NEXT publish, whose curName is a version dir,
-    // sweeps the flat legacy files.
+    // for this publish cycle (only stale m<N> dirs, dead stages, and
+    // the tmp pointer collect); the NEXT publish, whose curName is a
+    // version dir, sweeps the flat legacy files.
     fs.listStatus(dir).foreach { st =>
       val nm = st.getPath.getName
       val stale =
         if (curName.isDefined) nm != nextName && !curName.contains(nm) &&
           nm != MPtr
-        else (nm.matches("m\\d+") && nm != nextName) || nm == MPtr + ".tmp"
+        else (nm.matches("m\\d+") && nm != nextName) ||
+          nm.startsWith(".stage_") || nm == MPtr + ".tmp"
       if (stale) fs.delete(st.getPath, true)
     }
   }
@@ -205,16 +279,72 @@ object FileStats {
     finally out.close()
   }
 
-  /** Broadcastable (norm-path → len/mtime) frame of a listing, joined
-    * onto manifest rows at build time so a later [[refreshStats]] can
-    * detect IN-PLACE content changes (same path, different bytes) —
-    * without it a path-set-only delta would "heal" the fingerprint
-    * while keeping stale bounds. */
-  private def metaDf(spark: SparkSession,
-                     listing: Seq[FileMeta]): org.apache.spark.sql.DataFrame = {
+  /** (norm-path → len/mtime) frame of a listing, joined onto manifest
+    * rows at build time so a later [[refreshStats]] can detect
+    * IN-PLACE content changes (same path, different bytes) — without
+    * it a path-set-only delta would "heal" the fingerprint while
+    * keeping stale bounds. Columns are `_gf_`-prefixed so the frame
+    * joins cleanly against manifests that already carry
+    * `f_len`/`f_mtime`. */
+  private[lake] def metaDf(spark: SparkSession,
+                           listing: Seq[FileMeta]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     listing.map(m => (m.norm, m.path, m.len, m.mtime))
-      .toDF("_gf_norm", "_gf_orig", "f_len", "f_mtime")
+      .toDF("_gf_norm", "_gf_orig", "_gf_len", "_gf_mtime")
+  }
+
+  /** Rows collected driver-side by the LAST delta classification
+    * ([[deltaOf]]) in this JVM — spec instrumentation only
+    * (FileStatsSpec pins the O(changed files) contract: a refresh must
+    * never localize the full manifest). */
+  @volatile private[graft] var lastDeltaCollected: Long = -1L
+
+  /** DISTRIBUTED delta classification (VERDICT r18 #2): join the
+    * listing frame against the manifest's per-file (path, len, mtime)
+    * frame and collect ONLY the delta — (paths to rescan, norms to
+    * drop) — so driver memory is O(changed files), not O(all files).
+    * The previous implementation collected every manifest row into a
+    * driver Map: hundreds of MB at millions of files, for a
+    * classification the cluster can do as a full-outer join.
+    *
+    * Classification per norm-joined pair:
+    *  - listed, no manifest row            → ADDED   (rescan)
+    *  - manifest row, not listed           → VANISHED (drop)
+    *  - both, (len, mtime) meta mismatch
+    *    or meta NULL/absent or `suspect`   → CHANGED (drop + rescan)
+    *  - both, meta matches                 → kept (never collected)
+    *
+    * `oldFiles` must be one row per file: (path[, f_len, f_mtime]).
+    * `suspect` norms (crash-heal markers) always rescan. Manifests
+    * predating the meta columns classify every kept file as changed —
+    * the documented one-time full-rebuild cost, after which the
+    * refreshed manifest carries meta. */
+  private[lake] def deltaOf(spark: SparkSession,
+                            oldFiles: DataFrame, listing: Seq[FileMeta],
+                            suspect: Set[String] = Set.empty)
+      : (Seq[String], Set[String]) = {
+    val hasMeta = oldFiles.columns.contains("f_len")
+    val oldN = oldFiles
+      .withColumn("_norm",
+        regexp_replace(col("path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/"))
+    val j = oldN.join(metaDf(spark, listing),
+      col("_norm") === col("_gf_norm"), "full")
+    // meta certifies a kept file; NULL meta (either side) never does
+    val metaOk =
+      if (!hasMeta) lit(false)
+      else coalesce(col("f_len") === col("_gf_len") &&
+        col("f_mtime") === col("_gf_mtime"), lit(false))
+    val kept = col("_norm").isNotNull && col("_gf_norm").isNotNull &&
+      metaOk && (if (suspect.isEmpty) lit(true)
+                 else !col("_gf_norm").isInCollection(suspect.toSeq))
+    // ONE distributed pass; the collect is delta-sized by construction
+    val delta = j.filter(!coalesce(kept, lit(false)))
+      .select(col("_gf_orig"), col("_gf_norm"), col("_norm"))
+      .distinct().collect()
+    lastDeltaCollected = delta.length.toLong
+    val rescan = delta.filter(!_.isNullAt(1)).map(_.getString(0)).toSeq.sorted
+    val dropped = delta.filter(!_.isNullAt(2)).map(_.getString(2)).toSet
+    (rescan, dropped)
   }
 
   /** Join the per-file (len, mtime) meta onto `stats` — FULL OUTER
@@ -237,11 +367,13 @@ object FileStats {
           col("_gf_norm"), "full")
       .withColumn("path", coalesce(col("path"), col("_gf_orig")))
       .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
-      .drop("_gf_norm", "_gf_orig")
+      .withColumn("f_len", col("_gf_len"))
+      .withColumn("f_mtime", col("_gf_mtime"))
+      .drop("_gf_norm", "_gf_orig", "_gf_len", "_gf_mtime")
   }
 
   /** The fingerprint recorded at build time, if any. */
-  private[lake] def recordedTreeFp(spark: SparkSession,
+  private[graft] def recordedTreeFp(spark: SparkSession,
                                    manifestDir: String): Option[String] = {
     val p = fpPath(manifestDir)
     readSidecar(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -321,30 +453,14 @@ object FileStats {
     }.toSeq
     require(cols.nonEmpty, s"manifest at $statsDir indexes no columns")
     val listing = walkTree(spark, dataDir)
-    val current = listing.map(m => m.norm -> m).toMap
     // the recorded per-file (len, mtime) detects IN-PLACE content
     // changes: same path, different bytes -> the file rescans like an
     // add (a path-set-only delta would "heal" the fingerprint while
-    // keeping stale bounds). Manifests predating the meta columns
-    // cannot certify their kept files - every kept file rescans
-    // (one-time full-rebuild cost; the refreshed manifest then carries
-    // the meta).
-    val hasMeta = old.columns.contains("f_len")
-    val oldMeta: Map[String, Option[(Long, Long)]] =
-      old.select(Seq(col("path")) ++
-          (if (hasMeta) Seq(col("f_len"), col("f_mtime")) else Nil): _*)
-        .collect().map { r =>
-          normPath(r.getString(0)) -> (if (hasMeta && !r.isNullAt(1))
-            Some((r.getLong(1), r.getLong(2))) else None)
-        }.toMap
-    val oldNorm = oldMeta.keySet
-    val changedNorm = oldNorm.intersect(current.keySet).filter { n =>
-      val m = current(n)
-      !oldMeta(n).contains((m.len, m.mtime))
-    }
-    val rescanNorm = (current.keySet -- oldNorm) ++ changedNorm
-    val added = rescanNorm.toSeq.sorted.map(n => current(n).path)
-    val droppedNorm = (oldNorm -- current.keySet) ++ changedNorm
+    // keeping stale bounds). The classification is a distributed join
+    // ([[deltaOf]]): only the delta ever reaches the driver.
+    val (added, droppedNorm) = deltaOf(spark, old.select(Seq(col("path")) ++
+      (if (old.columns.contains("f_len"))
+         Seq(col("f_len"), col("f_mtime")) else Nil): _*), listing)
     if (added.isEmpty && droppedNorm.isEmpty) {
       // nothing changed: restamp (covers pure mtime-of-dir drift) and go
       writeTreeFp(spark, resolveManifest(spark, statsDir), fpOf(listing))

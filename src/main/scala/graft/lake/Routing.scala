@@ -262,7 +262,15 @@ object Routing {
         val ord = org.apache.spark.sql.catalyst.util.TypeUtils
           .getInterpretedOrdering(x.dataType).asInstanceOf[Ordering[Any]]
         Some(if (ord.compare(x.value, y.value) >= 0 == takeMax) x else y)
-      case (Some(x), Some(_)) => Some(x) // type drift: either is sound
+      case (Some(x), Some(y)) =>
+        // unreachable post-analysis (mixed literal types on one column
+        // cannot survive the analyzer); if a classifier change ever
+        // makes it reachable, fail LOUD rather than silently picking
+        // one bound (VERDICT r18 #7)
+        throw new IllegalStateException(
+          s"zone-map bound type drift: ${x.dataType} vs ${y.dataType} " +
+            "literals bound one column — classifier bug, refusing to " +
+            "pick a side")
       case _ => a.orElse(b)
     }
     def tighten(c: String, lo: Option[expressions.Literal],
@@ -517,9 +525,12 @@ object Routing {
       // their survivors with the zone-pruned set. The version is
       // immutable, so no freshness gate applies; paths intersect on
       // the scheme-normalized form (the two manifests may render the
-      // same file with different scheme spellings).
+      // same file with different scheme spellings). Gated on a
+      // COMPLETED publish, not directory existence (ADVICE r18): an
+      // interrupted build's torn word rows would silently exclude
+      // files — no pointer, no index.
       cs.foreach {
-        case EqIn(c, vs) if exists(spark, s"$root/bloom/$c") &&
+        case EqIn(c, vs) if FileStats.isPublished(spark, s"$root/bloom/$c") &&
             vs.forall(v => stringStable(v.dataType)) =>
           val admit = BloomIndex.survivors(spark, s"$root/bloom/$c",
             vs.map(_.value.toString)).map(FileStats.normPath).toSet

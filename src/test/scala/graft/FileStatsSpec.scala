@@ -13,6 +13,133 @@ class FileStatsSpec extends SparkSpec {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("filestats-spec").toString
 
+  test("a delta refresh collects only the changed files, never the manifest (VERDICT r18 #2)") {
+    import spark.implicits._
+    val root = tmp()
+    // 20 files, then churn exactly 3: one append, one in-place
+    // overwrite, one delete — the classification join must localize
+    // ONLY those (plus their manifest counterparts), not all 20
+    (1 to 20).foreach { i =>
+      Seq((i.toLong, i * 10L)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(s"$root/data")
+    }
+    FileStats.writeStats(spark, s"$root/data", s"$root/stats", Seq("v"))
+    val files = spark.read.parquet(s"$root/data").inputFiles.sorted
+    Seq((21L, 210L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$root/data")      // add
+    val victim = java.nio.file.Paths.get(new java.net.URI(files.head).getPath)
+    java.nio.file.Files.delete(victim)                               // drop
+    val ow = java.nio.file.Paths.get(new java.net.URI(files.last).getPath)
+    val stage = tmp() + "/stage"
+    Seq((99L, 990L)).toDF("k", "v").coalesce(1).write.parquet(stage)
+    val newPart = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    java.nio.file.Files.copy(newPart, ow,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)             // change
+    java.nio.file.Files.deleteIfExists(
+      ow.getParent.resolve("." + ow.getFileName.toString + ".crc"))
+    spark.catalog.refreshByPath(s"$root/data")
+    val (scanned, dropped) =
+      FileStats.refreshStats(spark, s"$root/data", s"$root/stats")
+    assert(scanned == 2 && dropped == 2, s"delta wrong: $scanned/$dropped")
+    // the driver-side collect held the DELTA ONLY: 1 added + 1 changed
+    // + 1 vanished = 3 rows — a full-manifest localize would be 20+
+    assert(FileStats.lastDeltaCollected == 3,
+      s"refresh localized ${FileStats.lastDeltaCollected} rows — " +
+        "the classification must collect only the changed-file delta")
+    // and a no-op refresh localizes nothing at all
+    val (s2, d2) = FileStats.refreshStats(spark, s"$root/data", s"$root/stats")
+    assert(s2 == 0 && d2 == 0 && FileStats.lastDeltaCollected == 0,
+      s"no-op refresh must collect zero rows, got ${FileStats.lastDeltaCollected}")
+    // the refreshed manifest serves exact pruned reads
+    val got = FileStats.prunedRead(spark, s"$root/data", s"$root/stats",
+      "v", lit(200L), lit(1000L)).select("k").collect()
+      .map(_.getLong(0)).sorted
+    val want = spark.read.parquet(s"$root/data")
+      .filter(col("v").between(200L, 1000L)).select("k").collect()
+      .map(_.getLong(0)).sorted
+    assert(got.sameElements(want) && want.nonEmpty)
+  }
+
+  test("racing publishes serialize or fail loud — the live manifest is never clobbered (VERDICT r18 #3)") {
+    import spark.implicits._
+    val root = tmp()
+    (1 to 8).foreach { i =>
+      Seq((i.toLong, i * 10L)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(s"$root/data")
+    }
+    FileStats.writeStats(spark, s"$root/data", s"$root/stats", Seq("v"))
+    val v0 = FileStats.resolveManifest(spark, s"$root/stats")
+    // racer A stages; racer B completes an ENTIRE publish (same
+    // computed next version) while A is mid-write; A's no-overwrite
+    // claim of the version name must then fail LOUDLY
+    def writeRows(tag: Long)(dest: String): Unit =
+      Seq(("file-" + tag, tag)).toDF("path", "n_rows")
+        .coalesce(1).write.mode("overwrite").parquet(dest)
+    val ex = intercept[IllegalStateException] {
+      FileStats.publishManifest(spark, s"$root/stats", "fp-A") { dest =>
+        FileStats.publishManifest(spark, s"$root/stats", "fp-B")(writeRows(2L))
+        writeRows(1L)(dest)
+      }
+    }
+    assert(ex.getMessage.contains("concurrent"), ex.getMessage)
+    // the pointer resolves to the WINNER's version, readable, fp intact
+    val v1 = FileStats.resolveManifest(spark, s"$root/stats")
+    assert(v1 != v0, "the winner's publish must have landed")
+    assert(FileStats.recordedTreeFp(spark, v1).contains("fp-B"),
+      "the surviving version must be the winner's, untouched")
+    assert(spark.read.parquet(v1).select("n_rows").head.getLong(0) == 2L)
+    // the loser's stage is gone; a RE-RUN serializes as the next version
+    assert(!new java.io.File(s"$root/stats").listFiles()
+      .exists(_.getName.startsWith(".stage_")),
+      "the losing stage must be cleaned up")
+    FileStats.publishManifest(spark, s"$root/stats", "fp-A2")(writeRows(3L))
+    val v2 = FileStats.resolveManifest(spark, s"$root/stats")
+    assert(v2 != v1 &&
+      FileStats.recordedTreeFp(spark, v2).contains("fp-A2"))
+    // a corrupted pointer demands a rebuild instead of minting m0 and
+    // GC-ing the live version (ADVICE r18)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/stats/_mp"), "garbage")
+    // the raw overwrite leaves Hadoop's local-FS .crc sidecar stale
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/stats/._mp.crc"))
+    val ex2 = intercept[IllegalArgumentException](
+      FileStats.publishManifest(spark, s"$root/stats", "fp-X")(writeRows(4L)))
+    assert(ex2.getMessage.contains("corrupted"), ex2.getMessage)
+    assert(new java.io.File(v2).exists(),
+      "a corrupted pointer must never cause the live version to be swept")
+  }
+
+  test("parallel walkTree sees exactly the scan's file set and stays deterministic (VERDICT r18 #6)") {
+    import spark.implicits._
+    val root = tmp()
+    // nested partitioned tree + hidden noise a parquet scan ignores:
+    // an underscore-dir, a dot-dir, and _SUCCESS markers
+    (1 to 40).map(i => (i.toLong, s"p${i % 4}"))
+      .toDF("k", "part").repartition(5)
+      .write.partitionBy("part").parquet(s"$root/data")
+    val hid = new java.io.File(s"$root/data/_staging")
+    hid.mkdirs()
+    java.nio.file.Files.writeString(hid.toPath.resolve("0"), "noise")
+    val dot = new java.io.File(s"$root/data/.trash")
+    dot.mkdirs()
+    java.nio.file.Files.writeString(dot.toPath.resolve("x.parquet"), "noise")
+    def norm(s: String) = s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+    val walked = FileStats.walkTree(spark, s"$root/data")
+    val scanSet = spark.read.parquet(s"$root/data").inputFiles.map(norm).toSet
+    assert(walked.map(_.norm).toSet == scanSet,
+      s"walk must equal the scan's file set: ${walked.size} vs ${scanSet.size}")
+    // deterministic across runs despite parallel listing order
+    val fp1 = FileStats.treeFingerprint(spark, s"$root/data")
+    val fp2 = FileStats.treeFingerprint(spark, s"$root/data")
+    assert(fp1 == fp2, "parallel walk must yield a stable fingerprint")
+    // and any real change still moves it
+    Seq((99L, "p0")).toDF("k", "part")
+      .write.mode("append").partitionBy("part").parquet(s"$root/data")
+    assert(FileStats.treeFingerprint(spark, s"$root/data") != fp1)
+  }
+
   test("narrow range on a z-ordered tree skips most files and matches the full scan") {
     val base = tmp()
     // sf0.01: user_id spans [0,149], wide enough for a genuinely narrow range

@@ -664,6 +664,42 @@ class RoutingSpec extends SparkSpec {
       "DV aggStats bounds must contain the true extrema")
   }
 
+  test("a torn per-version Bloom build is never consulted (ADVICE r18)") {
+    import spark.implicits._
+    val base = tmp()
+    val ev = graft.Tables.t(spark, sf("sf0.01"), "events")
+      .select("event_id", "user_id", "event_type")
+    graft.lake.ZOrder.writeZOrdered(ev, s"$base/data", 16, "user_id", "event_id")
+    FileStats.writeStats(spark, s"$base/data", s"$base/stats", Seq("user_id"))
+    graft.lake.DeleteWhere.deleteVectors(spark, s"$base/stats",
+      "user_id", lit(80L), lit(110L), s"$base/v2")
+    val anId = graft.lake.DeleteWhere.read(spark, s"$base/v2")
+      .select("event_id").head.getLong(0)
+    // simulate a CRASH MID-BUILD: the bloom dir exists and even holds
+    // plausible-looking parquet, but the publish never completed (no
+    // pointer). Word rows for the needle's file may be missing — the
+    // old existence gate would consult it and silently drop the file.
+    Seq(("/nonexistent/file.parquet", 0, 0L, 16, 3))
+      .toDF("path", "w", "bits", "m_log2", "k")
+      .write.parquet(s"$base/v2/bloom/event_id")
+    assert(!new java.io.File(s"$base/v2/bloom/event_id/_mp").exists(),
+      "precondition: the torn build must have no pointer")
+    val got = Routing.readWhere(spark, s"$base/v2",
+      col("event_id") === lit(anId))
+    assert(got.count() == 1,
+      "a torn (pointer-less) Bloom build must be treated as absent")
+    // a COMPLETED build is pointer-published and then consulted
+    graft.lake.DeleteWhere.indexBloom(spark, s"$base/v2", "event_id")
+    assert(new java.io.File(s"$base/v2/bloom/event_id/_mp").exists(),
+      "indexBloom must pointer-publish")
+    val routed = Routing.readWhere(spark, s"$base/v2",
+      col("event_id") === lit(anId))
+    assert(routed.count() == 1)
+    assert(routed.inputFiles.count(_.contains("/data/")) <
+      spark.read.parquet(s"$base/data").inputFiles.length,
+      "the completed Bloom must actually prune")
+  }
+
   test("bucketed tables route equality through the secondary index") {
     import spark.implicits._
     val root = tmp()
