@@ -141,6 +141,27 @@ object BucketedUpsert {
     */
   def readKeyBuckets(spark: SparkSession, root: String, key: String,
                      probes: Seq[Column]): DataFrame = {
+    val entries = manifestEntries(spark, root)
+    require(entries.nonEmpty, s"no published bucketed table under $root")
+    val hit = keyProbeEntries(spark, root, key, probes)
+    if (hit.isEmpty) emptyWithSchema(spark, root)
+      .getOrElse(readPaths(spark, root, Seq(entries.head.path)).limit(0))
+    // the probed slice as a BUCKETED relation (one RDD partition per
+    // bucket id, absent buckets empty — the partitioning claim holds on
+    // any bucket subset), so downstream key-clustered work — the
+    // fragment resolve window, a groupBy on the key, a join — runs with
+    // ZERO exchange over the slice instead of shuffling it
+    else bucketedReadEntries(spark, root, hit, key)
+  }
+
+  /** The manifest entries whose buckets the probe values hash into —
+    * the file-level core of [[readKeyBuckets]], shared with
+    * [[Routing.routeBucketed]] so the DSv2 scan and the library read
+    * can never disagree on the probed set. Probes must carry the
+    * table's key TYPE (verified — murmur3 is type-sensitive). */
+  private[lake] def keyProbeEntries(spark: SparkSession, root: String,
+                                    key: String,
+                                    probes: Seq[Column]): Seq[Entry] = {
     require(probes.nonEmpty, "at least one probe value")
     val entries = manifestEntries(spark, root)
     require(entries.nonEmpty, s"no published bucketed table under $root")
@@ -158,15 +179,7 @@ object BucketedUpsert {
         "wrong bucket (murmur3 is type-sensitive); cast the probe")))
     val row = sel.head()
     val buckets = probes.indices.map(row.getInt).toSet
-    val hit = entries.filter(e => buckets(e.bucket))
-    if (hit.isEmpty) emptyWithSchema(spark, root)
-      .getOrElse(readPaths(spark, root, Seq(entries.head.path)).limit(0))
-    // the probed slice as a BUCKETED relation (one RDD partition per
-    // bucket id, absent buckets empty — the partitioning claim holds on
-    // any bucket subset), so downstream key-clustered work — the
-    // fragment resolve window, a groupBy on the key, a join — runs with
-    // ZERO exchange over the slice instead of shuffling it
-    else bucketedReadEntries(spark, root, hit, key)
+    entries.filter(e => buckets(e.bucket))
   }
 
   /** A zero-row frame carrying the table's schema, derivable even for a

@@ -420,6 +420,76 @@ object Routing {
     }
   }
 
+  /** FILE-LEVEL routing decision for a NON-FRAGMENTED bucketed table
+    * — the DSv2 scan's bucketed arm ([[graft.sources.GraftSource]]):
+    * a scan-only consumer needs a path list, and on an unfragmented
+    * table (every key one version) opening admitted bucket dirs and
+    * re-applying the predicate IS the read, no resolution window
+    * needed. Route preference mirrors [[readWhere]]: bucket-key probe
+    * (the key is its own index), then the secondary index, then the
+    * bucket-stats zone maps, else every bucket. Same freshness gates
+    * as the library paths — a stale index is loud, never silently
+    * smaller.
+    *
+    * A FRAGMENTED table refuses loudly: file-level admission is still
+    * exact (every fragment of a key lives in the key's bucket) but a
+    * scan cannot run the version-resolution window, so a raw read
+    * would resurrect superseded rows — [[readWhere]] serves that
+    * shape. */
+  def routeBucketed(spark: SparkSession, root: String, pred: Column): Route = {
+    val entries = BucketedUpsert.manifestEntries(spark, root)
+    require(entries.nonEmpty, s"no published bucketed table under $root")
+    require(!entries.groupBy(_.bucket).exists(_._2.size > 1),
+      s"bucketed table at $root is FRAGMENTED — a scan-only route cannot " +
+        "resolve fragment versions (a raw read would resurrect superseded " +
+        "rows); read it via Routing.readWhere, or compact first " +
+        "(BucketedUpsert.mergeFragmentsIfNeeded)")
+    val keyCol = entries.headOption.map(_.keyCol).filter(_.nonEmpty)
+    val cs = conjunctsOf(BucketedUpsert.read(spark, root), pred)
+    val keyEq = cs.collectFirst {
+      case EqIn(c, vs) if keyCol.contains(c) => vs
+    }
+    lazy val six = cs.collectFirst {
+      case EqIn(c, vs) if exists(spark, sixDir(root, c)) &&
+          vs.forall(v => stringStable(v.dataType)) =>
+        (c, vs.map(_.value.toString))
+    }
+    lazy val bBounds: Seq[(String, Option[Column], Option[Column])] =
+      if (!exists(spark, bstatsDir(root))) Seq.empty
+      else {
+        val ixCols = BucketStats.indexedCols(spark, bstatsDir(root))
+        mergedBounds(cs).filter { case (c, _, _) => ixCols.contains(c) }
+      }
+    (keyEq, six) match {
+      case (Some(vs), _) =>
+        val hit = BucketedUpsert.keyProbeEntries(spark, root, keyCol.get,
+          vs.map(l => org.apache.spark.sql.graft.ColumnBridge.column(l)))
+        Route(hit.map(_.path).sorted, Seq(s"bucket-key[${keyCol.get}]"))
+      case (None, Some((c, vals))) =>
+        // same tag-parity gate as SecondaryIndex.lookup: a stale index
+        // could admit too few buckets → silently missing rows
+        val tTag = Snapshot.currentTag(spark, root)
+        val iTag = Snapshot.currentTag(spark, sixDir(root, c))
+        def show(t: Option[Long]) = t.map("v" + _).getOrElse("unbuilt")
+        require(iTag == tTag,
+          s"secondary index at ${sixDir(root, c)} is at ${show(iTag)} but " +
+            s"the table is at ${show(tTag)} — refresh (Routing." +
+            "indexSecondary) before routing through it")
+        val admitted = SecondaryIndex
+          .lookupBuckets(spark, sixDir(root, c), vals).toSet
+        Route(entries.filter(e => admitted(e.bucket)).map(_.path).sorted,
+          Seq(s"six[$c]"))
+      case _ if bBounds.nonEmpty =>
+        requireBucketStatsFresh(spark, root, "routing through it")
+        val admitted = BucketStats
+          .prunedBuckets(spark, bstatsDir(root), bBounds).toSet
+        Route(entries.filter(e => admitted(e.bucket)).map(_.path).sorted,
+          Seq(s"bstats[${bBounds.map(_._1).mkString(",")}]"))
+      case _ =>
+        Route(entries.map(_.path).sorted, Seq("full-scan"))
+    }
+  }
+
   /** Read the table at `root` with `pred`, opening only what the
     * discovered indexes admit; the FULL predicate is re-applied, so
     * the result equals the plain filtered scan on any index state.

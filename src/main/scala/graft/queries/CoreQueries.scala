@@ -677,6 +677,16 @@ object CoreQueries extends QueryPack {
       val root = Fixtures.revents(s, d)
       s.read.format("graft").load(root)
         .createOrReplaceTempView("graft_events_v")
+      // the BUCKETED arm reaches SQL too: a key-probe IN over an
+      // upsert table routes to its buckets through the same view
+      val broot = java.nio.file.Files
+        .createTempDirectory("graft-dsv2-bk-q").toString + "/t"
+      graft.lake.BucketedUpsert.applyBatch(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), lit(1L).as("ver")),
+        broot, "o_orderkey", "ver", nBuckets = 16, tag = 1)
+      s.read.format("graft").load(broot)
+        .createOrReplaceTempView("graft_orders_v")
       s.sql("""
         SELECT * FROM (
           SELECT 'eq' AS src, event_id, user_id, event_type
@@ -686,7 +696,10 @@ object CoreQueries extends QueryPack {
           FROM graft_events_v WHERE user_id >= 120
           UNION ALL
           SELECT 'or', event_id, user_id, event_type
-          FROM graft_events_v WHERE user_id <= 10 OR event_id = 4217)
+          FROM graft_events_v WHERE user_id <= 10 OR event_id = 4217
+          UNION ALL
+          SELECT 'bk', o_orderkey, o_custkey, o_orderstatus
+          FROM graft_orders_v WHERE o_orderkey IN (7, 68, 129, 4242, 999999))
         ORDER BY src, event_id""")
     }),
 
@@ -1193,7 +1206,10 @@ object CoreQueries extends QueryPack {
            WHERE user_id >= 120
            UNION ALL
            SELECT 'or', event_id, user_id, event_type FROM events
-           WHERE user_id <= 10 OR event_id = 4217)
+           WHERE user_id <= 10 OR event_id = 4217
+           UNION ALL
+           SELECT 'bk', o_orderkey, o_custkey, o_orderstatus FROM orders
+           WHERE o_orderkey IN (7, 68, 129, 4242, 999999))
          ORDER BY src, event_id""",
     // OR routing must be invisible to results: the oracle is the plain
     // disjunctive filter on the source table

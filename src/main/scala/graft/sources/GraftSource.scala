@@ -51,12 +51,19 @@ import graft.lake.{DeleteWhere, Routing, Snapshot}
   * writing plain SQL gets the index benefit without knowing the
   * indexes exist.
   *
+  * Bucketed [[graft.lake.BucketedUpsert]] tables are served too, at
+  * file level ([[Routing.routeBucketed]]): bucket-key probes, the
+  * secondary index, and the bucket-stats zone maps all prune the
+  * bucket-dir set an unfragmented table scans. (The scan does not
+  * carry the bucketed-partitioning claim — a groupBy over the DSv2
+  * relation shuffles where `BucketedUpsert.read`'s clustered relation
+  * would not; key-clustered pipelines should keep the library read.)
+  *
   * Shape limits, enforced LOUDLY at scan-build time: a scan-only
   * source can express file pruning but not row rewriting, so the two
   * merge-on-read shapes refuse with the API that serves them —
-  *  - a fragmented/bucketed [[graft.lake.BucketedUpsert]] table needs
-  *    per-key version resolution (a raw scan would resurrect
-  *    superseded rows);
+  *  - a FRAGMENTED bucketed table needs per-key version resolution
+  *    (a raw scan would resurrect superseded rows);
   *  - a [[DeleteWhere]] version dir needs its deletion-vector mask
   *    (a raw scan would resurrect deleted rows).
   * Both route through `Routing.readWhere`, which composes those
@@ -69,8 +76,10 @@ class GraftSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val root = GraftSource.rootOf(options)
-    GraftSource.requirePlainTree(spark, root)
-    spark.read.parquet(GraftSource.dataDir(root)).schema
+    GraftSource.requireScannable(spark, root)
+    if (GraftSource.isBucketed(spark, root))
+      graft.lake.BucketedUpsert.read(spark, root).schema
+    else spark.read.parquet(GraftSource.dataDir(root)).schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -91,21 +100,25 @@ object GraftSource {
     p
   }
 
-  /** The two merge-on-read shapes cannot be served by a scan-only
+  private[sources] def isBucketed(spark: SparkSession,
+                                  root: String): Boolean =
+    Snapshot.resolve(spark, root).nonEmpty
+
+  /** Merge-on-read row semantics cannot be served by a scan-only
     * source — refuse at TABLE RESOLUTION, naming the API that composes
-    * their row-level semantics over the same routing. */
-  private[sources] def requirePlainTree(spark: SparkSession,
+    * them over the same routing. (Fragmented bucketed tables refuse at
+    * scan BUILD, inside [[Routing.routeBucketed]], so fragmentation
+    * landing after table resolution is still caught.) */
+  private[sources] def requireScannable(spark: SparkSession,
                                         root: String): Unit = {
-    require(Snapshot.resolve(spark, root).isEmpty,
-      s"$root is a bucketed (upsert) table: a scan-only source cannot " +
-        "resolve fragment versions — read it via Routing.readWhere or " +
-        "BucketedUpsert.readResolved")
     require(!DeleteWhere.isVersionDir(spark, root),
       s"$root is a delete version: a scan-only source cannot apply its " +
         "deletion-vector mask — read it via Routing.readWhere")
-    val dd = new Path(dataDir(root))
-    require(dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(dd), s"no data tree at $root/data — not a graft table root")
+    if (!isBucketed(spark, root)) {
+      val dd = new Path(dataDir(root))
+      require(dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(dd), s"no data tree at $root/data — not a graft table root")
+    }
   }
 
   /** The last routing decision a [[GraftScanBuilder]] made in this JVM
@@ -175,25 +188,38 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
   }
 
   override def build(): Scan = {
-    GraftSource.requirePlainTree(spark, root)
+    GraftSource.requireScannable(spark, root)
     val dataDir = GraftSource.dataDir(root)
-    // No routable predicate → scan the tree directly (no manifest is
-    // consulted, so no freshness gate applies — exactly a plain
-    // parquet read). Otherwise the route IS Routing.route: same
-    // manifests, same freshness fail-fast, same file set the library
-    // call opens (RoutingSpec pins the equality).
     val preds = pushed.toSeq.flatMap(toPredicate)
+    val bucketed = GraftSource.isBucketed(spark, root)
+    // No routable predicate on a plain tree → scan the tree directly
+    // (no manifest is consulted, so no freshness gate applies —
+    // exactly a plain parquet read). Otherwise the route IS
+    // Routing.route / routeBucketed: same manifests, same freshness
+    // fail-fast, same file set the library call opens (RoutingSpec
+    // pins the equality). Bucketed tables ALWAYS route — the
+    // fragmentation guard must run even for unfiltered reads.
     val (paths, via) =
-      if (preds.isEmpty) (Seq(dataDir), Seq("full-scan"))
+      if (bucketed) {
+        val r = Routing.routeBucketed(spark, root,
+          preds.reduceOption(_ && _).getOrElse(lit(true)))
+        (r.files, r.via)
+      } else if (preds.isEmpty) (Seq(dataDir), Seq("full-scan"))
       else {
         val r = Routing.route(spark, root, preds.reduce(_ && _))
         (r.files, r.via)
       }
     GraftSource.lastRoute = Some((root, paths, via))
     // Routed-empty still needs a scan: an InMemoryFileIndex over zero
-    // paths yields zero partitions, preserving schema.
+    // paths yields zero partitions, preserving schema. Plain trees
+    // list leaf FILES under a basePath (hive-partition columns stay
+    // derivable); bucketed routes list bucket DIRS as roots, so the
+    // graft_bucket= layer is the root itself and infers nothing.
+    val ixOptions =
+      if (bucketed) Map.empty[String, String]
+      else Map("basePath" -> dataDir)
     val fileIndex = new InMemoryFileIndex(spark, paths.map(new Path(_)),
-      Map("basePath" -> dataDir), Some(tableSchema),
+      ixOptions, Some(tableSchema),
       org.apache.spark.sql.execution.datasources.NoopCache,
       None, None)
     val partSchema = fileIndex.partitionSchema

@@ -136,15 +136,53 @@ class GraftSourceSpec extends SparkSpec {
       s"partitioned read mismatch: ${got.length} vs ${want.length}")
   }
 
+  test("bucketed tables route key probes, six lookups, and bucket-stats ranges at file level") {
+    import spark.implicits._
+    val root = tmp() + "/t"
+    val batch = (1L to 4000L).map(k => (k, s"name-$k", 1L))
+      .toDF("k", "s", "ver")
+      // value column CORRELATED with buckets so zone maps have ranges
+      .select(col("k"), col("s"),
+        (BucketedUpsert.bucketOf(col("k"), 16) * 100L + col("k") % 50L)
+          .cast("long").as("v"), col("ver"))
+    BucketedUpsert.applyBatch(batch, root, "k", "ver", nBuckets = 16, tag = 1)
+    Routing.indexSecondary(spark, root, "k", "s")
+    Routing.indexBucketStats(spark, root, "k", Seq("v"))
+    val total = BucketedUpsert.read(spark, root).inputFiles.length
+    def opened(df: DataFrame): Int = scannedFiles(df).size
+    // key probe: only the probed buckets
+    val kp = load(root).filter(col("k").isin(42L, 777L))
+    assert(kp.select("s").collect().map(_.getString(0)).toSet ==
+      Set("name-42", "name-777"))
+    assert(opened(kp) < total, s"key probe must prune: ${opened(kp)}/$total")
+    assert(opened(kp) == Routing.routeBucketed(spark, root,
+      col("k").isin(42L, 777L)).files.size)
+    // secondary-index route on a non-key column
+    val six = load(root).filter(col("s") === "name-99")
+    assert(six.select("k").head.getLong(0) == 99L)
+    assert(opened(six) < total, "six route must prune")
+    // bucket-stats range on the value column
+    val bs = load(root).filter(col("v").between(210L, 240L))
+    val want = BucketedUpsert.read(spark, root)
+      .filter(col("v").between(210L, 240L)).count()
+    assert(bs.count() == want && want > 0)
+    assert(opened(bs) < total, "bucket-stats route must prune")
+    // plain SQL through a view routes the same way
+    load(root).createOrReplaceTempView("g_bucketed")
+    val sq = spark.sql("SELECT s FROM g_bucketed WHERE k = 1234")
+    assert(sq.head.getString(0) == "name-1234")
+    assert(opened(sq) < total, "SQL key probe must prune")
+    // a FRAGMENTING batch flips the table to loud refusal at scan build
+    BucketedUpsert.appendFragment(
+      Seq((1L, "x", 0L, 2L)).toDF("k", "s", "v", "ver"),
+      root, "k", 16, tag = 2, versionCol = "ver")
+    val ex = intercept[IllegalArgumentException](load(root).count())
+    assert(ex.getMessage.contains("FRAGMENTED") &&
+      ex.getMessage.contains("readWhere"), ex.getMessage)
+  }
+
   test("merge-on-read shapes refuse loudly, naming the API that serves them") {
     import spark.implicits._
-    // bucketed upsert table → resolution cannot be a scan
-    val broot = tmp() + "/t"
-    BucketedUpsert.applyBatch(
-      (1L to 100L).map(k => (k, s"v$k", 1L)).toDF("k", "s", "ver"),
-      broot, "k", "ver", nBuckets = 4, tag = 1)
-    val ex = intercept[IllegalArgumentException](load(broot).count())
-    assert(ex.getMessage.contains("readWhere"), ex.getMessage)
     // delete version → the DV mask cannot be a scan
     val base = tmp()
     val ev = graft.Tables.t(spark, sf("sf0.01"), "events")
