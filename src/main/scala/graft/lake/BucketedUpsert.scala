@@ -143,7 +143,16 @@ object BucketedUpsert {
                      probes: Seq[Column]): DataFrame = {
     val entries = manifestEntries(spark, root)
     require(entries.nonEmpty, s"no published bucketed table under $root")
-    val hit = keyProbeEntries(spark, root, key, probes)
+    readKeyBucketsEntries(spark, root, entries, key, probes)
+  }
+
+  /** [[readKeyBuckets]] over an ALREADY-FETCHED manifest — callers
+    * that have the entries ([[Routing.readWhere]]) must not pay a
+    * second manifest driver job for the probe (review r19). */
+  private[lake] def readKeyBucketsEntries(spark: SparkSession, root: String,
+                                          entries: Seq[Entry], key: String,
+                                          probes: Seq[Column]): DataFrame = {
+    val hit = keyProbeEntries(spark, root, key, probes, entries)
     if (hit.isEmpty) emptyWithSchema(spark, root)
       .getOrElse(readPaths(spark, root, Seq(entries.head.path)).limit(0))
     // the probed slice as a BUCKETED relation (one RDD partition per
@@ -158,12 +167,12 @@ object BucketedUpsert {
     * the file-level core of [[readKeyBuckets]], shared with
     * [[Routing.routeBucketed]] so the DSv2 scan and the library read
     * can never disagree on the probed set. Probes must carry the
-    * table's key TYPE (verified — murmur3 is type-sensitive). */
+    * table's key TYPE (verified — murmur3 is type-sensitive).
+    * `entries` is the caller's already-fetched manifest. */
   private[lake] def keyProbeEntries(spark: SparkSession, root: String,
-                                    key: String,
-                                    probes: Seq[Column]): Seq[Entry] = {
+                                    key: String, probes: Seq[Column],
+                                    entries: Seq[Entry]): Seq[Entry] = {
     require(probes.nonEmpty, "at least one probe value")
-    val entries = manifestEntries(spark, root)
     require(entries.nonEmpty, s"no published bucketed table under $root")
     val n = entries.head.nBuckets
     // one driver-local job: each probe's bucket and dtype
@@ -749,8 +758,11 @@ object BucketedUpsert {
     val fragmentedEntries = fragmented.values.flatten.toSeq
     val sizeByPath: Map[String, Long] = {
       import scala.concurrent.{Await, ExecutionContext, Future}
+      // daemon threads + shutdownNow: a hung listing must not pin the
+      // JVM open after the loud timeout below (review r19)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        16 min (fragmentedEntries.size max 1))
+        16 min (fragmentedEntries.size max 1),
+        (r: Runnable) => { val t = new Thread(r, "graft-fragsize"); t.setDaemon(true); t })
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       // bounded wait (ADVICE r18): one hung FileSystem RPC must fail
       // the compaction LOUDLY, not stall the driver forever. The bound
@@ -768,7 +780,7 @@ object BucketedUpsert {
               "FileSystem listStatus is hung; compaction aborted (no " +
               "state was modified)", e)
       }
-      finally pool.shutdown()
+      finally pool.shutdownNow()
     }
     val runs: Map[Int, Seq[Entry]] = fragmented
       .flatMap { case (b, es) =>

@@ -68,7 +68,10 @@ object FileStats {
     def hidden(p: org.apache.hadoop.fs.Path): Boolean =
       p.getName.startsWith("_") || p.getName.startsWith(".")
     import scala.concurrent.{Await, ExecutionContext, Future}
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    // daemon threads + shutdownNow: a listStatus stuck past the bound
+    // must not also pin the JVM open after the loud failure (review r19)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16,
+      (r: Runnable) => { val t = new Thread(r, "graft-walk"); t.setDaemon(true); t })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val out = scala.collection.mutable.ArrayBuffer[FileMeta]()
@@ -93,7 +96,7 @@ object FileStats {
         dirs = sub.map(_.getPath).filterNot(hidden)
       }
       out.toSeq
-    } finally pool.shutdown()
+    } finally pool.shutdownNow()
   }
 
   /** ORDER-INDEPENDENT per-file digest (ADVICE r17): the old aggregate
@@ -195,17 +198,29 @@ object FileStats {
     * before the flip leaves the old version live and the tree
     * fingerprint stale → loud, the fail-safe direction.
     *
-    * CONCURRENCY (VERDICT r18 #3) — optimistic commit, winner takes
-    * the version name: both racers compute `m<N>` from the same
-    * pointer, both stage privately, but the stage→`m<N>` rename takes
-    * NO overwrite option, so exactly one claim succeeds; the loser
-    * fails LOUDLY (its stage is cleaned, the live manifest untouched)
-    * and re-runs against the winner's state. A racer that starts
-    * after the winner's flip computes `m<N+1>` and the pair simply
-    * serializes. The live manifest can never be clobbered: no publish
-    * path ever writes into an existing version dir. (The winner's GC
-    * may sweep a still-writing loser's stage — that loser then fails
-    * its write or rename, the same loud outcome.) */
+    * CONCURRENCY (VERDICT r18 #3) — every publish mints a UNIQUE
+    * version name `m<N>_<uuid>` (monotonic numeric prefix for
+    * ordering, random suffix so two publishers can never collide on a
+    * directory), and the single-file pointer flip IS the commit: two
+    * racing refreshes both land self-consistent versions and the
+    * last flip wins — a serialized pair, never a clobbered live
+    * manifest (no publish path ever writes into an existing version
+    * dir). CRASH-SAFE at every step (the first review pass of this
+    * round found that a claim-by-rename protocol wedged permanently
+    * when a crash landed between claim and flip): a crash before the
+    * flip leaves only an orphan dir and the old version live with a
+    * stale fingerprint → loud at read, and the NEXT publish simply
+    * succeeds under its own unique name; orphans sweep one cycle
+    * later (see GC rule below).
+    *
+    * GC rule: sweep `m`-dirs whose numeric prefix is ≤ the version
+    * resolved at ENTRY, excluding that version itself and the one
+    * just published. Higher-numbered dirs are retained — they are
+    * either a concurrent publisher's in-flight version (must not be
+    * destroyed pre-flip) or a crash orphan, which becomes sweepable
+    * on the publish AFTER next, once the pointer's number passes it.
+    * The previous live version always survives one cycle for
+    * in-flight readers (Snapshot-style retention). */
   private[graft] def publishManifest(spark: SparkSession, manifestDir: String,
                                     fp: String)(write: String => Unit): Unit = {
     val dir = new org.apache.hadoop.fs.Path(manifestDir)
@@ -214,49 +229,45 @@ object FileStats {
     val cur = resolveManifest(spark, manifestDir)
     val curName = if (cur == manifestDir) None
       else Some(new org.apache.hadoop.fs.Path(cur).getName)
-    // a pointer resolving to a non-m<N> name is CORRUPTION (ADVICE
+    // a pointer resolving to a non-version name is CORRUPTION (ADVICE
     // r18): the old `toLongOption.getOrElse(0)` fallback minted m0 and
     // the GC pass then swept every other version — including the live
     // one. Demand a rebuild instead.
-    curName.foreach(n => require(n.matches("m\\d+"),
+    curName.foreach(n => require(n.matches("m\\d+(_[0-9a-f]+)?"),
       s"manifest pointer at $manifestDir/$MPtr resolves to '$n', not an " +
         "m<N> version — the pointer is corrupted; rebuild the index " +
         "(Routing.indexStats / indexBloom)"))
-    val nextName = "m" + (curName.map(_.stripPrefix("m").toLong + 1)
-      .getOrElse(0L))
-    val stageName = ".stage_" + java.util.UUID.randomUUID().toString.take(12)
+    def numOf(n: String): Long =
+      n.stripPrefix("m").takeWhile(_.isDigit).toLong
+    val curNum = curName.map(numOf).getOrElse(-1L)
+    val nextName = "m" + (curNum + 1) + "_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    val stageName = ".stage_" + nextName
     val stage = s"$manifestDir/$stageName"
     write(stage)
     writeTreeFp(spark, stage, fp)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
-    try fc.rename(new org.apache.hadoop.fs.Path(stage),
+    // unique name: this rename can only fail on real FS trouble — loud
+    fc.rename(new org.apache.hadoop.fs.Path(stage),
       new org.apache.hadoop.fs.Path(manifestDir, nextName))
-    catch {
-      case e: java.io.IOException =>
-        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-        throw new IllegalStateException(
-          s"concurrent manifest publish detected at $manifestDir: version " +
-            s"$nextName could not be claimed (another refresh likely won " +
-            "the race) — re-run this refresh against the current state", e)
-    }
+    // the COMMIT: one atomic pointer-file replace
     val tmp = new org.apache.hadoop.fs.Path(manifestDir, MPtr + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(nextName.getBytes("UTF-8")) finally out.close()
     fc.rename(tmp, new org.apache.hadoop.fs.Path(manifestDir, MPtr),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // GC honors the retention promise on the FIRST flip too (review
-    // r18): when the previous version was the FLAT layout, its parquet
-    // files are the in-flight readers' "previous version" — retained
-    // for this publish cycle (only stale m<N> dirs, dead stages, and
-    // the tmp pointer collect); the NEXT publish, whose curName is a
-    // version dir, sweeps the flat legacy files.
+    // GC (rule in the doc above). Flat legacy parquet from the
+    // pre-pointer layout survives the FIRST flip (it is the in-flight
+    // readers' "previous version") and sweeps on the next.
     fs.listStatus(dir).foreach { st =>
       val nm = st.getPath.getName
       val stale =
-        if (curName.isDefined) nm != nextName && !curName.contains(nm) &&
-          nm != MPtr
-        else (nm.matches("m\\d+") && nm != nextName) ||
-          nm.startsWith(".stage_") || nm == MPtr + ".tmp"
+        if (curName.isDefined)
+          (nm.matches("m\\d+(_[0-9a-f]+)?") && nm != nextName &&
+            !curName.contains(nm) && numOf(nm) <= curNum) ||
+            nm.startsWith(".stage_") || nm == MPtr + ".tmp" ||
+            (!nm.matches("m\\d+(_[0-9a-f]+)?") && nm != MPtr)
+        else nm.startsWith(".stage_") || nm == MPtr + ".tmp"
       if (stale) fs.delete(st.getPath, true)
     }
   }

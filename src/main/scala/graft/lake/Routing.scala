@@ -57,8 +57,9 @@ object Routing {
   }
 
   /** `true` when `root` is a BucketedUpsert table (Snapshot pointer
-    * present) rather than a plain `root/data` tree. */
-  private def isBucketed(spark: SparkSession, root: String): Boolean =
+    * present) rather than a plain `root/data` tree. One definition —
+    * the DSv2 source shares it (review r19). */
+  private[graft] def isBucketed(spark: SparkSession, root: String): Boolean =
     Snapshot.resolve(spark, root).nonEmpty
 
   // ---- index builders: thin wrappers that land manifests in the
@@ -420,6 +421,65 @@ object Routing {
     }
   }
 
+  /** One route CHOICE for bucketed tables, shared by [[readWhere]]
+    * (resolving DataFrame consumer) and [[routeBucketed]] (file-level
+    * DSv2 consumer) so the two can never drift on preference order or
+    * eligibility (review r19). Preference: bucket-key probe (the key
+    * is its own index) > secondary index > bucket-stats zone maps >
+    * all buckets. The freshness/parity gates live HERE, so every
+    * consumer inherits them. */
+  private[lake] sealed trait BucketedRoute
+  private[lake] final case class KeyProbe(key: String,
+      values: Seq[expressions.Literal]) extends BucketedRoute
+  private[lake] final case class SixProbe(column: String,
+      values: Seq[String]) extends BucketedRoute
+  private[lake] final case class StatsBuckets(
+      hit: Seq[BucketedUpsert.Entry], cols: Seq[String]) extends BucketedRoute
+  private[lake] case object AllBuckets extends BucketedRoute
+
+  private def chooseBucketedRoute(spark: SparkSession, root: String,
+                                  entries: Seq[BucketedUpsert.Entry],
+                                  cs: Seq[Conjunct]): BucketedRoute = {
+    val keyCol = entries.headOption.map(_.keyCol).filter(_.nonEmpty)
+    val keyEq: Option[BucketedRoute] = cs.collectFirst {
+      case EqIn(c, vs) if keyCol.contains(c) => KeyProbe(c, vs)
+    }
+    lazy val six: Option[BucketedRoute] = cs.collectFirst {
+      case EqIn(c, vs) if exists(spark, sixDir(root, c)) &&
+          vs.forall(v => stringStable(v.dataType)) =>
+        // same tag-parity gate as SecondaryIndex.lookup: a stale index
+        // could admit too few buckets → silently missing rows
+        val tTag = Snapshot.currentTag(spark, root)
+        val iTag = Snapshot.currentTag(spark, sixDir(root, c))
+        def show(t: Option[Long]) = t.map("v" + _).getOrElse("unbuilt")
+        require(iTag == tTag,
+          s"secondary index at ${sixDir(root, c)} is at ${show(iTag)} but " +
+            s"the table is at ${show(tTag)} — refresh (Routing." +
+            "indexSecondary) before routing through it")
+        SixProbe(c, vs.map(_.value.toString))
+    }
+    keyEq.orElse(six).getOrElse {
+      // RANGE (or eq-envelope) on a bucket-stats-indexed VALUE column
+      // (VERDICT r17 #4) — consulted only when neither sharper route
+      // hit. Bucket-granular by design: a surviving bucket is read
+      // WHOLE, so fragment resolution stays exact.
+      val bBounds: Seq[(String, Option[Column], Option[Column])] =
+        if (entries.isEmpty || !exists(spark, bstatsDir(root))) Seq.empty
+        else {
+          val ixCols = BucketStats.indexedCols(spark, bstatsDir(root))
+          mergedBounds(cs).filter { case (c, _, _) => ixCols.contains(c) }
+        }
+      if (bBounds.isEmpty) AllBuckets
+      else {
+        requireBucketStatsFresh(spark, root, "routing through it")
+        val admitted = BucketStats
+          .prunedBuckets(spark, bstatsDir(root), bBounds).toSet
+        StatsBuckets(entries.filter(e => admitted(e.bucket)),
+          bBounds.map(_._1))
+      }
+    }
+  }
+
   /** FILE-LEVEL routing decision for a NON-FRAGMENTED bucketed table
     * — the DSv2 scan's bucketed arm ([[graft.sources.GraftSource]]):
     * a scan-only consumer needs a path list, and on an unfragmented
@@ -444,48 +504,21 @@ object Routing {
         "resolve fragment versions (a raw read would resurrect superseded " +
         "rows); read it via Routing.readWhere, or compact first " +
         "(BucketedUpsert.mergeFragmentsIfNeeded)")
-    val keyCol = entries.headOption.map(_.keyCol).filter(_.nonEmpty)
     val cs = conjunctsOf(BucketedUpsert.read(spark, root), pred)
-    val keyEq = cs.collectFirst {
-      case EqIn(c, vs) if keyCol.contains(c) => vs
-    }
-    lazy val six = cs.collectFirst {
-      case EqIn(c, vs) if exists(spark, sixDir(root, c)) &&
-          vs.forall(v => stringStable(v.dataType)) =>
-        (c, vs.map(_.value.toString))
-    }
-    lazy val bBounds: Seq[(String, Option[Column], Option[Column])] =
-      if (!exists(spark, bstatsDir(root))) Seq.empty
-      else {
-        val ixCols = BucketStats.indexedCols(spark, bstatsDir(root))
-        mergedBounds(cs).filter { case (c, _, _) => ixCols.contains(c) }
-      }
-    (keyEq, six) match {
-      case (Some(vs), _) =>
-        val hit = BucketedUpsert.keyProbeEntries(spark, root, keyCol.get,
-          vs.map(l => org.apache.spark.sql.graft.ColumnBridge.column(l)))
-        Route(hit.map(_.path).sorted, Seq(s"bucket-key[${keyCol.get}]"))
-      case (None, Some((c, vals))) =>
-        // same tag-parity gate as SecondaryIndex.lookup: a stale index
-        // could admit too few buckets → silently missing rows
-        val tTag = Snapshot.currentTag(spark, root)
-        val iTag = Snapshot.currentTag(spark, sixDir(root, c))
-        def show(t: Option[Long]) = t.map("v" + _).getOrElse("unbuilt")
-        require(iTag == tTag,
-          s"secondary index at ${sixDir(root, c)} is at ${show(iTag)} but " +
-            s"the table is at ${show(tTag)} — refresh (Routing." +
-            "indexSecondary) before routing through it")
+    chooseBucketedRoute(spark, root, entries, cs) match {
+      case KeyProbe(key, vs) =>
+        val hit = BucketedUpsert.keyProbeEntries(spark, root, key,
+          vs.map(l => org.apache.spark.sql.graft.ColumnBridge.column(l)),
+          entries)
+        Route(hit.map(_.path).sorted, Seq(s"bucket-key[$key]"))
+      case SixProbe(c, vals) =>
         val admitted = SecondaryIndex
           .lookupBuckets(spark, sixDir(root, c), vals).toSet
         Route(entries.filter(e => admitted(e.bucket)).map(_.path).sorted,
           Seq(s"six[$c]"))
-      case _ if bBounds.nonEmpty =>
-        requireBucketStatsFresh(spark, root, "routing through it")
-        val admitted = BucketStats
-          .prunedBuckets(spark, bstatsDir(root), bBounds).toSet
-        Route(entries.filter(e => admitted(e.bucket)).map(_.path).sorted,
-          Seq(s"bstats[${bBounds.map(_._1).mkString(",")}]"))
-      case _ =>
+      case StatsBuckets(hit, cols) =>
+        Route(hit.map(_.path).sorted, Seq(s"bstats[${cols.mkString(",")}]"))
+      case AllBuckets =>
         Route(entries.map(_.path).sorted, Seq("full-scan"))
     }
   }
@@ -537,40 +570,20 @@ object Routing {
             s"table at $root records no key column"))
           df => BucketedUpsert.resolveScan(df, key, vc)
         }
-      val keyEq = cs.collectFirst {
-        case EqIn(c, vs) if keyCol.contains(c) => (c, vs)
-      }
-      val six = cs.collectFirst {
-        case EqIn(c, vs) if exists(spark, sixDir(root, c)) &&
-            vs.forall(v => stringStable(v.dataType)) =>
-          (c, vs.map(_.value.toString))
-      }
-      // 2b. RANGE (or eq-envelope) on a bucket-stats-indexed VALUE
-      // column (VERDICT r17 #4) — consulted only when neither sharper
-      // route hit. Bucket-granular by design: a surviving bucket is
-      // read WHOLE and resolved, so fragment resolution stays exact
-      // (file-level value pruning could drop a key's latest
-      // non-matching fragment and resurrect a superseded row).
-      lazy val bBounds: Seq[(String, Option[Column], Option[Column])] =
-        if (entries.isEmpty || !exists(spark, bstatsDir(root))) Seq.empty
-        else {
-          val ixCols = BucketStats.indexedCols(spark, bstatsDir(root))
-          mergedBounds(cs).filter { case (c, _, _) => ixCols.contains(c) }
-        }
-      val base = (keyEq, six) match {
-        case (Some((c, vs)), _) =>
-          resolve(BucketedUpsert.readKeyBuckets(spark, root, c,
-            vs.map(l => org.apache.spark.sql.graft.ColumnBridge.column(l))))
-        case (None, Some((c, vs))) =>
+      // route CHOICE is shared with routeBucketed (chooseBucketedRoute
+      // — review r19: a duplicated selector could drift, breaking the
+      // DSv2-equals-library pin); only the CONSUMPTION differs — this
+      // arm materializes resolving DataFrames, the DSv2 arm path lists
+      val base = chooseBucketedRoute(spark, root, entries, cs) match {
+        case KeyProbe(key, vs) =>
+          resolve(BucketedUpsert.readKeyBucketsEntries(spark, root, entries,
+            key, vs.map(l => org.apache.spark.sql.graft.ColumnBridge.column(l))))
+        case SixProbe(c, vs) =>
           SecondaryIndex.lookup(spark, root, sixDir(root, c), c, vs, resolve)
-        case _ if bBounds.nonEmpty =>
-          requireBucketStatsFresh(spark, root, "routing through it")
-          val admitted = BucketStats
-            .prunedBuckets(spark, bstatsDir(root), bBounds).toSet
-          val hit = entries.filter(e => admitted(e.bucket))
+        case StatsBuckets(hit, _) =>
           if (hit.isEmpty) BucketedUpsert.read(spark, root).limit(0)
           else resolve(BucketedUpsert.readPaths(spark, root, hit.map(_.path)))
-        case _ => resolve(BucketedUpsert.read(spark, root))
+        case AllBuckets => resolve(BucketedUpsert.read(spark, root))
       }
       base.filter(pred)
     } else if (DeleteWhere.isVersionDir(spark, root)) {
@@ -598,10 +611,18 @@ object Routing {
       // same file with different scheme spellings). Gated on a
       // COMPLETED publish, not directory existence (ADVICE r18): an
       // interrupted build's torn word rows would silently exclude
-      // files — no pointer, no index.
+      // files. A dir that EXISTS without the pointer — a torn build,
+      // or a pre-pointer flat layout — fails LOUD naming the rebuild:
+      // treating it as absent would silently drop the pruning the
+      // operator believes exists (review r19).
       cs.foreach {
-        case EqIn(c, vs) if FileStats.isPublished(spark, s"$root/bloom/$c") &&
+        case EqIn(c, vs) if exists(spark, s"$root/bloom/$c") &&
             vs.forall(v => stringStable(v.dataType)) =>
+          require(FileStats.isPublished(spark, s"$root/bloom/$c"),
+            s"per-version Bloom at $root/bloom/$c exists but carries no " +
+              "completed publish pointer (interrupted build, or a flat " +
+              "pre-pointer layout) — rebuild it (DeleteWhere.indexBloom) " +
+              "before routed reads consult it")
           val admit = BloomIndex.survivors(spark, s"$root/bloom/$c",
             vs.map(_.value.toString)).map(FileStats.normPath).toSet
           files = files.filter(f => admit.contains(FileStats.normPath(f)))

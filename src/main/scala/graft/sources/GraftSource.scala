@@ -76,9 +76,9 @@ class GraftSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val root = GraftSource.rootOf(options)
-    GraftSource.requireScannable(spark, root)
-    if (GraftSource.isBucketed(spark, root))
-      graft.lake.BucketedUpsert.read(spark, root).schema
+    val bucketed = Routing.isBucketed(spark, root)
+    GraftSource.requireScannable(spark, root, bucketed)
+    if (bucketed) graft.lake.BucketedUpsert.read(spark, root).schema
     else spark.read.parquet(GraftSource.dataDir(root)).schema
   }
 
@@ -100,21 +100,19 @@ object GraftSource {
     p
   }
 
-  private[sources] def isBucketed(spark: SparkSession,
-                                  root: String): Boolean =
-    Snapshot.resolve(spark, root).nonEmpty
-
   /** Merge-on-read row semantics cannot be served by a scan-only
     * source — refuse at TABLE RESOLUTION, naming the API that composes
     * them over the same routing. (Fragmented bucketed tables refuse at
     * scan BUILD, inside [[Routing.routeBucketed]], so fragmentation
-    * landing after table resolution is still caught.) */
-  private[sources] def requireScannable(spark: SparkSession,
-                                        root: String): Unit = {
+    * landing after table resolution is still caught.) The caller
+    * passes its already-computed `bucketed` verdict — one
+    * Snapshot.resolve per plan step, not one per check (review r19). */
+  private[sources] def requireScannable(spark: SparkSession, root: String,
+                                        bucketed: Boolean): Unit = {
     require(!DeleteWhere.isVersionDir(spark, root),
       s"$root is a delete version: a scan-only source cannot apply its " +
         "deletion-vector mask — read it via Routing.readWhere")
-    if (!isBucketed(spark, root)) {
+    if (!bucketed) {
       val dd = new Path(dataDir(root))
       require(dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(dd), s"no data tree at $root/data — not a graft table root")
@@ -188,10 +186,10 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
   }
 
   override def build(): Scan = {
-    GraftSource.requireScannable(spark, root)
+    val bucketed = Routing.isBucketed(spark, root)
+    GraftSource.requireScannable(spark, root, bucketed)
     val dataDir = GraftSource.dataDir(root)
     val preds = pushed.toSeq.flatMap(toPredicate)
-    val bucketed = GraftSource.isBucketed(spark, root)
     // No routable predicate on a plain tree → scan the tree directly
     // (no manifest is consulted, so no freshness gate applies —
     // exactly a plain parquet read). Otherwise the route IS

@@ -61,7 +61,7 @@ class FileStatsSpec extends SparkSpec {
     assert(got.sameElements(want) && want.nonEmpty)
   }
 
-  test("racing publishes serialize or fail loud — the live manifest is never clobbered (VERDICT r18 #3)") {
+  test("racing publishes serialize with no clobber, and a crash orphan never wedges (VERDICT r18 #3)") {
     import spark.implicits._
     val root = tmp()
     (1 to 8).foreach { i =>
@@ -70,44 +70,61 @@ class FileStatsSpec extends SparkSpec {
     }
     FileStats.writeStats(spark, s"$root/data", s"$root/stats", Seq("v"))
     val v0 = FileStats.resolveManifest(spark, s"$root/stats")
-    // racer A stages; racer B completes an ENTIRE publish (same
-    // computed next version) while A is mid-write; A's no-overwrite
-    // claim of the version name must then fail LOUDLY
     def writeRows(tag: Long)(dest: String): Unit =
       Seq(("file-" + tag, tag)).toDF("path", "n_rows")
         .coalesce(1).write.mode("overwrite").parquet(dest)
-    val ex = intercept[IllegalStateException] {
-      FileStats.publishManifest(spark, s"$root/stats", "fp-A") { dest =>
-        FileStats.publishManifest(spark, s"$root/stats", "fp-B")(writeRows(2L))
-        writeRows(1L)(dest)
-      }
+    // racer B completes an ENTIRE publish while A is mid-write: both
+    // land UNIQUE version dirs (no name collision possible), the last
+    // pointer flip wins, and neither racer's data is ever clobbered
+    var bVersion: String = null
+    FileStats.publishManifest(spark, s"$root/stats", "fp-A") { dest =>
+      FileStats.publishManifest(spark, s"$root/stats", "fp-B")(writeRows(2L))
+      bVersion = FileStats.resolveManifest(spark, s"$root/stats")
+      writeRows(1L)(dest)
     }
-    assert(ex.getMessage.contains("concurrent"), ex.getMessage)
-    // the pointer resolves to the WINNER's version, readable, fp intact
     val v1 = FileStats.resolveManifest(spark, s"$root/stats")
-    assert(v1 != v0, "the winner's publish must have landed")
-    assert(FileStats.recordedTreeFp(spark, v1).contains("fp-B"),
-      "the surviving version must be the winner's, untouched")
-    assert(spark.read.parquet(v1).select("n_rows").head.getLong(0) == 2L)
-    // the loser's stage is gone; a RE-RUN serializes as the next version
-    assert(!new java.io.File(s"$root/stats").listFiles()
-      .exists(_.getName.startsWith(".stage_")),
-      "the losing stage must be cleaned up")
+    assert(v1 != v0 && v1 != bVersion, "the last flip must win")
+    assert(FileStats.recordedTreeFp(spark, v1).contains("fp-A"))
+    assert(spark.read.parquet(v1).select("n_rows").head.getLong(0) == 1L)
+    // the superseded twin was published, never destroyed mid-flight
+    assert(new java.io.File(bVersion).exists(),
+      "a concurrent publisher's version must not be destroyed pre-flip")
+    assert(FileStats.recordedTreeFp(spark, bVersion).contains("fp-B"))
+    // the next serial publish sweeps the superseded twin
     FileStats.publishManifest(spark, s"$root/stats", "fp-A2")(writeRows(3L))
     val v2 = FileStats.resolveManifest(spark, s"$root/stats")
     assert(v2 != v1 &&
       FileStats.recordedTreeFp(spark, v2).contains("fp-A2"))
+    assert(!new java.io.File(bVersion).exists(),
+      "the superseded racing version must sweep on the next cycle")
+    // CRASH between version rename and pointer flip (the wedge the
+    // round's review pass found in the claim-by-rename design): an
+    // orphan version dir with the pointer unmoved must never block
+    // later publishes, and must sweep once the pointer passes it
+    val orphan = new java.io.File(s"$root/stats/m3_deadbeef00")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(orphan.toPath.resolve("junk"), "x")
+    FileStats.publishManifest(spark, s"$root/stats", "fp-A3")(writeRows(4L))
+    assert(FileStats.recordedTreeFp(spark,
+      FileStats.resolveManifest(spark, s"$root/stats")).contains("fp-A3"),
+      "an orphan version dir must never wedge the next publish")
+    FileStats.publishManifest(spark, s"$root/stats", "fp-A4")(writeRows(5L))
+    assert(!orphan.exists(),
+      "the crash orphan must sweep once the pointer number passes it")
+    assert(FileStats.recordedTreeFp(spark,
+      FileStats.resolveManifest(spark, s"$root/stats")).contains("fp-A4"))
     // a corrupted pointer demands a rebuild instead of minting m0 and
     // GC-ing the live version (ADVICE r18)
+    val vLive = FileStats.resolveManifest(spark, s"$root/stats")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/stats/_mp"), "garbage")
     // the raw overwrite leaves Hadoop's local-FS .crc sidecar stale
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$root/stats/._mp.crc"))
     val ex2 = intercept[IllegalArgumentException](
-      FileStats.publishManifest(spark, s"$root/stats", "fp-X")(writeRows(4L)))
+      FileStats.publishManifest(spark, s"$root/stats", "fp-X")(writeRows(6L)))
     assert(ex2.getMessage.contains("corrupted"), ex2.getMessage)
-    assert(new java.io.File(v2).exists(),
+    assert(new java.io.File(vLive).exists(),
       "a corrupted pointer must never cause the live version to be swept")
   }
 

@@ -15,8 +15,7 @@ class GraftSourceSpec extends SparkSpec {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("gsrc-spec").toString
 
-  private def norm(s: String): String =
-    s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+  private def norm(s: String): String = normPath(s)
 
   /** events tree z-ordered on user_id with stats(user_id) +
     * bloom(event_id) — the RoutingSpec fixture shape. */
@@ -30,21 +29,7 @@ class GraftSourceSpec extends SparkSpec {
     root
   }
 
-  /** The files the executed plan's parquet batch scan actually reads
-    * (AQE-transparent) — the physical files-opened oracle. */
-  private def scannedFiles(df: DataFrame): Set[String] = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
-    def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case other => other.collect { case b: BatchScanExec => b }
-    }
-    scans(df.queryExecution.executedPlan).map(_.scan).flatMap {
-      case f: FileScan => f.fileIndex.inputFiles.toSeq
-      case _ => Seq.empty
-    }.map(norm).toSet
-  }
+  // scannedFiles comes from SparkSpec (shared with RoutingSpec)
 
   private def load(root: String): DataFrame =
     spark.read.format("graft").load(root)

@@ -446,22 +446,13 @@ class RoutingSpec extends SparkSpec {
 
   test("the DSv2 scan opens the same file set as Routing.route (VERDICT r18 #1)") {
     val root = buildTree()
-    def norm(s: String) = s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
-    /** files the executed DSv2 plan's parquet scan reads. */
+    def norm(s: String) = normPath(s)
+    /** files the executed DSv2 plan's parquet scan reads
+      * ([[SparkSpec.scannedFiles]] — one shared helper). */
     def dsv2Files(pred: org.apache.spark.sql.Column): Set[String] = {
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-      import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
       val df = spark.read.format("graft").load(root).filter(pred)
       df.collect()
-      def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
-        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-        case other => other.collect { case b: BatchScanExec => b }
-      }
-      scans(df.queryExecution.executedPlan).map(_.scan).flatMap {
-        case f: FileScan => f.fileIndex.inputFiles.toSeq
-        case _ => Seq.empty
-      }.map(norm).toSet
+      scannedFiles(df)
     }
     val total = plain(root).inputFiles.length
     // eq on the Bloom-indexed column
@@ -678,16 +669,22 @@ class RoutingSpec extends SparkSpec {
     // simulate a CRASH MID-BUILD: the bloom dir exists and even holds
     // plausible-looking parquet, but the publish never completed (no
     // pointer). Word rows for the needle's file may be missing — the
-    // old existence gate would consult it and silently drop the file.
+    // old existence gate consulted it and silently dropped the file;
+    // the pointer gate must fail LOUD naming the rebuild (silently
+    // treating it as absent would drop the pruning the operator
+    // believes exists).
     Seq(("/nonexistent/file.parquet", 0, 0L, 16, 3))
       .toDF("path", "w", "bits", "m_log2", "k")
       .write.parquet(s"$base/v2/bloom/event_id")
     assert(!new java.io.File(s"$base/v2/bloom/event_id/_mp").exists(),
       "precondition: the torn build must have no pointer")
-    val got = Routing.readWhere(spark, s"$base/v2",
-      col("event_id") === lit(anId))
-    assert(got.count() == 1,
-      "a torn (pointer-less) Bloom build must be treated as absent")
+    val ex = intercept[IllegalArgumentException](
+      Routing.readWhere(spark, s"$base/v2",
+        col("event_id") === lit(anId)).count())
+    assert(ex.getMessage.contains("rebuild"), ex.getMessage)
+    // predicates that never consult the Bloom still read fine
+    assert(Routing.readWhere(spark, s"$base/v2",
+      col("user_id") >= lit(0L)).count() > 0)
     // a COMPLETED build is pointer-published and then consulted
     graft.lake.DeleteWhere.indexBloom(spark, s"$base/v2", "event_id")
     assert(new java.io.File(s"$base/v2/bloom/event_id/_mp").exists(),

@@ -10,6 +10,29 @@ import org.scalatest.BeforeAndAfterAll
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  /** Scheme-normalized path (the form `input_file_name` joins use). */
+  def normPath(s: String): String =
+    s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+
+  /** The files the executed plan's DSv2 batch scans actually read
+    * (AQE-transparent) — the physical files-opened oracle shared by
+    * the routing/DSv2 suites (one copy: a Spark plan-shape change must
+    * not silently empty one suite's assertion while the other keeps
+    * working). */
+  def scannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+    def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case other => other.collect { case b: BatchScanExec => b }
+    }
+    scans(df.queryExecution.executedPlan).map(_.scan).flatMap {
+      case f: FileScan => f.fileIndex.inputFiles.toSeq
+      case _ => Seq.empty
+    }.map(normPath).toSet
+  }
 }
 
 object SparkSpec {
