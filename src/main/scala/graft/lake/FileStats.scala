@@ -172,9 +172,13 @@ object FileStats {
   /** `true` when the manifest at `manifestDir` has a COMPLETED
     * pointer publish — the completeness gate for indexes whose
     * versions carry no freshness fingerprint ([[DeleteWhere]]'s
-    * per-version Bloom): a dir that exists without a pointer is an
-    * interrupted build and must be treated as ABSENT, never consulted
-    * (ADVICE r18, medium — a torn Bloom silently false-negates). */
+    * per-version Bloom). A dir that exists WITHOUT a pointer is an
+    * interrupted build (or a pre-pointer flat layout) and must never
+    * be consulted — a torn Bloom silently false-negates (ADVICE r18,
+    * medium) — and consumers must refuse it LOUDLY, naming the
+    * rebuild, rather than silently skipping the pruning the operator
+    * believes exists (review r19; Routing's delete-version arm is the
+    * reference consumer). */
   private[lake] def isPublished(spark: SparkSession,
                                 manifestDir: String): Boolean = {
     val ptr = new org.apache.hadoop.fs.Path(manifestDir, MPtr)
@@ -213,14 +217,26 @@ object FileStats {
     * succeeds under its own unique name; orphans sweep one cycle
     * later (see GC rule below).
     *
-    * GC rule: sweep `m`-dirs whose numeric prefix is ≤ the version
-    * resolved at ENTRY, excluding that version itself and the one
-    * just published. Higher-numbered dirs are retained — they are
-    * either a concurrent publisher's in-flight version (must not be
-    * destroyed pre-flip) or a crash orphan, which becomes sweepable
-    * on the publish AFTER next, once the pointer's number passes it.
-    * The previous live version always survives one cycle for
-    * in-flight readers (Snapshot-style retention). */
+    * GC rule (review r19, pass 2 — the ≤-rule could sweep a
+    * lapped-by-one publisher's committed-but-unflipped version):
+    * sweep version dirs AND stages whose numeric prefix is STRICTLY
+    * BELOW the version resolved at entry, keeping that version and
+    * the one just published. A concurrent publisher's in-flight
+    * artifacts always carry `entryNum + 1`, so a sweeper at the same
+    * entry (`curNum`) or one flip ahead (`curNum + 1`) never touches
+    * them; only a publisher that stalls across TWO full maintenance
+    * cycles can be lapped — and that degradation is LOUD (its flip
+    * leaves the pointer naming a swept dir; reads fail; the next
+    * publish heals) never silent. Crash orphans become sweepable once
+    * the pointer's number passes them. The previous live version
+    * always survives one cycle for in-flight readers
+    * (Snapshot-style retention).
+    *
+    * Defense in depth: the stage is verified to still hold its data
+    * files right before the version rename — if a (contract-
+    * violating) concurrent GC swept the stage after `write` and the
+    * fingerprint stamp silently recreated the dir, the publish fails
+    * loudly instead of flipping an empty version live. */
   private[graft] def publishManifest(spark: SparkSession, manifestDir: String,
                                     fp: String)(write: String => Unit): Unit = {
     val dir = new org.apache.hadoop.fs.Path(manifestDir)
@@ -237,8 +253,13 @@ object FileStats {
       s"manifest pointer at $manifestDir/$MPtr resolves to '$n', not an " +
         "m<N> version — the pointer is corrupted; rebuild the index " +
         "(Routing.indexStats / indexBloom)"))
-    def numOf(n: String): Long =
-      n.stripPrefix("m").takeWhile(_.isDigit).toLong
+    // numeric prefix of a version (m<N>_…) or stage (.stage_m<N>_…)
+    // name; unparseable names sort below everything (always sweepable)
+    def numOf(n: String): Long = {
+      val digits = n.stripPrefix(".stage_").stripPrefix("m")
+        .takeWhile(_.isDigit)
+      if (digits.isEmpty) Long.MinValue else digits.toLong
+    }
     val curNum = curName.map(numOf).getOrElse(-1L)
     val nextName = "m" + (curNum + 1) + "_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(10)
@@ -246,12 +267,26 @@ object FileStats {
     val stage = s"$manifestDir/$stageName"
     write(stage)
     writeTreeFp(spark, stage, fp)
+    // the stage must still hold MORE than the fingerprint sidecar: a
+    // swept-then-recreated stage would otherwise commit an empty
+    // version whose matching fingerprint makes it look healthy
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+    require(staged.exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith(".") && n != "_tree_fp"
+      },
+      s"stage at $stage holds no data files — a concurrent maintenance " +
+        "pass likely swept it mid-publish (two refreshes of one index " +
+        "must not run concurrently); re-run this refresh")
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
-    // unique name: this rename can only fail on real FS trouble — loud
+    // unique name: this rename cannot collide with another publisher
     fc.rename(new org.apache.hadoop.fs.Path(stage),
       new org.apache.hadoop.fs.Path(manifestDir, nextName))
-    // the COMMIT: one atomic pointer-file replace
-    val tmp = new org.apache.hadoop.fs.Path(manifestDir, MPtr + ".tmp")
+    // the COMMIT: one atomic pointer-file replace, via a tmp that is
+    // UNIQUE per publish (review r19 pass 2: a shared tmp path let one
+    // racer rename the other's truncated-empty tmp into the pointer)
+    val tmp = new org.apache.hadoop.fs.Path(manifestDir,
+      MPtr + ".tmp_" + nextName.drop(nextName.indexOf('_') + 1))
     val out = fs.create(tmp, true)
     try out.write(nextName.getBytes("UTF-8")) finally out.close()
     fc.rename(tmp, new org.apache.hadoop.fs.Path(manifestDir, MPtr),
@@ -261,13 +296,16 @@ object FileStats {
     // readers' "previous version") and sweeps on the next.
     fs.listStatus(dir).foreach { st =>
       val nm = st.getPath.getName
+      val isVersion = nm.matches("m\\d+(_[0-9a-f]+)?")
+      val isStage = nm.startsWith(".stage_")
+      val isTmp = nm.startsWith(MPtr + ".tmp")
       val stale =
         if (curName.isDefined)
-          (nm.matches("m\\d+(_[0-9a-f]+)?") && nm != nextName &&
-            !curName.contains(nm) && numOf(nm) <= curNum) ||
-            nm.startsWith(".stage_") || nm == MPtr + ".tmp" ||
-            (!nm.matches("m\\d+(_[0-9a-f]+)?") && nm != MPtr)
-        else nm.startsWith(".stage_") || nm == MPtr + ".tmp"
+          ((isVersion || isStage) && nm != nextName &&
+            !curName.contains(nm) && numOf(nm) < curNum) ||
+            isTmp ||
+            (!isVersion && !isStage && nm != MPtr)
+        else (isStage && numOf(nm) < 0L) || isTmp
       if (stale) fs.delete(st.getPath, true)
     }
   }

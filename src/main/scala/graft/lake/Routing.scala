@@ -579,7 +579,9 @@ object Routing {
           resolve(BucketedUpsert.readKeyBucketsEntries(spark, root, entries,
             key, vs.map(l => org.apache.spark.sql.graft.ColumnBridge.column(l))))
         case SixProbe(c, vs) =>
-          SecondaryIndex.lookup(spark, root, sixDir(root, c), c, vs, resolve)
+          // entries + parity already paid by chooseBucketedRoute
+          SecondaryIndex.lookupEntries(spark, root, entries,
+            sixDir(root, c), c, vs, resolve)
         case StatsBuckets(hit, _) =>
           if (hit.isEmpty) BucketedUpsert.read(spark, root).limit(0)
           else resolve(BucketedUpsert.readPaths(spark, root, hit.map(_.path)))

@@ -97,13 +97,8 @@ object SecondaryIndex {
              column: String, values: Seq[String],
              resolve: DataFrame => DataFrame = identity): DataFrame = {
     val allEntries = BucketedUpsert.manifestEntries(spark, tableRoot)
-    // an empty table (zero-row first batch, or emptied completely) can
-    // hold no value — correct for any index state. The result must still
-    // carry the table SCHEMA where one is derivable (a fully-emptied
-    // table's newest retained manifest version pins its old data files
-    // against GC), or callers selecting the indexed columns get an
-    // AnalysisException instead of an empty typed frame. Only a table
-    // that never had a row in any retained version is schema-less.
+    // empty table first: it can hold no value for ANY index state, so
+    // the parity gate must not fire on an unbuilt index over nothing
     if (allEntries.isEmpty)
       return BucketedUpsert.emptyWithSchema(spark, tableRoot)
         .getOrElse(spark.emptyDataFrame)
@@ -114,6 +109,29 @@ object SecondaryIndex {
       s"secondary index at $ixRoot is at ${show(ixTag)} but the table is " +
         s"at ${show(tableTag)} — refresh before lookup (a stale Bloom " +
         "could false-negate)")
+    lookupEntries(spark, tableRoot, allEntries, ixRoot, column, values,
+      resolve)
+  }
+
+  /** [[lookup]] over an ALREADY-FETCHED manifest with the tag-parity
+    * gate already passed — [[Routing.readWhere]]'s path (its
+    * chooseBucketedRoute ran both) must not pay a second manifest
+    * driver job and a third pointer read per query (review r19). */
+  private[lake] def lookupEntries(spark: SparkSession, tableRoot: String,
+                                  allEntries: Seq[BucketedUpsert.Entry],
+                                  ixRoot: String, column: String,
+                                  values: Seq[String],
+                                  resolve: DataFrame => DataFrame): DataFrame = {
+    // an empty table (zero-row first batch, or emptied completely) can
+    // hold no value — correct for any index state. The result must still
+    // carry the table SCHEMA where one is derivable (a fully-emptied
+    // table's newest retained manifest version pins its old data files
+    // against GC), or callers selecting the indexed columns get an
+    // AnalysisException instead of an empty typed frame. Only a table
+    // that never had a row in any retained version is schema-less.
+    if (allEntries.isEmpty)
+      return BucketedUpsert.emptyWithSchema(spark, tableRoot)
+        .getOrElse(spark.emptyDataFrame)
     val admitted = lookupBuckets(spark, ixRoot, values).toSet
     val entries = allEntries.filter(e => admitted(e.bucket))
     val base =

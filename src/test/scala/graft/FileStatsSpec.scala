@@ -90,29 +90,38 @@ class FileStatsSpec extends SparkSpec {
     assert(new java.io.File(bVersion).exists(),
       "a concurrent publisher's version must not be destroyed pre-flip")
     assert(FileStats.recordedTreeFp(spark, bVersion).contains("fp-B"))
-    // the next serial publish sweeps the superseded twin
+    // serial publishes retire the superseded twin once the pointer's
+    // number passes it (strict-< retention: a dir at the SAME number
+    // as the entry version may be a lapped-by-one publisher's
+    // in-flight work, so it survives one extra cycle)
     FileStats.publishManifest(spark, s"$root/stats", "fp-A2")(writeRows(3L))
     val v2 = FileStats.resolveManifest(spark, s"$root/stats")
     assert(v2 != v1 &&
       FileStats.recordedTreeFp(spark, v2).contains("fp-A2"))
+    assert(new java.io.File(bVersion).exists(),
+      "a same-number twin must survive one cycle (it could be a " +
+        "lapped publisher's unflipped version)")
+    FileStats.publishManifest(spark, s"$root/stats", "fp-A3")(writeRows(4L))
     assert(!new java.io.File(bVersion).exists(),
-      "the superseded racing version must sweep on the next cycle")
+      "the superseded racing version must sweep once the pointer passes it")
     // CRASH between version rename and pointer flip (the wedge the
-    // round's review pass found in the claim-by-rename design): an
-    // orphan version dir with the pointer unmoved must never block
+    // round's first review pass found in the claim-by-rename design):
+    // an orphan version dir with the pointer unmoved must never block
     // later publishes, and must sweep once the pointer passes it
     val orphan = new java.io.File(s"$root/stats/m3_deadbeef00")
     orphan.mkdirs()
     java.nio.file.Files.writeString(orphan.toPath.resolve("junk"), "x")
-    FileStats.publishManifest(spark, s"$root/stats", "fp-A3")(writeRows(4L))
-    assert(FileStats.recordedTreeFp(spark,
-      FileStats.resolveManifest(spark, s"$root/stats")).contains("fp-A3"),
-      "an orphan version dir must never wedge the next publish")
     FileStats.publishManifest(spark, s"$root/stats", "fp-A4")(writeRows(5L))
+    assert(FileStats.recordedTreeFp(spark,
+      FileStats.resolveManifest(spark, s"$root/stats")).contains("fp-A4"),
+      "an orphan version dir must never wedge the next publish")
+    assert(orphan.exists(),
+      "an orphan at the entry version's number survives one cycle")
+    FileStats.publishManifest(spark, s"$root/stats", "fp-A5")(writeRows(6L))
     assert(!orphan.exists(),
       "the crash orphan must sweep once the pointer number passes it")
     assert(FileStats.recordedTreeFp(spark,
-      FileStats.resolveManifest(spark, s"$root/stats")).contains("fp-A4"))
+      FileStats.resolveManifest(spark, s"$root/stats")).contains("fp-A5"))
     // a corrupted pointer demands a rebuild instead of minting m0 and
     // GC-ing the live version (ADVICE r18)
     val vLive = FileStats.resolveManifest(spark, s"$root/stats")
