@@ -331,6 +331,26 @@ object Routing {
     }
   }
 
+  /** `true` when [[aggStats]] can answer count/min/max over `cols`
+    * for the PLAIN tree at `root` metadata-only RIGHT NOW — the DSv2
+    * aggregate-pushdown eligibility probe: stats manifest present,
+    * covering every column, built over the current tree. Never throws:
+    * a `false` simply leaves the aggregate to the (always-correct)
+    * normal scan — unlike routed READS, where a stale manifest must
+    * be loud because the pruned scan would be WRONG, a skipped
+    * aggregate pushdown costs only speed. */
+  def canServeAggStats(spark: SparkSession, root: String,
+                       cols: Seq[String]): Boolean =
+    try {
+      !isBucketed(spark, root) && !DeleteWhere.isVersionDir(spark, root) &&
+        exists(spark, statsDir(root)) && {
+          val mcols = FileStats.manifestDf(spark, statsDir(root)).columns.toSet
+          cols.forall(c => mcols.contains(s"min_$c"))
+        } && {
+          FileStats.requireFresh(spark, dataDir(root), statsDir(root)); true
+        }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** What the router decided: the files (or buckets) it will open and
     * the manifests that pruned them — the spec's files-opened oracle. */
   final case class Route(files: Seq[String], via: Seq[String])

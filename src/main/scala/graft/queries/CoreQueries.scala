@@ -703,6 +703,23 @@ object CoreQueries extends QueryPack {
         ORDER BY src, event_id""")
     }),
 
+    // S40: METADATA-ONLY aggregates through plain SQL — an unfiltered
+    // ungrouped count(*)/min/max over a stats-indexed column pushes
+    // into GraftScanBuilder (SupportsPushDownAggregates), which
+    // answers it from the zone-map manifest via Routing.aggStats as a
+    // one-row LocalScan: ZERO data files opened (GraftSourceSpec pins
+    // the LocalTableScan plan and the empty file set; ineligible
+    // shapes — filtered, grouped, unindexed column, stale manifest —
+    // fall back to the always-correct scan). Hash-green proves the
+    // manifest's numbers equal the data's.
+    "s40_agg_push" -> ((s, d) => {
+      val root = Fixtures.revents(s, d)
+      s.read.format("graft").load(root)
+        .createOrReplaceTempView("graft_events_agg")
+      s.sql("""SELECT count(*) AS n_rows, min(user_id) AS mn,
+                      max(user_id) AS mx FROM graft_events_agg""")
+    }),
+
     // S38: VALUE-COLUMN routing on the deferred-work shapes (VERDICT
     // r17 #4) — the two index families the plain tree already had,
     // extended to where they were missing:
@@ -1195,6 +1212,10 @@ object CoreQueries extends QueryPack {
              AND user_id NOT BETWEEN 100 AND 120)
          ORDER BY src, k"""
     },
+    // the manifest-served aggregate must equal the data's own numbers
+    "s40_agg_push" ->
+      """SELECT count(*) AS n_rows, min(user_id) AS mn,
+                max(user_id) AS mx FROM events""",
     // DSv2 routing must be invisible to results: the oracle runs the
     // same three SQL shapes straight over the source table
     "s39_dsv2_route" ->

@@ -78,7 +78,7 @@ object Fixtures {
         "s33_read_where_mor", "s36_range_route", "s38_value_route"),
         zEvents _)),
       "revents" -> ((Set("s32_read_where", "s36_range_route",
-        "s37_or_route", "s39_dsv2_route"), revents _)),
+        "s37_or_route", "s39_dsv2_route", "s40_agg_push"), revents _)),
       "bm25" -> ((Set("t_bm25_indexed", "t_bm25_delete"), bm25 _)),
       "ivf" -> ((Set("ann_ivf_persist", "ann_ivf_retrain",
         "ann_ivf_delete"), ivf _)))

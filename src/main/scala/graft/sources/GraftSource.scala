@@ -8,7 +8,9 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
@@ -19,7 +21,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.{Column, SparkSession}
 
-import graft.lake.{DeleteWhere, Routing, Snapshot}
+import graft.lake.{DeleteWhere, FileStats, Routing, Snapshot}
 
 /** DataSourceV2 face of the routed lake (VERDICT r18 #1): index-aware
   * file pruning as an ENGINE property instead of a library call.
@@ -142,10 +144,54 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
                                         tableSchema: StructType,
                                         options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var pushedAgg: Option[Seq[AggregateFunc]] = None
+
+  // ---- METADATA-ONLY aggregates: an UNFILTERED, UNGROUPED
+  // count(*)/min/max over stats-indexed columns of a plain tree is
+  // answered from the zone-map manifest (Routing.aggStats) — the
+  // "how many rows / what key range" question every planner and
+  // monitor asks first becomes a LocalScan of one row, zero data
+  // files opened, reachable from plain SQL. Eligibility is re-probed
+  // (fresh manifest, covered columns); anything else falls back to
+  // the normal scan, which is always correct — pushdown here is an
+  // optimization, never a semantic dependence.
+
+  /** The single stats column a min/max references, when it does. */
+  private def statCol(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      Some(nr.fieldNames.head)
+    case _ => None
+  }
+
+  private def aggServable(agg: Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => statCol(m.column).isDefined
+        case m: Max => statCol(m.column).isDefined
+        case _ => false
+      } && Routing.canServeAggStats(spark, root,
+        agg.aggregateExpressions.toSeq.flatMap {
+          case m: Min => statCol(m.column)
+          case m: Max => statCol(m.column)
+          case _ => None
+        }.distinct)
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    aggServable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = aggServable(agg)
+    if (ok) pushedAgg = Some(agg.aggregateExpressions.toSeq)
+    ok
+  }
 
   /** ALL pushed filters are also returned as residual: Spark re-applies
     * the full predicate post-scan, so routing (and parquet row-group
@@ -188,6 +234,40 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
   override def build(): Scan = {
     val bucketed = Routing.isBucketed(spark, root)
     GraftSource.requireScannable(spark, root, bucketed)
+    pushedAgg.foreach { fns =>
+      val cols = fns.flatMap {
+        case m: Min => statCol(m.column)
+        case m: Max => statCol(m.column)
+        case _ => None
+      }.distinct
+      // aggStats re-gates freshness itself — a tree change landing
+      // between pushAggregation and here fails loud, never wrong
+      val row = Routing.aggStats(spark, root, cols).collect().head
+      val tableType = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+      val fields = fns.map {
+        case _: CountStar =>
+          (org.apache.spark.sql.types.StructField("count_star",
+            org.apache.spark.sql.types.LongType, nullable = false),
+            row.getAs[Any]("n_rows"))
+        case m: Min =>
+          val c = statCol(m.column).get
+          (org.apache.spark.sql.types.StructField(s"min_$c", tableType(c)),
+            row.getAs[Any](s"min_$c"))
+        case m: Max =>
+          val c = statCol(m.column).get
+          (org.apache.spark.sql.types.StructField(s"max_$c", tableType(c)),
+            row.getAs[Any](s"max_$c"))
+        case other => throw new IllegalStateException(
+          s"unexpected pushed aggregate $other") // aggServable forbids
+      }
+      val schema = StructType(fields.map(_._1))
+      val internal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(schema)(
+          org.apache.spark.sql.Row(fields.map(_._2): _*))
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      GraftSource.lastRoute = Some((root, Seq.empty, Seq("agg-stats")))
+      return new GraftAggScan(root, schema, internal)
+    }
     val dataDir = GraftSource.dataDir(root)
     val preds = pushed.toSeq.flatMap(toPredicate)
     // No routable predicate on a plain tree → scan the tree directly
@@ -239,4 +319,19 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
       fileIndex, dataSchema, readDataSchema, readPartSchema,
       parquetPushed, options)
   }
+}
+
+/** The one-row result of a manifest-answered aggregate
+  * ([[GraftScanBuilder.pushAggregation]]) — a [[LocalScan]], planned
+  * by Spark as a LocalTableScan: ZERO data files opened, visible in
+  * the physical plan as this description. */
+private[sources] class GraftAggScan(root: String, schema: StructType,
+                                    row: org.apache.spark.sql.catalyst.InternalRow)
+    extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    Array(row)
+  override def description(): String =
+    s"GraftAggScan(metadata-only aggregate from $root/ix/stats: " +
+      schema.fieldNames.mkString(", ") + ")"
 }

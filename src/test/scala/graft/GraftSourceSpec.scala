@@ -166,6 +166,44 @@ class GraftSourceSpec extends SparkSpec {
       ex.getMessage.contains("readWhere"), ex.getMessage)
   }
 
+  test("unfiltered count/min/max answer from the stats manifest — zero data files opened") {
+    import spark.implicits._
+    val root = buildTree()
+    val plain = spark.read.parquet(s"$root/data")
+    load(root).createOrReplaceTempView("g_agg")
+    val df = spark.sql(
+      "SELECT count(*) AS n, min(user_id) AS mn, max(user_id) AS mx FROM g_agg")
+    val want = plain.agg(count(lit(1)), min("user_id"), max("user_id")).head
+    val got = df.head
+    assert(got.getLong(0) == want.getLong(0) && got.getLong(1) == want.getLong(1)
+      && got.getLong(2) == want.getLong(2), s"agg pushdown wrong: $got vs $want")
+    assert(scannedFiles(df).isEmpty,
+      "a manifest-served aggregate must open no data files")
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      df.queryExecution.executedPlan.toString.take(800))
+    // a FILTERED aggregate falls back to the (routed) scan, exact
+    val f = spark.sql("SELECT count(*) AS n FROM g_agg WHERE user_id >= 120")
+    assert(f.head.getLong(0) ==
+      plain.filter(col("user_id") >= 120L).count())
+    assert(scannedFiles(f).nonEmpty, "filtered aggregates must scan")
+    // min/max on an UNINDEXED column falls back, exact
+    val u = spark.sql("SELECT min(event_id) AS m FROM g_agg")
+    assert(u.head.getLong(0) == plain.agg(min("event_id")).head.getLong(0))
+    assert(scannedFiles(u).nonEmpty, "unindexed aggregates must scan")
+    // STALE manifest → silent fallback to the full scan (which is
+    // always correct — unlike routed reads, a skipped pushdown costs
+    // only speed, so no loud gate here)
+    Seq((999999L, 424242L, "click", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .write.mode("append").parquet(s"$root/data")
+    spark.catalog.refreshByPath(s"$root/data")
+    val s = spark.sql("SELECT count(*) AS n, max(user_id) AS mx FROM g_agg")
+    assert(s.head.getLong(0) == spark.read.parquet(s"$root/data").count() &&
+      s.head.getLong(1) == 424242L,
+      "a stale manifest must fall back to the scan, never serve old stats")
+    assert(scannedFiles(s).nonEmpty)
+  }
+
   test("merge-on-read shapes refuse loudly, naming the API that serves them") {
     import spark.implicits._
     // delete version → the DV mask cannot be a scan
