@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.{Column, SparkSession}
 
-import graft.lake.{DeleteWhere, FileStats, Routing, Snapshot}
+import graft.lake.{DeleteWhere, Routing, Snapshot}
 
 /** DataSourceV2 face of the routed lake (VERDICT r18 #1): index-aware
   * file pruning as an ENGINE property instead of a library call.
@@ -149,7 +149,14 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
-  private var pushedAgg: Option[Seq[AggregateFunc]] = None
+  /** A manifest-answered aggregate, fully computed at PUSH time:
+    * (output schema, the one result row). Once `pushAggregation`
+    * returns true Spark rewrites the plan around the scan's aggregate
+    * schema, so the decision and the data must be taken together — a
+    * build-time failure could no longer fall back (review r19
+    * pass 3). */
+  private var pushedAgg: Option[(StructType,
+    org.apache.spark.sql.catalyst.InternalRow)] = None
 
   // ---- METADATA-ONLY aggregates: an UNFILTERED, UNGROUPED
   // count(*)/min/max over stats-indexed columns of a plain tree is
@@ -169,28 +176,81 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
     case _ => None
   }
 
+  /** The distinct stats columns a pushed aggregate list needs — ONE
+    * extraction shared by eligibility and execution (review r19
+    * pass 3: a copy in each could silently diverge). */
+  private def statCols(fns: Seq[AggregateFunc]): Seq[String] =
+    fns.flatMap {
+      case m: Min => statCol(m.column)
+      case m: Max => statCol(m.column)
+      case _ => None
+    }.distinct
+
+  // Spark probes eligibility twice per query (supportCompletePushDown,
+  // then pushAggregation, with the SAME Aggregation) and the
+  // canServeAggStats check lists the whole tree for the freshness
+  // fingerprint — memoize the verdict so the planner pays one listing,
+  // not two (review r19 pass 3)
+  private var servableCache: Option[(Aggregation, Boolean)] = None
+
   private def aggServable(agg: Aggregation): Boolean =
-    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall {
-        case _: CountStar => true
-        case m: Min => statCol(m.column).isDefined
-        case m: Max => statCol(m.column).isDefined
-        case _ => false
-      } && Routing.canServeAggStats(spark, root,
-        agg.aggregateExpressions.toSeq.flatMap {
-          case m: Min => statCol(m.column)
-          case m: Max => statCol(m.column)
-          case _ => None
-        }.distinct)
+    servableCache match {
+      case Some((a, v)) if a == agg => v
+      case _ =>
+        val v = pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+          agg.aggregateExpressions.nonEmpty &&
+          agg.aggregateExpressions.forall {
+            case _: CountStar => true
+            case m: Min => statCol(m.column).isDefined
+            case m: Max => statCol(m.column).isDefined
+            case _ => false
+          } && Routing.canServeAggStats(spark, root,
+            statCols(agg.aggregateExpressions.toSeq))
+        servableCache = Some((agg, v))
+        v
+    }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     aggServable(agg)
 
+  /** Accepting the pushdown COMMITS the plan to the aggregate schema,
+    * so the manifest is read HERE: any failure (a tree change landing
+    * since the eligibility probe, a vanished manifest) returns false
+    * and Spark keeps its own aggregate over the normal scan — the
+    * documented silent fallback, with zero build-time failure modes.
+    * The captured values are a consistent manifest snapshot, exactly
+    * as a scan planned against a file listing would be. */
   override def pushAggregation(agg: Aggregation): Boolean = {
-    val ok = aggServable(agg)
-    if (ok) pushedAgg = Some(agg.aggregateExpressions.toSeq)
-    ok
+    if (!aggServable(agg)) return false
+    val fns = agg.aggregateExpressions.toSeq
+    val tableType = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    val plan = fns.map {
+      case _: CountStar =>
+        (org.apache.spark.sql.types.StructField("count_star",
+          org.apache.spark.sql.types.LongType, nullable = false), "n_rows")
+      case m: Min =>
+        val c = statCol(m.column).get
+        (org.apache.spark.sql.types.StructField(s"min_$c", tableType(c)),
+          s"min_$c")
+      case m: Max =>
+        val c = statCol(m.column).get
+        (org.apache.spark.sql.types.StructField(s"max_$c", tableType(c)),
+          s"max_$c")
+      case other => throw new IllegalStateException(
+        s"unexpected pushed aggregate $other") // aggServable forbids
+    }
+    try {
+      val row = Routing.aggStats(spark, root, statCols(fns)).collect().head
+      val schema = StructType(plan.map(_._1))
+      val internal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(schema)(
+          org.apache.spark.sql.Row(plan.map(f => row.getAs[Any](f._2)): _*))
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      pushedAgg = Some((schema, internal))
+      true
+    } catch {
+      case scala.util.control.NonFatal(_) => false // scan answers it
+    }
   }
 
   /** ALL pushed filters are also returned as residual: Spark re-applies
@@ -234,39 +294,10 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
   override def build(): Scan = {
     val bucketed = Routing.isBucketed(spark, root)
     GraftSource.requireScannable(spark, root, bucketed)
-    pushedAgg.foreach { fns =>
-      val cols = fns.flatMap {
-        case m: Min => statCol(m.column)
-        case m: Max => statCol(m.column)
-        case _ => None
-      }.distinct
-      // aggStats re-gates freshness itself — a tree change landing
-      // between pushAggregation and here fails loud, never wrong
-      val row = Routing.aggStats(spark, root, cols).collect().head
-      val tableType = tableSchema.fields.map(f => f.name -> f.dataType).toMap
-      val fields = fns.map {
-        case _: CountStar =>
-          (org.apache.spark.sql.types.StructField("count_star",
-            org.apache.spark.sql.types.LongType, nullable = false),
-            row.getAs[Any]("n_rows"))
-        case m: Min =>
-          val c = statCol(m.column).get
-          (org.apache.spark.sql.types.StructField(s"min_$c", tableType(c)),
-            row.getAs[Any](s"min_$c"))
-        case m: Max =>
-          val c = statCol(m.column).get
-          (org.apache.spark.sql.types.StructField(s"max_$c", tableType(c)),
-            row.getAs[Any](s"max_$c"))
-        case other => throw new IllegalStateException(
-          s"unexpected pushed aggregate $other") // aggServable forbids
-      }
-      val schema = StructType(fields.map(_._1))
-      val internal = org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .createToCatalystConverter(schema)(
-          org.apache.spark.sql.Row(fields.map(_._2): _*))
-        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    pushedAgg.foreach { case (schema, row) =>
+      // computed and committed at push time — nothing can fail here
       GraftSource.lastRoute = Some((root, Seq.empty, Seq("agg-stats")))
-      return new GraftAggScan(root, schema, internal)
+      return new GraftAggScan(root, schema, row)
     }
     val dataDir = GraftSource.dataDir(root)
     val preds = pushed.toSeq.flatMap(toPredicate)
