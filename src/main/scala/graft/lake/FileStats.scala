@@ -119,7 +119,12 @@ object FileStats {
       val h64 = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
       sum += h64; xor ^= h64
     }
-    f"v2:${files.size}:$sum%016x:$xor%016x"
+    // v3 (ADVICE r19): the r19 walk stopped descending into hidden
+    // directories, so fingerprints recorded by the old walk no longer
+    // match on trees containing them. Bumping the prefix lets the
+    // STALE message name the FORMAT change (one expected rebuild on
+    // upgrade) instead of implying data churn — see requireFresh.
+    f"v3:${files.size}:$sum%016x:$xor%016x"
   }
 
   def treeFingerprint(spark: SparkSession, dataDir: String): String =
@@ -270,10 +275,13 @@ object FileStats {
     // the stage must still hold MORE than the fingerprint sidecar: a
     // swept-then-recreated stage would otherwise commit an empty
     // version whose matching fingerprint makes it look healthy
+    // an actual part file, not a marker: a stage stripped of its data
+    // but retaining a _SUCCESS would otherwise still flip an empty
+    // version live (ADVICE r19 — underscore entries never count)
     val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
     require(staged.exists { s =>
         val n = s.getPath.getName
-        !n.startsWith(".") && n != "_tree_fp"
+        !n.startsWith(".") && !n.startsWith("_")
       },
       s"stage at $stage holds no data files — a concurrent maintenance " +
         "pass likely swept it mid-publish (two refreshes of one index " +
@@ -285,8 +293,13 @@ object FileStats {
     // the COMMIT: one atomic pointer-file replace, via a tmp that is
     // UNIQUE per publish (review r19 pass 2: a shared tmp path let one
     // racer rename the other's truncated-empty tmp into the pointer)
+    // and carries the version's m<N> prefix, so the GC below can apply
+    // the same strict-< retention to tmps as to versions (ADVICE r19:
+    // an unconditional tmp sweep could delete a concurrent publisher's
+    // not-yet-renamed pointer tmp, failing its commit after its
+    // version dir already landed)
     val tmp = new org.apache.hadoop.fs.Path(manifestDir,
-      MPtr + ".tmp_" + nextName.drop(nextName.indexOf('_') + 1))
+      MPtr + ".tmp_" + nextName)
     val out = fs.create(tmp, true)
     try out.write(nextName.getBytes("UTF-8")) finally out.close()
     fc.rename(tmp, new org.apache.hadoop.fs.Path(manifestDir, MPtr),
@@ -294,6 +307,15 @@ object FileStats {
     // GC (rule in the doc above). Flat legacy parquet from the
     // pre-pointer layout survives the FIRST flip (it is the in-flight
     // readers' "previous version") and sweeps on the next.
+    // a pointer tmp carrying an m<N> prefix follows the SAME strict-<
+    // retention as versions/stages (a concurrent publisher's in-flight
+    // tmp is at entryNum+1, never swept); a legacy/unparseable tmp name
+    // sorts below everything and sweeps as before (ADVICE r19)
+    def tmpNum(n: String): Long =
+      if (n.matches(java.util.regex.Pattern.quote(MPtr) +
+          "\\.tmp_m\\d+_[0-9a-f]+"))
+        numOf(n.stripPrefix(MPtr + ".tmp_"))
+      else Long.MinValue
     fs.listStatus(dir).foreach { st =>
       val nm = st.getPath.getName
       val isVersion = nm.matches("m\\d+(_[0-9a-f]+)?")
@@ -303,9 +325,9 @@ object FileStats {
         if (curName.isDefined)
           ((isVersion || isStage) && nm != nextName &&
             !curName.contains(nm) && numOf(nm) < curNum) ||
-            isTmp ||
-            (!isVersion && !isStage && nm != MPtr)
-        else (isStage && numOf(nm) < 0L) || isTmp
+            (isTmp && tmpNum(nm) < curNum) ||
+            (!isVersion && !isStage && !isTmp && nm != MPtr)
+        else (isStage && numOf(nm) < 0L) || (isTmp && tmpNum(nm) < curNum)
       if (stale) fs.delete(st.getPath, true)
     }
   }
@@ -446,11 +468,23 @@ object FileStats {
     // fingerprint once — the recursive listing is metadata-scale but
     // not free at millions of files
     val cur = currentFp.getOrElse(treeFingerprint(spark, dataDir))
-    if (rec != cur) throw new IllegalStateException(
-      s"manifest at $manifestDir is STALE: built over tree state $rec, " +
-        s"data tree at $dataDir is now $cur — rebuild the index before " +
-        "routing reads through it (a stale manifest would silently " +
-        "exclude files added after the build)")
+    if (rec != cur) {
+      // a PREFIX mismatch is a format upgrade, not data churn: name it,
+      // so the one-time rebuild the v2→v3 walk change forces does not
+      // read as files having moved (ADVICE r19)
+      val hint =
+        if (rec.takeWhile(_ != ':') != cur.takeWhile(_ != ':'))
+          " [fingerprint FORMAT changed " +
+            s"(${rec.takeWhile(_ != ':')} → ${cur.takeWhile(_ != ':')}): " +
+            "manifests built before the hidden-dir-aware tree walk need " +
+            "one rebuild on upgrade — this is expected, not data churn]"
+        else ""
+      throw new IllegalStateException(
+        s"manifest at $manifestDir is STALE: built over tree state $rec, " +
+          s"data tree at $dataDir is now $cur — rebuild the index before " +
+          "routing reads through it (a stale manifest would silently " +
+          s"exclude files added after the build)$hint")
+    }
   }
 
   /** Scan the parquet tree at `dataDir` once and write a stats manifest

@@ -431,13 +431,15 @@ object Routing {
     routed match {
       case Some((f, via)) => Route(f.toSeq.sorted, via)
       case None =>
-        // nothing routable: every file (through the stats manifest when
-        // present — exact file list without a directory walk)
-        val all =
-          if (haveStats) FileStats.manifestDf(spark, statsDir(root))
-            .select("path").collect().map(_.getString(0)).toSeq.sorted
-          else Seq(dataDir(root))
-        Route(all, Seq("full-scan"))
+        // nothing routable: scan the TREE ROOT, never a collected
+        // manifest path list (VERDICT r19 #7 — at million-file trees a
+        // driver-side path list the scan doesn't need is pure cost; the
+        // DSv2 no-predicate arm already reads this way). The freshness
+        // gate above still applies when stats exist: a stale index on a
+        // routed-read API stays LOUD even when this call happens to
+        // full-scan, so staleness surfaces at the first read, not the
+        // first lucky predicate.
+        Route(Seq(dataDir(root)), Seq("full-scan"))
     }
   }
 

@@ -679,12 +679,9 @@ object CoreQueries extends QueryPack {
         .createOrReplaceTempView("graft_events_v")
       // the BUCKETED arm reaches SQL too: a key-probe IN over an
       // upsert table routes to its buckets through the same view
-      val broot = java.nio.file.Files
-        .createTempDirectory("graft-dsv2-bk-q").toString + "/t"
-      graft.lake.BucketedUpsert.applyBatch(
-        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
-          col("o_orderstatus"), lit(1L).as("ver")),
-        broot, "o_orderkey", "ver", nBuckets = 16, tag = 1)
+      // (fixture-registered — ADVICE r19: building it here charged
+      // the bench with construction and leaked a temp dir per run)
+      val broot = Fixtures.bucketedOrders(s, d)
       s.read.format("graft").load(broot)
         .createOrReplaceTempView("graft_orders_v")
       s.sql("""

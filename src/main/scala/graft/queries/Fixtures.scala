@@ -79,6 +79,7 @@ object Fixtures {
         zEvents _)),
       "revents" -> ((Set("s32_read_where", "s36_range_route",
         "s37_or_route", "s39_dsv2_route", "s40_agg_push"), revents _)),
+      "borders" -> ((Set("s39_dsv2_route"), bucketedOrders _)),
       "bm25" -> ((Set("t_bm25_indexed", "t_bm25_delete"), bm25 _)),
       "ivf" -> ((Set("ann_ivf_persist", "ann_ivf_retrain",
         "ann_ivf_delete"), ivf _)))
@@ -109,6 +110,19 @@ object Fixtures {
         "user_id", "event_id")
       graft.lake.Routing.indexStats(s, root, Seq("user_id"))
       graft.lake.Routing.indexBloom(s, root, "event_id")
+    }
+
+  /** Bucketed `orders` table (key = o_orderkey, 16 buckets) — the
+    * shared READ-ONLY base of the DSv2 bucketed-arm gates
+    * (ADVICE r19: s39 used to build this inside its timed lambda,
+    * charging fixture construction to the query and leaking a temp
+    * dir per run). */
+  def bucketedOrders(s: SparkSession, d: String): String =
+    shared("borders", d) { root =>
+      graft.lake.BucketedUpsert.applyBatch(
+        graft.Tables.t(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), lit(1L).as("ver")),
+        root, "o_orderkey", "ver", nBuckets = 16, tag = 1)
     }
 
   /** BM25 index over `documents`, built from the base slice and

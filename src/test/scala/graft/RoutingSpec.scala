@@ -70,10 +70,12 @@ class RoutingSpec extends SparkSpec {
     assert(r3.files.toSet == manual1.toSet.intersect(manual2.toSet),
       "combined route must intersect the index verdicts")
     assert(r3.via.size == 2)
-    // opaque → the full file list, via the stats manifest
+    // opaque → the TREE ROOT, never a collected manifest path list
+    // (VERDICT r19 #7: the fallback scan doesn't need a driver-side
+    // file list, and at million-file trees collecting one is pure cost)
     val r4 = Routing.route(spark, root, upper(col("event_type")) === lit("X"))
-    assert(r4.via == Seq("full-scan") &&
-      r4.files.size == plain(root).inputFiles.length)
+    assert(r4.via == Seq("full-scan") && r4.files == Seq(s"$root/data"),
+      s"fallback must return the tree root, not a path list: ${r4.files.size}")
     // an IN list on the zone-mapped column prunes by its [min,max]
     // ENVELOPE (files outside it cannot hold any listed value)
     val r5 = Routing.route(spark, root, col("user_id").isin(101L, 103L, 108L))
@@ -192,7 +194,7 @@ class RoutingSpec extends SparkSpec {
     val poisoned = col("user_id").between(100L, 140L) ||
       upper(col("event_type")) === lit("CLICK")
     val rp = Routing.route(spark, root, poisoned)
-    assert(rp.via == Seq("full-scan") && rp.files.size == total,
+    assert(rp.via == Seq("full-scan") && rp.files == Seq(s"$root/data"),
       s"opaque disjunct must poison the OR: ${rp.via}")
     sameAs(root, poisoned)
   }
@@ -253,7 +255,6 @@ class RoutingSpec extends SparkSpec {
     import spark.implicits._
     val root = buildTree()
     val originals = plain(root).inputFiles
-    val totalBefore = originals.length
     // land TWO new files and remove one ORIGINAL file — the exact churn
     // an ingest cycle produces
     Seq((999999L, 42L, "click", 1.0))
@@ -281,10 +282,15 @@ class RoutingSpec extends SparkSpec {
     assert(Routing.readWhere(spark, root,
       col("event_id").isin(victimRows.take(3).toSeq: _*)).count() == 0,
       "rows of the deleted file must be gone from routed reads")
-    // the full-scan fallback's manifest file list matches the tree
+    // the full-scan fallback reads the tree root (no manifest collect),
+    // so it tracks churn by construction — and the read proves it
     val r = Routing.route(spark, root, upper(col("event_type")) === lit("X"))
-    assert(r.files.size == totalBefore + 2 - 1,
-      s"fallback list must track the churn: ${r.files.size} vs ${totalBefore + 1}")
+    assert(r.files == Seq(s"$root/data"),
+      s"fallback must be the tree root: ${r.files}")
+    assert(Routing.readWhere(spark, root,
+        upper(col("event_type")) === lit("CLICK")).count() ==
+      plain(root).filter(upper(col("event_type")) === lit("CLICK")).count(),
+      "fallback read must see the post-churn tree")
     // metadata-only agg behind the SAME gate: exact post-churn counts
     // from the manifest alone, and stale → loud (not a wrong number)
     val agg = Routing.aggStats(spark, root, Seq("user_id")).head()
