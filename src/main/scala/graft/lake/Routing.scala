@@ -518,16 +518,51 @@ object Routing {
     * scan cannot run the version-resolution window, so a raw read
     * would resurrect superseded rows — [[readWhere]] serves that
     * shape. */
-  def routeBucketed(spark: SparkSession, root: String, pred: Column): Route = {
-    val entries = BucketedUpsert.manifestEntries(spark, root)
-    require(entries.nonEmpty, s"no published bucketed table under $root")
+  def routeBucketed(spark: SparkSession, root: String, pred: Column): Route =
+    routeBucketedWithLayout(spark, root, pred)._1
+
+  /** Bucket-level shape of the table at `root` — (bucket id, dir) per
+    * manifest entry plus the table-wide (nBuckets, keyCol) — at the
+    * CURRENT version, or a RETAINED historical tag (time travel). What
+    * the DSv2 face needs to claim `bucket(n, key)` partitioning and to
+    * key each input partition. None when no published version exists
+    * (or the tag aged past retention). Fragmented shapes refuse with
+    * the same message as [[routeBucketed]] — the claim would lie. */
+  private[graft] final case class BucketedLayout(buckets: Seq[(Int, String)],
+                                                 nBuckets: Int, keyCol: String)
+
+  private[graft] def bucketedLayout(spark: SparkSession, root: String,
+                                    asOf: Option[Long] = None)
+      : Option[BucketedLayout] = {
+    val entries = asOf match {
+      case None => BucketedUpsert.manifestEntries(spark, root)
+      case Some(t) => BucketedUpsert.manifestEntriesAt(spark, root, t)
+    }
+    if (entries.isEmpty) None else Some(layoutOf(spark, root, entries))
+  }
+
+  private def layoutOf(spark: SparkSession, root: String,
+                       entries: Seq[BucketedUpsert.Entry]): BucketedLayout = {
     require(!entries.groupBy(_.bucket).exists(_._2.size > 1),
       s"bucketed table at $root is FRAGMENTED — a scan-only route cannot " +
         "resolve fragment versions (a raw read would resurrect superseded " +
         "rows); read it via Routing.readWhere, or compact first " +
         "(BucketedUpsert.mergeFragmentsIfNeeded)")
+    BucketedLayout(entries.map(e => (e.bucket, e.path)).sortBy(_._1),
+      entries.head.nBuckets, entries.head.keyCol)
+  }
+
+  /** [[routeBucketed]] plus the table's [[BucketedLayout]] from the
+    * SAME manifest fetch — the DSv2 scan needs both (admitted files AND
+    * the partitioning claim) and must not pay two driver jobs. */
+  private[graft] def routeBucketedWithLayout(spark: SparkSession, root: String,
+                                             pred: Column)
+      : (Route, BucketedLayout) = {
+    val entries = BucketedUpsert.manifestEntries(spark, root)
+    require(entries.nonEmpty, s"no published bucketed table under $root")
+    val layout = layoutOf(spark, root, entries)
     val cs = conjunctsOf(BucketedUpsert.read(spark, root), pred)
-    chooseBucketedRoute(spark, root, entries, cs) match {
+    val route = chooseBucketedRoute(spark, root, entries, cs) match {
       case KeyProbe(key, vs) =>
         val hit = BucketedUpsert.keyProbeEntries(spark, root, key,
           vs.map(l => org.apache.spark.sql.graft.ColumnBridge.column(l)),
@@ -543,6 +578,7 @@ object Routing {
       case AllBuckets =>
         Route(entries.map(_.path).sorted, Seq("full-scan"))
     }
+    (route, layout)
   }
 
   /** Read the table at `root` with `pred`, opening only what the

@@ -717,6 +717,41 @@ object CoreQueries extends QueryPack {
                       max(user_id) AS mx FROM graft_events_agg""")
     }),
 
+    // S41: DSv2 BUCKETED PARTITIONING through the catalog (VERDICT r19
+    // #1 + #4) — the scan reports bucket(n, key) KeyGroupedPartitioning
+    // (resolved through GraftCatalog's own bucket function), so the
+    // key aggregate below plans with ZERO exchange, matching the
+    // library read's clustered relation (GraftCatalogSpec pins the
+    // no-Exchange plan and the equal-results sanity leg; j15 measured
+    // the win at 358 MB → 0 shuffle). Hash-green proves the clustered
+    // plan's results equal the oracle's shuffling aggregate.
+    "s41_dsv2_cluster" -> ((s, d) => {
+      val root = Fixtures.catalogRoot(s, d)
+      s.conf.set("spark.sql.catalog.graft_fx",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_fx.root", root)
+      s.sql("""SELECT o_orderkey, count(*) AS n, sum(o_custkey) AS sc
+               FROM graft_fx.db.orders_b
+               GROUP BY o_orderkey ORDER BY o_orderkey""")
+    }),
+
+    // S42: CATALOG TIME TRAVEL — `VERSION AS OF` resolves through the
+    // library's Snapshot pointer history (s19's protocol), so the SQL
+    // face and the library call can never disagree on what version a
+    // tag names. The oracle aggregates the UN-shifted base table: the
+    // v2 publish (+100 per row) must be invisible at VERSION AS OF 1.
+    "s42_catalog_tt" -> ((s, d) => {
+      val root = Fixtures.catalogRoot(s, d)
+      s.conf.set("spark.sql.catalog.graft_fx",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_fx.root", root)
+      s.sql("""SELECT c_mktsegment, count(*) AS n,
+                      CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                        AS sum_bal
+               FROM graft_fx.db.cust_snap VERSION AS OF 1
+               GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
     // S38: VALUE-COLUMN routing on the deferred-work shapes (VERDICT
     // r17 #4) — the two index families the plain tree already had,
     // extended to where they were missing:
@@ -1213,6 +1248,16 @@ object CoreQueries extends QueryPack {
     "s40_agg_push" ->
       """SELECT count(*) AS n_rows, min(user_id) AS mn,
                 max(user_id) AS mx FROM events""",
+    // the exchange-free clustered aggregate must equal the plain
+    // shuffling aggregate over the source table
+    "s41_dsv2_cluster" ->
+      """SELECT o_orderkey, count(*) AS n, sum(o_custkey) AS sc
+         FROM orders GROUP BY o_orderkey ORDER BY o_orderkey""",
+    // VERSION AS OF 1 must see the UN-shifted base snapshot
+    "s42_catalog_tt" ->
+      """SELECT c_mktsegment, count(*) AS n,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     // DSv2 routing must be invisible to results: the oracle runs the
     // same three SQL shapes straight over the source table
     "s39_dsv2_route" ->

