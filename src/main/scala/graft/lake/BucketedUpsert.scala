@@ -616,7 +616,7 @@ object BucketedUpsert {
     * state in which superseded rows can exist (applyBatch rewrites
     * whole buckets resolving; a single fragment per bucket holds each
     * of its keys at most once). */
-  private[lake] def isFragmented(spark: SparkSession, root: String): Boolean =
+  private[graft] def isFragmented(spark: SparkSession, root: String): Boolean =
     fragmentCounts(spark, root).values.exists(_ > 1)
 
   /** Fragments per bucket in the current manifest — the merge-on-read

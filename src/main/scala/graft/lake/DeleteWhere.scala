@@ -344,8 +344,40 @@ object DeleteWhere {
   /** Rows the version's deletion-vector sidecar hides (0 without one) —
     * the exact correction [[Routing.aggStats]] applies to the
     * maintained manifest's n_rows. */
-  private[lake] def dvCount(spark: SparkSession, versionDir: String): Long =
+  private[graft] def dvCount(spark: SparkSession, versionDir: String): Long =
     dvReadIfExists(spark, dvDirOf(versionDir)).map(_.count()).getOrElse(0L)
+
+  /** The deletion-vector mask restricted to `files`, as
+    * (scheme-normalized path → ASCENDING row indexes) — what the DSv2
+    * scan ships to its per-file readers (the same sidecar [[read]]
+    * anti-joins; DV paths are stored normalized at write). Empty map
+    * without a sidecar. The caller enforces the broadcast-regime bound
+    * ([[maxBroadcastDvRows]]) before collecting. */
+  private[graft] def dvMaskFor(spark: SparkSession, versionDir: String,
+                               files: Seq[String]): Map[String, Array[Long]] =
+    dvReadIfExists(spark, dvDirOf(versionDir)) match {
+      case None => Map.empty
+      case Some(dv) =>
+        val admit = files.map(normPath)
+        dv.filter(col("path").isInCollection(admit))
+          .select("path", "row_idx").collect()
+          .groupBy(_.getString(0))
+          .map { case (p, rows) =>
+            p -> rows.map(_.getLong(1)).distinct.sorted
+          }
+    }
+
+  /** The broadcast-regime bound, visible to the DSv2 scan's guard. */
+  private[graft] def dvBroadcastBound(spark: SparkSession): Long =
+    maxBroadcastDvRows(spark)
+
+  /** The version's manifest path list (file-count-sized) — what the
+    * DSv2 table face lends its schema from without running the DV
+    * sidecar's regime-decision count. */
+  private[graft] def manifestPaths(spark: SparkSession,
+                                   outDir: String): Seq[String] =
+    spark.read.parquet(manifestDir(outDir))
+      .select("path").collect().map(_.getString(0)).toSeq
 
   /** Read the post-delete version: the manifest's paths (kept original
     * files + any rewritten dir), opened as one frame, with the

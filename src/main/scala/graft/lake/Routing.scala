@@ -331,24 +331,44 @@ object Routing {
     }
   }
 
-  /** `true` when [[aggStats]] can answer count/min/max over `cols`
-    * for the PLAIN tree at `root` metadata-only RIGHT NOW — the DSv2
-    * aggregate-pushdown eligibility probe: stats manifest present,
-    * covering every column, built over the current tree. Never throws:
-    * a `false` simply leaves the aggregate to the (always-correct)
-    * normal scan — unlike routed READS, where a stale manifest must
-    * be loud because the pruned scan would be WRONG, a skipped
-    * aggregate pushdown costs only speed. */
+  /** `true` when [[aggStats]] can answer the aggregate over `cols` for
+    * the table at `root` metadata-only RIGHT NOW — the DSv2
+    * aggregate-pushdown eligibility probe, per shape (VERDICT r19 #2):
+    *  - PLAIN tree: stats manifest present, covering every column,
+    *    built over the current tree — count AND min/max;
+    *  - BUCKETED table: bucket-stats index present at tag parity,
+    *    covering every column — count AND min/max (exact over RESOLVED
+    *    rows by construction);
+    *  - DELETE VERSION: count ONLY (`needMinMax` false) — the
+    *    maintained manifest's min/max are CONSERVATIVE BOUNDS once a
+    *    DV may have masked the extremum, so min/max stay with the
+    *    scan, which is always exact.
+    * Never throws: a `false` simply leaves the aggregate to the
+    * (always-correct) normal scan — unlike routed READS, where a stale
+    * manifest must be loud because the pruned scan would be WRONG, a
+    * skipped aggregate pushdown costs only speed. */
   def canServeAggStats(spark: SparkSession, root: String,
-                       cols: Seq[String]): Boolean =
+                       cols: Seq[String],
+                       needMinMax: Boolean = true): Boolean =
     try {
-      !isBucketed(spark, root) && !DeleteWhere.isVersionDir(spark, root) &&
+      if (isBucketed(spark, root)) {
+        exists(spark, bstatsDir(root)) && {
+          requireBucketStatsFresh(spark, root, "aggregating from it")
+          val ix = BucketStats.indexedCols(spark, bstatsDir(root)).toSet
+          cols.forall(ix.contains)
+        }
+      } else if (DeleteWhere.isVersionDir(spark, root)) {
+        // the version's maintained manifest is transactionally true (no
+        // freshness gate applies — manifest-is-truth, see aggStats)
+        !needMinMax && cols.isEmpty
+      } else {
         exists(spark, statsDir(root)) && {
           val mcols = FileStats.manifestDf(spark, statsDir(root)).columns.toSet
           cols.forall(c => mcols.contains(s"min_$c"))
         } && {
           FileStats.requireFresh(spark, dataDir(root), statsDir(root)); true
         }
+      }
     } catch { case scala.util.control.NonFatal(_) => false }
 
   /** What the router decided: the files (or buckets) it will open and
@@ -581,6 +601,57 @@ object Routing {
     (route, layout)
   }
 
+  /** FILE-LEVEL routing for a [[DeleteWhere]] VERSION dir, shared by
+    * [[readWhere]]'s delete-version arm and the DSv2 scan: zone-prune
+    * through the version's MAINTAINED stats manifest, then intersect
+    * eq/IN survivors through the per-version Bloom when one is
+    * published. The version is immutable, so no freshness gate applies
+    * (manifest-is-truth); a Bloom dir WITHOUT a completed publish
+    * pointer fails LOUD naming the rebuild (ADVICE r18 / review r19 —
+    * a torn Bloom silently false-negates, and silently skipping the
+    * pruning the operator believes exists is as bad). The conjunct
+    * analysis uses a single file's footer — constructing the full
+    * DV-masked frame just for analysis would run its sidecar count job
+    * first. Returns (admitted files, a schema-lending path, via). */
+  private[graft] def routeDeleteVersion(spark: SparkSession, root: String,
+                                        pred: Column)
+      : (Seq[String], String, Seq[String]) = {
+    val statsDir = DeleteWhere.statsDirOf(root)
+    val stats = FileStats.manifestDf(spark, statsDir)
+    val all = stats.select("path").collect().map(_.getString(0)).toSeq
+    require(all.nonEmpty, s"empty stats manifest under $root")
+    val cs = conjunctsOf(spark.read.parquet(all.head), pred)
+    val statsCols = stats.columns
+    val bounds = mergedBounds(cs).filter { case (c, _, _) =>
+      statsCols.contains(s"min_$c") }
+    var via = Seq.empty[String]
+    var files =
+      if (bounds.isEmpty) all
+      else {
+        via = via :+ s"dv-stats[${bounds.map(_._1).mkString(",")}]"
+        FileStats.prunedFilesOpt(spark, statsDir, bounds)
+      }
+    // per-version Bloom (VERDICT r17 #4): eq/IN conjuncts intersect
+    // their survivors with the zone-pruned set; paths intersect on the
+    // scheme-normalized form (the two manifests may render the same
+    // file with different scheme spellings).
+    cs.foreach {
+      case EqIn(c, vs) if exists(spark, s"$root/bloom/$c") &&
+          vs.forall(v => stringStable(v.dataType)) =>
+        require(FileStats.isPublished(spark, s"$root/bloom/$c"),
+          s"per-version Bloom at $root/bloom/$c exists but carries no " +
+            "completed publish pointer (interrupted build, or a flat " +
+            "pre-pointer layout) — rebuild it (DeleteWhere.indexBloom) " +
+            "before routed reads consult it")
+        val admit = BloomIndex.survivors(spark, s"$root/bloom/$c",
+          vs.map(_.value.toString)).map(FileStats.normPath).toSet
+        files = files.filter(f => admit.contains(FileStats.normPath(f)))
+        via = via :+ s"dv-bloom[$c]"
+      case _ => ()
+    }
+    (files, all.head, if (via.isEmpty) Seq("dv-full") else via)
+  }
+
   /** Read the table at `root` with `pred`, opening only what the
     * discovered indexes admit; the FULL predicate is re-applied, so
     * the result equals the plain filtered scan on any index state.
@@ -648,48 +719,12 @@ object Routing {
       base.filter(pred)
     } else if (DeleteWhere.isVersionDir(spark, root)) {
       // delete version: zone-prune through the version's maintained
-      // stats, open only survivors, apply the DV mask, re-filter.
-      // The stats manifest is read ONCE, and the conjunct analysis
-      // uses a single file's footer — constructing the full DV-masked
-      // frame just for analysis would run its sidecar count job and a
-      // manifest read before any real work.
-      val statsDir = DeleteWhere.statsDirOf(root)
-      val stats = FileStats.manifestDf(spark, statsDir)
-      val all = stats.select("path").collect().map(_.getString(0)).toSeq
-      require(all.nonEmpty, s"empty stats manifest under $root")
-      val cs = conjunctsOf(spark.read.parquet(all.head), pred)
-      val statsCols = stats.columns
-      val bounds = mergedBounds(cs).filter { case (c, _, _) =>
-        statsCols.contains(s"min_$c") }
-      var files =
-        if (bounds.isEmpty) all
-        else FileStats.prunedFilesOpt(spark, statsDir, bounds)
-      // per-version Bloom (VERDICT r17 #4): eq/IN conjuncts intersect
-      // their survivors with the zone-pruned set. The version is
-      // immutable, so no freshness gate applies; paths intersect on
-      // the scheme-normalized form (the two manifests may render the
-      // same file with different scheme spellings). Gated on a
-      // COMPLETED publish, not directory existence (ADVICE r18): an
-      // interrupted build's torn word rows would silently exclude
-      // files. A dir that EXISTS without the pointer — a torn build,
-      // or a pre-pointer flat layout — fails LOUD naming the rebuild:
-      // treating it as absent would silently drop the pruning the
-      // operator believes exists (review r19).
-      cs.foreach {
-        case EqIn(c, vs) if exists(spark, s"$root/bloom/$c") &&
-            vs.forall(v => stringStable(v.dataType)) =>
-          require(FileStats.isPublished(spark, s"$root/bloom/$c"),
-            s"per-version Bloom at $root/bloom/$c exists but carries no " +
-              "completed publish pointer (interrupted build, or a flat " +
-              "pre-pointer layout) — rebuild it (DeleteWhere.indexBloom) " +
-              "before routed reads consult it")
-          val admit = BloomIndex.survivors(spark, s"$root/bloom/$c",
-            vs.map(_.value.toString)).map(FileStats.normPath).toSet
-          files = files.filter(f => admit.contains(FileStats.normPath(f)))
-        case _ => ()
-      }
+      // stats, open only survivors (routeDeleteVersion — shared with
+      // the DSv2 scan so SQL and the library can never disagree on the
+      // admitted set), apply the DV mask, re-filter.
+      val (files, firstPath, _) = routeDeleteVersion(spark, root, pred)
       val base =
-        if (files.isEmpty) spark.read.parquet(all.head).limit(0)
+        if (files.isEmpty) spark.read.parquet(firstPath).limit(0)
         else DeleteWhere.readFiles(spark, root, files)
       base.filter(pred)
     } else {

@@ -709,12 +709,67 @@ object CoreQueries extends QueryPack {
     // shapes — filtered, grouped, unindexed column, stale manifest —
     // fall back to the always-correct scan). Hash-green proves the
     // manifest's numbers equal the data's.
+    // r20: the pushdown covers ALL THREE shapes (VERDICT r19 #2) —
+    // plain tree (zone-map manifest), bucketed table (BucketStats
+    // behind tag parity; exact over resolved rows), and delete version
+    // (COUNT only: the maintained manifest's n_rows minus the DV mask —
+    // min/max stay with the scan, their manifest bounds are
+    // conservative once a DV may have masked the extremum).
     "s40_agg_push" -> ((s, d) => {
       val root = Fixtures.revents(s, d)
       s.read.format("graft").load(root)
         .createOrReplaceTempView("graft_events_agg")
-      s.sql("""SELECT count(*) AS n_rows, min(user_id) AS mn,
-                      max(user_id) AS mx FROM graft_events_agg""")
+      val cat = Fixtures.catalogRoot(s, d)
+      s.conf.set("spark.sql.catalog.graft_fx",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_fx.root", cat)
+      s.sql("""
+        SELECT * FROM (
+          SELECT 'plain' AS src, count(*) AS n_rows, min(user_id) AS mn,
+                 max(user_id) AS mx FROM graft_events_agg
+          UNION ALL
+          SELECT 'bucket', count(*), min(o_custkey), max(o_custkey)
+          FROM graft_fx.db.orders_b
+          UNION ALL
+          SELECT 'dv', count(*), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+          FROM graft_fx.db.ev_dv)
+        ORDER BY src""")
+    }),
+
+    // S43: DELETE VERSIONS in SQL (VERDICT r19 #3) — the merge-on-read
+    // shape that used to refuse at the DSv2 door. File admission is the
+    // library's delete-version route (maintained zone maps +
+    // per-version Bloom — GraftSourceSpec pins files-opened equal to
+    // readWhere's), and the DV mask applies inside the scan's own
+    // per-file readers. Hash-green proves the SQL face equals the
+    // oracle's full-scan delete on both an indexed point probe and a
+    // range overlapping the masked band.
+    "s43_dsv2_dv" -> ((s, d) => {
+      val cat = Fixtures.catalogRoot(s, d)
+      s.conf.set("spark.sql.catalog.graft_fx",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_fx.root", cat)
+      s.sql("""
+        SELECT * FROM (
+          SELECT 'in' AS src, event_id, user_id, event_type
+          FROM graft_fx.db.ev_dv WHERE event_id IN (17, 4217, 999999)
+          UNION ALL
+          SELECT 'os', event_id, user_id, event_type
+          FROM graft_fx.db.ev_dv WHERE user_id >= 110)
+        ORDER BY src, event_id""")
+    }),
+
+    // S44: FRAGMENTED tables in SQL — GraftSql.registerView picks the
+    // strongest engine face per shape: this one (per-key version
+    // resolution exceeds a scan) registers the library's RESOLVED read,
+    // so the SQL user gets correct current rows under one name instead
+    // of an error naming a Scala API. Hash-green proves the overlay
+    // fragment's rows win resolution exactly where the oracle says.
+    "s44_sql_resolved" -> ((s, d) => {
+      val cat = Fixtures.catalogRoot(s, d)
+      graft.sources.GraftSql.registerView(s, s"$cat/frag_t", "graft_frag_v")
+      s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus
+               FROM graft_frag_v ORDER BY o_orderkey""")
     }),
 
     // S41: DSv2 BUCKETED PARTITIONING through the catalog (VERDICT r19
@@ -1244,10 +1299,39 @@ object CoreQueries extends QueryPack {
              AND user_id NOT BETWEEN 100 AND 120)
          ORDER BY src, k"""
     },
-    // the manifest-served aggregate must equal the data's own numbers
+    // the manifest-served aggregates must equal the data's own numbers
+    // on every shape: plain tree, bucketed (resolved rows), and DV
+    // version (count = base minus the masked band; min/max not pushed)
     "s40_agg_push" ->
-      """SELECT count(*) AS n_rows, min(user_id) AS mn,
-                max(user_id) AS mx FROM events""",
+      """SELECT * FROM (
+           SELECT 'plain' AS src, count(*) AS n_rows, min(user_id) AS mn,
+                  max(user_id) AS mx FROM events
+           UNION ALL
+           SELECT 'bucket', count(*), min(o_custkey), max(o_custkey)
+           FROM orders
+           UNION ALL
+           SELECT 'dv', count(*), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+           FROM events WHERE user_id NOT BETWEEN 100 AND 120)
+         ORDER BY src""",
+    // the DV mask and the routed file admission must be invisible: the
+    // oracle is the plain full-scan delete on the source table
+    "s43_dsv2_dv" ->
+      """SELECT * FROM (
+           SELECT 'in' AS src, event_id, user_id, event_type FROM events
+           WHERE user_id NOT BETWEEN 100 AND 120
+             AND event_id IN (17, 4217, 999999)
+           UNION ALL
+           SELECT 'os', event_id, user_id, event_type FROM events
+           WHERE user_id NOT BETWEEN 100 AND 120 AND user_id >= 110)
+         ORDER BY src, event_id""",
+    // fragment resolution: the overlay (every 10th key, custkey shifted)
+    // must win; everything else stays the base row
+    "s44_sql_resolved" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                     ELSE o_custkey END AS o_custkey,
+                o_orderstatus
+         FROM orders ORDER BY o_orderkey""",
     // the exchange-free clustered aggregate must equal the plain
     // shuffling aggregate over the source table
     "s41_dsv2_cluster" ->

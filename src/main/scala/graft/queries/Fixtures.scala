@@ -80,7 +80,8 @@ object Fixtures {
       "revents" -> ((Set("s32_read_where", "s36_range_route",
         "s37_or_route", "s39_dsv2_route", "s40_agg_push"), revents _)),
       "borders" -> ((Set("s39_dsv2_route"), bucketedOrders _)),
-      "catroot" -> ((Set("s41_dsv2_cluster", "s42_catalog_tt"),
+      "catroot" -> ((Set("s40_agg_push", "s41_dsv2_cluster",
+        "s42_catalog_tt", "s43_dsv2_dv", "s44_sql_resolved"),
         catalogRoot _)),
       "bm25" -> ((Set("t_bm25_indexed", "t_bm25_delete"), bm25 _)),
       "ivf" -> ((Set("ann_ivf_persist", "ann_ivf_retrain",
@@ -127,22 +128,53 @@ object Fixtures {
         root, "o_orderkey", "ver", nBuckets = 16, tag = 1)
     }
 
-  /** A GraftCatalog base directory holding the catalog gates' tables —
-    * `db/orders_b` (bucketed orders, key o_orderkey) and `db/cust_snap`
-    * (two published customer snapshot versions, keep=3 so both stay
-    * travelable). READ-ONLY: the catalog is read-facing by design. */
+  /** A GraftCatalog base directory holding the catalog gates' tables:
+    *  - `db/orders_b` — bucketed orders (key o_orderkey) with a
+    *    BucketStats index on o_custkey (the s40 bucketed-agg leg);
+    *  - `db/cust_snap` — two published customer snapshot versions
+    *    (keep=3 so both stay travelable);
+    *  - `db/ev_dv` — a deletion-vector version of a z-ordered events
+    *    tree (user_id ∈ [100,120] masked) with a per-version Bloom on
+    *    event_id;
+    *  - `frag_t` — a FRAGMENTED bucketed orders table (base + overlay
+    *    fragments, versionCol recorded) for the resolved-view gate.
+    * READ-ONLY: the catalog is read-facing by design. */
   def catalogRoot(s: SparkSession, d: String): String =
     shared("catroot", d) { root =>
-      graft.lake.BucketedUpsert.applyBatch(
-        graft.Tables.t(s, d, "orders").select(col("o_orderkey"),
-          col("o_custkey"), col("o_orderstatus"), lit(1L).as("ver")),
+      val orders = graft.Tables.t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), lit(1L).as("ver"))
+      graft.lake.BucketedUpsert.applyBatch(orders,
         s"$root/db/orders_b", "o_orderkey", "ver", nBuckets = 16, tag = 1)
+      graft.lake.Routing.indexBucketStats(s, s"$root/db/orders_b",
+        "o_orderkey", Seq("o_custkey"))
       val cust = graft.Tables.t(s, d, "customer")
         .select("c_custkey", "c_mktsegment", "c_acctbal")
       graft.lake.Snapshot.publish(cust, s"$root/db/cust_snap", 1, keep = 3)
       graft.lake.Snapshot.publish(
         cust.withColumn("c_acctbal", col("c_acctbal") + 100),
         s"$root/db/cust_snap", 2, keep = 3)
+      // DV version: source tree + stats live beside the catalog tables
+      // (the version references the source files verbatim — both are
+      // immutable fixture state)
+      val ev = graft.Tables.t(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      graft.lake.ZOrder.writeZOrdered(ev, s"$root/srcev/data", 16,
+        "user_id", "event_id")
+      graft.lake.FileStats.writeStats(s, s"$root/srcev/data",
+        s"$root/srcev/stats", Seq("user_id"))
+      graft.lake.DeleteWhere.deleteVectors(s, s"$root/srcev/stats",
+        "user_id", lit(100L), lit(120L), s"$root/db/ev_dv")
+      graft.lake.DeleteWhere.indexBloom(s, s"$root/db/ev_dv", "event_id")
+      // fragmented table: base fragment + an overlay rewriting every
+      // 10th key (higher ver wins at resolution)
+      graft.lake.BucketedUpsert.appendFragment(orders, s"$root/frag_t",
+        "o_orderkey", nBuckets = 16, tag = 1, versionCol = "ver")
+      graft.lake.BucketedUpsert.appendFragment(
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 1000000L)
+          .withColumn("ver", lit(2L)),
+        s"$root/frag_t", "o_orderkey", nBuckets = 16, tag = 2,
+        versionCol = "ver")
     }
 
   /** BM25 index over `documents`, built from the base slice and

@@ -132,12 +132,15 @@ private[sources] object GraftCatalog {
   private[sources] case object RoutedTree extends Shape
   private[sources] case object Bucketed extends Shape
   private[sources] case object PlainSnapshot extends Shape
+  private[sources] case object DeleteVersion extends Shape
 
   /** What table shape (if any) lives at `dir` — layout discovery, same
     * conventions as [[GraftSource]]. A Snapshot pointer whose current
     * version carries the bucket-manifest columns is a BucketedUpsert
     * table; any other pointer is a plain snapshot table; a `data/`
-    * subdir is a routed tree. */
+    * subdir is a routed tree; a published [[graft.lake.DeleteWhere]]
+    * version (manifest + maintained stats) is a merge-on-read table
+    * whose DV mask the scan applies natively. */
   private[sources] def shapeOf(spark: SparkSession,
                                dir: String): Option[Shape] =
     Snapshot.resolve(spark, dir) match {
@@ -149,6 +152,8 @@ private[sources] object GraftCatalog {
         val dd = new Path(s"$dir/data")
         if (dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .exists(dd)) Some(RoutedTree)
+        else if (graft.lake.DeleteWhere.isVersionDir(spark, dir))
+          Some(DeleteVersion)
         else None
     }
 
@@ -180,6 +185,12 @@ private[sources] object GraftCatalog {
             s"VERSION AS OF $t needs a Snapshot-published or bucketed table"))
         GraftSource.requireScannable(spark, dir, bucketed = false)
         new GraftTable(dir, spark.read.parquet(s"$dir/data").schema, None)
+      case DeleteVersion =>
+        asOf.foreach(t => throw new IllegalArgumentException(
+          s"delete version at $dir IS one immutable version — chain " +
+            s"versions by directory, not VERSION AS OF $t"))
+        new GraftTable(dir, spark.read.parquet(
+          graft.lake.DeleteWhere.manifestPaths(spark, dir): _*).schema, None)
       case PlainSnapshot =>
         val resolved = asOf match {
           case None => Snapshot.resolve(spark, dir).get

@@ -81,6 +81,9 @@ class GraftSource extends TableProvider with DataSourceRegister {
     val bucketed = Routing.isBucketed(spark, root)
     GraftSource.requireScannable(spark, root, bucketed)
     if (bucketed) graft.lake.BucketedUpsert.read(spark, root).schema
+    else if (DeleteWhere.isVersionDir(spark, root))
+      spark.read.parquet(
+        DeleteWhere.manifestPaths(spark, root): _*).schema
     else spark.read.parquet(GraftSource.dataDir(root)).schema
   }
 
@@ -102,24 +105,21 @@ object GraftSource {
     p
   }
 
-  /** Merge-on-read row semantics cannot be served by a scan-only
-    * source — refuse at TABLE RESOLUTION, naming the API that composes
-    * them over the same routing. (Fragmented bucketed tables refuse at
-    * scan BUILD, inside [[Routing.routeBucketed]], so fragmentation
-    * landing after table resolution is still caught.) The caller
-    * passes its already-computed `bucketed` verdict — one
-    * Snapshot.resolve per plan step, not one per check (review r19). */
+  /** Table-resolution guard: the root must hold SOME recognizable
+    * graft shape. Delete versions are served natively since r20 (the
+    * DV mask applies inside the scan's own readers — [[GraftDvScan]]);
+    * fragmented bucketed tables still refuse at scan BUILD, inside
+    * [[Routing.routeBucketed]], so fragmentation landing after table
+    * resolution is still caught. The caller passes its
+    * already-computed `bucketed` verdict — one Snapshot.resolve per
+    * plan step, not one per check (review r19). */
   private[sources] def requireScannable(spark: SparkSession, root: String,
-                                        bucketed: Boolean): Unit = {
-    require(!DeleteWhere.isVersionDir(spark, root),
-      s"$root is a delete version: a scan-only source cannot apply its " +
-        "deletion-vector mask — read it via Routing.readWhere")
-    if (!bucketed) {
+                                        bucketed: Boolean): Unit =
+    if (!bucketed && !DeleteWhere.isVersionDir(spark, root)) {
       val dd = new Path(dataDir(root))
       require(dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(dd), s"no data tree at $root/data — not a graft table root")
     }
-  }
 
   /** The last routing decision a [[GraftScanBuilder]] made in this JVM
     * — (root, files admitted, manifests consulted). Diagnostic only
@@ -223,7 +223,11 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
             case m: Max => statCol(m.column).isDefined
             case _ => false
           } && Routing.canServeAggStats(spark, root,
-            statCols(agg.aggregateExpressions.toSeq))
+            statCols(agg.aggregateExpressions.toSeq),
+            needMinMax = agg.aggregateExpressions.exists {
+              case _: Min | _: Max => true
+              case _ => false
+            })
         servableCache = Some((agg, v))
         v
     }
@@ -319,6 +323,8 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
     }
     val dataDir = GraftSource.dataDir(root)
     val preds = pushed.toSeq.flatMap(toPredicate)
+    if (!bucketed && DeleteWhere.isVersionDir(spark, root))
+      return buildDvScan(preds)
     // No routable predicate on a plain tree → scan the tree directly
     // (no manifest is consulted, so no freshness gate applies —
     // exactly a plain parquet read). Otherwise the route IS
@@ -415,6 +421,67 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
       case _ => pq
     }
   }
+
+  /** The [[DeleteWhere]] VERSION arm (VERDICT r19 #3 — merge-on-read
+    * in SQL): file admission is the SAME route as the library's
+    * delete-version read ([[Routing.routeDeleteVersion]] — maintained
+    * zone maps + per-version Bloom), and the deletion-vector mask
+    * applies INSIDE the scan's readers: one input partition per file,
+    * each reader counting its row position and skipping masked indexes
+    * ([[GraftDvReaderFactory]]). Two correctness preconditions, both
+    * enforced here at build:
+    *  - NO parquet filter pushdown on masked scans (a row-group skip
+    *    would desynchronize the position counter from the file's true
+    *    row index) — masked files read whole, exactly the cost the
+    *    library's `_metadata.row_index` path pays;
+    *  - the sidecar must be in the BROADCAST regime
+    *    ([[DeleteWhere.dvBroadcastBound]]) — past it, refuse loudly
+    *    naming `readWhere` (which degrades to a shuffle anti-join) and
+    *    `compactVersion` (which folds the vectors and restores this
+    *    path). A version with NO sidecar (deleteRange output) is just
+    *    files: full pushdown, no wrapper. */
+  private def buildDvScan(preds: Seq[Column]): Scan = {
+    val (files, firstPath, via) = Routing.routeDeleteVersion(spark, root,
+      preds.reduceOption(_ && _).getOrElse(lit(true)))
+    GraftSource.lastRoute = Some((root, files, via))
+    val dvCount = DeleteWhere.dvCount(spark, root)
+    require(dvCount <= DeleteWhere.dvBroadcastBound(spark),
+      s"deletion-vector sidecar of $root holds $dvCount rows — past the " +
+        "broadcast regime; read via Routing.readWhere (shuffle anti-join) " +
+        "or fold the vectors first (DeleteWhere.compactVersion)")
+    // only the mask entries naming ADMITTED files matter (delete-set-
+    // sized by the regime bound above)
+    val activeMask =
+      if (dvCount == 0L || files.isEmpty) Map.empty[String, Array[Long]]
+      else DeleteWhere.dvMaskFor(spark, root, files)
+    val scanPaths = if (files.isEmpty) Seq(firstPath) else files
+    val fileIndex = new InMemoryFileIndex(spark,
+      scanPaths.map(new Path(_)), Map.empty, Some(tableSchema),
+      org.apache.spark.sql.execution.datasources.NoopCache, None, None)
+    val dataFields = tableSchema.fieldNames.toSet
+    val parquetPushed =
+      if (activeMask.isEmpty)
+        pushed.filter(_.references.forall(dataFields.contains))
+      else Array.empty[Filter] // row-group skips would corrupt positions
+    val pq = ParquetScan(spark,
+      spark.sessionState.newHadoopConfWithOptions(
+        options.asCaseSensitiveMap().asScala.toMap),
+      fileIndex, tableSchema, required, new StructType(),
+      parquetPushed, options)
+    if (files.isEmpty) {
+      // routed-empty: schema-preserving zero rows (the lending path's
+      // index is built but no partition is planned)
+      new GraftDvScan(pq, Seq.empty, Map.empty)
+    } else if (activeMask.isEmpty) pq
+    else new GraftDvScan(pq,
+      fileIndex.allFiles().map(f =>
+        org.apache.spark.sql.execution.datasources.PartitionedFile(
+          org.apache.spark.sql.catalyst.InternalRow.empty,
+          org.apache.spark.paths.SparkPath.fromPath(f.getPath),
+          0L, f.getLen, Array.empty[String],
+          f.getModificationTime, f.getLen)),
+      activeMask)
+  }
 }
 
 /** The bucketed table's scan: Spark's own vectorized [[ParquetScan]]
@@ -470,6 +537,87 @@ private[graft] class GraftBucketedScan(
         org.apache.spark.sql.connector.expressions.Expressions
           .bucket(nBuckets, keyCol)),
       bucketFiles.size)
+}
+
+/** The delete-version scan: Spark's [[ParquetScan]] reader machinery
+  * with ONE input partition per WHOLE file and the deletion-vector mask
+  * applied inside each reader ([[GraftDvReaderFactory]]) — the
+  * merge-on-read shape, served from plain SQL. Whole-file partitions +
+  * no parquet filter pushdown (enforced at build) are what make the
+  * reader's running row count equal the file's true row index, the
+  * same position `_metadata.row_index` names and the sidecar stored. */
+private[graft] class GraftDvScan(
+    underlying: ParquetScan,
+    files: Seq[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    mask: Map[String, Array[Long]])
+    extends Scan with org.apache.spark.sql.connector.read.Batch {
+
+  /** Files this scan will open (specs' files-opened oracle). */
+  private[graft] def inputFiles: Seq[String] = files.map(_.filePath.toString)
+
+  override def readSchema(): StructType = underlying.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String =
+    s"GraftDvScan(files=${files.size}, maskedFiles=${mask.size}) " +
+      underlying.description()
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    files.zipWithIndex.map[org.apache.spark.sql.connector.read.InputPartition] {
+      case (f, i) =>
+        org.apache.spark.sql.execution.datasources.FilePartition(i, Array(f))
+    }.toArray
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new GraftDvReaderFactory(underlying.createReaderFactory(), mask)
+}
+
+/** Wraps the parquet reader factory with the (file → masked row
+  * indexes) anti-mask: each partition is ONE whole file, the reader
+  * counts positions as it pulls rows and skips the masked ones. Mask
+  * arrays are ascending, so the skip test is a single moving cursor —
+  * O(1) per row. Row-based reads only: a columnar batch would need
+  * per-batch index surgery for no gain (masked scans are
+  * takedown-sized by the broadcast-regime bound). */
+private[graft] class GraftDvReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    mask: Map[String, Array[Long]])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def supportColumnarReads(
+      partition: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+    false
+
+  override def createReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val fp = partition
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition]
+    require(fp.files.length == 1,
+      "DV-masked partitions are one whole file by construction")
+    val norm = fp.files.head.filePath.toString
+      .replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+    val hidden = mask.getOrElse(norm, Array.empty[Long])
+    val reader = inner.createReader(partition)
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private var pos = -1L
+      private var mi = 0
+      override def next(): Boolean = {
+        while (reader.next()) {
+          pos += 1
+          if (mi < hidden.length && hidden(mi) == pos) mi += 1 // masked
+          else return true
+        }
+        false
+      }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        reader.get()
+      override def close(): Unit = reader.close()
+    }
+  }
 }
 
 /** A [[org.apache.spark.sql.execution.datasources.FilePartition]] that

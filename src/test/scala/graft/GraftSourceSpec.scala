@@ -207,9 +207,10 @@ class GraftSourceSpec extends SparkSpec {
     assert(scannedFiles(s).nonEmpty)
   }
 
-  test("merge-on-read shapes refuse loudly, naming the API that serves them") {
-    import spark.implicits._
-    // delete version → the DV mask cannot be a scan
+  test("delete versions serve natively: DV mask in the readers, library-equal file admission") {
+    // r20 (VERDICT r19 #3): the shape that used to refuse at the DSv2
+    // door now scans — files admitted by the SAME routeDeleteVersion
+    // the library uses, DV mask applied inside per-file readers.
     val base = tmp()
     val ev = graft.Tables.t(spark, sf("sf0.01"), "events")
       .select("event_id", "user_id", "event_type")
@@ -217,11 +218,97 @@ class GraftSourceSpec extends SparkSpec {
     FileStats.writeStats(spark, s"$base/data", s"$base/stats", Seq("user_id"))
     graft.lake.DeleteWhere.deleteVectors(spark, s"$base/stats",
       "user_id", lit(80L), lit(110L), s"$base/v2")
-    val ex2 = intercept[IllegalArgumentException](load(s"$base/v2").count())
-    assert(ex2.getMessage.contains("readWhere"), ex2.getMessage)
-    // not a graft root at all
+    graft.lake.DeleteWhere.indexBloom(spark, s"$base/v2", "event_id")
+    val want = spark.read.parquet(s"$base/data")
+      .filter(!col("user_id").between(80L, 110L))
+    // full read equals the full-scan delete
+    assert(load(s"$base/v2").select("event_id").collect().map(_.getLong(0)).sorted
+      .sameElements(want.select("event_id").collect().map(_.getLong(0)).sorted))
+    // count() is metadata-only: manifest n_rows minus the DV mask
+    val cnt = load(s"$base/v2").groupBy().count()
+    assert(cnt.head.getLong(0) == want.count())
+    assert(scannedFiles(cnt).isEmpty,
+      "DV count must answer from the maintained manifest, zero files")
+    // min/max on a DV version must NOT push (manifest bounds are
+    // conservative once a row may be masked) — scans, and is exact
+    val mm = load(s"$base/v2").agg(min("user_id"), max("user_id"))
+    assert(scannedFiles(mm).nonEmpty, "DV min/max must fall back to the scan")
+    val mmr = mm.head
+    val wantMm = want.agg(min("user_id"), max("user_id")).head
+    assert(mmr.getLong(0) == wantMm.getLong(0) &&
+      mmr.getLong(1) == wantMm.getLong(1))
+    // an indexed point probe opens exactly the library route's files
+    // (zone maps + per-version Bloom), fewer than the version holds
+    val pred = col("event_id").isin(17L, 4217L)
+    val df = load(s"$base/v2").filter(pred)
+    assert(df.select("event_id").collect().map(_.getLong(0)).sorted
+      .sameElements(want.filter(pred).select("event_id").collect()
+        .map(_.getLong(0)).sorted))
+    val (routeFiles, _, via) =
+      Routing.routeDeleteVersion(spark, s"$base/v2", pred)
+    assert(scannedFiles(df) == routeFiles.map(norm).toSet,
+      "DSv2 DV admission must equal the library route")
+    assert(via.exists(_.startsWith("dv-bloom")), via.mkString(","))
+    assert(routeFiles.size <
+      graft.lake.DeleteWhere.manifestPaths(spark, s"$base/v2").size,
+      "the probe must actually prune")
+    // past the broadcast regime the scan refuses loudly, naming both
+    // the degraded read and the fix
+    spark.conf.set("graft.dv.maxBroadcastRows", "1")
+    try {
+      val ex = intercept[IllegalArgumentException](
+        load(s"$base/v2").select("event_id").collect())
+      assert(ex.getMessage.contains("readWhere") &&
+        ex.getMessage.contains("compactVersion"), ex.getMessage)
+    } finally spark.conf.unset("graft.dv.maxBroadcastRows")
+    // not a graft root at all still refuses
     val ex3 = intercept[IllegalArgumentException](load(tmp()).count())
     assert(ex3.getMessage.contains("data"), ex3.getMessage)
+  }
+
+  test("bucketed aggregates push to the BucketStats manifest — zero files, resolved-exact") {
+    import spark.implicits._
+    val root = tmp() + "/t"
+    val batch = (1L to 3000L).map(k => (k, k * 7L, 1L)).toDF("k", "v", "ver")
+    BucketedUpsert.applyBatch(batch, root, "k", "ver", nBuckets = 8, tag = 1)
+    Routing.indexBucketStats(spark, root, "k", Seq("v"))
+    val df = load(root).groupBy()
+      .agg(count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+    val got = df.head
+    assert(got.getLong(0) == 3000L && got.getLong(1) == 7L &&
+      got.getLong(2) == 21000L, got.toString)
+    assert(scannedFiles(df).isEmpty,
+      "bucketed aggregate must answer from BucketStats, zero files")
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    // an upsert WITHOUT a bstats refresh → tag parity breaks → silent
+    // fallback to the scan, still exact over resolved rows
+    BucketedUpsert.applyBatch(
+      Seq((1L, 999999L, 2L)).toDF("k", "v", "ver"),
+      root, "k", "ver", nBuckets = 8, tag = 2)
+    val stale = load(root).groupBy().agg(max("v").as("mx"))
+    assert(stale.head.getLong(0) == 999999L,
+      "a stale bstats index must fall back to the scan, never serve old stats")
+    assert(scannedFiles(stale).nonEmpty)
+  }
+
+  test("GraftSql.registerView picks the strongest face per shape") {
+    import spark.implicits._
+    val root = tmp() + "/t"
+    val base = (1L to 500L).map(k => (k, k * 2L, 1L)).toDF("k", "v", "ver")
+    BucketedUpsert.appendFragment(base, root, "k", nBuckets = 4, tag = 1,
+      versionCol = "ver")
+    // unfragmented (one fragment per bucket) → the DSv2 face
+    assert(graft.sources.GraftSql.registerView(spark, root, "gsql_v") ==
+      "graft")
+    // an overlay fragment → the resolved library plan, correct rows
+    BucketedUpsert.appendFragment(
+      (1L to 100L).map(k => (k, -k, 2L)).toDF("k", "v", "ver"),
+      root, "k", nBuckets = 4, tag = 2, versionCol = "ver")
+    assert(graft.sources.GraftSql.registerView(spark, root, "gsql_v") ==
+      "resolved")
+    val got = spark.sql("SELECT sum(v) AS s FROM gsql_v").head.getLong(0)
+    val wantSum = (101L to 500L).map(_ * 2L).sum + (1L to 100L).map(-_).sum
+    assert(got == wantSum, s"resolution through the view drifted: $got")
   }
 
   test("a stale manifest fails fast through the DSv2 path too") {

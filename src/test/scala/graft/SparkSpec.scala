@@ -31,6 +31,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     scans(df.queryExecution.executedPlan).map(_.scan).flatMap {
       case f: FileScan => f.fileIndex.inputFiles.toSeq
       case g: graft.sources.GraftBucketedScan => g.inputFiles
+      case g: graft.sources.GraftDvScan => g.inputFiles
       case _ => Seq.empty
     }.map(normPath).toSet
   }
