@@ -151,27 +151,77 @@ object FileStats {
 
   /** One reader for the tiny control files beside manifests (pointer,
     * fingerprint, pending-append marker) — three hand-rolled
-    * open/read/close blocks had already grown (review r18). */
+    * open/read/close blocks had already grown (review r18).
+    *
+    * BOUNDED RETRY on transient mid-flip states (r20 publish soak): on
+    * stores where the single-file replace is not truly atomic —
+    * Hadoop's local ChecksumFileSystem renames the data file and its
+    * `.crc` sidecar as TWO renames, and its overwrite is
+    * check-then-act — a reader can catch the pointer mid-swap
+    * (ChecksumException, FileNotFound, EOF). The state is transient by
+    * construction (some publisher's complete flip lands within the
+    * window), so a few short retries restore the atomic-read contract;
+    * on HDFS-like stores the retry never triggers. Persistent failure
+    * still surfaces loudly. */
   private[lake] def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
-                                p: org.apache.hadoop.fs.Path): Option[String] =
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8"))
-      finally in.close()
+                                p: org.apache.hadoop.fs.Path): Option[String] = {
+    var attempt = 0
+    while (true) {
+      try {
+        if (!fs.exists(p)) return None
+        val in = fs.open(p)
+        try return Some(new String(in.readAllBytes(), "UTF-8"))
+        finally in.close()
+      } catch {
+        case e @ (_: org.apache.hadoop.fs.ChecksumException |
+                  _: java.io.FileNotFoundException |
+                  _: java.io.EOFException) =>
+          attempt += 1
+          if (attempt >= 8) throw e
+          Thread.sleep(5L * attempt)
+      }
     }
+    None // unreachable
+  }
 
   /** The directory holding the manifest's CURRENT parquet data: the
     * `_mp`-named version subdir when published through
     * [[publishManifest]], else the manifest dir itself (flat build).
     * Public — external consumers of a manifest must resolve through
-    * this, never read the dir raw. */
+    * this, never read the dir raw.
+    *
+    * A MISSING pointer beside EXISTING `m<N>` version dirs is never a
+    * flat build — on stores whose overwrite-rename is delete-then-
+    * rename (the local ChecksumFileSystem) it is the transient
+    * mid-flip window (r20 publish soak: an entrant resolving inside it
+    * minted m0 against a live m<N> table), so retry briefly; if the
+    * pointer stays missing the store crashed mid-flip and falling back
+    * to the raw dir would read MIXED versions — fail loudly naming the
+    * rebuild instead. */
   def resolveManifest(spark: SparkSession,
                       manifestDir: String): String = {
     val ptr = new org.apache.hadoop.fs.Path(manifestDir, MPtr)
     val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readSidecar(fs, ptr).map(n => s"$manifestDir/${n.trim}")
-      .getOrElse(manifestDir)
+    var attempt = 0
+    while (true) {
+      readSidecar(fs, ptr) match {
+        case Some(n) => return s"$manifestDir/${n.trim}"
+        case None =>
+          val dirPath = new org.apache.hadoop.fs.Path(manifestDir)
+          val hasVersions = fs.exists(dirPath) &&
+            fs.listStatus(dirPath).exists(
+              _.getPath.getName.matches("m\\d+(_[0-9a-f]+)?"))
+          if (!hasVersions) return manifestDir // flat/legacy build
+          attempt += 1
+          if (attempt >= 8) throw new IllegalStateException(
+            s"manifest at $manifestDir holds m<N> versions but no " +
+              "pointer — a publisher crashed mid-flip on a store whose " +
+              "pointer replace is not atomic; rebuild the index " +
+              "(Routing.indexStats / indexBloom)")
+          Thread.sleep(5L * attempt)
+      }
+    }
+    manifestDir // unreachable
   }
 
   /** `true` when the manifest at `manifestDir` has a COMPLETED
@@ -300,34 +350,73 @@ object FileStats {
     // version dir already landed)
     val tmp = new org.apache.hadoop.fs.Path(manifestDir,
       MPtr + ".tmp_" + nextName)
-    val out = fs.create(tmp, true)
-    try out.write(nextName.getBytes("UTF-8")) finally out.close()
-    fc.rename(tmp, new org.apache.hadoop.fs.Path(manifestDir, MPtr),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // BOUNDED RETRY on the flip itself (r20 publish soak): on stores
+    // whose rename-with-overwrite is check-then-act (the local
+    // ChecksumFileSystem) a concurrent racer's flip can land between
+    // the delete and the rename → FileAlreadyExists. Re-flipping is
+    // safe: the racer's pointer is a COMPLETE version, and whichever
+    // order the two flips settle in is a valid serialization (the
+    // last-flip-wins contract). HDFS-like stores flip atomically and
+    // never retry.
+    def writeTmp(): Unit = {
+      val out = fs.create(tmp, true)
+      try out.write(nextName.getBytes("UTF-8")) finally out.close()
+    }
+    writeTmp()
+    var flipAttempt = 0
+    var flipped = false
+    while (!flipped) {
+      try {
+        fc.rename(tmp, new org.apache.hadoop.fs.Path(manifestDir, MPtr),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        flipped = true
+      } catch {
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.io.FileNotFoundException) =>
+          // FileAlreadyExists: the racer's flip landed inside this
+          // store's non-atomic delete+rename. FileNotFound: a heavily
+          // lapped racer's GC swept our tmp (r20 soak) — recreate it;
+          // the publisher knows exactly what it wanted to write, so
+          // the flip is always recoverable.
+          flipAttempt += 1
+          if (flipAttempt >= 8) throw e
+          Thread.sleep(5L * flipAttempt)
+          if (!fs.exists(tmp)) writeTmp()
+      }
+    }
     // GC (rule in the doc above). Flat legacy parquet from the
     // pre-pointer layout survives the FIRST flip (it is the in-flight
     // readers' "previous version") and sweeps on the next.
     // a pointer tmp carrying an m<N> prefix follows the SAME strict-<
     // retention as versions/stages (a concurrent publisher's in-flight
-    // tmp is at entryNum+1, never swept); a legacy/unparseable tmp name
-    // sorts below everything and sweeps as before (ADVICE r19)
+    // tmp is at entryNum+1, never swept on the normal schedule) PLUS a
+    // grace age: the r20 soak showed two quick laps can outrun a slow
+    // publisher's entry number, and unlike a swept VERSION (loud at
+    // read) a swept tmp used to fail the racer's commit — the owner now
+    // also recreates a vanished tmp (flip retry above), so the grace is
+    // defense in depth, and crash debris still sweeps after a minute.
+    // A legacy/unparseable tmp name sorts below everything.
     def tmpNum(n: String): Long =
       if (n.matches(java.util.regex.Pattern.quote(MPtr) +
           "\\.tmp_m\\d+_[0-9a-f]+"))
         numOf(n.stripPrefix(MPtr + ".tmp_"))
       else Long.MinValue
+    val tmpGraceMs = 60000L
+    val now = System.currentTimeMillis()
     fs.listStatus(dir).foreach { st =>
       val nm = st.getPath.getName
       val isVersion = nm.matches("m\\d+(_[0-9a-f]+)?")
       val isStage = nm.startsWith(".stage_")
       val isTmp = nm.startsWith(MPtr + ".tmp")
+      val tmpStale = isTmp && tmpNum(nm) < curNum &&
+        now - st.getModificationTime > tmpGraceMs
       val stale =
         if (curName.isDefined)
           ((isVersion || isStage) && nm != nextName &&
             !curName.contains(nm) && numOf(nm) < curNum) ||
-            (isTmp && tmpNum(nm) < curNum) ||
+            tmpStale ||
             (!isVersion && !isStage && !isTmp && nm != MPtr)
-        else (isStage && numOf(nm) < 0L) || (isTmp && tmpNum(nm) < curNum)
+        else (isStage && numOf(nm) < 0L) || tmpStale
       if (stale) fs.delete(st.getPath, true)
     }
   }
