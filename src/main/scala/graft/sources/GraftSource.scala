@@ -397,10 +397,11 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
       case Some(l) if l.keyCol.nonEmpty && paths.nonEmpty =>
         val dirOf = paths.map(p =>
           new Path(p).toUri.getPath -> p).toMap
+        // hash lookups, not scans: at 65k buckets a per-path linear
+        // search over the layout would be quadratic driver work
+        val bucketOfDir = l.buckets.map { case (b, dir) => dir -> b }.toMap
         val byBucket = paths.map { p =>
-          p -> l.buckets.collectFirst {
-            case (b, dir) if dir == p => b
-          }.getOrElse(throw new IllegalStateException(
+          p -> bucketOfDir.getOrElse(p, throw new IllegalStateException(
             s"admitted path $p is not a bucket dir of $root"))
         }.toMap
         val filesPerDir = fileIndex.allFiles()
