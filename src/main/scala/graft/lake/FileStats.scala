@@ -45,7 +45,7 @@ object FileStats {
   private[graft] final case class FileMeta(path: String, norm: String,
                                           len: Long, mtime: Long)
 
-  private[lake] def normPath(s: String): String =
+  private[graft] def normPath(s: String): String =
     s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
 
   /** Recursive listing of the data files under `dataDir` (hidden

@@ -720,19 +720,17 @@ object CoreQueries extends QueryPack {
       s.read.format("graft").load(root)
         .createOrReplaceTempView("graft_events_agg")
       val cat = Fixtures.catalogRoot(s, d)
-      s.conf.set("spark.sql.catalog.graft_fx",
-        classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_fx.root", cat)
-      s.sql("""
+      val cn = graft.sources.GraftSql.registerCatalog(s, cat)
+      s.sql(s"""
         SELECT * FROM (
           SELECT 'plain' AS src, count(*) AS n_rows, min(user_id) AS mn,
                  max(user_id) AS mx FROM graft_events_agg
           UNION ALL
           SELECT 'bucket', count(*), min(o_custkey), max(o_custkey)
-          FROM graft_fx.db.orders_b
+          FROM $cn.db.orders_b
           UNION ALL
           SELECT 'dv', count(*), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
-          FROM graft_fx.db.ev_dv)
+          FROM $cn.db.ev_dv)
         ORDER BY src""")
     }),
 
@@ -746,16 +744,14 @@ object CoreQueries extends QueryPack {
     // range overlapping the masked band.
     "s43_dsv2_dv" -> ((s, d) => {
       val cat = Fixtures.catalogRoot(s, d)
-      s.conf.set("spark.sql.catalog.graft_fx",
-        classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_fx.root", cat)
-      s.sql("""
+      val cn = graft.sources.GraftSql.registerCatalog(s, cat)
+      s.sql(s"""
         SELECT * FROM (
           SELECT 'in' AS src, event_id, user_id, event_type
-          FROM graft_fx.db.ev_dv WHERE event_id IN (17, 4217, 999999)
+          FROM $cn.db.ev_dv WHERE event_id IN (17, 4217, 999999)
           UNION ALL
           SELECT 'os', event_id, user_id, event_type
-          FROM graft_fx.db.ev_dv WHERE user_id >= 110)
+          FROM $cn.db.ev_dv WHERE user_id >= 110)
         ORDER BY src, event_id""")
     }),
 
@@ -782,11 +778,9 @@ object CoreQueries extends QueryPack {
     // plan's results equal the oracle's shuffling aggregate.
     "s41_dsv2_cluster" -> ((s, d) => {
       val root = Fixtures.catalogRoot(s, d)
-      s.conf.set("spark.sql.catalog.graft_fx",
-        classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_fx.root", root)
-      s.sql("""SELECT o_orderkey, count(*) AS n, sum(o_custkey) AS sc
-               FROM graft_fx.db.orders_b
+      val cn = graft.sources.GraftSql.registerCatalog(s, root)
+      s.sql(s"""SELECT o_orderkey, count(*) AS n, sum(o_custkey) AS sc
+               FROM $cn.db.orders_b
                GROUP BY o_orderkey ORDER BY o_orderkey""")
     }),
 
@@ -797,13 +791,11 @@ object CoreQueries extends QueryPack {
     // v2 publish (+100 per row) must be invisible at VERSION AS OF 1.
     "s42_catalog_tt" -> ((s, d) => {
       val root = Fixtures.catalogRoot(s, d)
-      s.conf.set("spark.sql.catalog.graft_fx",
-        classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_fx.root", root)
-      s.sql("""SELECT c_mktsegment, count(*) AS n,
+      val cn = graft.sources.GraftSql.registerCatalog(s, root)
+      s.sql(s"""SELECT c_mktsegment, count(*) AS n,
                       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
                         AS sum_bal
-               FROM graft_fx.db.cust_snap VERSION AS OF 1
+               FROM $cn.db.cust_snap VERSION AS OF 1
                GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 

@@ -445,6 +445,11 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
     val (files, firstPath, via) = Routing.routeDeleteVersion(spark, root,
       preds.reduceOption(_ && _).getOrElse(lit(true)))
     GraftSource.lastRoute = Some((root, files, via))
+    // the count is a parquet-footer-statistics job over the one
+    // coalesced sidecar file and MUST precede the collect — skipping
+    // the guard to save the footer read would let a table-scale
+    // sidecar OOM the driver at plan time (reviewed r20, kept as two
+    // cheap jobs: footer count, then the bounded delta-sized collect)
     val dvCount = DeleteWhere.dvCount(spark, root)
     require(dvCount <= DeleteWhere.dvBroadcastBound(spark),
       s"deletion-vector sidecar of $root holds $dvCount rows — past the " +
@@ -511,6 +516,13 @@ private[graft] class GraftBucketedScan(
     * `FileScan.fileIndex.inputFiles` for unwrapped scans). */
   private[graft] def inputFiles: Seq[String] =
     bucketFiles.flatMap(_._2).map(_.filePath.toString)
+
+  // NOT SupportsRuntimeV2Filtering (reviewed r20): a FileScan's runtime
+  // filter attributes are its PARTITION columns, and bucket leaf dirs
+  // carry none (readPartitionSchema is empty by construction), so
+  // forwarding the trait to the wrapped ParquetScan would add surface
+  // with nothing to filter on. Revisit if bucket dirs ever gain hive
+  // partition layers.
 
   override def readSchema(): StructType = underlying.readSchema()
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
@@ -598,8 +610,10 @@ private[graft] class GraftDvReaderFactory(
       .asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition]
     require(fp.files.length == 1,
       "DV-masked partitions are one whole file by construction")
-    val norm = fp.files.head.filePath.toString
-      .replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+    // the SAME normalizer that keyed the mask (review r20: an inline
+    // regex copy here could drift from FileStats.normPath and deleted
+    // rows would silently resurface)
+    val norm = graft.lake.FileStats.normPath(fp.files.head.filePath.toString)
     val hidden = mask.getOrElse(norm, Array.empty[Long])
     val reader = inner.createReader(partition)
     new org.apache.spark.sql.connector.read.PartitionReader[

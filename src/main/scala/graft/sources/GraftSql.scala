@@ -26,6 +26,23 @@ import graft.lake.{BucketedUpsert, Routing}
   */
 object GraftSql {
 
+  /** Register (or reuse) a [[GraftCatalog]] over `root` and return its
+    * catalog name — DERIVED FROM THE ROOT, never fixed: Spark's
+    * CatalogManager caches the plugin instance per name at first load
+    * and ignores later conf updates, so a fixed name silently pins
+    * every later use in the session to the FIRST root it saw (review
+    * r20 found the bench's small-scale warmup doing exactly that to
+    * the timed catalog gates). One root, one name, forever-valid
+    * binding. */
+  def registerCatalog(spark: SparkSession, root: String): String = {
+    val name = "graft_" + java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(root))
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    name
+  }
+
   /** Register the table at `root` as temp view `name`, picking the
     * strongest engine face its shape allows. Returns the face chosen:
     * `"graft"` (DSv2 routed scan) or `"resolved"` (library

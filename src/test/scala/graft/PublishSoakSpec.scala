@@ -77,9 +77,17 @@ class PublishSoakSpec extends SparkSpec {
                 val rows = spark.read.parquet(v)
                   .select("payload").collect().map(_.getString(0))
                 val fp = FileStats.recordedTreeFp(spark, v)
-                if (rows.length != 1 || fp.isEmpty)
-                  tornReads.incrementAndGet()
-                else if (fp.get != s"fp-${rows.head}" &&
+                // a version GC'd BETWEEN the parquet read and the fp
+                // read is the legal lapped-reader state (one-cycle
+                // retention), not a torn publish — only an anomaly in
+                // a STILL-EXISTING version is a protocol violation
+                // (review r20: the old classification made the soak
+                // flaky exactly when the protocol held)
+                if (rows.length != 1 || fp.isEmpty) {
+                  if (new java.io.File(v).exists())
+                    tornReads.incrementAndGet()
+                  else racedRetries.incrementAndGet()
+                } else if (fp.get != s"fp-${rows.head}" &&
                     !(rows.head == "seed" && fp.get == "fp-seed-0"))
                   tornReads.incrementAndGet()
                 else readsOk.incrementAndGet()

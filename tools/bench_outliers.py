@@ -45,20 +45,35 @@ def pins_of(path):
 
 
 def main(argv):
-    args = [a for a in argv if not a.startswith("--")]
-    if len(args) < 2:
-        print(__doc__)
-        return 2
     factor = 2.0
     floor = 0.3
-    md = "--md" in argv
-    for a in argv:
+    md = False
+    positional = []
+    i = 0
+    # both --k=v and --k v spellings (the usage line shows the latter)
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--factor="):
             factor = float(a.split("=", 1)[1])
-        if a.startswith("--floor="):
+        elif a.startswith("--floor="):
             floor = float(a.split("=", 1)[1])
-    got = queries_of(args[0])
-    pins = pins_of(args[1])
+        elif a == "--factor" and i + 1 < len(argv):
+            factor = float(argv[i + 1]); i += 1
+        elif a == "--floor" and i + 1 < len(argv):
+            floor = float(argv[i + 1]); i += 1
+        elif a == "--md":
+            md = True
+        elif a.startswith("--"):
+            print(f"unknown flag {a}\n{__doc__}")
+            return 2
+        else:
+            positional.append(a)
+        i += 1
+    if len(positional) < 2:
+        print(__doc__)
+        return 2
+    got = queries_of(positional[0])
+    pins = pins_of(positional[1])
     rows = []
     unpinned = sorted(set(got) - set(pins))
     for name in sorted(got):
