@@ -103,7 +103,7 @@ object BloomIndex {
       // to near-zero bytes by parquet. No broadcast hint: full outer
       // cannot build either side, and both inputs are manifest-sized
       .join(meta,
-        regexp_replace(col("path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/") ===
+        regexp_replace(col("path"), FileStats.SchemeRe, "/") ===
           col("_gf_norm"), "full")
       .withColumn("path", coalesce(col("path"), col("_gf_orig")))
       .withColumn("m_log2", coalesce(col("m_log2"), lit(mLog2)))
@@ -217,7 +217,7 @@ object BloomIndex {
       // before its replacement is readable (ADVICE r17)
       FileStats.publishManifest(spark, bloomDir, fp) { dest =>
         oldDf
-          .filter(!regexp_replace(col("path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+          .filter(!regexp_replace(col("path"), FileStats.SchemeRe, "/")
             .isInCollection(dropped.toSeq))
           .write.mode("overwrite").parquet(dest)
         if (added.nonEmpty)

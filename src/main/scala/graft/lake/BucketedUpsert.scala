@@ -627,7 +627,7 @@ object BucketedUpsert {
       .map { case (b, es) => b -> es.size }
 
   private def normFilePath: Column =
-    regexp_replace(input_file_name(), "^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+    regexp_replace(input_file_name(), FileStats.SchemeRe, "/")
 
   /** Bucket-granular COMPACTION of a fragmented table: every bucket
     * with more than one fragment is resolved (highest version per key,

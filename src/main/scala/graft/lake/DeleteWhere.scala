@@ -70,11 +70,13 @@ object DeleteWhere {
     * `_metadata.file_path` render the same file with different scheme
     * spellings (`file:/x` vs `file:///x`); every DV path is stored and
     * compared through this normal form so the mask can never miss its
-    * file over a string mismatch. */
+    * file over a string mismatch. BOTH forms delegate to the ONE
+    * pattern in [[FileStats.SchemeRe]] — the DSv2 DV reader matches
+    * mask keys by the same normalizer, and a drifted copy here would
+    * silently resurrect deleted rows (review r20 pass 2). */
   private def normPathCol(c: Column): Column =
-    regexp_replace(c, "^[a-z][a-zA-Z0-9+.-]*:/+", "/")
-  private def normPath(s: String): String =
-    s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+    regexp_replace(c, FileStats.SchemeRe, "/")
+  private def normPath(s: String): String = FileStats.normPath(s)
 
   private def dvReadIfExists(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(dir)

@@ -45,8 +45,15 @@ object FileStats {
   private[graft] final case class FileMeta(path: String, norm: String,
                                           len: Long, mtime: Long)
 
+  /** THE scheme-prefix pattern — every path normalization in the lake
+    * (string or Column) must go through this one constant: the DV mask
+    * is KEYED by normalized paths and read back by normalized paths,
+    * so two drifting regex copies would silently resurrect deleted
+    * rows (review r20 pass 2 found exactly such copies). */
+  private[graft] val SchemeRe = "^[a-z][a-zA-Z0-9+.-]*:/+"
+
   private[graft] def normPath(s: String): String =
-    s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+    s.replaceFirst(SchemeRe, "/")
 
   /** Recursive listing of the data files under `dataDir` (hidden
     * `_`/`.`-prefixed files AND directories excluded — the set a
@@ -486,7 +493,7 @@ object FileStats {
     val hasMeta = oldFiles.columns.contains("f_len")
     val oldN = oldFiles
       .withColumn("_norm",
-        regexp_replace(col("path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/"))
+        regexp_replace(col("path"), SchemeRe, "/"))
     val j = oldN.join(metaDf(spark, listing),
       col("_norm") === col("_gf_norm"), "full")
     // meta certifies a kept file; NULL meta (either side) never does
@@ -523,7 +530,7 @@ object FileStats {
     // metadata-priced at any table size
     stats.join(
         metaDf(spark, listing),
-        regexp_replace(col("path"), "^[a-z][a-zA-Z0-9+.-]*:/+", "/") ===
+        regexp_replace(col("path"), SchemeRe, "/") ===
           col("_gf_norm"), "full")
       .withColumn("path", coalesce(col("path"), col("_gf_orig")))
       .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
@@ -664,7 +671,7 @@ object FileStats {
   /** scheme-normalized membership test as a Column (no UDF). */
   private def udfFreeNormIsIn(c: Column, normSet: Set[String]): Column =
     if (normSet.isEmpty) lit(false)
-    else regexp_replace(c, "^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+    else regexp_replace(c, SchemeRe, "/")
       .isInCollection(normSet.toSeq)
 
   /** The manifest paths whose [min,max] on `column` intersects

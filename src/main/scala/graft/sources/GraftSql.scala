@@ -37,6 +37,14 @@ object GraftSql {
   def registerCatalog(spark: SparkSession, root: String): String = {
     val name = "graft_" + java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(root))
+    // a 32-bit name collision between two DIFFERENT roots would let
+    // the cached instance serve the wrong table silently — read back
+    // before overwriting and fail LOUD instead (review r20 pass 2)
+    val prev = spark.conf.getOption(s"spark.sql.catalog.$name.root")
+    require(prev.forall(_ == root),
+      s"catalog name '$name' is already bound to root ${prev.get} — " +
+        s"hash collision with $root; register this root under an " +
+        "explicit name via spark.sql.catalog.<name> instead")
     spark.conf.set(s"spark.sql.catalog.$name",
       classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.root", root)

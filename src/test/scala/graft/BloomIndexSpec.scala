@@ -1,6 +1,6 @@
 package graft
 
-import graft.lake.BloomIndex
+import graft.lake.{BloomIndex, FileStats}
 import org.apache.spark.sql.functions._
 
 /** Bloom file index: no false negatives (the correctness law), real
@@ -109,8 +109,8 @@ class BloomIndexSpec extends SparkSpec {
     // whose rows may be INCOMPLETE (all its meta is correct, so a
     // naive delta would certify it as kept — silent false negatives).
     // The healing rerun must DROP and RESCAN exactly the suspect file.
-    val victim = spark.read.parquet(dataDir).inputFiles.min
-      .replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+    val victim = FileStats.normPath(
+      spark.read.parquet(dataDir).inputFiles.min)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$bloomDir/_pending_append"), victim)
     val (scanned, dropped) = BloomIndex.refreshBloom(spark, dataDir, bloomDir, "k")

@@ -151,7 +151,7 @@ class FileStatsSpec extends SparkSpec {
     val dot = new java.io.File(s"$root/data/.trash")
     dot.mkdirs()
     java.nio.file.Files.writeString(dot.toPath.resolve("x.parquet"), "noise")
-    def norm(s: String) = s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+    def norm(s: String) = FileStats.normPath(s)
     val walked = FileStats.walkTree(spark, s"$root/data")
     val scanSet = spark.read.parquet(s"$root/data").inputFiles.map(norm).toSet
     assert(walked.map(_.norm).toSet == scanSet,

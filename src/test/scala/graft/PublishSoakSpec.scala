@@ -81,9 +81,12 @@ class PublishSoakSpec extends SparkSpec {
                 // read is the legal lapped-reader state (one-cycle
                 // retention), not a torn publish — only an anomaly in
                 // a STILL-EXISTING version is a protocol violation
-                // (review r20: the old classification made the soak
-                // flaky exactly when the protocol held)
+                // (review r20 pass 1; pass 2: the recursive delete
+                // unlinks _tree_fp BEFORE the dir itself, so the
+                // existence verdict must be taken AFTER the in-flight
+                // delete had time to finish, not inside its window)
                 if (rows.length != 1 || fp.isEmpty) {
+                  Thread.sleep(100)
                   if (new java.io.File(v).exists())
                     tornReads.incrementAndGet()
                   else racedRetries.incrementAndGet()

@@ -13,7 +13,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** Scheme-normalized path (the form `input_file_name` joins use). */
   def normPath(s: String): String =
-    s.replaceFirst("^[a-z][a-zA-Z0-9+.-]*:/+", "/")
+    graft.lake.FileStats.normPath(s)
 
   /** The files the executed plan's DSv2 batch scans actually read
     * (AQE-transparent) — the physical files-opened oracle shared by

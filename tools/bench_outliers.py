@@ -51,16 +51,24 @@ def main(argv):
     positional = []
     i = 0
     # both --k=v and --k v spellings (the usage line shows the latter)
+    def parse(flag, raw):
+        try:
+            return float(raw)
+        except (TypeError, ValueError):
+            print(f"flag {flag} needs a numeric value, got {raw!r}\n{__doc__}")
+            raise SystemExit(2)
     while i < len(argv):
         a = argv[i]
         if a.startswith("--factor="):
-            factor = float(a.split("=", 1)[1])
+            factor = parse("--factor", a.split("=", 1)[1])
         elif a.startswith("--floor="):
-            floor = float(a.split("=", 1)[1])
-        elif a == "--factor" and i + 1 < len(argv):
-            factor = float(argv[i + 1]); i += 1
-        elif a == "--floor" and i + 1 < len(argv):
-            floor = float(argv[i + 1]); i += 1
+            floor = parse("--floor", a.split("=", 1)[1])
+        elif a == "--factor":
+            factor = parse(a, argv[i + 1] if i + 1 < len(argv) else None)
+            i += 1
+        elif a == "--floor":
+            floor = parse(a, argv[i + 1] if i + 1 < len(argv) else None)
+            i += 1
         elif a == "--md":
             md = True
         elif a.startswith("--"):
