@@ -359,8 +359,18 @@ object Routing {
         }
       } else if (DeleteWhere.isVersionDir(spark, root)) {
         // the version's maintained manifest is transactionally true (no
-        // freshness gate applies — manifest-is-truth, see aggStats)
-        !needMinMax && cols.isEmpty
+        // freshness gate applies — manifest-is-truth, see aggStats).
+        // min/max serve ONLY while no DV mask hides rows (deleteRange
+        // versions): with zero masked rows the maintained bounds
+        // describe live rows exactly; one masked row makes them
+        // conservative and min/max stay with the scan.
+        (!needMinMax || DeleteWhere.dvCount(spark, root) == 0L) && {
+          cols.isEmpty || {
+            val mcols = FileStats
+              .manifestDf(spark, DeleteWhere.statsDirOf(root)).columns.toSet
+            cols.forall(c => mcols.contains(s"min_$c"))
+          }
+        }
       } else {
         exists(spark, statsDir(root)) && {
           val mcols = FileStats.manifestDf(spark, statsDir(root)).columns.toSet

@@ -83,7 +83,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    GraftCatalog.shapeOf(SparkSession.active, dirOf(ident)).nonEmpty
+    GraftCatalog.isTableDir(SparkSession.active, dirOf(ident))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val spark = SparkSession.active
@@ -91,8 +91,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     val fs = ns.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(ns)) throw new NoSuchNamespaceException(namespace)
     fs.listStatus(ns).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => GraftCatalog.shapeOf(spark,
-        (rootDir +: namespace.toSeq :+ n).mkString("/")).nonEmpty)
+      .filter(n => GraftCatalog.isTableDir(spark,
+        (rootDir +: namespace.toSeq :+ n).mkString("/")))
       .sorted.map(Identifier.of(namespace, _))
   }
 
@@ -133,6 +133,18 @@ private[sources] object GraftCatalog {
   private[sources] case object Bucketed extends Shape
   private[sources] case object PlainSnapshot extends Shape
   private[sources] case object DeleteVersion extends Shape
+
+  /** Cheap IS-a-table check for listing/existence (review r20): full
+    * [[shapeOf]] discovery reads a parquet FOOTER per snapshot table
+    * (to tell a bucket manifest from a plain snapshot), which a `SHOW
+    * TABLES` over a 10k-table namespace must not pay 10k times — the
+    * listing only needs pointer/layout existence; `loadTable` still
+    * discovers the full shape for the one table it resolves. */
+  private[sources] def isTableDir(spark: SparkSession, dir: String): Boolean =
+    Snapshot.resolve(spark, dir).nonEmpty || {
+      val dd = new Path(s"$dir/data")
+      dd.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dd)
+    } || graft.lake.DeleteWhere.isVersionDir(spark, dir)
 
   /** What table shape (if any) lives at `dir` — layout discovery, same
     * conventions as [[GraftSource]]. A Snapshot pointer whose current

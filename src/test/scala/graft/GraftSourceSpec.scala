@@ -266,6 +266,32 @@ class GraftSourceSpec extends SparkSpec {
     assert(ex3.getMessage.contains("data"), ex3.getMessage)
   }
 
+  test("a mask-free delete version (deleteRange) pushes min/max too — its bounds are exact") {
+    val base = tmp()
+    val ev = graft.Tables.t(spark, sf("sf0.01"), "events")
+      .select("event_id", "user_id", "event_type")
+    ZOrder.writeZOrdered(ev, s"$base/data", 8, "user_id", "event_id")
+    FileStats.writeStats(spark, s"$base/data", s"$base/stats", Seq("user_id"))
+    // PHYSICAL delete: the new version carries maintained stats and NO
+    // DV sidecar, so min/max over live rows are exact from metadata
+    graft.lake.DeleteWhere.deleteRange(spark, s"$base/stats",
+      "user_id", lit(80L), lit(110L), s"$base/v2")
+    val want = spark.read.parquet(s"$base/data")
+      .filter(!col("user_id").between(80L, 110L))
+      .agg(count(lit(1)), min("user_id"), max("user_id")).head
+    val df = load(s"$base/v2").groupBy()
+      .agg(count(lit(1)).as("n"), min("user_id").as("mn"),
+        max("user_id").as("mx"))
+    val got = df.head
+    assert(got.getLong(0) == want.getLong(0) &&
+      got.getLong(1) == want.getLong(1) && got.getLong(2) == want.getLong(2),
+      s"$got vs $want")
+    assert(scannedFiles(df).isEmpty,
+      "a mask-free version's min/max must answer from the maintained " +
+        "manifest, zero files")
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
   test("bucketed aggregates push to the BucketStats manifest — zero files, resolved-exact") {
     import spark.implicits._
     val root = tmp() + "/t"
