@@ -207,7 +207,12 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
   // then pushAggregation, with the SAME Aggregation) and the
   // canServeAggStats check lists the whole tree for the freshness
   // fingerprint — memoize the verdict so the planner pays one listing,
-  // not two (review r19 pass 3)
+  // not two (review r19 pass 3). NOTE the memo hit rides on REFERENCE
+  // identity in practice: the connector Aggregation class does not
+  // override equals, so `a == agg` only matches when Spark passes the
+  // same instance to both probes (true today) — a Spark upgrade that
+  // re-creates the Aggregation would silently double the listing cost,
+  // never change the verdict (r19 VERDICT nit, recorded).
   private var servableCache: Option[(Aggregation, Boolean)] = None
 
   private def aggServable(agg: Aggregation): Boolean =
