@@ -559,7 +559,8 @@ object Routing {
     * (or the tag aged past retention). Fragmented shapes refuse with
     * the same message as [[routeBucketed]] — the claim would lie. */
   private[graft] final case class BucketedLayout(buckets: Seq[(Int, String)],
-                                                 nBuckets: Int, keyCol: String)
+                                                 nBuckets: Int, keyCol: String,
+                                                 sorted: Boolean)
 
   private[graft] def bucketedLayout(spark: SparkSession, root: String,
                                     asOf: Option[Long] = None)
@@ -579,7 +580,12 @@ object Routing {
         "rows); read it via Routing.readWhere, or compact first " +
         "(BucketedUpsert.mergeFragmentsIfNeeded)")
     BucketedLayout(entries.map(e => (e.bucket, e.path)).sortBy(_._1),
-      entries.head.nBuckets, entries.head.keyCol)
+      entries.head.nBuckets, entries.head.keyCol,
+      // per-FILE key-sortedness, certified by every writer — the DSv2
+      // ordering claim additionally requires one file per bucket
+      // (concatenated sorted files are not sorted), checked at scan
+      // build where the file lists exist
+      entries.forall(_.sorted))
   }
 
   /** [[routeBucketed]] plus the table's [[BucketedLayout]] from the

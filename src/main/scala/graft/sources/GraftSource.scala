@@ -423,7 +423,13 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
               0L, f.getLen, Array.empty[String],
               f.getModificationTime, f.getLen)))
         }
-        new GraftBucketedScan(pq, bucketFiles, l.nBuckets, l.keyCol)
+        // ordering claim: per-file key-sortedness certified by every
+        // writer AND exactly one file per admitted bucket — two sorted
+        // files concatenated are NOT sorted, so a fragmento/multi-file
+        // bucket drops the claim (never the scan)
+        val sortedClaim = l.sorted && bucketFiles.forall(_._2.size == 1)
+        new GraftBucketedScan(pq, bucketFiles, l.nBuckets, l.keyCol,
+          sortedClaim)
       case _ => pq
     }
   }
@@ -512,9 +518,22 @@ private[sources] class GraftScanBuilder(spark: SparkSession, root: String,
 private[graft] class GraftBucketedScan(
     underlying: ParquetScan,
     bucketFiles: Seq[(Int, Seq[org.apache.spark.sql.execution.datasources.PartitionedFile])],
-    nBuckets: Int, keyCol: String)
+    nBuckets: Int, keyCol: String, sortedByKey: Boolean = false)
     extends Scan with org.apache.spark.sql.connector.read.Batch
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+
+  /** `key ASC NULLS FIRST` per partition — exactly the order
+    * `sortWithinPartitions(bucket, key)` wrote and the order a
+    * sort-merge join requires, claimed ONLY when every admitted bucket
+    * is one certified-sorted file (build-time check). With both claims
+    * a co-bucketed SPJ runs with neither Exchange NOR Sort. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (!sortedByKey) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column(keyCol),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
 
   /** The files this scan will open — the specs' files-opened oracle
     * ([[graft.SparkSpec.scannedFiles]] consumes it, as it does

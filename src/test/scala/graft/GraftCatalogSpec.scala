@@ -104,9 +104,24 @@ class GraftCatalogSpec extends SparkSpec {
     // broadcast off: a BroadcastHashJoin would trivially carry zero
     // SHUFFLE exchanges without proving the storage-partitioned path
     val got = withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
-      val nEx = exchanges(spark.sql(sql))
+      val df = spark.sql(sql)
+      val nEx = exchanges(df)
       assert(nEx == 0,
         s"co-bucketed catalog join must be exchange-free (SPJ): $nEx")
+      // the ordering claim (SupportsReportOrdering: one certified-sorted
+      // file per bucket) removes the SMJ sorts too — neither Exchange
+      // NOR Sort anywhere in the executed join
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => q +: walk(q.plan)
+        case other => other +: other.children.flatMap(walk)
+      }
+      val sorts = walk(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+      assert(sorts == 0,
+        s"the certified key order must eliminate the SMJ sorts: $sorts")
       spark.sql(sql).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     }
