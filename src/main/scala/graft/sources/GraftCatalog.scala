@@ -51,7 +51,8 @@ import graft.lake.{Routing, Snapshot}
   * SQL `CREATE TABLE` could not honor — DDL attempts fail loudly
   * naming the writer API.
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
 
   private var catName: String = _
   private var rootDir: String = _
@@ -112,6 +113,55 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =
     readOnly("RENAME TABLE")
+
+  // -- namespaces: directories that are not themselves tables. Enables
+  //    `SHOW NAMESPACES IN <cat>` / `USE <cat>.<db>` / `SHOW TABLES IN
+  //    <cat>.<db>`; creation/mutation is the filesystem's job (the
+  //    writers mkdir on publish), so DDL refuses like tables do.
+  private def nsDir(namespace: Array[String]): Path =
+    new Path((rootDir +: namespace.toSeq).mkString("/"))
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val spark = SparkSession.active
+    val p = nsDir(namespace)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+      !GraftCatalog.isTableDir(spark, p.toString)
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    val spark = SparkSession.active
+    val p = nsDir(namespace)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => !GraftCatalog.isTableDir(spark,
+        (rootDir +: namespace.toSeq :+ n).mkString("/")))
+      .sorted.map(n => namespace :+ n)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.singletonMap(
+      org.apache.spark.sql.connector.catalog.SupportsNamespaces.PROP_LOCATION,
+      nsDir(namespace).toString)
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    readOnly("CREATE NAMESPACE")
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    readOnly("ALTER NAMESPACE")
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean =
+    readOnly("DROP NAMESPACE")
 
   // -- FunctionCatalog: the ONE function the partitioning claim needs.
   //    Spark's V2ScanPartitioningAndOrdering resolves the scan's

@@ -210,6 +210,19 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ex.getMessage.contains("read-facing"), ex.getMessage)
     val ex2 = intercept[Exception](spark.sql("DROP TABLE gcat_ddl.db.a"))
     assert(ex2.getMessage.contains("read-facing"), ex2.getMessage)
+    // namespaces: dirs that are not themselves tables; USE + SHOW work,
+    // mutation refuses like table DDL
+    val nss = spark.sql("SHOW NAMESPACES IN gcat_ddl").collect()
+      .map(_.getString(0))
+    assert(nss.toSeq == Seq("db"), nss.mkString(","))
+    spark.sql("USE gcat_ddl.db")
+    try {
+      val t2 = spark.sql("SHOW TABLES").collect().map(_.getString(1))
+      assert(t2.toSeq == Seq("a"), t2.mkString(","))
+    } finally spark.sql("USE spark_catalog.default")
+    val ex3 = intercept[Exception](
+      spark.sql("CREATE NAMESPACE gcat_ddl.db2"))
+    assert(ex3.getMessage.contains("read-facing"), ex3.getMessage)
   }
 
   test("the catalog bucket function agrees with the writer's route for every stringy/integral key type") {
