@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   * construction, and the one that dominates key-clustered work at
   * 100 TB.
   *
+  * Deliberately mirrors [[BucketedJoinBench]]'s fixture/measure
+  * protocol (same payload shape, checksum consumption,
+  * PlanInspect.shuffleBytesWritten) so the two benches' numbers stay
+  * comparable — a protocol change must land in both.
+  *
   * Usage: graft.CatalogBench [nRows] [nBuckets] — one JSON line.
   */
 object CatalogBench {

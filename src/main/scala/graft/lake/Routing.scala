@@ -304,9 +304,11 @@ object Routing {
     *  - bucketed table: [[BucketStats.aggFromStats]] behind tag parity
     *    — exact over RESOLVED rows (superseded fragments never count);
     *  - delete version: the maintained manifest's n_rows minus the DV
-    *    mask — the COUNT is exact; min/max are CONSERVATIVE BOUNDS
-    *    (a masked row may have been the extremum), which is what zone
-    *    pruning needs and what the column names promise there.
+    *    mask — the COUNT is exact; min/max are EXACT while no sidecar
+    *    exists (deleteRange maintains per-file stats over live rows)
+    *    and CONSERVATIVE BOUNDS once a DV may have masked the extremum
+    *    — [[canServeAggStats]] draws exactly that line for pushdown,
+    *    and conservative bounds remain what zone pruning needs.
     * The 100 TB payoff: "how many rows / what key range" — the
     * question every planner and monitor asks first — stays a manifest
     * read, and a stale answer is impossible rather than merely
@@ -339,10 +341,11 @@ object Routing {
     *  - BUCKETED table: bucket-stats index present at tag parity,
     *    covering every column — count AND min/max (exact over RESOLVED
     *    rows by construction);
-    *  - DELETE VERSION: count ONLY (`needMinMax` false) — the
-    *    maintained manifest's min/max are CONSERVATIVE BOUNDS once a
-    *    DV may have masked the extremum, so min/max stay with the
-    *    scan, which is always exact.
+    *  - DELETE VERSION: count always; min/max ONLY while the version
+    *    carries NO deletion-vector sidecar (deleteRange output — its
+    *    maintained per-file stats describe live rows exactly). One
+    *    masked row makes the bounds CONSERVATIVE (the extremum may be
+    *    hidden) and min/max stay with the scan, which is always exact.
     * Never throws: a `false` simply leaves the aggregate to the
     * (always-correct) normal scan — unlike routed READS, where a stale
     * manifest must be loud because the pruned scan would be WRONG, a
@@ -364,6 +367,11 @@ object Routing {
         // versions): with zero masked rows the maintained bounds
         // describe live rows exactly; one masked row makes them
         // conservative and min/max stay with the scan.
+        // the probe's dvCount job repeats inside aggStats at push time
+        // (reviewed r20 pass 3, accepted): both are parquet-footer
+        // statistics over the one coalesced sidecar file — metadata-
+        // priced — and threading the probed value into the public
+        // aggStats API would couple its signature to the DSv2 probe
         (!needMinMax || DeleteWhere.dvCount(spark, root) == 0L) && {
           cols.isEmpty || {
             val mcols = FileStats

@@ -137,7 +137,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val spark = SparkSession.active
     val p = nsDir(namespace)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    // a TABLE dir is not a namespace: listing inside one would expose
+    // its internal layout (`data/`, `ix/`) as namespaces (review r20
+    // pass 3) — the SupportsNamespaces contract demands loud absence
+    if (!fs.exists(p) || (namespace.nonEmpty &&
+        GraftCatalog.isTableDir(spark, p.toString)))
+      throw new NoSuchNamespaceException(namespace)
     fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
       .filter(n => !GraftCatalog.isTableDir(spark,
         (rootDir +: namespace.toSeq :+ n).mkString("/")))
@@ -176,7 +181,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     else throw new NoSuchFunctionException(ident)
 }
 
-private[sources] object GraftCatalog {
+private[graft] object GraftCatalog {
 
   private[sources] sealed trait Shape
   private[sources] case object RoutedTree extends Shape
@@ -189,12 +194,26 @@ private[sources] object GraftCatalog {
     * (to tell a bucket manifest from a plain snapshot), which a `SHOW
     * TABLES` over a 10k-table namespace must not pay 10k times — the
     * listing only needs pointer/layout existence; `loadTable` still
-    * discovers the full shape for the one table it resolves. */
-  private[sources] def isTableDir(spark: SparkSession, dir: String): Boolean =
-    Snapshot.resolve(spark, dir).nonEmpty || {
-      val dd = new Path(s"$dir/data")
-      dd.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dd)
-    } || graft.lake.DeleteWhere.isVersionDir(spark, dir)
+    * discovers the full shape for the one table it resolves.
+    *
+    * The `data/` probe DISAMBIGUATES a namespace that merely CONTAINS
+    * a table named `data` (review r20 pass 3): a routed tree's data
+    * dir is a plain parquet tree — it never carries a Snapshot
+    * pointer, a delete manifest, or its own `data/` subdir; a child
+    * that does is a TABLE, making `dir` a namespace. */
+  private[graft] def isTableDir(spark: SparkSession, dir: String): Boolean =
+    Snapshot.resolve(spark, dir).nonEmpty ||
+      graft.lake.DeleteWhere.isVersionDir(spark, dir) ||
+      hasPlainDataTree(spark, dir)
+
+  private def hasPlainDataTree(spark: SparkSession, dir: String): Boolean = {
+    val dd = new Path(s"$dir/data")
+    val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(dd) && fs.getFileStatus(dd).isDirectory &&
+      Snapshot.resolve(spark, dd.toString).isEmpty &&
+      !graft.lake.DeleteWhere.isVersionDir(spark, dd.toString) &&
+      !fs.exists(new Path(dd, "data"))
+  }
 
   /** What table shape (if any) lives at `dir` — layout discovery, same
     * conventions as [[GraftSource]]. A Snapshot pointer whose current
@@ -211,9 +230,9 @@ private[sources] object GraftCatalog {
         if (Seq("bucket", "path", "n_buckets").forall(cols)) Some(Bucketed)
         else Some(PlainSnapshot)
       case None =>
-        val dd = new Path(s"$dir/data")
-        if (dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(dd)) Some(RoutedTree)
+        // same data-dir disambiguation as isTableDir: a namespace that
+        // merely CONTAINS a table named `data` is not a routed tree
+        if (hasPlainDataTree(spark, dir)) Some(RoutedTree)
         else if (graft.lake.DeleteWhere.isVersionDir(spark, dir))
           Some(DeleteVersion)
         else None

@@ -23,21 +23,26 @@ class GraftCatalogSpec extends SparkSpec {
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
   }
 
-  private def exchanges(df: DataFrame): Int = {
+  /** Every node of the EXECUTED plan, AQE-transparent: QueryStageExec
+    * reports NO children, so its wrapped plan is walked explicitly or
+    * every post-AQE shuffle/sort is invisible. ONE copy — the
+    * exchange and sort pins both ride it. */
+  private def planNodes(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     df.collect() // materialize so AQE settles on the final plan
-    // QueryStageExec reports NO children — walk its wrapped plan
-    // explicitly or every post-AQE shuffle is invisible
     def walk(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case q: QueryStageExec => q +: walk(q.plan)
       case other => other +: other.children.flatMap(walk)
     }
     walk(df.queryExecution.executedPlan)
-      .count(_.isInstanceOf[ShuffleExchangeLike])
   }
+
+  private def exchanges(df: DataFrame): Int =
+    planNodes(df).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
 
   /** V2 bucketing (`spark.sql.sources.v2.bucketing.enabled`) defaults
     * ON in Spark 4 — the claim needs no opt-in. This helper flips it
@@ -111,14 +116,7 @@ class GraftCatalogSpec extends SparkSpec {
       // the ordering claim (SupportsReportOrdering: one certified-sorted
       // file per bucket) removes the SMJ sorts too — neither Exchange
       // NOR Sort anywhere in the executed join
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case q: QueryStageExec => q +: walk(q.plan)
-        case other => other +: other.children.flatMap(walk)
-      }
-      val sorts = walk(df.queryExecution.executedPlan)
+      val sorts = planNodes(df)
         .count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec])
       assert(sorts == 0,
         s"the certified key order must eliminate the SMJ sorts: $sorts")
@@ -223,6 +221,23 @@ class GraftCatalogSpec extends SparkSpec {
     val ex3 = intercept[Exception](
       spark.sql("CREATE NAMESPACE gcat_ddl.db2"))
     assert(ex3.getMessage.contains("read-facing"), ex3.getMessage)
+    // a TABLE dir is not a namespace: listing inside it must be loud
+    // absence, never its internal layout dirs as namespaces
+    val exNs = intercept[Exception](
+      spark.sql("SHOW NAMESPACES IN gcat_ddl.db.a").collect())
+    assert(exNs.getMessage.contains("SCHEMA_NOT_FOUND") ||
+      exNs.getMessage.contains("db.a"), exNs.getMessage)
+    // a namespace that CONTAINS a table literally named `data` stays a
+    // namespace (the data-dir probe disambiguates one level down)
+    Snapshot.publish(Seq((7L, "z")).toDF("id", "s"),
+      s"$root/db2x/data", tag = 1)
+    assert(!graft.sources.GraftCatalog.isTableDir(spark, s"$root/db2x"),
+      "a namespace holding a table named 'data' must not read as a table")
+    val t3 = spark.sql("SHOW TABLES IN gcat_ddl.db2x").collect()
+      .map(_.getString(1))
+    assert(t3.toSeq == Seq("data"), t3.mkString(","))
+    assert(spark.sql("SELECT count(*) FROM gcat_ddl.db2x.data")
+      .head.getLong(0) == 1L)
   }
 
   test("the catalog bucket function agrees with the writer's route for every stringy/integral key type") {
