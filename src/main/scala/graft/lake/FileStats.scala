@@ -388,7 +388,18 @@ object FileStats {
           flipAttempt += 1
           if (flipAttempt >= 8) throw e
           Thread.sleep(5L * flipAttempt)
-          if (!fs.exists(tmp)) writeTmp()
+          if (!fs.exists(tmp)) {
+            // ADVICE r20: the same strict-< sweep that took the tmp can
+            // have taken the not-yet-pointed VERSION DIR too (publisher
+            // lapped twice). Re-flipping then installs a pointer naming
+            // a deleted version — a "successful" publish whose output is
+            // gone. Verify the version survived before recreating.
+            if (!fs.exists(new org.apache.hadoop.fs.Path(manifestDir, nextName)))
+              throw new java.io.IOException(
+                s"publish lost the race twice: version $nextName was " +
+                  "GC-swept before its pointer flip; re-run the refresh", e)
+            writeTmp()
+          }
       }
     }
     // GC (rule in the doc above). Flat legacy parquet from the

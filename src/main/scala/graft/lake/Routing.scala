@@ -390,8 +390,17 @@ object Routing {
     } catch { case scala.util.control.NonFatal(_) => false }
 
   /** What the router decided: the files (or buckets) it will open and
-    * the manifests that pruned them — the spec's files-opened oracle. */
-  final case class Route(files: Seq[String], via: Seq[String])
+    * the manifests that pruned them — the spec's files-opened oracle.
+    *
+    * `files` duality (ADVICE r20): on the full-scan fallback
+    * (`via == Seq("full-scan")`) the single entry is the TREE ROOT
+    * directory, not a file — at million-file trees a driver-side path
+    * list the scan doesn't need is pure cost. Consumers that count or
+    * path-intersect `files` must branch on [[isFullScan]]. */
+  final case class Route(files: Seq[String], via: Seq[String]) {
+    /** True when `files` holds the tree-root DIRECTORY (see class doc). */
+    def isFullScan: Boolean = via == Seq("full-scan")
+  }
 
   /** The routing decision for a PLAIN tree, without reading data. */
   def route(spark: SparkSession, root: String, pred: Column): Route = {

@@ -1327,7 +1327,7 @@ object CoreQueries extends QueryPack {
     // the exchange-free clustered aggregate must equal the plain
     // shuffling aggregate over the source table
     "s41_dsv2_cluster" ->
-      """SELECT o_orderkey, count(*) AS n, sum(o_custkey) AS sc
+      """SELECT o_orderkey, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sc
          FROM orders GROUP BY o_orderkey ORDER BY o_orderkey""",
     // VERSION AS OF 1 must see the UN-shifted base snapshot
     "s42_catalog_tt" ->

@@ -173,8 +173,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   //    bucket(n, key) transform by loading "bucket" from the relation's
   //    catalog; without this, the claim silently drops and every
   //    key-clustered groupBy/join pays the exchange back.
-  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    // FunctionCatalog contract (ADVICE r20): unknown namespaces throw,
+    // they don't silently list the bucket function.
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
     Array(Identifier.of(namespace, "bucket"))
+  }
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name == "bucket") GraftBucketFunction
