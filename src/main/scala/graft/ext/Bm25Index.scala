@@ -150,8 +150,12 @@ object Bm25Index {
     val m = graft.operators.SeqIds.mark()
     try {
       val tokens = graft.operators.SeqIds.pin(tokenize(docs))
-      BucketedUpsert.applyBatch(
-        postingsFrom(tokens).withColumn("graft_ver", lit(tag)),
+      // the postings AGGREGATE is pinned too (r21): applyBatch executes
+      // its batch twice (touched-bucket distinct + the resolve write),
+      // and without this pin the explode+groupBy ran once per pass
+      val postings = graft.operators.SeqIds.pin(
+        postingsFrom(tokens).withColumn("graft_ver", lit(tag)))
+      BucketedUpsert.applyBatch(postings,
         postingsRoot(root), "pk", "graft_ver", nBuckets, tag)
       BucketedUpsert.applyBatch(
         tokens.select(col("doc_id"), col("dl"))
@@ -196,7 +200,9 @@ object Bm25Index {
         val tokens = graft.operators.SeqIds.pin(tokenize(batch))
         if (behind(postingsRoot(root)))
           BucketedUpsert.applyBatch(
-            postingsFrom(tokens).withColumn("graft_ver", lit(batchId)),
+            // pinned: applyBatch executes its batch twice (see ingest)
+            graft.operators.SeqIds.pin(
+              postingsFrom(tokens).withColumn("graft_ver", lit(batchId))),
             postingsRoot(root), "pk", "graft_ver", n, batchId)
         if (behind(docstatsRoot(root)))
           BucketedUpsert.applyBatch(
@@ -242,19 +248,25 @@ object Bm25Index {
     landedMax.foreach(m => require(tag >= m,
       s"deleteDocs tag $tag is below the index's published v$m — a replay " +
         "carries the original tag; a new takedown needs a fresh one"))
-    if (behind(postingsRoot(root))) {
-      // posting-row count is not a document count — tracked only as a
-      // side effect; the returned figure is doc-stats rows below
-      BucketedUpsert.deleteKeys(spark, postingsRoot(root), "pk",
-        postingsOf(docs).select("pk"), tag)
-      ()
-    }
-    val docsRemoved =
-      if (behind(docstatsRoot(root)))
-        BucketedUpsert.deleteKeys(spark, docstatsRoot(root), "doc_id",
-          docs.filter(col("text").isNotNull).select("doc_id"), tag)
-      else 0L // docs already counted removed by the landed half
-    docsRemoved
+    val m = graft.operators.SeqIds.mark()
+    try {
+      if (behind(postingsRoot(root))) {
+        // posting-row count is not a document count — tracked only as a
+        // side effect; the returned figure is doc-stats rows below.
+        // The derived pk set is pinned (r21): deleteKeys executes its
+        // keys twice (touched-bucket distinct + the anti-join rewrite),
+        // and the tokenize+explode+groupBy re-ran once per pass.
+        BucketedUpsert.deleteKeys(spark, postingsRoot(root), "pk",
+          graft.operators.SeqIds.pin(postingsOf(docs).select("pk")), tag)
+        ()
+      }
+      val docsRemoved =
+        if (behind(docstatsRoot(root)))
+          BucketedUpsert.deleteKeys(spark, docstatsRoot(root), "doc_id",
+            docs.filter(col("text").isNotNull).select("doc_id"), tag)
+        else 0L // docs already counted removed by the landed half
+      docsRemoved
+    } finally graft.operators.SeqIds.releaseSince(m)
   }
 
   /** BM25 top-k (k1=1.2, b=0.75) for `terms`, entirely from the stored

@@ -56,7 +56,22 @@ object BucketedUpsert {
     * before this column existed fall back to the path's tag. */
   private[lake] case class Entry(bucket: Int, path: String, nBuckets: Int,
                                  dataTag: Long, keyCol: String,
-                                 sorted: Boolean, verCol: String = "")
+                                 sorted: Boolean, verCol: String = "",
+                                 keyType: String = "")
+
+  /** Parsed-manifest memo keyed on the published snapshot DIRECTORY
+    * (r21 optimization, guide §5 "the driver should do almost no data
+    * work"): a published `v<tag>` dir is immutable — tags strictly
+    * increase per root, publish never rewrites a dir the pointer ever
+    * named, and GC only deletes — so its parsed entries can be reused
+    * for the life of the JVM. One applyBatch previously paid 2-3
+    * manifest collect jobs (tag guard, key-type pin, prev entries) and
+    * every read re-parsed the same dir; with the memo (seeded at
+    * publish time with the entries just written) steady-state manifest
+    * access is a ConcurrentHashMap hit, zero Spark jobs. Bounded: a
+    * pathological many-tables session clears it at 8192 dirs. */
+  private val manifestMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Entry]]()
 
   private[lake] def manifestEntries(spark: SparkSession, root: String): Seq[Entry] =
     Snapshot.resolve(spark, root) match {
@@ -73,25 +88,33 @@ object BucketedUpsert {
     }
 
   private def parseManifest(spark: SparkSession, dir: String): Seq[Entry] = {
+    val hit = manifestMemo.get(dir)
+    if (hit != null) return hit
     val df = spark.read.parquet(dir)
     val hasTag = df.columns.contains("data_tag")
     val hasKey = df.columns.contains("key_col")
     val hasSorted = df.columns.contains("sorted_by_key")
     val hasVer = df.columns.contains("version_col")
+    val hasKt = df.columns.contains("key_dtype")
     val cols = Seq("bucket", "path", "n_buckets") ++
       (if (hasTag) Seq("data_tag") else Nil) ++
       (if (hasKey) Seq("key_col") else Nil) ++
       (if (hasSorted) Seq("sorted_by_key") else Nil) ++
-      (if (hasVer) Seq("version_col") else Nil)
-    df.select(cols.head, cols.tail: _*).collect().map { r =>
+      (if (hasVer) Seq("version_col") else Nil) ++
+      (if (hasKt) Seq("key_dtype") else Nil)
+    val parsed = df.select(cols.head, cols.tail: _*).collect().map { r =>
       var i = 3
       val dt = if (hasTag) { val v = r.getLong(i); i += 1; v }
                else entryTag(r.getString(1))
       val kc = if (hasKey) { val v = r.getString(i); i += 1; v } else ""
       val so = if (hasSorted) { val v = r.getBoolean(i); i += 1; v } else false
-      val vc = if (hasVer) r.getString(i) else ""
-      Entry(r.getInt(0), r.getString(1), r.getInt(2), dt, kc, so, vc)
+      val vc = if (hasVer) { val v = r.getString(i); i += 1; v } else ""
+      val kt = if (hasKt) r.getString(i) else ""
+      Entry(r.getInt(0), r.getString(1), r.getInt(2), dt, kc, so, vc, kt)
     }.toSeq
+    if (manifestMemo.size > 8192) manifestMemo.clear()
+    manifestMemo.put(dir, parsed)
+    parsed
   }
 
   private def publishEntries(spark: SparkSession, entries: Seq[Entry],
@@ -99,10 +122,14 @@ object BucketedUpsert {
     import spark.implicits._
     Snapshot.publish(
       entries.map(e => (e.bucket, e.path, e.nBuckets, e.dataTag, e.keyCol,
-          e.sorted, e.verCol))
+          e.sorted, e.verCol, e.keyType))
         .toDF("bucket", "path", "n_buckets", "data_tag", "key_col",
-          "sorted_by_key", "version_col").coalesce(1),
+          "sorted_by_key", "version_col", "key_dtype").coalesce(1),
       root, tag, keep)
+    // seed the memo with what was just published: the dir is immutable
+    // from here on and the next manifestEntries must not pay a read job
+    if (manifestMemo.size > 8192) manifestMemo.clear()
+    manifestMemo.put(s"$root/v$tag", entries)
   }
 
   /** The bucket-route contract: the route is pmod(murmur3(key), n),
@@ -115,15 +142,35 @@ object BucketedUpsert {
   private def requireKeyTypeStable(spark: SparkSession, root: String,
                                    key: String,
                                    incoming: org.apache.spark.sql.types.DataType): Unit =
-    manifestEntries(spark, root).headOption.foreach { e =>
-      val stored = spark.read.parquet(e.path).schema
-        .fields.find(_.name == key).map(_.dataType)
+    requireKeyTypeStableEntries(spark, manifestEntries(spark, root), root,
+      key, incoming)
+
+  /** [[requireKeyTypeStable]] over an ALREADY-FETCHED manifest (r21:
+    * write paths fetch entries once and share them). The stored key
+    * dtype comes from the manifest's own `key_dtype` record when
+    * present (r21 — one JSON parse, no footer read); legacy manifests
+    * fall back to the parquet footer. */
+  private def requireKeyTypeStableEntries(spark: SparkSession,
+                                          entries: Seq[Entry], root: String,
+                                          key: String,
+                                          incoming: org.apache.spark.sql.types.DataType): Unit =
+    entries.headOption.foreach { e =>
+      val stored = storedKeyType(spark, e, key)
       stored.foreach(st => require(st == incoming,
         s"bucket key '$key' arrives as ${incoming.simpleString} but the " +
           s"table at $root hashed it as ${st.simpleString} — a type change " +
           "re-routes keys to different buckets (murmur3 is type-sensitive); " +
           "cast the batch to the table's key type"))
     }
+
+  /** The dtype the table's key was hashed under: the manifest record
+    * when present, else the head entry's parquet footer (legacy). */
+  private def storedKeyType(spark: SparkSession, e: Entry,
+                            key: String): Option[org.apache.spark.sql.types.DataType] =
+    if (e.keyType.nonEmpty)
+      Some(org.apache.spark.sql.types.DataType.fromJson(e.keyType))
+    else spark.read.parquet(e.path).schema
+      .fields.find(_.name == key).map(_.dataType)
 
   /** Whether `column` is the table's RECORDED bucket key (tables
     * written before key recording answer false — no route claim). */
@@ -180,8 +227,7 @@ object BucketedUpsert {
       case (c, i) => bucketOf(c, n).as(s"b$i")
     }: _*)
     val probeTypes = spark.range(1).select(probes: _*).schema.map(_.dataType)
-    val stored = spark.read.parquet(entries.head.path).schema
-      .fields.find(_.name == key).map(_.dataType)
+    val stored = storedKeyType(spark, entries.head, key)
     stored.foreach(st => probeTypes.foreach(pt => require(pt == st,
       s"probe value arrives as ${pt.simpleString} but the table hashed " +
         s"'$key' as ${st.simpleString} — a mis-typed probe routes to the " +
@@ -457,13 +503,17 @@ object BucketedUpsert {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val spark = batch.sparkSession
     requireTagAbove(spark, root, tag, "batch")
-    requireKeyTypeStable(spark, root, key, batch.schema(key).dataType)
+    // ONE manifest fetch for the whole batch apply (r21: the tag
+    // guard, key-type pin, and prev-entry merge previously each paid
+    // their own manifest job)
+    val prev = manifestEntries(spark, root)
+    val keyDt = batch.schema(key).dataType
+    requireKeyTypeStableEntries(spark, prev, root, key, keyDt)
     // validate + absorb the batch's schema BEFORE any data write: a
     // cross-family conflict must fail while the table is untouched,
     // and a schema published without its data yet is harmless (extra
     // declared columns read as NULL until the manifest follows)
     absorbBatchSchema(spark, root, batch.schema, tag, keep)
-    val prev = manifestEntries(spark, root)
     prev.headOption.foreach(e => require(e.nBuckets == nBuckets,
       s"table at $root was bucketed with n=${e.nBuckets}, got $nBuckets — " +
         "the bucket count is fixed at table creation"))
@@ -487,17 +537,24 @@ object BucketedUpsert {
           case Seq() => batch.limit(0)
           case es => readPaths(spark, root, es.map(_.path))
         }
-        val resolved = base
+        // ONE exchange for resolve + route (r21, guide §2.4): the
+        // explicit hash repartition on the KEY into exactly nBuckets
+        // partitions IS the bucket route (HashPartitioning's
+        // partition-id expression pmod(murmur3(key), n) is bucketOf by
+        // construction), and it simultaneously satisfies the resolve
+        // window's ClusteredDistribution(key) — so the per-key
+        // row_number adds NO second exchange, and the write's dynamic
+        // graft_bucket=<i>/ dirs land one-bucket-per-task exactly as
+        // the old route-by-bucket shuffle did. Before: exchange(key)
+        // for the window + exchange(graft_bucket) for the route — the
+        // touched slice crossed the wire twice per batch.
+        base
           .unionByName(batch, allowMissingColumns = true)
+          .repartition(nBuckets, col(key))
           .withColumn("graft_rn", row_number().over(
             Window.partitionBy(key).orderBy(desc(versionCol))))
           .filter(col("graft_rn") === 1).drop("graft_rn")
-        // one job writes every touched bucket: route by bucket id, land
-        // as graft_bucket=<i>/ leaf dirs (the dir key is the route; the
-        // column itself is derivable from the key and not stored)
-        resolved
           .withColumn("graft_bucket", bucketOf(col(key), nBuckets))
-          .repartition(col("graft_bucket"))
           // key-sorted within each bucket file: with every entry sorted
           // (manifest flag), the bucketed scan also claims the sort
           // order and co-bucketed joins elide their SortExec too
@@ -506,7 +563,7 @@ object BucketedUpsert {
         stampBucketFiles(spark, dataDir)
         touched.toSeq.sorted.map(b =>
           Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag, key,
-            sorted = true, verCol = versionCol))
+            sorted = true, verCol = versionCol, keyType = keyDt.json))
       }
     val entries = prev.filterNot(e => touched(e.bucket)) ++ touchedEntries
     publishEntries(spark, entries, root, tag, keep)
@@ -537,16 +594,22 @@ object BucketedUpsert {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val spark = batch.sparkSession
     requireTagAbove(spark, root, tag, "fragment")
-    requireKeyTypeStable(spark, root, key, batch.schema(key).dataType)
-    absorbBatchSchema(spark, root, batch.schema, tag, keep)
+    // ONE manifest fetch shared by the guards and the entry merge (r21)
     val prev = manifestEntries(spark, root)
+    val keyDt = batch.schema(key).dataType
+    requireKeyTypeStableEntries(spark, prev, root, key, keyDt)
+    absorbBatchSchema(spark, root, batch.schema, tag, keep)
     prev.headOption.foreach(e => require(e.nBuckets == nBuckets,
       s"table at $root was bucketed with n=${e.nBuckets}, got $nBuckets — " +
         "the bucket count is fixed at table creation"))
     val dataDir = s"$root/data/v$tag"
     batch
+      // hash-on-key into exactly nBuckets partitions IS the bucket
+      // route (see applyBatch) — same one exchange as the old
+      // route-by-bucket-id, but aligned so each task holds exactly its
+      // own bucket (no two-buckets-in-one-task hash collisions)
+      .repartition(nBuckets, col(key))
       .withColumn("graft_bucket", bucketOf(col(key), nBuckets))
-      .repartition(col("graft_bucket"))
       .sortWithinPartitions(col("graft_bucket"), col(key))
       .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
     stampBucketFiles(spark, dataDir)
@@ -567,7 +630,7 @@ object BucketedUpsert {
              else prev.map(_.verCol).find(_.nonEmpty).getOrElse("")
     val entries = prev ++ written.map(b =>
       Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag, key,
-        sorted = true, verCol = vc))
+        sorted = true, verCol = vc, keyType = keyDt.json))
     publishEntries(spark, entries, root, tag, keep)
     gcData(spark, root)
   }
@@ -665,9 +728,10 @@ object BucketedUpsert {
       .sortWithinPartitions(col("graft_bucket"), col(key))
       .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
     stampBucketFiles(spark, dataDir)
+    val kt = prev.map(_.keyType).find(_.nonEmpty).getOrElse("")
     val merged = fragmented.map { case (b, frags) =>
       Entry(b, s"$dataDir/graft_bucket=$b", n, frags.map(_.dataTag).max, key,
-        sorted = true, verCol = versionCol)
+        sorted = true, verCol = versionCol, keyType = kt)
     }.toSeq
     val entries = prev.filterNot(e => fragmented.contains(e.bucket)) ++ merged
     publishEntries(spark, entries, root, tag, keep)
@@ -814,9 +878,10 @@ object BucketedUpsert {
       .sortWithinPartitions(col("graft_bucket"), col(key))
       .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
     stampBucketFiles(spark, dataDir)
+    val kt = prev.map(_.keyType).find(_.nonEmpty).getOrElse("")
     val merged = runs.map { case (b, frags) =>
       Entry(b, s"$dataDir/graft_bucket=$b", n, frags.map(_.dataTag).max, key,
-        sorted = true, verCol = versionCol)
+        sorted = true, verCol = versionCol, keyType = kt)
     }.toSeq
     val mergedPaths = runs.values.flatten.map(_.path).toSet
     val entries = prev.filterNot(e => mergedPaths.contains(e.path)) ++ merged
@@ -971,7 +1036,8 @@ object BucketedUpsert {
     require(prev.nonEmpty, s"no published bucketed table under $root")
     val n = prev.head.nBuckets
     val keyDf = keys.withColumnRenamed(keys.columns.head, key)
-    requireKeyTypeStable(spark, root, key, keyDf.schema(key).dataType)
+    requireKeyTypeStableEntries(spark, prev, root, key,
+      keyDf.schema(key).dataType)
     // delete-set-sized distinct, bucket-count-bounded result
     val touched = keyDf.select(bucketOf(col(key), n).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
@@ -1013,25 +1079,38 @@ object BucketedUpsert {
           else fs.listStatus(dd).map(_.getPath.getName)
             .filter(_.startsWith("graft_bucket="))
             .map(_.stripPrefix("graft_bucket=").toInt).toSet
+        // row counts from parquet FOOTERS, not Spark count() jobs
+        // (r21): `removed` is before-minus-after over complete parquet
+        // dirs, and every footer already records its exact row count —
+        // two driver-side metadata reads replace two full scan jobs
+        // per delete batch
         val after =
           if (present.isEmpty) 0L
-          else readPaths(spark, root,
-            present.toSeq.sorted.map(b => s"$dataDir/graft_bucket=$b")).count()
-        removed = base.count() - after
+          else footerRowCount(spark,
+            present.toSeq.sorted.map(b => s"$dataDir/graft_bucket=$b"))
+        removed = footerRowCount(spark, prevTouched.map(_.path)) - after
         // distinct: a FRAGMENTED bucket has several prev entries — its
         // rewrite must publish exactly one
         // the rewrite has no version-column param of its own — carry
         // the table's standing record forward
         val vc = prev.map(_.verCol).find(_.nonEmpty).getOrElse("")
+        val kt = prev.map(_.keyType).find(_.nonEmpty).getOrElse("")
         prevTouched.map(_.bucket).distinct.sorted.filter(present)
           .map(b => Entry(b, s"$dataDir/graft_bucket=$b", n, tag, key,
-            sorted = true, verCol = vc))
+            sorted = true, verCol = vc, keyType = kt))
       }
     val entries = prev.filterNot(e => touched(e.bucket)) ++ touchedEntries
     publishEntries(spark, entries, root, tag, keep)
     gcData(spark, root)
     removed
   }
+
+  /** Exact row count of complete parquet dirs from their FOOTERS —
+    * see [[FileStats.footerRowCount]]. Valid here because the dirs are
+    * whole immutable bucket outputs: every row in every file counts,
+    * no filter/mask applies. */
+  private def footerRowCount(spark: SparkSession, dirs: Seq[String]): Long =
+    FileStats.footerRowCount(spark, dirs)
 
   /** Bucket-file-name regex Spark's scan uses (`BucketingUtils`): the
     * digits after the LAST underscore are the bucket id. */

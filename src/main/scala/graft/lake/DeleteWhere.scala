@@ -81,7 +81,11 @@ object DeleteWhere {
   private def dvReadIfExists(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(dir)) else None
+    // driver-localized when sidecar-sized (r21): the DV is probed
+    // several times per read (regime count, mask filter, dvCount) and
+    // each was a job over a coalesce(1) file; past the localize bound
+    // the ordinary distributed read serves, same as ever
+    if (fs.exists(p)) Some(FileStats.localizedParquet(spark, dir)) else None
   }
 
   /** Rows above which the DV mask is NOT broadcast (VERDICT r16 #3):
@@ -247,7 +251,8 @@ object DeleteWhere {
     require(touched.toSet.subsetOf(all.toSet),
       "stats manifest disagrees with itself: pruned paths missing from it")
     val priorDv = dvReadIfExists(spark, dvDirFromStats(statsDir))
-    val priorCount = priorDv.map(_.count()).getOrElse(0L)
+    val priorCount = priorDv.map(_ =>
+      FileStats.footerRowCount(spark, Seq(dvDirFromStats(statsDir)))).getOrElse(0L)
 
     val newMatches =
       if (touched.isEmpty) None
@@ -270,7 +275,11 @@ object DeleteWhere {
     combined.foreach { dv =>
       // delete-set-sized; one file keeps the sidecar broadcastable
       dv.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dvDirOf(outDir))
-      rowsDeleted = spark.read.parquet(dvDirOf(outDir)).count() - priorCount
+      // written-sidecar row count from parquet footers (r21): the dir
+      // is complete and unmasked, so a count() job re-reading it buys
+      // nothing a driver-side footer read doesn't
+      rowsDeleted =
+        FileStats.footerRowCount(spark, Seq(dvDirOf(outDir))) - priorCount
     }
     // stats verbatim: all files survive physically, bounds stay valid
     oldStats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDirOf(outDir))
@@ -306,7 +315,7 @@ object DeleteWhere {
     // size the output from the version's physical bytes (manifest-
     // listed paths only — a driver metadata pass)
     val conf = spark.sparkContext.hadoopConfiguration
-    val bytes = spark.read.parquet(manifestDir(versionDir))
+    val bytes = FileStats.localizedParquet(spark, manifestDir(versionDir))
       .select("path").collect().map(_.getString(0)).map { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(conf).getContentSummary(hp).getLength
@@ -336,7 +345,7 @@ object DeleteWhere {
     * the Bloom admits files, the mask still hides rows. */
   def indexBloom(spark: SparkSession, versionDir: String, column: String,
                  mLog2: Int = 16, k: Int = 3): Unit = {
-    val paths = spark.read.parquet(manifestDir(versionDir))
+    val paths = FileStats.localizedParquet(spark, manifestDir(versionDir))
       .select("path").collect().map(_.getString(0)).toSeq
     require(paths.nonEmpty, s"empty delete manifest at $versionDir")
     BloomIndex.writeBloomFiles(spark, paths,
@@ -347,7 +356,8 @@ object DeleteWhere {
     * the exact correction [[Routing.aggStats]] applies to the
     * maintained manifest's n_rows. */
   private[graft] def dvCount(spark: SparkSession, versionDir: String): Long =
-    dvReadIfExists(spark, dvDirOf(versionDir)).map(_.count()).getOrElse(0L)
+    dvReadIfExists(spark, dvDirOf(versionDir)).map(_ =>
+      FileStats.footerRowCount(spark, Seq(dvDirOf(versionDir)))).getOrElse(0L)
 
   /** The deletion-vector mask restricted to `files`, as
     * (scheme-normalized path → ASCENDING row indexes) — what the DSv2
@@ -378,7 +388,7 @@ object DeleteWhere {
     * sidecar's regime-decision count. */
   private[graft] def manifestPaths(spark: SparkSession,
                                    outDir: String): Seq[String] =
-    spark.read.parquet(manifestDir(outDir))
+    FileStats.localizedParquet(spark, manifestDir(outDir))
       .select("path").collect().map(_.getString(0)).toSeq
 
   /** Read the post-delete version: the manifest's paths (kept original
@@ -390,7 +400,7 @@ object DeleteWhere {
     * memory-safe shuffle anti-join (run [[compactVersion]] to fold the
     * vectors and restore the broadcast regime). */
   def read(spark: SparkSession, outDir: String): DataFrame = {
-    val paths = spark.read.parquet(manifestDir(outDir))
+    val paths = FileStats.localizedParquet(spark, manifestDir(outDir))
       .select("path").collect().map(_.getString(0)).toSeq
     require(paths.nonEmpty, s"empty delete manifest at $outDir")
     readFiles(spark, outDir, paths)

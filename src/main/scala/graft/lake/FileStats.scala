@@ -249,10 +249,95 @@ object FileStats {
 
   /** The manifest's current parquet data as a frame — EVERY manifest
     * read goes through this, so a pointer flip is invisible to
-    * consumers. */
+    * consumers. Small manifests come back DRIVER-LOCALIZED
+    * ([[localizedParquet]]): a LocalRelation whose filter/collect
+    * consumers fold driver-side with zero Spark jobs. */
   private[lake] def manifestDf(spark: SparkSession,
                                manifestDir: String): DataFrame =
-    spark.read.parquet(resolveManifest(spark, manifestDir))
+    localizedParquet(spark, resolveManifest(spark, manifestDir))
+
+  // ---- driver-localized tiny-parquet reads (r21 optimization).
+  // The lake's metadata surfaces — stats/bloom manifests, DV sidecars,
+  // delete-version manifests — are read MANY times per lifecycle
+  // (prune, probe, guard, count), and each spark.read.parquet +
+  // collect() pays a full job: ~50-100 ms of planning + scheduling for
+  // a few-KB file. guide §5: the driver should do almost no data work —
+  // but metadata is not data, and these dirs are bounded by design
+  // (file-count- or delete-set-sized, coalesce(1) on write). Reads at
+  // or under LocalizeMaxBytes come back as a memoized LocalRelation:
+  // Catalyst's ConvertToLocalRelation then folds Project/Filter over
+  // it during optimization, so the common `.filter(...).collect()`
+  // never launches a job. Bigger dirs (a million-file bloom manifest
+  // at 100 TB) fall through to the ordinary distributed read — the
+  // scale story of every consumer is unchanged, this only removes the
+  // fixed per-job cost where the data was driver-sized anyway.
+  // Safety: the memo key is the dir's LISTING (name, len, mtime of
+  // every live parquet file), so any rewrite — even of a flat
+  // non-pointer dir — misses the memo and re-reads.
+
+  private val LocalizeMaxBytes = 8L << 20
+  private val localMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.types.StructType,
+             Array[org.apache.spark.sql.Row])]()
+  private val localTooBig =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[lake] def localizedParquet(spark: SparkSession,
+                                     dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed =
+      try fs.listStatus(p).filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      catch { case _: java.io.FileNotFoundException =>
+        return spark.read.parquet(dir) } // keep the reader's error shape
+    if (listed.isEmpty) return spark.read.parquet(dir)
+    val key = dir + "|" + listed.map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(",")
+    if (localTooBig.contains(key)) return spark.read.parquet(dir)
+    val hit = localMemo.get(key)
+    if (hit != null)
+      return spark.createDataFrame(
+        java.util.Arrays.asList(hit._2: _*), hit._1)
+    if (listed.map(_.getLen).sum > LocalizeMaxBytes) {
+      localTooBig.add(key)
+      return spark.read.parquet(dir)
+    }
+    val df = spark.read.parquet(dir)
+    val rows = df.collect()
+    if (localMemo.size > 4096) { localMemo.clear(); localTooBig.clear() }
+    localMemo.put(key, (df.schema, rows))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  /** Exact row count of complete parquet dirs (or files) from their
+    * FOOTERS — a driver-side metadata read replacing a `df.count()`
+    * job wherever every row of every file counts (no filter/mask). */
+  private[lake] def footerRowCount(spark: SparkSession,
+                                   dirs: Seq[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    dirs.iterator.flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Iterator.empty[org.apache.hadoop.fs.FileStatus]
+      else {
+        val st = fs.getFileStatus(p)
+        if (st.isFile) Iterator.single(st)
+        else fs.listStatus(p).iterator.filter(s => s.isFile && {
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+      }
+    }.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 
   /** Publish the next manifest version: `write` lands parquet into a
     * PRIVATE staging dir, `fp` is stamped inside it, the stage renames
@@ -502,6 +587,37 @@ object FileStats {
                             suspect: Set[String] = Set.empty)
       : (Seq[String], Set[String]) = {
     val hasMeta = oldFiles.columns.contains("f_len")
+    // DRIVER-SIDE fast path (r21): when the old manifest is already a
+    // localized LocalRelation ([[localizedParquet]]) the full-outer
+    // classification join is two driver-resident sets — pure Scala set
+    // algebra, zero Spark jobs. Million-file manifests exceed the
+    // localize bound and keep the distributed join below, so the
+    // "only the delta reaches the driver" scale contract is unchanged.
+    val localPlan = oldFiles.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    if (localPlan) {
+      val rows = oldFiles.collect() // LocalTableScan: no job
+      val pi = oldFiles.columns.indexOf("path")
+      val li = oldFiles.columns.indexOf("f_len")
+      val ti = oldFiles.columns.indexOf("f_mtime")
+      val oldMeta: Map[String, Option[(Long, Long)]] = rows.map { r =>
+        val norm = normPath(r.getString(pi))
+        val m = if (hasMeta && !r.isNullAt(li) && !r.isNullAt(ti))
+          Some((r.getLong(li), r.getLong(ti))) else None
+        norm -> m
+      }.toMap
+      val listByNorm = listing.map(m => m.norm -> m).toMap
+      def keptPair(norm: String, m: FileMeta): Boolean =
+        oldMeta.get(norm).exists(_.exists { case (l, t) =>
+          l == m.len && t == m.mtime }) && !suspect(norm)
+      val rescan = listing.filter(m => !keptPair(m.norm, m))
+        .map(_.path).sorted
+      val dropped = oldMeta.keySet.filter(n =>
+        !listByNorm.get(n).exists(m => keptPair(n, m)))
+      lastDeltaCollected =
+        (rescan.map(normPath).toSet ++ dropped).size.toLong
+      return (rescan, dropped)
+    }
     val oldN = oldFiles
       .withColumn("_norm",
         regexp_replace(col("path"), SchemeRe, "/"))
