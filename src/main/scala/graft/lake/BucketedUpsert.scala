@@ -87,8 +87,25 @@ object BucketedUpsert {
       case Some(dir) => parseManifest(spark, dir)
     }
 
+  /** Memo key = dir + its live-file listing (name, len, mtime): a
+    * republished-after-crash orphan dir (same path, new bytes — the
+    * one way a v<tag> dir's content can legally change) misses the
+    * memo instead of serving stale entries. One driver listStatus per
+    * read — far cheaper than the collect job it replaces. */
+  private def manifestKey(spark: SparkSession, dir: String): Option[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try Some(dir + "|" + fs.listStatus(p).filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }).map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(","))
+    catch { case _: java.io.FileNotFoundException => None }
+  }
+
   private def parseManifest(spark: SparkSession, dir: String): Seq[Entry] = {
-    val hit = manifestMemo.get(dir)
+    val key = manifestKey(spark, dir)
+    val hit = key.map(manifestMemo.get).orNull
     if (hit != null) return hit
     val df = spark.read.parquet(dir)
     val hasTag = df.columns.contains("data_tag")
@@ -112,24 +129,45 @@ object BucketedUpsert {
       val kt = if (hasKt) r.getString(i) else ""
       Entry(r.getInt(0), r.getString(1), r.getInt(2), dt, kc, so, vc, kt)
     }.toSeq
-    if (manifestMemo.size > 8192) manifestMemo.clear()
-    manifestMemo.put(dir, parsed)
+    key.foreach { k =>
+      if (manifestMemo.size > 8192) manifestMemo.clear()
+      manifestMemo.put(k, parsed)
+    }
     parsed
   }
 
+  private val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_buckets",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("data_tag",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("key_col",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("sorted_by_key",
+      org.apache.spark.sql.types.BooleanType, nullable = false),
+    org.apache.spark.sql.types.StructField("version_col",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("key_dtype",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+
   private def publishEntries(spark: SparkSession, entries: Seq[Entry],
                              root: String, tag: Long, keep: Int): Unit = {
-    import spark.implicits._
-    Snapshot.publish(
-      entries.map(e => (e.bucket, e.path, e.nBuckets, e.dataTag, e.keyCol,
-          e.sorted, e.verCol, e.keyType))
-        .toDF("bucket", "path", "n_buckets", "data_tag", "key_col",
-          "sorted_by_key", "version_col", "key_dtype").coalesce(1),
+    // rows are already on the driver — publish without a Spark job (r21)
+    Snapshot.publishRows(spark, manifestSchema,
+      entries.map(e => org.apache.spark.sql.Row(
+        e.bucket, e.path, e.nBuckets, e.dataTag, e.keyCol,
+        e.sorted, e.verCol, e.keyType)),
       root, tag, keep)
     // seed the memo with what was just published: the dir is immutable
     // from here on and the next manifestEntries must not pay a read job
-    if (manifestMemo.size > 8192) manifestMemo.clear()
-    manifestMemo.put(s"$root/v$tag", entries)
+    manifestKey(spark, s"$root/v$tag").foreach { k =>
+      if (manifestMemo.size > 8192) manifestMemo.clear()
+      manifestMemo.put(k, entries)
+    }
   }
 
   /** The bucket-route contract: the route is pmod(murmur3(key), n),
@@ -222,11 +260,19 @@ object BucketedUpsert {
     require(probes.nonEmpty, "at least one probe value")
     require(entries.nonEmpty, s"no published bucketed table under $root")
     val n = entries.head.nBuckets
-    // one driver-local job: each probe's bucket and dtype
-    val sel = spark.range(1).select(probes.zipWithIndex.map {
+    // probe buckets over a one-row LocalRelation (r21): deterministic
+    // probe expressions constant-fold during optimization, so head()
+    // is a driver-side read with NO job (spark.range(1) planned a
+    // WholeStageCodegen job per probe read)
+    val one = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(1)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("one",
+          org.apache.spark.sql.types.IntegerType))))
+    val sel = one.select(probes.zipWithIndex.map {
       case (c, i) => bucketOf(c, n).as(s"b$i")
     }: _*)
-    val probeTypes = spark.range(1).select(probes: _*).schema.map(_.dataType)
+    val probeTypes = one.select(probes: _*).schema.map(_.dataType)
     val stored = storedKeyType(spark, entries.head, key)
     stored.foreach(st => probeTypes.foreach(pt => require(pt == st,
       s"probe value arrives as ${pt.simpleString} but the table hashed " +
@@ -323,9 +369,11 @@ object BucketedUpsert {
                             dropped: Set[String], tag: Long,
                             keep: Int): Unit = {
     import spark.implicits._
+    // no coalesce(1): the frame is a driver-resident LocalRelation and
+    // Snapshot.publish's local fast path writes the one file jobless
     Snapshot.publish(
       Seq((schema.json, encodeDropped(dropped)))
-        .toDF("schema_json", "dropped_json").coalesce(1),
+        .toDF("schema_json", "dropped_json"),
       schemaRoot(root), tag, keep)
   }
 
@@ -517,18 +565,62 @@ object BucketedUpsert {
     prev.headOption.foreach(e => require(e.nBuckets == nBuckets,
       s"table at $root was bucketed with n=${e.nBuckets}, got $nBuckets — " +
         "the bucket count is fixed at table creation"))
+    val dataDir = s"$root/data/v$tag"
+    // ONE exchange for resolve + route (r21, guide §2.4): the explicit
+    // hash repartition on the KEY into exactly nBuckets partitions IS
+    // the bucket route (HashPartitioning's partition-id expression
+    // pmod(murmur3(key), n) is bucketOf by construction), and it
+    // simultaneously satisfies the resolve window's
+    // ClusteredDistribution(key) — so the per-key row_number adds NO
+    // second exchange, and the write's dynamic graft_bucket=<i>/ dirs
+    // land one-bucket-per-task exactly as the old route-by-bucket
+    // shuffle did. Before: exchange(key) for the window +
+    // exchange(graft_bucket) for the route — the touched slice crossed
+    // the wire twice per batch.
+    def resolveRouteWrite(base: DataFrame): Unit =
+      base
+        .unionByName(batch, allowMissingColumns = true)
+        .repartition(nBuckets, col(key))
+        .withColumn("graft_rn", row_number().over(
+          Window.partitionBy(key).orderBy(desc(versionCol))))
+        .filter(col("graft_rn") === 1).drop("graft_rn")
+        .withColumn("graft_bucket", bucketOf(col(key), nBuckets))
+        // key-sorted within each bucket file: with every entry sorted
+        // (manifest flag), the bucketed scan also claims the sort
+        // order and co-bucketed joins elide their SortExec too
+        .sortWithinPartitions(col("graft_bucket"), col(key))
+        .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
+    def entryOf(b: Int) =
+      Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag, key,
+        sorted = true, verCol = versionCol, keyType = keyDt.json)
+    if (prev.isEmpty) {
+      // FIRST batch (r21): with no standing buckets to merge, the
+      // touched-bucket probe — a full extra pass over the batch — buys
+      // nothing; write the resolved batch and derive the entry set
+      // from the bucket dirs actually written (the appendFragment
+      // discovery). An empty first batch writes no bucket dirs and
+      // creates nothing: publishing a zero-entry manifest would make
+      // the table "exist" with no schema and no bucket count, wedging
+      // every consumer that resolves it (the streaming index ingests
+      // died exactly this way on a zero-row leading file) — sweep the
+      // empty write dir and leave the root untouched.
+      resolveRouteWrite(batch.limit(0))
+      stampBucketFiles(spark, dataDir)
+      val dd = new Path(dataDir)
+      val fs = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val written =
+        if (!fs.exists(dd)) Seq.empty[Int]
+        else fs.listStatus(dd).map(_.getPath.getName)
+          .filter(_.startsWith("graft_bucket="))
+          .map(_.stripPrefix("graft_bucket=").toInt).toSeq.sorted
+      if (written.isEmpty) { fs.delete(dd, true); return }
+      publishEntries(spark, written.map(entryOf), root, tag, keep)
+      gcData(spark, root)
+      return
+    }
     // touched buckets: a batch-sized distinct, bucket-count-bounded result
     val touched = batch.select(bucketOf(col(key), nBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    // an empty FIRST batch creates nothing: publishing a zero-entry
-    // manifest would make the table "exist" with no schema and no
-    // bucket count, wedging every consumer that resolves it (the
-    // streaming index ingests died exactly this way on a zero-row
-    // leading file). The table appears with its first row; an empty
-    // LATER batch still re-publishes (the streaming ledger needs the
-    // tag advanced to skip the replay).
-    if (touched.isEmpty && prev.isEmpty) return
-    val dataDir = s"$root/data/v$tag"
     val touchedEntries =
       if (touched.isEmpty) Seq.empty
       else {
@@ -537,33 +629,9 @@ object BucketedUpsert {
           case Seq() => batch.limit(0)
           case es => readPaths(spark, root, es.map(_.path))
         }
-        // ONE exchange for resolve + route (r21, guide §2.4): the
-        // explicit hash repartition on the KEY into exactly nBuckets
-        // partitions IS the bucket route (HashPartitioning's
-        // partition-id expression pmod(murmur3(key), n) is bucketOf by
-        // construction), and it simultaneously satisfies the resolve
-        // window's ClusteredDistribution(key) — so the per-key
-        // row_number adds NO second exchange, and the write's dynamic
-        // graft_bucket=<i>/ dirs land one-bucket-per-task exactly as
-        // the old route-by-bucket shuffle did. Before: exchange(key)
-        // for the window + exchange(graft_bucket) for the route — the
-        // touched slice crossed the wire twice per batch.
-        base
-          .unionByName(batch, allowMissingColumns = true)
-          .repartition(nBuckets, col(key))
-          .withColumn("graft_rn", row_number().over(
-            Window.partitionBy(key).orderBy(desc(versionCol))))
-          .filter(col("graft_rn") === 1).drop("graft_rn")
-          .withColumn("graft_bucket", bucketOf(col(key), nBuckets))
-          // key-sorted within each bucket file: with every entry sorted
-          // (manifest flag), the bucketed scan also claims the sort
-          // order and co-bucketed joins elide their SortExec too
-          .sortWithinPartitions(col("graft_bucket"), col(key))
-          .write.mode("overwrite").partitionBy("graft_bucket").parquet(dataDir)
+        resolveRouteWrite(base)
         stampBucketFiles(spark, dataDir)
-        touched.toSeq.sorted.map(b =>
-          Entry(b, s"$dataDir/graft_bucket=$b", nBuckets, tag, key,
-            sorted = true, verCol = versionCol, keyType = keyDt.json))
+        touched.toSeq.sorted.map(entryOf)
       }
     val entries = prev.filterNot(e => touched(e.bucket)) ++ touchedEntries
     publishEntries(spark, entries, root, tag, keep)
@@ -1292,10 +1360,13 @@ object BucketedUpsert {
     // per-dir reads, unreadable dirs skipped: a crashed publish can leave
     // a partial manifest dir (never pointer-visible to readers); its
     // references are only the data its own replay will rewrite, so
-    // skipping it is safe where failing the whole batch would not be
+    // skipping it is safe where failing the whole batch would not be.
+    // parseManifest (r21): the retained dirs are the ones just
+    // published/memoized, so the per-publish GC sweep stops paying one
+    // collect job per retained manifest.
     val referenced = snapDirs.flatMap { dir =>
-      try spark.read.parquet(dir).select("path").collect().map(_.getString(0))
-      catch { case scala.util.control.NonFatal(_) => Array.empty[String] }
+      try parseManifest(spark, dir).map(_.path)
+      catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
     }.toSet
     val refVersionDirs = referenced.map(p => new Path(p).getParent.toString)
     f.listStatus(dataRoot)

@@ -78,6 +78,34 @@ object DeleteWhere {
     regexp_replace(c, FileStats.SchemeRe, "/")
   private def normPath(s: String): String = FileStats.normPath(s)
 
+  /** Single-file overwrite of a tiny metadata frame, driver-side when
+    * every part is a localized LocalRelation with a [[LocalParquet]]-
+    * supported schema (zero Spark jobs — r21), else the ordinary
+    * coalesce(1) write of the parts' union. Parts are aligned to the
+    * FIRST part's columns by name. */
+  private def writeTinyParts(spark: SparkSession, parts: Seq[DataFrame],
+                             dir: String): Unit = {
+    require(parts.nonEmpty, "writeTinyParts needs at least one part")
+    val cols = parts.head.columns
+    val aligned = parts.map(p => p.select(cols.map(col): _*))
+    val schema = aligned.head.schema
+    def localRows(df: DataFrame): Option[Array[org.apache.spark.sql.Row]] =
+      df.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+            if lr.data.length <= 100000 => Some(df.collect())
+        case _ => None
+      }
+    val rowSets =
+      if (LocalParquet.supported(schema)) aligned.map(localRows)
+      else Seq(None)
+    if (rowSets.forall(_.isDefined))
+      LocalParquet.overwrite(spark, dir, schema,
+        rowSets.flatMap(_.get.toSeq))
+    else
+      aligned.reduce(_.unionByName(_)).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
   private def dvReadIfExists(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -187,28 +215,29 @@ object DeleteWhere {
     priorDv.foreach { dv =>
       val carried = dv.filter(!col("path").isInCollection(touchedNorm))
       if (carried.take(1).nonEmpty)
-        carried.coalesce(1).write.mode(SaveMode.Overwrite)
-          .parquet(dvDirOf(outDir))
+        writeTinyParts(spark, Seq(carried), dvDirOf(outDir))
     }
     // maintained stats: kept files' rows verbatim + rewritten files' new
     // rows (column-aligned by name; the fresh build emits the same set)
     val keptStats = oldStats.filter(!col("path").isInCollection(touched))
-    val newStats =
-      if (touched.isEmpty) keptStats
-      else keptStats.unionByName(
-        FileStats.manifestDf(spark, s"${statsDirOf(outDir)}-new"),
-        allowMissingColumns = false)
-    newStats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDirOf(outDir))
+    writeTinyParts(spark,
+      if (touched.isEmpty) Seq(keptStats)
+      else Seq(keptStats,
+        FileStats.manifestDf(spark, s"${statsDirOf(outDir)}-new")),
+      statsDirOf(outDir))
     if (touched.nonEmpty) { // drop the fresh-stats staging dir
       val p = new org.apache.hadoop.fs.Path(s"${statsDirOf(outDir)}-new")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
 
     val newPaths = kept ++ (if (touched.nonEmpty) Seq(filesDir(outDir)) else Nil)
-    // manifest last: the version becomes readable only once it is complete
-    import spark.implicits._
-    newPaths.toDF("path").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(manifestDir(outDir))
+    // manifest last: the version becomes readable only once it is
+    // complete; path-list-sized, written driver-side (r21)
+    LocalParquet.overwrite(spark, manifestDir(outDir),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType))),
+      newPaths.map(org.apache.spark.sql.Row(_)))
     DeleteStats(all.size.toLong, touched.size.toLong, rowsDeleted)
   }
 
@@ -282,10 +311,13 @@ object DeleteWhere {
         FileStats.footerRowCount(spark, Seq(dvDirOf(outDir))) - priorCount
     }
     // stats verbatim: all files survive physically, bounds stay valid
-    oldStats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDirOf(outDir))
-    import spark.implicits._
-    all.toDF("path").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(manifestDir(outDir))
+    writeTinyParts(spark, Seq(oldStats), statsDirOf(outDir))
+    // path-list-sized manifest, written driver-side (r21)
+    LocalParquet.overwrite(spark, manifestDir(outDir),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType))),
+      all.map(org.apache.spark.sql.Row(_)))
     DeleteStats(all.size.toLong, 0L, rowsDeleted)
   }
 

@@ -113,9 +113,39 @@ object Snapshot {
     * against a surviving table) fails fast here instead of corrupting
     * the table.
     */
-  def publish(df: DataFrame, root: String, tag: Long, keep: Int = 2): Unit = {
+  def publish(df: DataFrame, root: String, tag: Long, keep: Int = 2): Unit =
+    publishWith(df.sparkSession, root, tag, keep) { dir =>
+      // driver-resident metadata frames (a LocalRelation of plain
+      // primitives) write WITHOUT a Spark job (r21 — see
+      // [[LocalParquet]]); data-sized or complex frames keep the
+      // ordinary distributed write
+      val localRows = df.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+            if LocalParquet.supported(df.schema) &&
+              lr.data.length <= 10000 =>
+          Some(df.collect().toSeq) // LocalTableScan executeCollect: no job
+        case _ => None
+      }
+      localRows match {
+        case Some(rows) =>
+          LocalParquet.overwrite(df.sparkSession, dir, df.schema, rows)
+        case None => df.write.mode("overwrite").parquet(dir)
+      }
+    }
+
+  /** [[publish]] for rows already on the driver — writes the snapshot
+    * file with [[LocalParquet]] (no Spark job) under the same pointer
+    * protocol. The schema must satisfy [[LocalParquet.supported]]. */
+  private[lake] def publishRows(spark: SparkSession,
+                                schema: org.apache.spark.sql.types.StructType,
+                                rows: Seq[org.apache.spark.sql.Row],
+                                root: String, tag: Long, keep: Int): Unit =
+    publishWith(spark, root, tag, keep)(dir =>
+      LocalParquet.overwrite(spark, dir, schema, rows))
+
+  private def publishWith(spark: SparkSession, root: String, tag: Long,
+                          keep: Int)(write: String => Unit): Unit = {
     require(keep >= 1, s"keep must be >= 1: $keep")
-    val spark = df.sparkSession
     val prevLines = pointerLines(spark, root)
     val prevTag = prevLines.headOption.flatMap(_.drop(1).toLongOption)
     prevTag.foreach(cur => require(tag > cur,
@@ -124,7 +154,7 @@ object Snapshot {
         "clear the table root or resume from the matching checkpoint"))
     val f = fs(spark, root)
     val snapName = s"v$tag"
-    df.write.mode("overwrite").parquet(s"$root/$snapName")
+    write(s"$root/$snapName")
     // single-file atomic pointer swap: write-temp, rename-over. The file
     // carries the published-tag HISTORY (current first) so time travel
     // can tell once-published dirs from crashed-publish orphans.
