@@ -177,8 +177,8 @@ object BloomIndex {
 
   def refreshBloom(spark: SparkSession, dataDir: String,
                    bloomDir: String, column: String): (Long, Long) = {
-    val params = FileStats.manifestDf(spark, bloomDir)
-      .select("m_log2", "k").distinct().collect()
+    val params = FileStats.localDistinct(FileStats.manifestDf(spark, bloomDir)
+      .select("m_log2", "k")).collect()
     require(params.length == 1,
       s"bloom index at $bloomDir mixes filter params " +
         s"${params.mkString(",")} - rebuild it")
@@ -202,10 +202,14 @@ object BloomIndex {
     // VERDICT r18 #2) over the manifest's DISTINCT per-file rows —
     // only the delta reaches the driver.
     val oldDf = FileStats.manifestDf(spark, bloomDir)
+    // localDistinct (r21): a localized manifest dedupes driver-side,
+    // which also keeps the input a LocalRelation so deltaOf's
+    // pure-driver classification applies (a .distinct() Aggregate
+    // forced it back onto the distributed full-outer join)
     val (added, dropped) = FileStats.deltaOf(spark,
-      oldDf.select(Seq(col("path")) ++
+      FileStats.localDistinct(oldDf.select(Seq(col("path")) ++
         (if (oldDf.columns.contains("f_len"))
-           Seq(col("f_len"), col("f_mtime")) else Nil): _*).distinct(),
+           Seq(col("f_len"), col("f_mtime")) else Nil): _*)),
       listing, suspect)
     val addedNorm = added.map(FileStats.normPath).toSet
     val addedCovered = listing.filter(m => addedNorm.contains(m.norm))
@@ -291,8 +295,8 @@ object BloomIndex {
     // silently false-negate — the one failure the index forbids. Same
     // uniformity check as SecondaryIndex.lookupBuckets; distinct is
     // manifest-sized (metadata).
-    val meta = FileStats.manifestDf(spark, bloomDir)
-      .select("m_log2", "k").distinct().collect()
+    val meta = FileStats.localDistinct(FileStats.manifestDf(spark, bloomDir)
+      .select("m_log2", "k")).collect()
     if (meta.isEmpty) return Seq.empty // empty table indexed → no files
     require(meta.length == 1,
       s"bloom index at $bloomDir mixes filter params " +

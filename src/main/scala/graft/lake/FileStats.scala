@@ -313,30 +313,59 @@ object FileStats {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
+  /** `df.distinct()` with a driver-side fast path (r21): when `df` is
+    * already a localized LocalRelation, dedupe the rows in Scala and
+    * return a new LocalRelation — `.distinct()` over a LocalRelation
+    * plans an Aggregate, which costs a (small) Spark job AND blocks
+    * [[deltaOf]]'s pure-driver classification. Distributed frames
+    * keep the ordinary distinct. */
+  private[lake] def localDistinct(df: DataFrame): DataFrame =
+    df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val rows = df.collect().distinct // LocalTableScan: no job
+        df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), df.schema)
+      case _ => df.distinct()
+    }
+
   /** Exact row count of complete parquet dirs (or files) from their
     * FOOTERS — a driver-side metadata read replacing a `df.count()`
     * job wherever every row of every file counts (no filter/mask). */
   private[lake] def footerRowCount(spark: SparkSession,
                                    dirs: Seq[String]): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    dirs.iterator.flatMap { d =>
+    val files = dirs.flatMap { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) Iterator.empty[org.apache.hadoop.fs.FileStatus]
+      if (!fs.exists(p)) Seq.empty[org.apache.hadoop.fs.FileStatus]
       else {
         val st = fs.getFileStatus(p)
-        if (st.isFile) Iterator.single(st)
-        else fs.listStatus(p).iterator.filter(s => s.isFile && {
+        if (st.isFile) Seq(st)
+        else fs.listStatus(p).toSeq.filter(s => s.isFile && {
           val n = s.getPath.getName
           !n.startsWith("_") && !n.startsWith(".")
         })
       }
-    }.map { st =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromStatus(st, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum
+    }
+    // footer opens in parallel (walkTree's pattern): one footer per
+    // file is metadata-priced but not free serially — a 16-bucket
+    // rewrite counts 32 dirs' footers per delete batch
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, files.size)),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-footer"); t.setDaemon(true); t })
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.traverse(files) { st =>
+        scala.concurrent.Future {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }
+      }, scala.concurrent.duration.Duration(10, "min")).sum
+    finally pool.shutdownNow()
   }
 
   /** Publish the next manifest version: `write` lands parquet into a

@@ -94,8 +94,9 @@ object IncrAgg {
       mvTag match {
         case None => return 0
         case Some(_) =>
-          val mvBuckets = Snapshot.read(spark, mvRoot)
-            .select("graft_bucket").distinct().count().toInt
+          val mvBuckets = FileStats.localDistinct(
+            Snapshot.readLocalized(spark, mvRoot)
+              .select("graft_bucket")).count().toInt
           Snapshot.publish(Snapshot.read(spark, mvRoot).limit(0),
             mvRoot, tableTag, keep)
           return mvBuckets
@@ -110,9 +111,9 @@ object IncrAgg {
     // carried partials or its stale rows would survive forever
     val vanished = mvTag match {
       case None => Set.empty[Int]
-      case Some(_) => Snapshot.read(spark, mvRoot)
-        .select("graft_bucket").distinct().collect()
-        .map(_.getInt(0)).toSet -- currentBuckets
+      case Some(_) => FileStats.localDistinct(
+          Snapshot.readLocalized(spark, mvRoot).select("graft_bucket"))
+        .collect().map(_.getInt(0)).toSet -- currentBuckets
     }
     val changedBuckets = entries
       .filter(_.dataTag > since)
@@ -148,7 +149,7 @@ object IncrAgg {
     val mv = mvTag match {
       case None => changedPartials
       case Some(_) =>
-        Snapshot.read(spark, mvRoot)
+        Snapshot.readLocalized(spark, mvRoot)
           .filter(!col("graft_bucket").isin(changedBuckets.toSeq: _*))
           .unionByName(changedPartials)
     }
@@ -164,7 +165,7 @@ object IncrAgg {
            groupCols: Seq[String], sumCols: Seq[String]): DataFrame = {
     val aggs = sum(col(cntCol)).as("n") +:
       sumCols.map(c => sum(col(sumName(c))).cast(DoubleType).as(s"sum_$c"))
-    Snapshot.read(spark, mvRoot)
+    Snapshot.readLocalized(spark, mvRoot)
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }

@@ -81,7 +81,7 @@ object IncrNdv {
     * — then global top-k) and report `ndv_estimate` + `n_mins`. */
   def readNdv(spark: SparkSession, mvRoot: String,
               groupCols: Seq[String], k: Int): DataFrame = {
-    val mv = Snapshot.read(spark, mvRoot)
+    val mv = Snapshot.readLocalized(spark, mvRoot)
     val metaRow = mv.agg(min("graft_k")).head
     // a published-but-empty sketch (all-NULL first batch, or a table
     // emptied completely): zero groups, zero rows — not an NPE

@@ -39,7 +39,7 @@ object SecondaryIndex {
     // different params would mix incompatible filters and the probe
     // would silently false-negate — the one failure this index forbids
     Snapshot.currentTag(spark, ixRoot).foreach { _ =>
-      val stored = Snapshot.read(spark, ixRoot)
+      val stored = Snapshot.readLocalized(spark, ixRoot)
         .select("m_log2", "k").limit(1).collect()
       stored.headOption.foreach(r => require(
         r.getInt(0) == mLog2 && r.getInt(1) == k,
@@ -65,11 +65,11 @@ object SecondaryIndex {
   def lookupBuckets(spark: SparkSession, ixRoot: String,
                     values: Seq[String]): Seq[Int] = {
     require(values.nonEmpty, "at least one probe value")
-    val ix = Snapshot.read(spark, ixRoot)
+    val ix = Snapshot.readLocalized(spark, ixRoot)
     // defense in depth behind refresh's param guard: mixed params in
     // one manifest could false-negate, so verify uniformity (the
     // distinct is manifest-sized — metadata)
-    val meta = ix.select("m_log2", "k").distinct().collect()
+    val meta = FileStats.localDistinct(ix.select("m_log2", "k")).collect()
     if (meta.isEmpty) return Seq.empty
     require(meta.length == 1,
       s"index at $ixRoot mixes filter params ${meta.mkString(",")} — rebuild it")

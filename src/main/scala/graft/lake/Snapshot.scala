@@ -99,6 +99,15 @@ object Snapshot {
     spark.read.parquet(resolve(spark, root).getOrElse(
       throw new IllegalStateException(s"no published snapshot under $root")))
 
+  /** [[read]] through the driver-localized tiny-parquet cache (r21) —
+    * for METADATA-SCALE snapshot payloads only (index manifests, MV
+    * bucket partials: bounded by design, probed repeatedly per
+    * lifecycle). Data-sized snapshots must keep [[read]]; past the
+    * localize byte bound this degrades to exactly that. */
+  private[graft] def readLocalized(spark: SparkSession, root: String): DataFrame =
+    FileStats.localizedParquet(spark, resolve(spark, root).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $root")))
+
   /** Publish `df` as snapshot `v<tag>`: write the new directory, swap
     * the pointer via an ATOMIC rename-with-overwrite (FileContext —
     * plain FileSystem.rename cannot replace, and delete-then-rename

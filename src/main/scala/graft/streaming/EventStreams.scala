@@ -133,21 +133,73 @@ object EventStreams {
     * should be compacted (lake.Compaction) — a KB-file landing zone
     * makes listing, not data, the bottleneck.
     */
+  /** SCALE-ADAPTIVE state/shuffle partition count for a NEW stateful
+    * pipeline (r21, guide §2: derive partitioning from input size, not
+    * from a constant tuned for local mode or the cluster). A stateful
+    * stream's partition count is pinned by its FIRST batch into the
+    * checkpoint forever — inheriting `spark.sql.shuffle.partitions`
+    * (sized to cluster width) gives a tiny landing dir dozens of
+    * near-empty state stores, each paying provider init + delta commit
+    * + fsync per batch, and gives the SAME pipeline a different state
+    * layout on every cluster size. Instead: ceil(landing bytes /
+    * `graft.stream.stateTargetBytesPerPartition` [64 MB]), clamped to
+    * [1, session shuffle partitions] — input-derived, identical at any
+    * core count, and at 100 TB the clamp keeps today's width. An
+    * EXISTING checkpoint is untouched: Spark replays the recorded
+    * count from the offset log (set only when the checkpoint has no
+    * offsets yet). */
+  private def adaptiveStatePartitions(spark: SparkSession,
+                                      srcDir: String): Option[Int] = {
+    val target = spark.conf
+      .getOption("graft.stream.stateTargetBytesPerPartition")
+      .map(_.toLong).getOrElse(64L << 20)
+    val p = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val bytes = fs.getContentSummary(p).getLength
+    val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Some((((bytes + target - 1) / target) max 1L).min(cur.toLong).toInt)
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` set adaptively for
+    * a stream STARTING at `checkpointDir` (restored after — the stream
+    * clones the session state at start, so the scope only needs to
+    * cover `.start()`). No-op when the checkpoint already has offsets:
+    * its recorded count governs. */
+  private def withAdaptiveStateConf[T](spark: SparkSession, srcDir: String,
+                                       checkpointDir: String)(body: => T): T = {
+    val offsets = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+    val fresh = {
+      val fs = offsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      !fs.exists(offsets) || fs.listStatus(offsets).isEmpty
+    }
+    adaptiveStatePartitions(spark, srcDir).filter(_ => fresh) match {
+      case None => body
+      case Some(n) =>
+        val key = "spark.sql.shuffle.partitions"
+        val prev = spark.conf.get(key)
+        spark.conf.set(key, n.toString)
+        try body finally spark.conf.set(key, prev)
+    }
+  }
+
   def runFileToParquet(spark: SparkSession, srcDir: String,
                        schema: org.apache.spark.sql.types.StructType,
                        transform: DataFrame => DataFrame,
                        sinkDir: String, checkpointDir: String,
                        maxFilesPerTrigger: Int = 1000): Unit = {
-    val q = transform(
-        spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", maxFilesPerTrigger)
-          .parquet(srcDir))
-      .writeStream.format("parquet")
-      .option("path", sinkDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = withAdaptiveStateConf(spark, srcDir, checkpointDir) {
+      transform(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", maxFilesPerTrigger)
+            .parquet(srcDir))
+        .writeStream.format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
   }
 
