@@ -343,7 +343,7 @@ object Ivf {
     Snapshot.resolve(spark, genPtr(root)) match {
       case None => (centRoot(root), corpusRoot(root))
       case Some(_) =>
-        val r = Snapshot.read(spark, genPtr(root)).select("cent", "corp").head()
+        val r = Snapshot.readLocalized(spark, genPtr(root)).select("cent", "corp").head()
         (r.getString(0), r.getString(1))
     }
 
@@ -353,7 +353,7 @@ object Ivf {
                  k: Int, nBuckets: Int = 16, tag: Long = 1L): Unit = {
     val centroids = seedCentroids(embeddings, k)
     Snapshot.publish(centroids.coalesce(1), centRoot(root), tag)
-    val assigned = assign(spark, embeddings, Snapshot.read(spark, centRoot(root)))
+    val assigned = assign(spark, embeddings, Snapshot.readLocalized(spark, centRoot(root)))
     BucketedUpsert.applyBatch(
       assigned.withColumn("graft_ver", lit(tag)),
       corpusRoot(root), "vec_id", "graft_ver", nBuckets, tag)
@@ -376,7 +376,7 @@ object Ivf {
                                          beforeCheck: () => Unit,
                                          nBucketsIfEmpty: Int = 16): Unit = {
     val (cent, corp) = livePaths(spark, root)
-    val centroids = Snapshot.read(spark, cent)
+    val centroids = Snapshot.readLocalized(spark, cent)
     val assigned = assign(spark, batch, centroids)
     BucketedUpsert.applyBatch(
       assigned.withColumn("graft_ver", lit(tag)),
@@ -459,7 +459,7 @@ object Ivf {
             if (!Snapshot.currentTag(bs, liveCent).exists(_ >= batchId))
               Snapshot.publish(seedCentroids(batch, k).coalesce(1),
                 liveCent, batchId)
-            val assigned = assign(bs, batch, Snapshot.read(bs, liveCent))
+            val assigned = assign(bs, batch, Snapshot.readLocalized(bs, liveCent))
             BucketedUpsert.applyBatch(
               assigned.withColumn("graft_ver", lit(batchId)),
               liveCorp, "vec_id", "graft_ver", nBuckets, batchId)
@@ -493,7 +493,7 @@ object Ivf {
     search(spark,
       BucketedUpsert.read(spark, corp),
       queries,
-      Snapshot.read(spark, cent),
+      Snapshot.readLocalized(spark, cent),
       topK, nProbe)
   }
 
@@ -528,7 +528,7 @@ object Ivf {
 
   def drift(spark: SparkSession, root: String): Drift = {
     val (cent, corp) = livePaths(spark, root)
-    val k = Snapshot.read(spark, cent).count().toInt
+    val k = Snapshot.readLocalized(spark, cent).count().toInt
     val stats = graft.lake.IncrAgg.read(spark, cellStatsRoot(corp),
       Seq("cell"), Nil)
       .select(col("cell"), col("n")).collect()
@@ -584,7 +584,7 @@ object Ivf {
     // sampled, not first-k: the whole point of a drift-triggered
     // retrain is that seeds follow the corpus's CURRENT distribution
     Snapshot.publish(sampleCentroids(raw, k).coalesce(1), s"$gDir/centroids", tag)
-    val assigned = assign(spark, raw, Snapshot.read(spark, s"$gDir/centroids"))
+    val assigned = assign(spark, raw, Snapshot.readLocalized(spark, s"$gDir/centroids"))
     BucketedUpsert.applyBatch(
       assigned.withColumn("graft_ver", lit(tag)),
       s"$gDir/corpus", "vec_id", "graft_ver", nBuckets, tag)

@@ -490,7 +490,17 @@ object BucketedUpsert {
                               paths: Seq[String]): DataFrame =
     declaredSchema(spark, root) match {
       case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
-      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      case None =>
+        // mergeSchema=true launches a footer-merge Spark JOB at every
+        // planning of every bucketed read; generations only actually
+        // diverge after schema evolution. When a driver-side footer
+        // sweep (memoized, parallel, capped) proves the files uniform,
+        // read plainly — Spark then infers from one footer with no job.
+        // Divergent or uncheckable trees keep the mergeSchema read, so
+        // evolved tables behave exactly as before (r21).
+        if (FileStats.uniformFooterSchema(spark, paths))
+          spark.read.parquet(paths: _*)
+        else spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
 
   /** The current table contents (throws before the first publish). */

@@ -328,6 +328,66 @@ object FileStats {
       case _ => df.distinct()
     }
 
+  /** Memoized parquet footer schema strings keyed by
+    * (path, len, mtime) — immutable once written, so a hit can never
+    * be stale. */
+  private val footerSchemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** True when EVERY parquet file under `paths` (files or dirs)
+    * carries the IDENTICAL footer schema — decided driver-side from
+    * (memoized) footers, so callers can skip mergeSchema's per-read
+    * Spark job for the common uniform case. Answers false (= caller
+    * keeps the conservative mergeSchema read) when the tree is empty,
+    * unlistable, or larger than 1024 files (where the distributed
+    * merge is the right tool). */
+  private[lake] def uniformFooterSchema(spark: SparkSession,
+                                        paths: Seq[String]): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files =
+      try paths.flatMap { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(conf)
+        val st = fs.getFileStatus(p)
+        if (st.isFile) Seq(st)
+        else fs.listStatus(p).toSeq.filter(s => s.isFile && {
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+      }
+      catch { case _: java.io.IOException => return false }
+    if (files.isEmpty || files.size > 1024) return false
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, files.size)),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-footer"); t.setDaemon(true); t })
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val schemas =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.traverse(files) { st =>
+          scala.concurrent.Future {
+            val key = s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+            val hit = footerSchemaMemo.get(key)
+            if (hit != null) hit
+            else {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromStatus(st, conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              val s =
+                try r.getFooter.getFileMetaData.getSchema.toString
+                finally r.close()
+              if (footerSchemaMemo.size > 16384) footerSchemaMemo.clear()
+              footerSchemaMemo.put(key, s)
+              s
+            }
+          }
+        }, scala.concurrent.duration.Duration(10, "min"))
+      catch { case scala.util.control.NonFatal(_) => return false }
+      finally pool.shutdownNow()
+    schemas.distinct.size == 1
+  }
+
   /** Exact row count of complete parquet dirs (or files) from their
     * FOOTERS — a driver-side metadata read replacing a `df.count()`
     * job wherever every row of every file counts (no filter/mask). */
