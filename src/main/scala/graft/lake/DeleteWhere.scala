@@ -141,7 +141,7 @@ object DeleteWhere {
     // masked scan, and it keeps the regime decision at the data, not
     // at a stale estimate
     val mask =
-      if (dv.count() <= maxBroadcastDvRows(spark)) broadcast(mask0)
+      if (FileStats.localCount(dv) <= maxBroadcastDvRows(spark)) broadcast(mask0)
       else mask0
     base.select(col("*"),
         normPathCol(col("_metadata.file_path")).as("_gf_path"),
@@ -178,8 +178,8 @@ object DeleteWhere {
     // the file forgets its vector); kept files carry theirs forward
     val priorDv = dvReadIfExists(spark, dvDirFromStats(statsDir))
     val touchedNorm = touched.map(normPath)
-    val dvOnTouched = priorDv.map(_.filter(
-      col("path").isInCollection(touchedNorm)).count()).getOrElse(0L)
+    val dvOnTouched = priorDv.map(dv => FileStats.localCount(dv.filter(
+      col("path").isInCollection(touchedNorm)))).getOrElse(0L)
 
     var rowsDeleted = 0L
     if (touched.nonEmpty) {

@@ -388,6 +388,16 @@ object FileStats {
     schemas.distinct.size == 1
   }
 
+  /** `df.count()` with a driver-side fast path for localized
+    * LocalRelations (a count() plans an Aggregate — a Spark job even
+    * over driver-resident rows). */
+  private[lake] def localCount(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        df.collect().length.toLong // LocalTableScan: no job
+      case _ => df.count()
+    }
+
   /** Exact row count of complete parquet dirs (or files) from their
     * FOOTERS — a driver-side metadata read replacing a `df.count()`
     * job wherever every row of every file counts (no filter/mask). */
