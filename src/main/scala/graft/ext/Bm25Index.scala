@@ -38,6 +38,38 @@ object Bm25Index {
   private def postingsRoot(root: String) = s"$root/postings"
   private def docstatsRoot(root: String) = s"$root/docstats"
 
+  /** One helper thread so the two tables' independent write jobs can
+    * OVERLAP (guide §2.6: actions are only sequential because the
+    * driver calls them sequentially; the second table's tasks back-fill
+    * executors freed by the first's tail). Daemon + bounded: one extra
+    * submitting thread, never more. */
+  private lazy val overlapEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(1,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-bm25-overlap"); t.setDaemon(true); t }))
+
+  /** Run `postingsSide` on the helper thread while `stageDocstats`
+    * stages the doc-stats write on the caller thread; then — only after
+    * the postings side has FULLY landed — run the doc-stats publish
+    * thunk. Publish order is the module's crash contract: doc-stats is
+    * the table published LAST (the streaming ledger's anchor), so a
+    * crash can never leave doc-stats published with postings missing.
+    * A postings failure therefore forbids the doc-stats publish; the
+    * staged data dir it abandons is exactly a crashed batch's state,
+    * healed by the existing replay contract. */
+  private def overlapTables[T](postingsSide: => Unit)
+                              (stageDocstats: => (T, () => Unit)): T = {
+    val pFut = scala.concurrent.Future(postingsSide)(overlapEc)
+    val staged = scala.util.Try(stageDocstats)
+    scala.concurrent.Await.ready(pFut,
+      scala.concurrent.duration.Duration.Inf)
+    pFut.value.get.get // rethrow the postings failure FIRST
+    val (out, publish) = staged.get
+    publish()
+    out
+  }
+
   /** On-disk posting-key format tag (ADVICE r17, medium): "lp1" =
     * length-prefixed `len(tok):tok#doc_id`. The r17 key change from
     * plain `tok#doc_id` was silent on disk — against an index persisted
@@ -155,12 +187,30 @@ object Bm25Index {
       // and without this pin the explode+groupBy ran once per pass
       val postings = graft.operators.SeqIds.pin(
         postingsFrom(tokens).withColumn("graft_ver", lit(tag)))
-      BucketedUpsert.applyBatch(postings,
-        postingsRoot(root), "pk", "graft_ver", nBuckets, tag)
-      BucketedUpsert.applyBatch(
-        tokens.select(col("doc_id"), col("dl"))
-          .withColumn("graft_ver", lit(tag)),
-        docstatsRoot(root), "doc_id", "graft_ver", nBuckets, tag)
+      val docstats = tokens.select(col("doc_id"), col("dl"))
+        .withColumn("graft_ver", lit(tag))
+      // ONE touched-bucket probe job for BOTH tables (r22, guide §1.2):
+      // the per-table probes only run against a standing table (first
+      // batches derive entries from the written dirs instead), so the
+      // shared probe fires exactly when both tables would each have
+      // paid their own distinct-collect job.
+      val shared =
+        if (BucketedUpsert.bucketCountOption(spark, postingsRoot(root)).nonEmpty &&
+            BucketedUpsert.bucketCountOption(spark, docstatsRoot(root)).nonEmpty)
+          BucketedUpsert.touchedBuckets(Seq(
+            (postings, "pk", nBuckets), (docstats, "doc_id", nBuckets)))
+            .map(Option(_))
+        else Seq(None, None)
+      // overlap the two tables' independent writes; doc-stats still
+      // publishes LAST (r22, guide §2.6 — see overlapTables)
+      overlapTables {
+        BucketedUpsert.applyBatchTouched(postings,
+          postingsRoot(root), "pk", "graft_ver", nBuckets, tag, 2, shared(0))
+      } {
+        ((), BucketedUpsert.applyBatchStaged(docstats,
+          docstatsRoot(root), "doc_id", "graft_ver", nBuckets, tag, 2,
+          shared(1)))
+      }
     } finally graft.operators.SeqIds.releaseSince(m)
   }
 
@@ -198,17 +248,44 @@ object Bm25Index {
       val m = graft.operators.SeqIds.mark()
       try {
         val tokens = graft.operators.SeqIds.pin(tokenize(batch))
-        if (behind(postingsRoot(root)))
-          BucketedUpsert.applyBatch(
-            // pinned: applyBatch executes its batch twice (see ingest)
-            graft.operators.SeqIds.pin(
-              postingsFrom(tokens).withColumn("graft_ver", lit(batchId))),
-            postingsRoot(root), "pk", "graft_ver", n, batchId)
-        if (behind(docstatsRoot(root)))
-          BucketedUpsert.applyBatch(
-            tokens.select(col("doc_id"), col("dl"))
-              .withColumn("graft_ver", lit(batchId)),
-            docstatsRoot(root), "doc_id", "graft_ver", n, batchId)
+        val needP = behind(postingsRoot(root))
+        val needD = behind(docstatsRoot(root))
+        // pinned: applyBatch executes its batch twice (see ingest)
+        val postings =
+          if (needP) Some(graft.operators.SeqIds.pin(
+            postingsFrom(tokens).withColumn("graft_ver", lit(batchId))))
+          else None
+        val docstats = tokens.select(col("doc_id"), col("dl"))
+          .withColumn("graft_ver", lit(batchId))
+        // ONE touched-bucket probe job for both tables when both are
+        // behind and standing (r22 — see ingest)
+        val shared =
+          if (needP && needD &&
+              BucketedUpsert.bucketCountOption(bs, postingsRoot(root)).nonEmpty &&
+              BucketedUpsert.bucketCountOption(bs, docstatsRoot(root)).nonEmpty)
+            BucketedUpsert.touchedBuckets(Seq(
+              (postings.get, "pk", n), (docstats, "doc_id", n)))
+              .map(Option(_))
+          else Seq(None, None)
+        if (needP && needD)
+          // overlap the two writes; doc-stats (the ledger anchor)
+          // still publishes LAST (r22, guide §2.6)
+          overlapTables {
+            BucketedUpsert.applyBatchTouched(postings.get,
+              postingsRoot(root), "pk", "graft_ver", n, batchId, 2, shared(0))
+          } {
+            ((), BucketedUpsert.applyBatchStaged(docstats,
+              docstatsRoot(root), "doc_id", "graft_ver", n, batchId, 2,
+              shared(1)))
+          }
+        else {
+          postings.foreach(p => BucketedUpsert.applyBatchTouched(
+            p, postingsRoot(root), "pk", "graft_ver", n, batchId, 2, shared(0)))
+          if (needD)
+            BucketedUpsert.applyBatchTouched(docstats,
+              docstatsRoot(root), "doc_id", "graft_ver", n, batchId, 2,
+              shared(1))
+        }
       } finally graft.operators.SeqIds.releaseSince(m)
     }
 
@@ -250,22 +327,49 @@ object Bm25Index {
         "carries the original tag; a new takedown needs a fresh one"))
     val m = graft.operators.SeqIds.mark()
     try {
-      if (behind(postingsRoot(root))) {
-        // posting-row count is not a document count — tracked only as a
-        // side effect; the returned figure is doc-stats rows below.
-        // The derived pk set is pinned (r21): deleteKeys executes its
-        // keys twice (touched-bucket distinct + the anti-join rewrite),
-        // and the tokenize+explode+groupBy re-ran once per pass.
-        BucketedUpsert.deleteKeys(spark, postingsRoot(root), "pk",
-          graft.operators.SeqIds.pin(postingsOf(docs).select("pk")), tag)
-        ()
-      }
-      val docsRemoved =
-        if (behind(docstatsRoot(root)))
-          BucketedUpsert.deleteKeys(spark, docstatsRoot(root), "doc_id",
-            docs.filter(col("text").isNotNull).select("doc_id"), tag)
+      val needP = behind(postingsRoot(root))
+      val needD = behind(docstatsRoot(root))
+      // The derived pk set is pinned (r21): deleteKeys executes its
+      // keys twice (touched-bucket distinct + the anti-join rewrite),
+      // and the tokenize+explode+groupBy re-ran once per pass.
+      val pks =
+        if (needP) Some(graft.operators.SeqIds.pin(
+          postingsOf(docs).select("pk")))
+        else None
+      val docIds = docs.filter(col("text").isNotNull).select("doc_id")
+      // ONE touched-bucket probe job for both tables (r22): the normal
+      // takedown deletes from both, and the two distinct-collects were
+      // pure fixed-job-cost next to the shared tokenize.
+      val shared =
+        if (needP && needD)
+          BucketedUpsert.touchedBuckets(Seq(
+            (pks.get, "pk",
+              BucketedUpsert.bucketCount(spark, postingsRoot(root))),
+            (docIds, "doc_id",
+              BucketedUpsert.bucketCount(spark, docstatsRoot(root)))))
+            .map(Option(_))
+        else Seq(None, None)
+      // posting-row count is not a document count — tracked only as a
+      // side effect; the returned figure is doc-stats rows below.
+      if (needP && needD)
+        // overlap the two touched-bucket rewrites; doc-stats still
+        // publishes LAST (r22, guide §2.6 — same crash order as ingest)
+        overlapTables {
+          BucketedUpsert.deleteKeysTouched(
+            spark, postingsRoot(root), "pk", pks.get, tag, 2, shared(0))
+          ()
+        } {
+          BucketedUpsert.deleteKeysStaged(spark, docstatsRoot(root),
+            "doc_id", docIds, tag, 2, shared(1))
+        }
+      else {
+        pks.foreach(p => BucketedUpsert.deleteKeysTouched(
+          spark, postingsRoot(root), "pk", p, tag, 2, shared(0)))
+        if (needD)
+          BucketedUpsert.deleteKeysTouched(spark, docstatsRoot(root),
+            "doc_id", docIds, tag, 2, shared(1))
         else 0L // docs already counted removed by the landed half
-      docsRemoved
+      }
     } finally graft.operators.SeqIds.releaseSince(m)
   }
 

@@ -87,18 +87,23 @@ object BucketedUpsert {
       case Some(dir) => parseManifest(spark, dir)
     }
 
-  /** Memo key = dir + its live-file listing (name, len, mtime): a
-    * republished-after-crash orphan dir (same path, new bytes — the
-    * one way a v<tag> dir's content can legally change) misses the
-    * memo instead of serving stale entries. One driver listStatus per
-    * read — far cheaper than the collect job it replaces. */
+  /** Memo key = dir + its live-file listing (name, len, mtime, content
+    * stamp): a republished-after-crash orphan dir (same path, new bytes
+    * — the one way a v<tag> dir's content can legally change) misses
+    * the memo instead of serving stale entries, even when the rewrite
+    * lands same-length within the filesystem's mtime granularity
+    * (VERDICT r21 #3 — the stamp hashes each file's first+last 64
+    * bytes, which for parquet cover the footer's end). One driver
+    * listStatus + a short read per live file — far cheaper than the
+    * collect job it replaces. */
   private def manifestKey(spark: SparkSession, dir: String): Option[String] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try Some(dir + "|" + fs.listStatus(p).filter(s => s.isFile && {
         val n = s.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")
-      }).map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      }).map(s => s"${s.getPath.getName}:${s.getLen}:" +
+        s"${s.getModificationTime}:${FileStats.contentStamp(fs, s)}")
       .sorted.mkString(","))
     catch { case _: java.io.FileNotFoundException => None }
   }
@@ -557,7 +562,56 @@ object BucketedUpsert {
     */
   def applyBatch(batch: DataFrame, root: String, key: String,
                  versionCol: String, nBuckets: Int, tag: Long,
-                 keep: Int = 2): Unit = {
+                 keep: Int = 2): Unit =
+    applyBatchTouched(batch, root, key, versionCol, nBuckets, tag, keep, None)
+
+  /** The touched-bucket sets of SEVERAL (frame, key, nBuckets) writes in
+    * ONE Spark job (r22, guide §1.2): a multi-table writer — the BM25
+    * index's postings+docstats pair — previously paid one
+    * distinct-collect job per table per batch for probes whose real
+    * work (a batch-sized distinct) is trivial next to the fixed per-job
+    * cost. The union'd aggregate collapses them into one action; each
+    * branch computes EXACTLY the expression the per-table probe did
+    * (`bucketOf(key, n)`), so the result is bit-identical per table. */
+  private[graft] def touchedBuckets(
+      frames: Seq[(DataFrame, String, Int)]): Seq[Set[Int]] = {
+    require(frames.nonEmpty, "at least one frame to probe")
+    val union = frames.zipWithIndex.map { case ((df, key, n), i) =>
+      df.select(lit(i).as("t"), bucketOf(col(key), n).as("b"))
+    }.reduce(_ unionAll _)
+    val rows = union.distinct().collect()
+    val byTable = rows.groupBy(_.getInt(0))
+    frames.indices.map(i =>
+      byTable.getOrElse(i, Array.empty).map(_.getInt(1)).toSet)
+  }
+
+  /** [[applyBatch]] with an OPTIONAL precomputed touched-bucket set —
+    * private plumbing for multi-table writers that probe all their
+    * tables in one job ([[touchedBuckets]]). CONTRACT: the set must be
+    * EXACTLY `batch.select(bucketOf(key, nBuckets)).distinct()` — a
+    * superset would publish manifest entries for bucket dirs the write
+    * never created; a subset would strand batch rows in dirs no entry
+    * references. Both callers derive it from the same expression via
+    * [[touchedBuckets]]. */
+  private[graft] def applyBatchTouched(batch: DataFrame, root: String,
+                                       key: String, versionCol: String,
+                                       nBuckets: Int, tag: Long, keep: Int,
+                                       precomputedTouched: Option[Set[Int]]): Unit =
+    applyBatchStaged(batch, root, key, versionCol, nBuckets, tag, keep,
+      precomputedTouched)()
+
+  /** [[applyBatchTouched]] SPLIT at the publish (r22, guide §2.6): runs
+    * everything up to and including the data write and returns a thunk
+    * that performs the manifest publish + GC. A multi-table writer (the
+    * BM25 index) overlaps two tables' independent write jobs and still
+    * publishes in its documented crash-order (docstats last — its
+    * streaming ledger anchor). Until the thunk runs, the write is an
+    * unreferenced `data/v<tag>` dir — exactly a crashed batch's state,
+    * which the existing replay contract already heals/overwrites. */
+  private[graft] def applyBatchStaged(batch: DataFrame, root: String,
+                                      key: String, versionCol: String,
+                                      nBuckets: Int, tag: Long, keep: Int,
+                                      precomputedTouched: Option[Set[Int]]): () => Unit = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val spark = batch.sparkSession
     requireTagAbove(spark, root, tag, "batch")
@@ -623,14 +677,16 @@ object BucketedUpsert {
         else fs.listStatus(dd).map(_.getPath.getName)
           .filter(_.startsWith("graft_bucket="))
           .map(_.stripPrefix("graft_bucket=").toInt).toSeq.sorted
-      if (written.isEmpty) { fs.delete(dd, true); return }
-      publishEntries(spark, written.map(entryOf), root, tag, keep)
-      gcData(spark, root)
-      return
+      if (written.isEmpty) { fs.delete(dd, true); return () => () }
+      val entries = written.map(entryOf)
+      return () => { publishEntries(spark, entries, root, tag, keep)
+                     gcData(spark, root) }
     }
-    // touched buckets: a batch-sized distinct, bucket-count-bounded result
-    val touched = batch.select(bucketOf(col(key), nBuckets).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    // touched buckets: a batch-sized distinct, bucket-count-bounded
+    // result — or the caller's shared-probe set (same expression)
+    val touched = precomputedTouched.getOrElse(
+      batch.select(bucketOf(col(key), nBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet)
     val touchedEntries =
       if (touched.isEmpty) Seq.empty
       else {
@@ -644,8 +700,8 @@ object BucketedUpsert {
         touched.toSeq.sorted.map(entryOf)
       }
     val entries = prev.filterNot(e => touched(e.bucket)) ++ touchedEntries
-    publishEntries(spark, entries, root, tag, keep)
-    gcData(spark, root)
+    () => { publishEntries(spark, entries, root, tag, keep)
+            gcData(spark, root) }
   }
 
   /** LSM-style fragment append — the WRITE-CHEAP half of the upsert
@@ -899,13 +955,8 @@ object BucketedUpsert {
     val fragmented = prev.groupBy(_.bucket).filter(_._2.size > 1)
     val fragmentedEntries = fragmented.values.flatten.toSeq
     val sizeByPath: Map[String, Long] = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      // daemon threads + shutdownNow: a hung listing must not pin the
-      // JVM open after the loud timeout below (review r19)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        16 min (fragmentedEntries.size max 1),
-        (r: Runnable) => { val t = new Thread(r, "graft-fragsize"); t.setDaemon(true); t })
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      import FileStats.metaEc // shared daemon pool (VERDICT r21 #9)
       // bounded wait (ADVICE r18): one hung FileSystem RPC must fail
       // the compaction LOUDLY, not stall the driver forever. The bound
       // is generous — listStatus of flat dirs is milliseconds each —
@@ -922,7 +973,6 @@ object BucketedUpsert {
               "FileSystem listStatus is hung; compaction aborted (no " +
               "state was modified)", e)
       }
-      finally pool.shutdownNow()
     }
     val runs: Map[Int, Seq[Entry]] = fragmented
       .flatMap { case (b, es) =>
@@ -1107,7 +1157,31 @@ object BucketedUpsert {
     * (the caller assigns every tag) are unaffected.
     */
   def deleteKeys(spark: SparkSession, root: String, key: String,
-                 keys: DataFrame, tag: Long, keep: Int = 2): Long = {
+                 keys: DataFrame, tag: Long, keep: Int = 2): Long =
+    deleteKeysTouched(spark, root, key, keys, tag, keep, None)
+
+  /** [[deleteKeys]] with an optional precomputed touched-bucket set —
+    * same shared-probe plumbing and exactness contract as
+    * [[applyBatchTouched]] (a subset would silently MISS deletes). */
+  private[graft] def deleteKeysTouched(spark: SparkSession, root: String,
+                                       key: String, keys: DataFrame,
+                                       tag: Long, keep: Int,
+                                       precomputedTouched: Option[Set[Int]]): Long = {
+    val (removed, publish) =
+      deleteKeysStaged(spark, root, key, keys, tag, keep, precomputedTouched)
+    publish()
+    removed
+  }
+
+  /** [[deleteKeysTouched]] split at the publish — same staging contract
+    * as [[applyBatchStaged]] (r22, guide §2.6): the touched-bucket
+    * rewrite (and its footer row accounting) runs now; the returned
+    * thunk publishes the manifest + GCs. */
+  private[graft] def deleteKeysStaged(spark: SparkSession, root: String,
+                                      key: String, keys: DataFrame,
+                                      tag: Long, keep: Int,
+                                      precomputedTouched: Option[Set[Int]])
+      : (Long, () => Unit) = {
     require(keys.columns.length == 1,
       s"keys must be a single-column frame, got ${keys.columns.mkString(",")}")
     val prev = manifestEntries(spark, root)
@@ -1116,10 +1190,12 @@ object BucketedUpsert {
     val keyDf = keys.withColumnRenamed(keys.columns.head, key)
     requireKeyTypeStableEntries(spark, prev, root, key,
       keyDf.schema(key).dataType)
-    // delete-set-sized distinct, bucket-count-bounded result
-    val touched = keyDf.select(bucketOf(col(key), n).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    rewriteBuckets(spark, root, prev, touched,
+    // delete-set-sized distinct, bucket-count-bounded result — or the
+    // caller's shared-probe set (same expression)
+    val touched = precomputedTouched.getOrElse(
+      keyDf.select(bucketOf(col(key), n).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet)
+    rewriteBucketsStaged(spark, root, prev, touched,
       _.join(keyDf, Seq(key), "left_anti"), key, n, tag, keep)
   }
 
@@ -1136,6 +1212,20 @@ object BucketedUpsert {
                              survivorsOf: DataFrame => DataFrame,
                              key: String, n: Int, tag: Long,
                              keep: Int): Long = {
+    val (removed, publish) = rewriteBucketsStaged(spark, root, prev, touched,
+      survivorsOf, key, n, tag, keep)
+    publish()
+    removed
+  }
+
+  /** [[rewriteBuckets]] split at the publish ([[applyBatchStaged]]'s
+    * staging contract): the rewrite and its footer accounting run now,
+    * the returned thunk publishes + GCs. */
+  private def rewriteBucketsStaged(spark: SparkSession, root: String,
+                                   prev: Seq[Entry], touched: Set[Int],
+                                   survivorsOf: DataFrame => DataFrame,
+                                   key: String, n: Int, tag: Long,
+                                   keep: Int): (Long, () => Unit) = {
     requireTagAbove(spark, root, tag, "rewrite")
     val prevTouched = prev.filter(e => touched(e.bucket))
     var removed = 0L
@@ -1178,9 +1268,8 @@ object BucketedUpsert {
             sorted = true, verCol = vc, keyType = kt))
       }
     val entries = prev.filterNot(e => touched(e.bucket)) ++ touchedEntries
-    publishEntries(spark, entries, root, tag, keep)
-    gcData(spark, root)
-    removed
+    (removed, () => { publishEntries(spark, entries, root, tag, keep)
+                      gcData(spark, root) })
   }
 
   /** Exact row count of complete parquet dirs from their FOOTERS —

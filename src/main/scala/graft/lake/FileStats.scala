@@ -30,6 +30,21 @@ object FileStats {
   private def minName(c: String) = s"min_$c"
   private def maxName(c: String) = s"max_$c"
 
+  /** ONE bounded daemon pool for driver-side metadata fan-out (footer
+    * reads, tree walks, fragment sizing) — VERDICT r21: the hot paths
+    * (every bucketed-read planning, every delete batch) created and
+    * tore down a fresh 16-thread pool per call. Shared and never shut
+    * down: tasks are short FS/footer operations that never submit to
+    * the pool themselves, so sharing cannot deadlock; daemon threads
+    * keep a hung RPC from pinning the JVM open, and each call site
+    * keeps its own loud Await bound. */
+  private[lake] val metaPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(16,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-meta"); t.setDaemon(true); t })
+  private[lake] implicit val metaEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(metaPool)
+
   // Tree fingerprints: a deterministic digest (file count, total
   // bytes, max mtime) of the data tree a manifest was built over,
   // recorded as a `_tree_fp` sidecar beside every stats/Bloom manifest
@@ -74,36 +89,32 @@ object FileStats {
     if (!fs.exists(hp)) return Seq.empty
     def hidden(p: org.apache.hadoop.fs.Path): Boolean =
       p.getName.startsWith("_") || p.getName.startsWith(".")
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    // daemon threads + shutdownNow: a listStatus stuck past the bound
-    // must not also pin the JVM open after the loud failure (review r19)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(16,
-      (r: Runnable) => { val t = new Thread(r, "graft-walk"); t.setDaemon(true); t })
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val out = scala.collection.mutable.ArrayBuffer[FileMeta]()
-      var dirs: Seq[org.apache.hadoop.fs.Path] = Seq(hp)
-      while (dirs.nonEmpty) {
-        val listed =
-          try Await.result(
-            Future.traverse(dirs)(d => Future(fs.listStatus(d).toSeq)),
-            scala.concurrent.duration.Duration(10, "min")).flatten
-          catch {
-            case e: java.util.concurrent.TimeoutException =>
-              throw new IllegalStateException(
-                s"tree listing stalled >10 min across ${dirs.size} dirs " +
-                  s"under $dataDir — a FileSystem listStatus is hung", e)
-          }
-        val (sub, files) = listed.partition(_.isDirectory)
-        files.foreach { f =>
-          if (!hidden(f.getPath))
-            out += FileMeta(f.getPath.toString, normPath(f.getPath.toString),
-              f.getLen, f.getModificationTime)
+    import scala.concurrent.{Await, Future}
+    // shared daemon pool (metaPool): the bound below still fails loudly
+    // on a hung listStatus, and daemon threads keep it from pinning the
+    // JVM open (review r19)
+    val out = scala.collection.mutable.ArrayBuffer[FileMeta]()
+    var dirs: Seq[org.apache.hadoop.fs.Path] = Seq(hp)
+    while (dirs.nonEmpty) {
+      val listed =
+        try Await.result(
+          Future.traverse(dirs)(d => Future(fs.listStatus(d).toSeq)),
+          scala.concurrent.duration.Duration(10, "min")).flatten
+        catch {
+          case e: java.util.concurrent.TimeoutException =>
+            throw new IllegalStateException(
+              s"tree listing stalled >10 min across ${dirs.size} dirs " +
+                s"under $dataDir — a FileSystem listStatus is hung", e)
         }
-        dirs = sub.map(_.getPath).filterNot(hidden)
+      val (sub, files) = listed.partition(_.isDirectory)
+      files.foreach { f =>
+        if (!hidden(f.getPath))
+          out += FileMeta(f.getPath.toString, normPath(f.getPath.toString),
+            f.getLen, f.getModificationTime)
       }
-      out.toSeq
-    } finally pool.shutdownNow()
+      dirs = sub.map(_.getPath).filterNot(hidden)
+    }
+    out.toSeq
   }
 
   /** ORDER-INDEPENDENT per-file digest (ADVICE r17): the old aggregate
@@ -276,11 +287,52 @@ object FileStats {
   // non-pointer dir — misses the memo and re-reads.
 
   private val LocalizeMaxBytes = 8L << 20
+  /** Row bound on localization (ADVICE r21, medium): compressed bytes
+    * alone under-measure dictionary/delta-packed sidecars — a DV
+    * sidecar can pack far more than the broadcast-regime row cap under
+    * 8 MB, and localizing it would plan the 'memory-safe' non-broadcast
+    * mask over a driver-resident LocalRelation shipped whole into
+    * tasks. Footer record counts are a driver-side metadata read; past
+    * the bound the ordinary distributed read keeps every consumer's
+    * scale story. */
+  private val LocalizeMaxRows = 1L << 20
+  /** Total-row budget across the memo (ADVICE r21): entry count alone
+    * let 4096 near-bound arrays accumulate. */
+  private val LocalMemoRowBudget = 16L << 20
+  private val localMemoRows = new java.util.concurrent.atomic.AtomicLong(0L)
   private val localMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (org.apache.spark.sql.types.StructType,
              Array[org.apache.spark.sql.Row])]()
   private val localTooBig =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Cheap per-file content fingerprint folded into the staleness memo
+    * keys (VERDICT r21 #3): (name, len, mtime) alone misses an in-place
+    * same-length rewrite landing within the filesystem's mtime
+    * granularity (the crash-replay republish path makes this reachable).
+    * First + last 64 bytes, hashed — for parquet the tail covers the
+    * footer's end (column stats, offsets, metadata length), which any
+    * real content change perturbs. Cost: one open + two short reads per
+    * live file per lookup, on dirs that are tiny metadata surfaces by
+    * construction. An unreadable file yields a unique stamp so the memo
+    * can never serve it stale. */
+  private[lake] def contentStamp(fs: org.apache.hadoop.fs.FileSystem,
+                                 st: org.apache.hadoop.fs.FileStatus): String =
+    try {
+      val n = st.getLen
+      val head = new Array[Byte](math.min(64L, n).toInt)
+      val tail = new Array[Byte](math.min(64L, n).toInt)
+      val in = fs.open(st.getPath)
+      try {
+        in.readFully(0L, head)
+        in.readFully(math.max(0L, n - tail.length), tail)
+      } finally in.close()
+      val h1 = scala.util.hashing.MurmurHash3.bytesHash(head, 0x51f4e2a1)
+      val h2 = scala.util.hashing.MurmurHash3.bytesHash(tail, 0x9747b28c)
+      f"$h1%08x$h2%08x"
+    } catch {
+      case _: java.io.IOException => s"io-miss-${System.nanoTime()}"
+    }
 
   private[lake] def localizedParquet(spark: SparkSession,
                                      dir: String): DataFrame = {
@@ -295,21 +347,27 @@ object FileStats {
         return spark.read.parquet(dir) } // keep the reader's error shape
     if (listed.isEmpty) return spark.read.parquet(dir)
     val key = dir + "|" + listed.map(s =>
-        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}:" +
+          contentStamp(fs, s))
       .sorted.mkString(",")
     if (localTooBig.contains(key)) return spark.read.parquet(dir)
     val hit = localMemo.get(key)
     if (hit != null)
       return spark.createDataFrame(
         java.util.Arrays.asList(hit._2: _*), hit._1)
-    if (listed.map(_.getLen).sum > LocalizeMaxBytes) {
+    if (listed.map(_.getLen).sum > LocalizeMaxBytes ||
+        footerRowCount(spark, Seq(dir)) > LocalizeMaxRows) {
       localTooBig.add(key)
       return spark.read.parquet(dir)
     }
     val df = spark.read.parquet(dir)
     val rows = df.collect()
-    if (localMemo.size > 4096) { localMemo.clear(); localTooBig.clear() }
+    if (localMemo.size > 4096 ||
+        localMemoRows.get() + rows.length > LocalMemoRowBudget) {
+      localMemo.clear(); localTooBig.clear(); localMemoRows.set(0L)
+    }
     localMemo.put(key, (df.schema, rows))
+    localMemoRows.addAndGet(rows.length.toLong)
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
@@ -357,12 +415,8 @@ object FileStats {
       }
       catch { case _: java.io.IOException => return false }
     if (files.isEmpty || files.size > 1024) return false
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(16, files.size)),
-      (r: Runnable) => {
-        val t = new Thread(r, "graft-footer"); t.setDaemon(true); t })
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // shared daemon pool (metaPool) — this runs at every bucketed-read
+    // planning, where a per-call pool was pure allocation churn
     val schemas =
       try scala.concurrent.Await.result(
         scala.concurrent.Future.traverse(files) { st =>
@@ -374,9 +428,20 @@ object FileStats {
               val in = org.apache.parquet.hadoop.util.HadoopInputFile
                 .fromStatus(st, conf)
               val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              // compare the SPARK logical schema recorded in the footer
+              // alongside the physical MessageType (ADVICE r21): two
+              // physically identical files whose Spark-level metadata
+              // diverges (logical annotations from another writer) must
+              // NOT take the plain read, which would adopt one file's
+              // logical schema arbitrarily where mergeSchema reconciles
               val s =
-                try r.getFooter.getFileMetaData.getSchema.toString
-                finally r.close()
+                try {
+                  val fm = r.getFooter.getFileMetaData
+                  fm.getSchema.toString + " " +
+                    Option(fm.getKeyValueMetaData
+                      .get("org.apache.spark.sql.parquet.row.metadata"))
+                      .getOrElse("")
+                } finally r.close()
               if (footerSchemaMemo.size > 16384) footerSchemaMemo.clear()
               footerSchemaMemo.put(key, s)
               s
@@ -384,7 +449,6 @@ object FileStats {
           }
         }, scala.concurrent.duration.Duration(10, "min"))
       catch { case scala.util.control.NonFatal(_) => return false }
-      finally pool.shutdownNow()
     schemas.distinct.size == 1
   }
 
@@ -417,16 +481,10 @@ object FileStats {
         })
       }
     }
-    // footer opens in parallel (walkTree's pattern): one footer per
-    // file is metadata-priced but not free serially — a 16-bucket
-    // rewrite counts 32 dirs' footers per delete batch
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(16, files.size)),
-      (r: Runnable) => {
-        val t = new Thread(r, "graft-footer"); t.setDaemon(true); t })
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    try scala.concurrent.Await.result(
+    // footer opens in parallel on the shared daemon pool (metaPool):
+    // one footer per file is metadata-priced but not free serially — a
+    // 16-bucket rewrite counts 32 dirs' footers per delete batch
+    scala.concurrent.Await.result(
       scala.concurrent.Future.traverse(files) { st =>
         scala.concurrent.Future {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -435,7 +493,6 @@ object FileStats {
           try r.getRecordCount finally r.close()
         }
       }, scala.concurrent.duration.Duration(10, "min")).sum
-    finally pool.shutdownNow()
   }
 
   /** Publish the next manifest version: `write` lands parquet into a
@@ -699,12 +756,21 @@ object FileStats {
       val pi = oldFiles.columns.indexOf("path")
       val li = oldFiles.columns.indexOf("f_len")
       val ti = oldFiles.columns.indexOf("f_mtime")
+      // duplicate-path rows dedupe DETERMINISTICALLY (ADVICE r21): a
+      // malformed manifest carrying one norm twice with CONFLICTING
+      // (len, mtime) classifies as changed (meta None → rescan+drop),
+      // matching the distributed join below, which emits such a norm
+      // into the delta; a plain .toMap let the last row win and could
+      // call it kept
       val oldMeta: Map[String, Option[(Long, Long)]] = rows.map { r =>
         val norm = normPath(r.getString(pi))
         val m = if (hasMeta && !r.isNullAt(li) && !r.isNullAt(ti))
           Some((r.getLong(li), r.getLong(ti))) else None
         norm -> m
-      }.toMap
+      }.groupBy(_._1).map { case (n, ms) =>
+        val metas = ms.map(_._2).distinct
+        n -> (if (metas.size == 1) metas.head else None)
+      }
       val listByNorm = listing.map(m => m.norm -> m).toMap
       def keptPair(norm: String, m: FileMeta): Boolean =
         oldMeta.get(norm).exists(_.exists { case (l, t) =>

@@ -161,25 +161,42 @@ object EventStreams {
     Some((((bytes + target - 1) / target) max 1L).min(cur.toLong).toInt)
   }
 
+  /** Guards the session-global conf mutation below: two streams
+    * starting concurrently on one session could otherwise pin each
+    * other's derived count into their checkpoints forever (ADVICE r21).
+    * Per-session, so independent sessions never serialize on each
+    * other. */
+  private val confLocks =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Object]()
+
   /** Run `body` with `spark.sql.shuffle.partitions` set adaptively for
     * a stream STARTING at `checkpointDir` (restored after — the stream
     * clones the session state at start, so the scope only needs to
-    * cover `.start()`). No-op when the checkpoint already has offsets:
-    * its recorded count governs. */
+    * cover `.start()`). No-op when the checkpoint already has COMMITTED
+    * offsets: its recorded count governs. Crash-left `.tmp`/hidden
+    * files alone do not count as offsets (ADVICE r21): a retried first
+    * run must still derive, not silently inherit the session count. */
   private def withAdaptiveStateConf[T](spark: SparkSession, srcDir: String,
                                        checkpointDir: String)(body: => T): T = {
     val offsets = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
     val fresh = {
       val fs = offsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      !fs.exists(offsets) || fs.listStatus(offsets).isEmpty
+      !fs.exists(offsets) || !fs.listStatus(offsets).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith(".") && !n.startsWith("_") && !n.endsWith(".tmp")
+      }
     }
     adaptiveStatePartitions(spark, srcDir).filter(_ => fresh) match {
       case None => body
       case Some(n) =>
         val key = "spark.sql.shuffle.partitions"
-        val prev = spark.conf.get(key)
-        spark.conf.set(key, n.toString)
-        try body finally spark.conf.set(key, prev)
+        // serialize the set→start→restore window per session: .start()
+        // clones the session state, so the lock is held only briefly
+        confLocks.computeIfAbsent(spark, _ => new Object).synchronized {
+          val prev = spark.conf.get(key)
+          spark.conf.set(key, n.toString)
+          try body finally spark.conf.set(key, prev)
+        }
     }
   }
 
