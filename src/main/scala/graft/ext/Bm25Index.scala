@@ -38,17 +38,6 @@ object Bm25Index {
   private def postingsRoot(root: String) = s"$root/postings"
   private def docstatsRoot(root: String) = s"$root/docstats"
 
-  /** One helper thread so the two tables' independent write jobs can
-    * OVERLAP (guide §2.6: actions are only sequential because the
-    * driver calls them sequentially; the second table's tasks back-fill
-    * executors freed by the first's tail). Daemon + bounded: one extra
-    * submitting thread, never more. */
-  private lazy val overlapEc: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(1,
-        (r: Runnable) => {
-          val t = new Thread(r, "graft-bm25-overlap"); t.setDaemon(true); t }))
-
   /** Run `postingsSide` on the helper thread while `stageDocstats`
     * stages the doc-stats write on the caller thread; then — only after
     * the postings side has FULLY landed — run the doc-stats publish
@@ -60,7 +49,7 @@ object Bm25Index {
     * healed by the existing replay contract. */
   private def overlapTables[T](postingsSide: => Unit)
                               (stageDocstats: => (T, () => Unit)): T = {
-    val pFut = scala.concurrent.Future(postingsSide)(overlapEc)
+    val pFut = scala.concurrent.Future(postingsSide)(graft.lake.Overlap.ec)
     val staged = scala.util.Try(stageDocstats)
     scala.concurrent.Await.ready(pFut,
       scala.concurrent.duration.Duration.Inf)

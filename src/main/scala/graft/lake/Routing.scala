@@ -75,6 +75,24 @@ object Routing {
     BloomIndex.writeBloom(spark, dataDir(root), bloomDir(root, column),
       column, mLog2, k)
 
+  /** Build the zone-map index AND Bloom indexes with their independent
+    * build jobs OVERLAPPED (r22, guide §2.6) — result-equivalent to
+    * `indexStats` followed by `indexBloom` per column (each build lands
+    * in its own manifest dir through its own atomic publish; they share
+    * nothing but the immutable data tree), but the driver submits them
+    * concurrently so each build's tasks back-fill the others' tails and
+    * the fixed per-action planning cost overlaps instead of summing. */
+  def buildIndexes(spark: SparkSession, root: String, statsCols: Seq[String],
+                   bloomCols: Seq[String], mLog2: Int = 16,
+                   k: Int = 3): Unit = {
+    import Overlap.ec
+    Overlap.all(
+      scala.concurrent.Future(indexStats(spark, root, statsCols)) +:
+        bloomCols.map(c => scala.concurrent.Future(
+          indexBloom(spark, root, c, mLog2, k))))
+    ()
+  }
+
   /** DELTA refresh of every index manifest the table carries — the
     * ingest-cycle companion of the freshness fail-fast: after files
     * land (or vanish), one call re-validates routing at O(changed
@@ -85,21 +103,25 @@ object Routing {
     // file statuses for it, or the delta scan (and every later read)
     // can fail on stale lengths of in-place-replaced files
     spark.catalog.refreshByPath(dataDir(root))
-    var scanned = 0L; var dropped = 0L
-    if (exists(spark, statsDir(root))) {
-      val (s, d) = FileStats.refreshStats(spark, dataDir(root), statsDir(root))
-      scanned += s; dropped += d
-    }
     val bloomRoot = new Path(s"$root/ix/bloom")
     val fs = bloomRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(bloomRoot))
-      fs.listStatus(bloomRoot).filter(_.isDirectory).foreach { d0 =>
-        val c = d0.getPath.getName
-        val (s, d) = BloomIndex.refreshBloom(spark, dataDir(root),
-          bloomDir(root, c), c)
-        scanned += s; dropped += d
-      }
-    (scanned, dropped)
+    val bloomCols =
+      if (!fs.exists(bloomRoot)) Seq.empty[String]
+      else fs.listStatus(bloomRoot).filter(_.isDirectory)
+        .map(_.getPath.getName).toSeq
+    // the per-manifest refreshes are independent (each lands in its own
+    // manifest dir through its own atomic publish) — OVERLAP them (r22,
+    // guide §2.6) instead of paying each one's planning+tail serially
+    import Overlap.ec
+    val stats =
+      if (exists(spark, statsDir(root)))
+        Seq(scala.concurrent.Future(
+          FileStats.refreshStats(spark, dataDir(root), statsDir(root))))
+      else Seq.empty
+    val blooms = bloomCols.map(c => scala.concurrent.Future(
+      BloomIndex.refreshBloom(spark, dataDir(root), bloomDir(root, c), c)))
+    val results = Overlap.all(stats ++ blooms)
+    (results.map(_._1).sum, results.map(_._2).sum)
   }
 
   /** Build/refresh the secondary index on `column` of the bucketed

@@ -812,29 +812,38 @@ object CoreQueries extends QueryPack {
     //      admits files, the mask still hides rows).
     // Hash-green proves both routes are invisible in results.
     "s38_value_route" -> ((s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-vroute-q").toString + "/t"
-      val orders = t(s, d, "orders")
-      graft.lake.BucketedUpsert.applyBatch(
-        orders.select(col("o_orderkey"),
-          col("o_totalprice").cast("double").as("price"),
-          col("o_orderstatus").as("status"), lit(1L).as("ver")),
-        root, "o_orderkey", "ver", nBuckets = 16, tag = 1)
-      graft.lake.Routing.indexBucketStats(s, root, "o_orderkey", Seq("price"))
-      val bucketed = graft.lake.Routing.readWhere(s, root,
-          col("price") <= lit(1200.0))
-        .select(lit("b").as("src"), col("o_orderkey").as("k"),
-          col("price").cast("string").as("v"))
+      // the two arms build DISJOINT table trees (separate temp dirs,
+      // separate fixtures) — overlap their setup actions (r22, guide
+      // §2.6); the returned union is identical to the serial order
       val src = Fixtures.zEvents(s, d)
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-vroute-dv-q").toString
-      graft.lake.DeleteWhere.deleteVectors(s, s"$src/stats",
-        "user_id", lit(100L), lit(120L), s"$out/v2")
-      graft.lake.DeleteWhere.indexBloom(s, s"$out/v2", "event_id")
-      val dv = graft.lake.Routing.readWhere(s, s"$out/v2",
-          col("event_id").isin((0 until 400).map(i => i * 25L): _*))
-        .select(lit("dv").as("src"), col("event_id").as("k"),
-          col("event_type").as("v"))
+      import graft.lake.Overlap.ec
+      val bFut = scala.concurrent.Future {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-vroute-q").toString + "/t"
+        val orders = t(s, d, "orders")
+        graft.lake.BucketedUpsert.applyBatch(
+          orders.select(col("o_orderkey"),
+            col("o_totalprice").cast("double").as("price"),
+            col("o_orderstatus").as("status"), lit(1L).as("ver")),
+          root, "o_orderkey", "ver", nBuckets = 16, tag = 1)
+        graft.lake.Routing.indexBucketStats(s, root, "o_orderkey", Seq("price"))
+        graft.lake.Routing.readWhere(s, root,
+            col("price") <= lit(1200.0))
+          .select(lit("b").as("src"), col("o_orderkey").as("k"),
+            col("price").cast("string").as("v"))
+      }
+      val dvFut = scala.concurrent.Future {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-vroute-dv-q").toString
+        graft.lake.DeleteWhere.deleteVectors(s, s"$src/stats",
+          "user_id", lit(100L), lit(120L), s"$out/v2")
+        graft.lake.DeleteWhere.indexBloom(s, s"$out/v2", "event_id")
+        graft.lake.Routing.readWhere(s, s"$out/v2",
+            col("event_id").isin((0 until 400).map(i => i * 25L): _*))
+          .select(lit("dv").as("src"), col("event_id").as("k"),
+            col("event_type").as("v"))
+      }
+      val Seq(bucketed, dv) = graft.lake.Overlap.all(Seq(bFut, dvFut))
       bucketed.unionByName(dv).orderBy("src", "k")
     }),
 
@@ -879,30 +888,38 @@ object CoreQueries extends QueryPack {
     // Hash-green proves both deferred regimes are invisible in
     // results behind the one routed entry point.
     "s33_read_where_mor" -> ((s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-mor-q").toString + "/t"
-      val orders = t(s, d, "orders")
-      val b1 = orders.select(col("o_orderkey"),
-        col("o_orderstatus").as("status"), lit(1L).as("ver"))
-      val b2 = orders.filter(col("o_orderkey") % 10 === 0)
-        .select(col("o_orderkey"), lit("X").as("status"), lit(2L).as("ver"))
-      graft.lake.BucketedUpsert.appendFragment(b1, root, "o_orderkey", 16,
-        tag = 1, versionCol = "ver")
-      graft.lake.BucketedUpsert.appendFragment(b2, root, "o_orderkey", 16,
-        tag = 2, versionCol = "ver")
-      val frag = graft.lake.Routing.readWhere(s, root,
-          col("o_orderkey").isin(7L, 10L, 20L, 21L, 35L, 49L, 70L))
-        .select(col("o_orderkey").as("k"), col("status").as("v"),
-          lit("frag").as("src"))
+      // two DISJOINT arms (fragment tree vs DV version dir) — setup
+      // actions overlapped (r22, guide §2.6), union unchanged
       val src = Fixtures.zEvents(s, d)
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-mor-dv-q").toString
-      graft.lake.DeleteWhere.deleteVectors(s, s"$src/stats",
-        "user_id", lit(100L), lit(120L), s"$out/v2")
-      val dv = graft.lake.Routing.readWhere(s, s"$out/v2",
-          col("user_id").between(lit(80L), lit(130L)))
-        .select(col("event_id").as("k"), col("event_type").as("v"),
-          lit("dv").as("src"))
+      import graft.lake.Overlap.ec
+      val fragFut = scala.concurrent.Future {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-mor-q").toString + "/t"
+        val orders = t(s, d, "orders")
+        val b1 = orders.select(col("o_orderkey"),
+          col("o_orderstatus").as("status"), lit(1L).as("ver"))
+        val b2 = orders.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit("X").as("status"), lit(2L).as("ver"))
+        graft.lake.BucketedUpsert.appendFragment(b1, root, "o_orderkey", 16,
+          tag = 1, versionCol = "ver")
+        graft.lake.BucketedUpsert.appendFragment(b2, root, "o_orderkey", 16,
+          tag = 2, versionCol = "ver")
+        graft.lake.Routing.readWhere(s, root,
+            col("o_orderkey").isin(7L, 10L, 20L, 21L, 35L, 49L, 70L))
+          .select(col("o_orderkey").as("k"), col("status").as("v"),
+            lit("frag").as("src"))
+      }
+      val dvFut = scala.concurrent.Future {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-mor-dv-q").toString
+        graft.lake.DeleteWhere.deleteVectors(s, s"$src/stats",
+          "user_id", lit(100L), lit(120L), s"$out/v2")
+        graft.lake.Routing.readWhere(s, s"$out/v2",
+            col("user_id").between(lit(80L), lit(130L)))
+          .select(col("event_id").as("k"), col("event_type").as("v"),
+            lit("dv").as("src"))
+      }
+      val Seq(frag, dv) = graft.lake.Overlap.all(Seq(fragFut, dvFut))
       frag.unionByName(dv).orderBy("src", "k")
     }),
 
@@ -920,8 +937,10 @@ object CoreQueries extends QueryPack {
         .select("event_id", "user_id", "event_type", "value")
       graft.lake.ZOrder.writeZOrdered(ev, s"$root/data", 16,
         "user_id", "event_id")
-      graft.lake.Routing.indexStats(s, root, Seq("user_id"))
-      graft.lake.Routing.indexBloom(s, root, "event_id")
+      // stats+bloom builds overlapped (r22, guide §2.6) — equivalent to
+      // indexStats then indexBloom, same manifests, same routed result
+      graft.lake.Routing.buildIndexes(s, root, Seq("user_id"),
+        Seq("event_id"))
       ev.filter(col("event_id") % 97 === 0)
         .write.mode("append").parquet(s"$root/data")
       graft.lake.Routing.refreshIndexes(s, root)

@@ -111,8 +111,10 @@ object Fixtures {
         .select("event_id", "user_id", "event_type", "value")
       graft.lake.ZOrder.writeZOrdered(ev, s"$root/data", 16,
         "user_id", "event_id")
-      graft.lake.Routing.indexStats(s, root, Seq("user_id"))
-      graft.lake.Routing.indexBloom(s, root, "event_id")
+      // overlapped builds (r22): same manifests as indexStats then
+      // indexBloom, submitted concurrently
+      graft.lake.Routing.buildIndexes(s, root, Seq("user_id"),
+        Seq("event_id"))
     }
 
   /** Bucketed `orders` table (key = o_orderkey, 16 buckets) — the
